@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (EXT tier). Exact dedup
+  * here; MinHash/SimHash/n-gram near-dup in [[NearDup]]. The reference's
+  * only dedup-shaped verb is whole-row `unique()`
+  * (`/root/reference/source/koalas/dataframe.d:230-234`); a training-data
+  * engine needs content-hash and near-duplicate variants that survive
+  * 100 TB: everything below is groupBy-on-a-hash (one shuffle, map-side
+  * combine, no pairwise comparisons outside candidate buckets).
+  */
+object Dedup {
+
+  /** Canonical content key: hash of the normalized text. md5 (not
+    * xxhash64) so the same key is computable by any engine — at scale one
+    * would switch to xxhash64 (cheaper, codegen'd) via `contentKey64`. */
+  def contentKey(text: Column): Column = md5(lower(trim(text)))
+
+  /** 64-bit engine-native variant for production-scale grouping. */
+  def contentKey64(text: Column): Column = xxhash64(lower(trim(text)))
+
+  /** Exact dedup groups: one row per distinct normalized content with the
+    * representative (minimum) doc_id and the duplicate count. Keeping
+    * min(doc_id) rather than "first seen" makes the representative
+    * deterministic under any partitioning (SURVEY §7.4). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(contentKey(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("h"))
+
+  /** Exact-dedup pass: keep only the representative row per content key —
+    * the operator a pipeline actually runs. Implemented as a window-free
+    * self-semi-join-free aggregate: group to representatives, then
+    * broadcast-or-shuffle join back is unnecessary because we aggregate
+    * the full row via min_by. */
+  def dropExactDups(docs: DataFrame): DataFrame = {
+    val cols = docs.columns.map(c => min_by(col(c), col("doc_id")).as(c))
+    docs
+      .groupBy(contentKey(col("text")).as("_h"))
+      .agg(cols.head, cols.tail.toIndexedSeq: _*)
+      .drop("_h")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM-data pipelines (EXT tier, SURVEY §2.5 /
+  * §7.2 item 5). The reference has no scalar function library at all
+  * (`/root/reference/source/koalas/dataframe.d:238-262` delegates to user
+  * lambdas); these are the operations a 100 TB training-data pipeline needs,
+  * built from codegen'd Catalyst expressions and higher-order functions —
+  * no UDFs, so every one of them stays inside whole-stage codegen and
+  * scales embarrassingly (per-row, no shuffle).
+  */
+object Text {
+
+  /** Whitespace tokenization. Single-space split matches the corpus
+    * convention of the `documents` table (space-joined word soup). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document statistics: char count, token count, distinct-token
+    * count, summed token length, average token length. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars2"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq_tokens"),
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast(LongType)
+        .as("sum_token_len"),
+      (aggregate(t, lit(0), (acc, x) => acc + length(x)).cast(DoubleType)
+        / size(t)).as("avg_token_len")
+    )
+  }
+
+  /** BPE-ish regex token count alongside whitespace count: runs of
+    * lowercase letters, digit runs, and single other non-space chars. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit(bpeishPattern)).as("n_bpeish_tokens")
+    )
+
+  /** Language-ID marker words. Deterministic n-gram-free heuristic: count
+    * exact-token hits per language's closed-class markers, argmax with a
+    * fixed tie order. (A real pipeline would plug a fastText-style model in
+    * at the same operator position — the plan shape is identical.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "und", "die", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "fr" -> Seq("le", "et", "les", "des", "est")
+  )
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+
+  /** Adds `lang_pred`: argmax over marker-hit counts, 'und' if no hits.
+    * Tie-break: earlier language in [[langMarkers]] wins. */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = langMarkers.map { case (l, ms) => l -> markerHits(col("text"), ms) }
+    val best = hits.foldRight(lit("und") -> lit(0)) {
+      case ((l, h), (bl, bh)) => // fold right so earlier langs win ties via >=
+        (when(h >= bh && h > 0, lit(l)).otherwise(bl),
+          when(h >= bh, h).otherwise(bh))
+    }._1
+    docs.select(col("doc_id"), col("lang"), best.as("lang_pred"))
+  }
+
+  /** Stopword set for quality scoring. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Heuristic quality score in [0,1]: blend of stopword ratio, alpha
+    * ratio, and clamped length — the standard cheap pre-filter shape for
+    * web-scale corpus cleaning. All per-row IEEE arithmetic:
+    * deterministic across engines and cluster sizes. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast(DoubleType)
+    val stopRatio = size(filter(t, x => x.isin(stopwords.map(lit): _*))) / nTok
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+        length(col("text"))
+    val lenScore = least(nTok / 200.0, lit(1.0))
+    docs.select(
+      col("doc_id"),
+      stopRatio.as("stop_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      lenScore.as("len_score"),
+      (stopRatio * 0.5 + alphaRatio * 0.3 + lenScore * 0.2).as("quality")
+    )
+  }
+
+  /** Order-canonical document fingerprint: md5 over the sorted distinct
+    * token set. Two documents with permuted/duplicated tokens share a
+    * fingerprint — the cheap bag-of-words near-dup key. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+        .as("fp"))
+}
