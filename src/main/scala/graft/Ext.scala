@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Queries.QDef
-import graft.functions.{Dedup, Text}
+import graft.functions.{Dedup, NearDup, Similarity, Text}
 import graft.operators.Sessions
 
 /** EXT-tier query registry: the LLM-data-pipeline operators grounded in the
@@ -135,8 +135,100 @@ object Ext {
     )
   )
 
+  /** Sequential-fold cosine in DuckDB dialect, matching
+    * Similarity.dot/l2norm's fold order exactly (list_reduce starts at the
+    * first element; Spark's aggregate starts at 0.0 — identical since
+    * 0.0 + x == x in IEEE). */
+  private def cosSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x, y) -> x + y) " +
+      s"/ (sqrt(list_reduce(list_transform($a, v -> v*v), (x, y) -> x + y)) " +
+      s"* sqrt(list_reduce(list_transform($b, v -> v*v), (x, y) -> x + y)))"
+
+  /** Exact top-k cosine neighbors (brute force over broadcast queries). */
+  private val simTopK = QDef(
+    "sim_topk",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+    },
+    Some(
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        s"p AS (SELECT qid, nid, ${cosSql("qe", "ce")} AS sim FROM c, q WHERE qid <> nid), " +
+        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, nid) AS rn FROM p) " +
+        "SELECT qid, nid, round(sim, 6) AS sim FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, nid")
+    )
+  )
+
+  /** LSH-bucketed ANN top-k — the 100 TB path (candidates from a hash join
+    * on the sign-LSH bucket). Bucketing depends on engine-side hyperplane
+    * literals → rows-only check; recall vs brute force is unit-tested. */
+  private val annLsh = QDef(
+    "ann_lsh",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nPlanes = 4)
+    },
+    None
+  )
+
+  /** Exact n-gram (3-token shingle) Jaccard near-dup pairs. */
+  private val dedupNgram = QDef(
+    "dedup_ngram",
+    (s, d) => NearDup.ngramJaccardPairs(documents(s, d), threshold = 0.5),
+    Some(
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a " +
+        "JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 " +
+        "ORDER BY id_a, id_b")
+    )
+  )
+
+  /** MinHash+LSH near-dup pairs (xxhash64 signatures — engine-native,
+    * not reproducible in DuckDB → rows-only; accuracy unit-tested against
+    * the exact-Jaccard pairs). */
+  private val dedupMinhash = QDef(
+    "dedup_minhash",
+    (s, d) => NearDup.minhashPairs(documents(s, d), threshold = 0.5),
+    None
+  )
+
+  /** SimHash (64-bit, banded) near-dup pairs — rows-only, same reason. */
+  private val dedupSimhash = QDef(
+    "dedup_simhash",
+    (s, d) => NearDup.simhashPairs(documents(s, d), maxHamming = 3),
+    None
+  )
+
+  /** Embedding-cosine near-dup pairs via sign-LSH buckets — rows-only
+    * (bucket keys are engine-side literals). Threshold 0.45: the testdata
+    * embeddings have no planted near-identical pairs (max pairwise cosine
+    * ≈0.51 at sf0.01), so a production-style 0.9 threshold would emit an
+    * empty — correct but vacuous — result. */
+  private val dedupEmbed = QDef(
+    "dedup_embed",
+    (s, d) => Similarity.embeddingNearDups(embeddings(s, d),
+      "vec_id", "embedding", threshold = 0.45),
+    None
+  )
+
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
-    dedupExact
+    dedupExact, simTopK, annLsh, dedupNgram, dedupMinhash, dedupSimhash,
+    dedupEmbed
   )
 }

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over text — MinHash+LSH, SimHash, and exact
+  * n-gram Jaccard (EXT tier). The 100 TB contract for all three: candidate
+  * pairs come from equality joins on hash keys (shingle, band signature, or
+  * simhash band) — never an O(n²) cross product; the exact similarity is
+  * only computed on candidates.
+  */
+object NearDup {
+
+  /** Distinct w-token shingles of `text` (w=3). Documents shorter than w
+    * tokens produce no shingles (filtered out upstream of joins). */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val t = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(t) - w),
+        i => concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+  }
+
+  /** Exploded (doc_id, shingle) relation — the base for both exact Jaccard
+    * and MinHash. One row per distinct shingle per doc. */
+  def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= w)
+      .select(col("doc_id"), explode(shingles(col("text"), w)).as("shingle"))
+
+  /** Exact n-gram Jaccard pairs: candidates = docs sharing ≥1 shingle
+    * (equality join on the shingle), similarity = |∩| / |∪| over distinct
+    * shingle sets, kept when ≥ threshold. Each pair once (a < b). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    val ds = docShingles(docs, w)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = ds.as("a")
+      .join(ds.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_shingles", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_shingles", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash signatures: k independent hash slots, slot j =
+    * min over shingles of xxhash64(j, shingle). Computed as k min-
+    * aggregates over the exploded shingle relation — map-side combine
+    * collapses each doc's shingles before the shuffle. */
+  def minhashSignatures(docs: DataFrame, k: Int = 32, w: Int = 3): DataFrame = {
+    val ds = docShingles(docs, w)
+    val slots = (0 until k).map(j =>
+      min(xxhash64(lit(j), col("shingle"))).as(s"mh_$j"))
+    ds.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs + signature-estimated Jaccard.
+    * Bands of r consecutive slots; docs agreeing on any whole band are
+    * candidates (join on the band hash); estimate = fraction of all k
+    * slots that agree; kept when ≥ threshold.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      k: Int = 32,
+      bands: Int = 8,
+      w: Int = 3
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignatures(docs, k, w)
+    val mh = (0 until k).map(j => col(s"mh_$j"))
+    // (doc_id, band, band_hash): one hash per r-slot band
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (b * r until (b + 1) * r).map(j => col(s"mh_$j"))): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_a" else s"a_$c").toIndexedSeq: _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_b" else s"b_$c").toIndexedSeq: _*)
+    val agree = (0 until k).map(j =>
+      when(col(s"a_mh_$j") === col(s"b_mh_$j"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Pure Catalyst expressions: per bit b, count tokens whose
+    * hash has bit b set; bit set in the result iff count*2 > n_tokens. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    val n = size(hashes)
+    val bits = (0 until 64).map { b =>
+      val ones = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * keys; pairs matching on any band are candidates (Hamming distance
+    * ≤ 3 guarantees a matching band by pigeonhole for 4 bands); verify
+    * exact Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val banded = withSim.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "band_key")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("x.sh").as("sha"),
+        col("y.doc_id").as("id_b"), col("y.sh").as("shb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.operators.Frame._
+import graft.sources.Io
+
+/** Core-verb unit tests beyond the goldens, plus the CSV source/sink
+  * round-trip (SURVEY §2.1 #1-3). */
+class FrameIoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1, 1.5), ("b", 2, 2.5), ("c", 3, 3.5), ("a", 1, 1.5)
+  ).toDF("s", "i", "d")
+
+  test("filterCmp supports all six reference operators") {
+    assert(df.filterCmp("i", "==", 2).count() == 1)
+    assert(df.filterCmp("i", "!=", 2).count() == 3)
+    assert(df.filterCmp("i", "<", 2).count() == 2)
+    assert(df.filterCmp("i", "<=", 2).count() == 3)
+    assert(df.filterCmp("i", ">", 2).count() == 1)
+    assert(df.filterCmp("i", ">=", 2).count() == 2)
+    intercept[IllegalArgumentException](df.filterCmp("i", "~", 2))
+  }
+
+  test("filterCmp casts the literal to the column type (strict-type mirror)") {
+    // int literal against double column: cast on the literal side only
+    assert(df.filterCmp("d", ">", 2).count() == 2)
+    val plan = df.filterCmp("d", ">", 2).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("cast(d#"), s"column side must not be cast:\n$plan")
+  }
+
+  test("projectCol / projectSubset / unknown column fails analysis") {
+    assert(df.projectCol("s").columns.toSeq == Seq("s"))
+    assert(df.projectSubset(Seq("d", "s")).columns.toSeq == Seq("d", "s"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.projectSubset(Seq("nope")).collect())
+  }
+
+  test("distinctColSorted") {
+    assert(df.distinctColSorted("s").as[String].collect().toSeq == Seq("a", "b", "c"))
+  }
+
+  test("sortAll is a total order over all columns") {
+    assert(rows(df.sortAll()).head == Seq("a", 1, 1.5))
+  }
+
+  test("concat requires >=1 frame and preserves multiplicity") {
+    assert(operators.Frame.concat(Seq(df)).count() == 4)
+    assert(operators.Frame.concat(Seq(df, df, df)).count() == 12)
+  }
+
+  test("addZeroCol typed zeros per DataType") {
+    val out = df.addZeroCol("z1", LongType).addZeroCol("z2", StringType)
+      .addZeroCol("z3", BooleanType)
+    val r = out.select("z1", "z2", "z3").collect().head
+    assert(r.getLong(0) == 0L && r.getString(1) == "" && !r.getBoolean(2))
+  }
+
+  test("csv round-trip: writeCsv then readTable with schema (fromTable/toCsv)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Io.writeCsv(df, s"$dir/out", sep = "\t")
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("i", IntegerType),
+      StructField("d", DoubleType)))
+    val back = Io.readTable(spark, s"$dir/out", schema, sep = "\t", headerLines = 1)
+    assert(rows(back.sortAll()) == rows(df.sortAll()))
+  }
+
+  test("readTable drops leading index columns (fromTable indexCols)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv2").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.tsv"), "0\tx\t10\n1\ty\t20\n")
+    val schema = StructType(Seq(
+      StructField("idx", IntegerType), StructField("name", StringType),
+      StructField("v", IntegerType)))
+    val got = Io.readTable(spark, s"$dir/t.tsv", schema, indexCols = 1)
+    assert(got.columns.toSeq == Seq("name", "v"))
+    assert(got.count() == 2)
+  }
+
+  test("readTable FAILFAST throws on type mismatch (strict to!T parse)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv3").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.tsv"), "x\tnotanint\n")
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", IntegerType)))
+    intercept[org.apache.spark.SparkException](
+      Io.readTable(spark, s"$dir/bad.tsv", schema).collect())
+  }
+
+  test("typed facade: compile-checked lambdas over Dataset[T]") {
+    import graft.operators.TypedFrame
+    val tf = TypedFrame(df.as[(String, Int, Double)])
+    assert(tf.where(_._2 >= 2).shape == (2L, 3))
+    assert(tf.uniqueRows().shape._1 == 3L)
+    val mapped = tf.mapRows(r => (r._1, r._3 * 2))
+    assert(mapped.ds.columns.length == 2)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, NearDup, Similarity}
+
+/** Near-dup + similarity operators: planted-duplicate fixtures with known
+  * answers, plus accuracy checks of the approximate methods against exact
+  * ones on the sf0.001 testdata. */
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted fixture: 0/1 near-identical (one token changed), 2 unrelated,
+  // 3 an exact duplicate of 0 up to case/whitespace.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (2L, "completely different content about spark query engines and shuffles"),
+    (3L, "  The quick brown fox jumps over the lazy dog again and again today ")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val g = Dedup.exactGroups(docs)
+    assert(g.count() == 3)
+    assert(g.filter(col("n_dups") === 2).select("keep_id").as[Long].head() == 0L)
+  }
+
+  test("dropExactDups keeps the min-id representative") {
+    val kept = Dedup.dropExactDups(docs)
+    assert(kept.count() == 3)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
+  test("shingles: distinct w-grams, short docs excluded") {
+    val s = NearDup.docShingles(Seq((9L, "a b")).toDF("doc_id", "text"))
+    assert(s.count() == 0)
+    val s2 = NearDup.docShingles(Seq((9L, "a b c d")).toDF("doc_id", "text"))
+    assert(s2.select("shingle").as[String].collect().toSet == Set("a b c", "b c d"))
+  }
+
+  test("ngram jaccard finds the planted near-pair (and not the unrelated one)") {
+    val pairs = NearDup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash agrees with exact jaccard pairs on sf0.001 documents") {
+    val d = Tables.documents(spark, sf0001)
+    val exact = NearDup.ngramJaccardPairs(d, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = NearDup.minhashPairs(d, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // estimated-Jaccard thresholding is approximate: demand high overlap
+    val inter = (exact & mh).size.toDouble
+    assert(exact.nonEmpty)
+    assert(inter / exact.size >= 0.9, s"recall ${inter / exact.size}: $exact vs $mh")
+    assert(inter / mh.size >= 0.9, s"precision ${inter / mh.size}")
+  }
+
+  test("simhash: identical docs distance 0, near docs close, pairs found") {
+    val sh = docs.select(col("doc_id"), NearDup.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) <= 16)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) > 16)
+    val pairs = NearDup.simhashPairs(docs, maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("lsh ann recall vs brute force on sf0.001 embeddings") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // 8 tables x 4 planes OR-amplified; random near-orthogonal vectors are
+    // the hardest case for sign-LSH, so the bar is moderate
+    assert(recall >= 0.5, s"ann recall $recall too low")
+  }
+
+  test("embedding near-dups finds planted identical vectors") {
+    val base = Tables.embeddings(spark, sf0001).limit(50)
+    // plant: duplicate vec 0 as id 9999
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = base.select("vec_id", "embedding", "label").union(dup)
+    val pairs = Similarity.embeddingNearDups(corpus, "vec_id", "embedding",
+      threshold = 0.999, nPlanes = 4)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((0L, 9999L)), s"got $found")
+  }
+}
