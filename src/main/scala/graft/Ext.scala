@@ -215,14 +215,16 @@ object Ext {
   )
 
   /** Embedding-cosine near-dup pairs via sign-LSH buckets — rows-only
-    * (bucket keys are engine-side literals). Threshold 0.45: the testdata
-    * embeddings have no planted near-identical pairs (max pairwise cosine
-    * ≈0.51 at sf0.01), so a production-style 0.9 threshold would emit an
-    * empty — correct but vacuous — result. */
+    * (bucket keys are engine-side literals). Production-realistic config:
+    * threshold 0.95 with 8-bit buckets (sign-LSH recall is high exactly in
+    * the near-dup regime). The testdata embeddings contain no planted
+    * near-identical pairs (max pairwise cosine ≈0.51 at sf0.01), so the
+    * correct output here is empty; the operator's behavior on real
+    * duplicates is pinned by NearDupSpec's planted-vector test. */
   private val dedupEmbed = QDef(
     "dedup_embed",
     (s, d) => Similarity.embeddingNearDups(embeddings(s, d),
-      "vec_id", "embedding", threshold = 0.45),
+      "vec_id", "embedding", threshold = 0.95, nPlanes = 8),
     None
   )
 

@@ -45,10 +45,15 @@ object Grouped {
     * that one is partition-order-nondeterministic (SURVEY §2.2 #29).
     */
   def firstRows(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(cols(keys): _*).orderBy(cols(orderCols): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    // min_by over a struct ordered by (orderCols, full row as tie-break):
+    // a true aggregate, so partial aggregation collapses each group to one
+    // row per map partition BEFORE the shuffle — at scale this moves
+    // O(groups) rows instead of the O(n) a window row_number() would.
+    val ord = struct((orderCols.map(col) ++ df.columns.map(col)): _*)
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(cols(keys): _*)
+      .agg(min_by(all, ord).as("_first"))
+      .select(df.columns.map(c => col(s"_first.$c").as(c)): _*)
       .orderBy(cols(keys): _*)
   }
 

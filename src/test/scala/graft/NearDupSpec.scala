@@ -57,6 +57,13 @@ class NearDupSpec extends SparkSpec {
     assert(inter / mh.size >= 0.9, s"precision ${inter / mh.size}")
   }
 
+  test("simhashTable (aggregate form) equals per-row simhash64 expression") {
+    val viaExpr = docs.select(col("doc_id"), NearDup.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = NearDup.simhashTable(docs).as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("simhash: identical docs distance 0, near docs close, pairs found") {
     val sh = docs.select(col("doc_id"), NearDup.simhash64(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions (SURVEY §7.1 "100 TB stance"): the
+  * correctness gate proves the right rows come back; these prove the
+  * *plans* are the ones that survive a 1000-executor scale-up — filters
+  * pushed to the parquet scan, projections pruned, aggregates partial
+  * before the exchange, small sides broadcast, and no cartesian products
+  * outside explicitly-broadcast ANN re-ranks.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("filter_eq pushes the predicate into the parquet scan") {
+    val p = physical(q("filter_eq"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("project_col prunes the scan to one column") {
+    val p = physical(q("project_col"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("groupby_sum aggregates partially before the shuffle (map-side combine)") {
+    val p = physical(q("groupby_sum"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), s"no hash exchange:\n$p")
+  }
+
+  test("q1_flagship is one scan, partial+final agg, one hash exchange") {
+    val p = physical(q("q1_flagship"))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("sim_topk broadcasts the query side (no shuffle of the corpus)") {
+    val p = physical(q("sim_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("ann_lsh candidate generation is a broadcast hash join on (table,bucket)") {
+    val p = physical(q("ann_lsh"))
+    assert(p.contains("BroadcastHashJoin"), s"no hash join for candidates:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("dedup_ngram joins on the shingle key, never cross-product") {
+    val p = physical(q("dedup_ngram"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup should be an equality join:\n$p")
+  }
+
+  test("q1_flagship runs inside whole-stage codegen") {
+    val df = q("q1_flagship")
+    df.collect() // AQE finalizes the physical plan only on execution
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*("), s"no codegen span in final plan:\n$p")
+  }
+
+  test("sessionize reuses one exchange for both windows and the aggregate") {
+    val p = physical(q("sessionize"))
+    // both window passes and the groupBy hash on user_id; a single
+    // hashpartitioning(user_id) exchange must serve them all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"sessionize should shuffle once:\n$p")
+  }
+}
