@@ -331,6 +331,6 @@ object Queries {
     groupbyMax, groupbyAggNumeric, q1Flagship
   )
 
-  /** All registered queries: core verbs + EXT tier. */
-  def all: Seq[QDef] = core ++ Ext.all
+  /** All registered queries: core verbs + relational extensions + EXT tier. */
+  def all: Seq[QDef] = core ++ Rel.all ++ Ext.all
 }

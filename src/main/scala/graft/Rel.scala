@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Queries.QDef
+
+/** Relational extension queries: joins and window ranking. The reference
+  * has no joins at all (SURVEY §2.5 — `concat` is its only two-table op),
+  * but an engine a koalas user switches to for 100 TB work needs them;
+  * they also exercise the join machinery the EXT near-dup operators build
+  * on. All Spark built-ins; strategy chosen to scale:
+  *  - dimension joins broadcast the small side explicitly;
+  *  - fact-fact joins shuffle on the join key and let AQE pick
+  *    broadcast/sort-merge and coalesce partitions at runtime;
+  *  - anti-join for "absent in" instead of NOT IN subquery re-scans.
+  */
+object Rel {
+
+  import Tables._
+
+  /** Broadcast dimension join: order revenue by market segment. */
+  private val joinBroadcast = QDef(
+    "join_broadcast",
+    (s, d) => orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_totalprice"))
+      .orderBy(col("c_mktsegment")),
+    Some("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+  )
+
+  /** Fact-fact equi-join on the shuffle key (AQE re-plans at runtime). */
+  private val joinLarge = QDef(
+    "join_large",
+    (s, d) => lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus")),
+    Some("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items, " +
+      "sum(l_quantity) AS sum_qty, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  )
+
+  /** Anti join: customers that never ordered. */
+  private val joinAnti = QDef(
+    "join_anti",
+    (s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("SELECT c_custkey, c_name FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+      "ORDER BY c_custkey")
+  )
+
+  /** Semi join: parts that appear in some lineitem. */
+  private val joinSemi = QDef(
+    "join_semi",
+    (s, d) => part(s, d)
+      .join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey")),
+    Some("SELECT p_partkey, p_brand FROM part " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) " +
+      "ORDER BY p_partkey")
+  )
+
+  /** Window ranking: top-3 orders per customer by price (deterministic
+    * tie-break on the key). */
+  private val windowTopK = QDef(
+    "window_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+    Some("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank " +
+      "FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) " +
+      "WHERE rank <= 3 ORDER BY o_custkey, rank")
+  )
+
+  val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi, windowTopK)
+}

@@ -68,6 +68,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen span in final plan:\n$p")
   }
 
+  test("join_broadcast broadcasts the dimension side") {
+    val p = physical(q("join_broadcast"))
+    assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+  }
+
+  test("join_anti plans as an anti join, not a subquery re-scan") {
+    val p = physical(q("join_anti"))
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+  }
+
   test("sessionize reuses one exchange for both windows and the aggregate") {
     val p = physical(q("sessionize"))
     // both window passes and the groupBy hash on user_id; a single
