@@ -54,14 +54,26 @@ object NearDup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Seeded per-slot salts for the k-member hash family. */
+  private def slotSalts(k: Int, seed: Long = 0x9E3779B97F4A7C15L): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(rnd.nextLong())
+  }
+
   /** MinHash signatures: k independent hash slots, slot j =
-    * min over shingles of xxhash64(j, shingle). Computed as k min-
-    * aggregates over the exploded shingle relation — map-side combine
-    * collapses each doc's shingles before the shuffle. */
+    * min over shingles of h_j(shingle) where h_j(s) = xxhash64(xxhash64(s)
+    * XOR salt_j) — the variable-length shingle string is hashed ONCE and
+    * each family member is an XOR plus one fixed-width (8-byte) rehash,
+    * instead of k full string hashes. (XOR, not affine a·h+b: Spark 4 runs
+    * ANSI mode, where wrapping long arithmetic throws on overflow.)
+    * Computed as k min-aggregates over the exploded shingle relation:
+    * map-side combine collapses each doc's shingles to one signature row
+    * per partition before the shuffle. */
   def minhashSignatures(docs: DataFrame, k: Int = 32, w: Int = 3): DataFrame = {
-    val ds = docShingles(docs, w)
-    val slots = (0 until k).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).as(s"mh_$j"))
+    val ds = docShingles(docs, w).withColumn("h0", xxhash64(col("shingle")))
+    val slots = slotSalts(k).zipWithIndex.map { case (salt, j) =>
+      min(xxhash64(col("h0").bitwiseXOR(lit(salt)))).as(s"mh_$j")
+    }
     ds.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
   }
 

@@ -33,7 +33,16 @@ object Similarity {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine via built-in HOFs — the reference composition; kept as the
+    * cross-check for the native expression (bit-identical by construction,
+    * asserted in SimilarityNativeSpec). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine similarity — the native codegen'd kernel
+    * ([[graft.plans.CosineSimilarity]]): one fused loop instead of three
+    * interpreted HOF traversals per pair. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity.cosineNative(a, b)
 
   /** Exact top-k cosine neighbors of each query vector against the corpus.
     *

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** The native CosineSimilarity expression must be bit-identical to the HOF
+  * composition (same fold order over the same doubles) — this is what
+  * keeps the DuckDB oracle and cross-cluster reproducibility intact after
+  * swapping in the fast kernel. */
+class SimilarityNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine == HOF cosine, bit-for-bit, on all sf0.001 pairs") {
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("native"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    val diff = pairs
+      .filter(col("native") =!= col("hof")) // exact double comparison
+      .count()
+    assert(diff == 0L, s"$diff pairs differ between native and HOF cosine")
+  }
+
+  test("native cosine of identical vectors is exactly 1-ish and self-consistent") {
+    val v = Seq((1L, Array(0.6, 0.8)), (2L, Array(3.0, 4.0))).toDF("id", "v")
+    val got = v.as("a").join(v.as("b"), col("a.id") <= col("b.id"))
+      .select(Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .as[Double].collect()
+    assert(got.forall(c => math.abs(c - 1.0) < 1e-12)) // colinear vectors
+  }
+
+  test("native cosine survives whole-stage codegen (no fallback)") {
+    val e = Tables.embeddings(spark, sf0001).limit(10)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val df = e.select(Similarity.cosine(col("v"), col("v")).as("c"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*("), s"expression fell out of codegen:\n$p")
+  }
+}
