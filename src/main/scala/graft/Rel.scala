@@ -100,5 +100,27 @@ object Rel {
       "WHERE rank <= 3 ORDER BY o_custkey, rank")
   )
 
-  val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi, windowTopK)
+  /** As-of join: each purchase event gets the latest prior signup ts of
+    * the same user (union + running-max window — one shuffle on user_id;
+    * see graft.operators.Joins.asofJoin). Oracle: the equivalent
+    * correlated max-subquery. */
+  private val joinAsof = QDef(
+    "join_asof",
+    (s, d) => {
+      val ev = events(s, d)
+      graft.operators.Joins.asofJoin(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "signup"),
+        key = "user_id", tsCol = "ts", asofCol = "last_signup_ts")
+        .orderBy(col("event_id"))
+    },
+    Some("SELECT event_id, CAST(e.ts AS TIMESTAMP) AS ts, user_id, event_type, value, props, " +
+      "(SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s " +
+      " WHERE s.user_id = e.user_id AND s.event_type = 'signup' " +
+      " AND CAST(s.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_signup_ts " +
+      "FROM events e WHERE e.event_type = 'purchase' ORDER BY event_id")
+  )
+
+  val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
+    windowTopK, joinAsof)
 }

@@ -32,9 +32,16 @@ object NearDup {
     * (equality join on the shingle), similarity = |∩| / |∪| over distinct
     * shingle sets, kept when ≥ threshold. Each pair once (a < b). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
-    // persist: the shingle relation feeds three plan branches (both join
-    // sides + sizes); without it Spark re-tokenizes the corpus thrice
-    val ds = docShingles(docs, w).persist()
+    // Join on the 64-bit shingle hash, not the shingle string: the
+    // exploded relation that shuffles twice (join) carries 8 bytes per
+    // shingle instead of ~3 words. A cross-shingle hash collision could
+    // overcount an intersection, with probability ~(distinct shingles)²/2⁶⁵
+    // — ~1e-8 at sf0.1 — accepted and documented.
+    // persist: the relation feeds three plan branches (both join sides +
+    // sizes); without it Spark re-tokenizes the corpus thrice.
+    val ds = docShingles(docs, w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .persist()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = ds.as("a")
       .join(ds.as("b"), col("a.shingle") === col("b.shingle")

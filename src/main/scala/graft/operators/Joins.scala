@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Join operators beyond Spark's built-ins (EXT tier — the reference has no
+  * joins at all, SURVEY §2.5): as-of join and a salt helper for skewed
+  * keys. Both are compositions of built-in operators (preference (a) of
+  * SURVEY §7.3) — no custom plan node needed.
+  */
+object Joins {
+
+  /** As-of join: for each left row, attach the greatest `tsCol` of a right
+    * row with the same key and right.ts <= left.ts (the "latest prior
+    * event" join of feature-attribution pipelines).
+    *
+    * Implementation: tag and union both sides, then one running-max window
+    * per key ordered by (ts, side) with right rows sorting before left
+    * rows at equal timestamps (inclusive match). ONE shuffle on the key —
+    * versus the naive per-row correlated subquery (O(n·m) re-scans) or an
+    * interval cross join. At 100 TB this is the canonical shape: sort
+    * within key partitions, constant state (the running max) per key.
+    *
+    * @return the left rows + `asofCol` (max right ts <= left ts, null if
+    *         none), in left's column order.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      asofCol: String
+  ): DataFrame = {
+    val leftCols = left.columns
+    // common shape: key, ts, side tag, then left payload (null on right)
+    val payload = leftCols.filter(c => c != key && c != tsCol)
+    val taggedLeft = left.select(
+      (Seq(col(key), col(tsCol).as("_ts"), lit(1).as("_side")) ++
+        payload.map(col)): _*)
+    val taggedRight = right.select(
+      (Seq(col(key), col(tsCol).as("_ts"), lit(0).as("_side")) ++
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    taggedLeft.union(taggedRight)
+      .withColumn(asofCol, max(when(col("_side") === 0, col("_ts"))).over(w))
+      .filter(col("_side") === 1)
+      .select((leftCols.map {
+        case c if c == tsCol => col("_ts").as(tsCol)
+        case c               => col(c)
+      } :+ col(asofCol)): _*)
+  }
+
+  /** Salted equi-join for skewed keys: replicate the small side
+    * `saltBuckets` times, split each skewed large-side key across buckets
+    * by a deterministic row hash. AQE's skew-join handles moderate skew at
+    * runtime; explicit salting is for the pathological key whose single
+    * partition would not fit an executor at all.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int
+  ): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets.toLong))
+        .cast(LongType))
+    val replicated = small
+      .withColumn("_salt", explode(
+        array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}
