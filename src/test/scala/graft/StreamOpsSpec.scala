@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+
+final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+/** Streaming dedup + windowed aggregation over MemoryStreams. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("dedupWithinWatermark drops repeated keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.dedupWithinWatermark(
+      mem.toDF(), Seq("text"), "ts", watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(Doc(0, "same content", ts(0)), Doc(1, "other content", ts(1)))
+      q.processAllAvailable()
+      mem.addData(Doc(2, "same content", ts(5)), Doc(3, "third content", ts(6)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(0L, 1L, 3L), s"got $ids") // doc 2 is a dup of doc 0
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts aggregates per tumbling window (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(0, ts(1), 1, 10.0), Ev(1, ts(2), 2, 5.0),   // window 00:00
+      Ev(2, ts(7), 1, 2.0))                           // window 00:05
+    val q = StreamOps.windowedEventCounts(
+      mem.toDF().withColumn("event_type",
+        org.apache.spark.sql.functions.lit("click")), windowMinutes = 5)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out").orderBy("window_start")
+      assert(rows(got) == Seq(
+        Seq(ts(0), "click", 2L, 15.0),
+        Seq(ts(5), "click", 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts runs in batch mode on the events table") {
+    val got = StreamOps.windowedEventCounts(Tables.events(spark, sf0001))
+    assert(got.count() > 0)
+    assert(got.columns.toSeq ==
+      Seq("window_start", "event_type", "n_events", "sum_value"))
+  }
+}
