@@ -228,9 +228,26 @@ object Ext {
     None
   )
 
+  /** Tumbling-window event aggregation — the batch face of
+    * StreamOps.windowedEventCounts (identical definition runs streaming).
+    * Spark's window() and DuckDB's time_bucket both align 5-minute buckets
+    * on the epoch. */
+  private val windowAgg = QDef(
+    "window_agg",
+    (s, d) => graft.streaming.StreamOps
+      .windowedEventCounts(events(s, d), windowMinutes = 5)
+      .orderBy(col("window_start"), col("event_type")),
+    Some(
+      "SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start, " +
+        "event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
+    )
+  )
+
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLsh, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupEmbed
+    dedupEmbed, windowAgg
   )
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over text — MinHash+LSH, SimHash, and exact
@@ -28,28 +29,74 @@ object NearDup {
       .filter(size(split(col("text"), " ")) >= w)
       .select(col("doc_id"), explode(shingles(col("text"), w)).as("shingle"))
 
-  /** Exact n-gram Jaccard pairs: candidates = docs sharing ≥1 shingle
-    * (equality join on the shingle), similarity = |∩| / |∪| over distinct
-    * shingle sets, kept when ≥ threshold. Each pair once (a < b). */
+  /** Hashed distinct (doc_id, shingle-hash) relation. Joining on the
+    * 64-bit shingle hash instead of the string keeps shuffles at 8 bytes
+    * per shingle; a cross-shingle collision could overcount an
+    * intersection with probability ~(distinct shingles)²/2⁶⁵ (~1e-8 at
+    * sf0.1) — accepted and documented. */
+  private def hashedShingles(docs: DataFrame, w: Int): DataFrame =
+    docShingles(docs, w).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+
+  /** Exact n-gram Jaccard pairs: similarity = |∩| / |∪| over distinct
+    * shingle sets, kept when ≥ threshold; each pair once (a < b).
+    *
+    * Candidate generation uses PPJoin-style *prefix filtering*, which is
+    * lossless for Jaccard ≥ t: order each doc's shingles rarest-first
+    * (global doc-frequency); two docs with Jaccard ≥ t MUST share a
+    * shingle within each other's first ⌊(1-t)·|d|⌋+1 shingles, so only
+    * those prefixes enter the self-join. Common shingles — the ones that
+    * explode a naive shingle join quadratically — never generate
+    * candidates. Verification then counts intersections only for
+    * candidate pairs. All equality joins; no cross product anywhere.
+    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
-    // Join on the 64-bit shingle hash, not the shingle string: the
-    // exploded relation that shuffles twice (join) carries 8 bytes per
-    // shingle instead of ~3 words. A cross-shingle hash collision could
-    // overcount an intersection, with probability ~(distinct shingles)²/2⁶⁵
-    // — ~1e-8 at sf0.1 — accepted and documented.
-    // persist: the relation feeds three plan branches (both join sides +
-    // sizes); without it Spark re-tokenizes the corpus thrice.
-    val ds = docShingles(docs, w)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .persist()
+    // persist: feeds prefix ranking, both verify branches, and sizes
+    val ds = hashedShingles(docs, w).persist()
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val freq = ds.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wByDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = ds.join(freq, "h")
+      .withColumn("_rk", row_number().over(wByDoc))
+      .join(broadcast(sizes), "doc_id")
+      .filter(col("_rk") <=
+        floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verify restricted to candidates: count shared shingles
+    val inter = cand
+      .join(ds.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(ds.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      // per-doc sizes are O(docs) small → broadcast both lookups
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_shingles", "na")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_shingles", "nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Naive variant (full shingle self-join) — the reference implementation
+    * prefix filtering is tested against. */
+  private[graft] def ngramJaccardPairsNaive(
+      docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    val ds = hashedShingles(docs, w).persist()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = ds.as("a")
-      .join(ds.as("b"), col("a.shingle") === col("b.shingle")
+      .join(ds.as("b"), col("a.h") === col("b.h")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      // per-doc sizes are O(docs) small → broadcast both lookups
       .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("n_shingles", "na")), "id_a")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")

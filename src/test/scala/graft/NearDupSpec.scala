@@ -44,6 +44,18 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("prefix-filtered jaccard equals the naive shingle self-join (lossless)") {
+    val d = Tables.documents(spark, sf0001)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = rows(NearDup.ngramJaccardPairs(d, t))
+      val naive = rows(NearDup.ngramJaccardPairsNaive(d, t))
+      assert(fast == naive, s"prefix filter lost pairs at t=$t")
+    }
+    // and on the planted fixture
+    assert(rows(NearDup.ngramJaccardPairs(docs, 0.5)) ==
+      rows(NearDup.ngramJaccardPairsNaive(docs, 0.5)))
+  }
+
   test("minhash agrees with exact jaccard pairs on sf0.001 documents") {
     val d = Tables.documents(spark, sf0001)
     val exact = NearDup.ngramJaccardPairs(d, threshold = 0.5)
