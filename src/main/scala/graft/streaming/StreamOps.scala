@@ -5,11 +5,45 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Streaming counterparts of the batch pipeline operators (EXT tier):
-  * exact dedup and windowed aggregation with watermarked, bounded state.
-  * The reference has no streaming at all (SURVEY §2.5); these are the
-  * shapes a continuously-ingesting training-data pipeline runs.
+  * exact dedup, windowed aggregation with watermarked bounded state, and
+  * arbitrary per-key state via mapGroupsWithState. The reference has no
+  * streaming at all (SURVEY §2.5); these are the shapes a continuously-
+  * ingesting training-data pipeline runs.
   */
 object StreamOps {
+
+  /** Running per-user totals carried in custom state. */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Arbitrary stateful processing: per-user running (count, sum) across
+    * micro-batches via `mapGroupsWithState` — the escape hatch for
+    * per-key logic no built-in aggregation expresses (the streaming analog
+    * of the reference's arbitrary `apply` lambdas). State is one small
+    * case class per key, partitioned by the grouping key — scales with
+    * distinct users, not events. */
+  def runningUserTotals(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]
+  ): org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val encLong: Encoder[Long] = Encoders.scalaLong
+    implicit val encTot: Encoder[UserTotals] = Encoders.product[UserTotals]
+    implicit val encPair: Encoder[(Long, Double)] = Encoders.product[(Long, Double)]
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          val (n, s) = rows.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((cn, cs), (_, v)) => (cn + 1, cs + v)
+          }
+          val next = UserTotals(user, n, s)
+          state.update(next)
+          next
+      }
+  }
 
   /** Streaming exact dedup: drop rows whose key columns repeat within the
     * watermark horizon. State is bounded by the watermark — the streaming

@@ -50,6 +50,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState carries running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.runningUserTotals(mem.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals_out").start()
+    try {
+      mem.addData(Ev(0, ts(1), 1, 10.0), Ev(1, ts(2), 1, 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts(3), 1, 1.0), Ev(3, ts(4), 2, 7.0))
+      q.processAllAvailable()
+      // latest update per user reflects accumulated state
+      val last = spark.table("totals_out")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("sum_value").as("s"))
+        .orderBy("user_id")
+      assert(rows(last) == Seq(Seq(1L, 3L, 16.0), Seq(2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts runs in batch mode on the events table") {
     val got = StreamOps.windowedEventCounts(Tables.events(spark, sf0001))
     assert(got.count() > 0)
