@@ -1,0 +1,45 @@
+package graft
+
+/** Fleet-wide plan audit: every registered query's physical plan is checked
+  * for the anti-patterns that kill a 100× scale-up — cartesian products
+  * (outside the explicitly-broadcast brute-force similarity baseline) and
+  * unbatched (non-columnar) parquet scans. A cheap tripwire so a future
+  * operator can't silently regress into an O(n²) or row-at-a-time plan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val allowCartesian = Set(
+    // brute-force top-k IS a deliberate broadcast nested-loop baseline
+    "sim_topk"
+  )
+
+  test("no query plans a CartesianProduct") {
+    val offenders = Queries.all.flatMap { q =>
+      val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
+      if (p.contains("CartesianProduct") && !allowCartesian(q.name)) Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("every parquet scan is columnar-batched") {
+    val offenders = Queries.all.flatMap { q =>
+      val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
+      if (p.contains("Scan parquet") && p.contains("Batched: false")) Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty, s"non-columnar scans in: $offenders")
+  }
+
+  test("no query shuffles more than 6 times") {
+    // count DISTINCT exchange plan ids: persisted subtrees repeat their
+    // plan text under every InMemoryRelation occurrence, but share ids
+    val exchangeId = "Exchange [^\\n]*plan_id=(\\d+)".r
+    val offenders = Queries.all.flatMap { q =>
+      val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
+      val n = exchangeId.findAllMatchIn(p).map(_.group(1)).toSet.size
+      if (n > 6) Some(s"${q.name}($n)") else None
+    }
+    assert(offenders.isEmpty, s"shuffle-heavy plans: $offenders")
+  }
+}
