@@ -93,8 +93,13 @@ object Similarity {
   /** Multi-table sign-LSH bucket tags: one (table, bucket) pair per hash
     * table — OR-amplification: a true neighbor is a candidate if it shares
     * a bucket in ANY table, recall ≈ 1-(1-p^b)^L for per-plane agreement p.
-    */
-  private def lshTags(vec: Column, tables: Seq[Seq[Array[Double]]]): Column =
+    * Native fused kernel ([[graft.plans.SignLshBuckets]]); the HOF
+    * composition ([[lshBucket]] per table) is the tested reference. */
+  private[graft] def lshTags(vec: Column, tables: Seq[Seq[Array[Double]]]): Column =
+    graft.plans.SignLshBuckets.lshBucketsNative(asDouble(vec), tables)
+
+  /** HOF reference form of [[lshTags]] (equivalence asserted in tests). */
+  private[graft] def lshTagsHof(vec: Column, tables: Seq[Seq[Array[Double]]]): Column =
     array(tables.map(t => lshBucket(vec, t)): _*)
 
   /** ANN top-k: candidates = corpus vectors sharing an LSH bucket with the

@@ -31,6 +31,15 @@ class SimilarityNativeSpec extends SparkSpec {
     assert(got.forall(c => math.abs(c - 1.0) < 1e-12)) // colinear vectors
   }
 
+  test("native LSH bucket tags == HOF tags on all sf0.001 embeddings") {
+    val tables = (0 until 8).map(t => Similarity.hyperplanes(4, 64, seed = 42L + t))
+    val e = Tables.embeddings(spark, sf0001)
+    val cmp = e.select(
+      Similarity.lshTags(col("embedding"), tables).as("native"),
+      Similarity.lshTagsHof(col("embedding"), tables).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0L)
+  }
+
   test("native cosine survives whole-stage codegen (no fallback)") {
     val e = Tables.embeddings(spark, sf0001).limit(10)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
