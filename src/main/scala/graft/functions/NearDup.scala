@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** Spread a compute-bound per-row stage across the cluster when the
+    * input's file layout under-parallelizes it (a single-row-group parquet
+    * file scans as ONE partition — which serialized all shingling/hashing
+    * on one core locally). No-op when the scan already has enough splits,
+    * so at real scale (thousands of splits) no reshuffle happens. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Distinct w-token shingles over a TOKEN-ARRAY column. `toks` must be a
     * bound attribute (a materialized column), NOT an inline `split(...)`
     * expression: an expression referenced inside the transform lambda is
@@ -32,7 +42,7 @@ object NearDup {
     * and MinHash. One row per distinct shingle per doc. Tokens bound to an
     * attribute column before shingling (see shinglesOf). */
   def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
-    docs
+    fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("_toks"))
       .filter(size(col("_toks")) >= w)
       .select(col("doc_id"), explode(shinglesOf(col("_toks"), w)).as("shingle"))
@@ -63,7 +73,7 @@ object NearDup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
     // (doc_id, sorted distinct shingle-hash array, n) — persisted: feeds
     // the prefix branch, the verify branch, and the size lookups
-    val arrs = docs
+    val arrs = fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("_toks"))
       .filter(size(col("_toks")) >= w)
       .select(col("doc_id"),
@@ -206,7 +216,7 @@ object NearDup {
     * faster at sf0.1, and the aggregate shuffles one 65-column row per doc
     * per partition at scale). */
   def simhashTable(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(b =>

@@ -59,7 +59,7 @@ object Similarity {
   ): DataFrame = {
     val q = queries.select(
       col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(
+    val c = NearDup.fanOut(corpus).select(
       col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
     val sims = c
       .join(broadcast(q), col("qid") =!= col("nid")) // self-pairs excluded
@@ -122,7 +122,7 @@ object Similarity {
     val tables = (0 until nTables).map(t =>
       hyperplanes(nPlanes, dim, seed = 42L + t))
     def tagged(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id),
+      NearDup.fanOut(df).select(col(idCol).as(id),
         posexplode(lshTags(col(vecCol), tables)).as(Seq("table", "bucket")))
     val cand = tagged(corpus, "nid")
       .join(broadcast(tagged(queries, "qid")), Seq("table", "bucket"))
@@ -153,7 +153,7 @@ object Similarity {
   ): DataFrame = {
     val tables = (0 until nTables).map(t =>
       hyperplanes(nPlanes, dim, seed = 42L + t))
-    val tagged = corpus.select(col(idCol).as("id"),
+    val tagged = NearDup.fanOut(corpus).select(col(idCol).as("id"),
       posexplode(lshTags(col(vecCol), tables)).as(Seq("table", "bucket")))
     val cand = tagged.as("a")
       .join(tagged.as("b"),
