@@ -100,7 +100,8 @@ object NearDup {
     cand
       .join(broadcast(byId.toDF("id_a", "arr_a", "na")), "id_a")
       .join(broadcast(byId.toDF("id_b", "arr_b", "nb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("inter", graft.plans.SortedIntersectCount
+        .sortedIntersectCount(col("arr_a"), col("arr_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

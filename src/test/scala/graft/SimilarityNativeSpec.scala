@@ -40,6 +40,29 @@ class SimilarityNativeSpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0L)
   }
 
+  test("sorted intersect count == size(array_intersect) on random sorted arrays") {
+    import graft.plans.SortedIntersectCount.sortedIntersectCount
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(300)((
+      rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(40) + 1).sorted.toArray,
+      rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(40) + 1).sorted.toArray))
+    val df = data.toDF("a", "b")
+    val bad = df.select(
+      sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0L)
+    // edge cases: empty overlap, identical, containment
+    val edges = Seq(
+      (Array(1L, 2L), Array(3L, 4L), 0),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L), 3),
+      (Array(1L, 2L, 3L), Array(2L), 1),
+      (Array.empty[Long], Array(1L), 0))
+    val got = edges.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(sortedIntersectCount(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == edges.map(_._3))
+  }
+
   test("native cosine survives whole-stage codegen (no fallback)") {
     val e = Tables.embeddings(spark, sf0001).limit(10)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
