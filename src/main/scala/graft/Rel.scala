@@ -121,6 +121,86 @@ object Rel {
       "FROM events e WHERE e.event_type = 'purchase' ORDER BY event_id")
   )
 
+  /** Hierarchical totals: ROLLUP over the grouping keys with grouping_id
+    * disambiguating subtotal levels (Spark's grouping_id bit order matches
+    * DuckDB's GROUPING(a,b)). */
+  private val rollupAgg = QDef(
+    "rollup_agg",
+    (s, d) => lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"),
+        grouping_id().as("lvl"))
+      .orderBy(col("lvl"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+      "sum(l_quantity) AS sum_qty, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+      "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl " +
+      "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+      "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+  )
+
+  /** Distinct aggregate: exact per-group distinct counts (Expand-based
+    * plan — one extra shuffle, no driver-side sets). */
+  private val distinctCountAgg = QDef(
+    "distinct_count_agg",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("SELECT l_returnflag, l_linestatus, " +
+      "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
+      "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps, " +
+      "CAST(count(*) AS BIGINT) AS n " +
+      "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus")
+  )
+
+  /** Pivot: line status as columns (explicit value list so the plan needs
+    * no discovery pass; oracle = conditional aggregation). */
+  private val pivotAgg = QDef(
+    "pivot_agg",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+      .orderBy(col("l_returnflag")),
+    Some("SELECT l_returnflag, " +
+      "CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F, " +
+      "CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+  )
+
+  /** Moving aggregate: trailing-3-orders average spend per customer
+    * (rows-frame window; decimal-exact numerator). */
+  private val windowMoving = QDef(
+    "window_moving",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+          / count(lit(1)).over(w)).as("mov_avg_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("SELECT o_custkey, o_orderkey, o_orderdate, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) " +
+      " / count(*) OVER w AS mov_avg_price " +
+      "FROM orders " +
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY o_custkey, o_orderkey")
+  )
+
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
-    windowTopK, joinAsof)
+    windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving)
 }
