@@ -177,6 +177,19 @@ object Ext {
     None
   )
 
+  /** IVF ANN top-k — the k-means-quantizer scale path (mllib KMeans,
+    * seeded; centroids are driver-side literals like the LSH planes).
+    * Rows-only: cell assignment depends on the engine-trained quantizer. */
+  private val annIvf = QDef(
+    "ann_ivf",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+    },
+    None
+  )
+
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs. */
   private val dedupNgram = QDef(
     "dedup_ngram",
@@ -247,7 +260,7 @@ object Ext {
 
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
-    dedupExact, simTopK, annLsh, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupEmbed, windowAgg
+    dedupExact, simTopK, annLsh, annIvf, dedupNgram, dedupMinhash,
+    dedupSimhash, dedupEmbed, windowAgg
   )
 }
