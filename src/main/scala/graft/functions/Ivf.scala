@@ -44,13 +44,18 @@ object Ivf {
     transform(slice(sorted, 1, nProbe), s => s.getField("cell"))
   }
 
-  /** Train the coarse quantizer; returns the centroid matrix. */
+  /** Train the coarse quantizer; returns the centroid matrix. Few
+    * iterations — a COARSE quantizer only partitions space, it doesn't
+    * need converged clusters. In a production pipeline the quantizer is
+    * trained once (on a sample) and reused across every query batch; the
+    * per-call training here is a self-contained-query artifact. */
   def trainCentroids(
       corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L
   ): Array[Array[Double]] = {
     val feats = corpus.select(
       array_to_vector(Similarity.asDouble(col(vecCol))).as("features"))
-    new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+    new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features")
       .fit(feats).clusterCenters.map(_.toArray)
   }
 
