@@ -70,6 +70,16 @@ object Frame {
     def addZeroCol(name: String, dt: DataType): DataFrame =
       df.withColumn(name, lit(zeroOf(dt)).cast(dt))
 
+    /** Replace a column with a scalar — the reference's writable column
+      * views broadcast-assign (`df.other[] = "j"`, `dataframe.d:354`).
+      * Under immutable frames, "write" is replacement (SURVEY §1.4
+      * documented semantic change); per-row writes are `withColumn` with
+      * any expression. */
+    def setColScalar(name: String, value: Any): DataFrame = {
+      require(df.columns.contains(name), s"unknown column: $name")
+      df.withColumn(name, lit(value).cast(df.schema(name).dataType))
+    }
+
     /** Multi-key ascending sort — `sort!(keys…)` via chained `<`
       * comparators (`dataframe.d:177-188`, `index.d:30-36`). Compiles to a
       * range-partitioned SortExec (global total order, sampling-based

@@ -69,6 +69,14 @@ class GoldenParitySpec extends SparkSpec {
     assert(got == Seq(6, 6, 7, 7))
   }
 
+  test("scalar column broadcast-write golden (dataframe.d:354)") {
+    // df.other[] = "j" — replacement under immutability
+    val got = tsv.setColScalar("other", "j")
+    assert(got.select("other").as[String].collect().forall(_ == "j"))
+    assert(got.columns.toSeq == tsv.columns.toSeq)
+    intercept[IllegalArgumentException](tsv.setColScalar("nope", 1))
+  }
+
   test("head length (dataframe.d:371)") {
     assert(tsv.headN(5).count() == 5 && tsv.headN(3).count() == 3)
   }
