@@ -258,9 +258,68 @@ object Ext {
     )
   )
 
+  /** Corpus vocabulary: top-50 tokens by frequency. */
+  private val vocabTopK = QDef(
+    "vocab_topk",
+    (s, d) => Text.vocabTopK(documents(s, d), k = 50),
+    Some("SELECT token, CAST(count(*) AS BIGINT) AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+      "GROUP BY token ORDER BY n DESC, token LIMIT 50")
+  )
+
+  /** Top-5 tf·(N/df) terms per document (ratio idf — log-free so the
+    * score is bit-reproducible across engines). */
+  private val tfidfTop = QDef(
+    "tfidf_topterms",
+    (s, d) => Text.tfidfTopTerms(documents(s, d), k = 5),
+    Some(
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM " +
+        " (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, tf.token AS token, " +
+        " CAST(tf * n_docs AS DOUBLE) / df AS score " +
+        " FROM tf JOIN df ON tf.token = df.token CROSS JOIN n), " +
+        "r AS (SELECT doc_id, token, score, row_number() OVER " +
+        " (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM scored) " +
+        "SELECT doc_id, token, score FROM r WHERE rn <= 5 ORDER BY doc_id, token")
+    )
+  )
+
+  /** Deterministic ~10% sample by md5 hex-prefix of the row key —
+    * reproducible across engines and runs (vs rand()). */
+  private val sampleDet = QDef(
+    "sample_det",
+    (s, d) => graft.functions.Sampling.hashSample(
+      lineitem(s, d),
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string")),
+      hexThreshold = "1a")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+      "WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || " +
+      "CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a' " +
+      "ORDER BY l_orderkey, l_linenumber")
+  )
+
+  /** Histogram: 10k-wide price bins (floor of one IEEE divide —
+    * deterministic binning both engines). */
+  private val histogramQ = QDef(
+    "histogram",
+    (s, d) => lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 10000.0).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin")),
+    Some("SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY bin")
+  )
+
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLsh, annIvf, dedupNgram, dedupMinhash,
-    dedupSimhash, dedupEmbed, windowAgg
+    dedupSimhash, dedupEmbed, windowAgg, vocabTopK, tfidfTop, sampleDet,
+    histogramQ
   )
 }

@@ -103,4 +103,37 @@ object Text {
       col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
         .as("fp"))
+
+  /** Corpus vocabulary: top-k tokens by frequency (tie-break: token asc) —
+    * the first pass of any tokenizer/BPE training. Explode → count with
+    * map-side combine; shuffle volume is the vocabulary, not the corpus. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Top terms per document by tf·(N/df) — the ratio-idf variant (no
+    * logarithm on purpose: libm log() may differ in the last ulp across
+    * engines, tf·N/df is exact integer arithmetic into one IEEE divide,
+    * bit-reproducible everywhere). Two shuffles: per-(doc,term) counts and
+    * the per-term doc frequency, joined on the term. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "token").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("doc_id"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("token"))
+  }
 }

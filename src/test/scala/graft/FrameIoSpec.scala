@@ -89,6 +89,22 @@ class FrameIoSpec extends SparkSpec {
       Io.readTable(spark, s"$dir/bad.tsv", schema).collect())
   }
 
+  test("hash sampling: deterministic, stable, near the target fraction") {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val li = Tables.lineitem(spark, sf0001)
+    val key = concat(
+      col("l_orderkey").cast("string"), lit("_"), col("l_linenumber").cast("string"))
+    val a = Sampling.hashSample(li, key, "1a").count()
+    val b = Sampling.hashSample(li, key, "1a").count()
+    assert(a == b) // reproducible
+    val frac = a.toDouble / li.count()
+    assert(frac > 0.07 && frac < 0.14, s"fraction $frac far from 26/256")
+    val split = Sampling.trainTestSplit(li, key)
+    assert(split.filter(col("split") === "test").count() == a)
+    assert(split.count() == li.count())
+  }
+
   test("typed facade: compile-checked lambdas over Dataset[T]") {
     import graft.operators.TypedFrame
     val tf = TypedFrame(df.as[(String, Int, Double)])
