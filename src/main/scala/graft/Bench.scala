@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through a noop-format write: unlike `count()`,
   * this executes the full physical plan (sorts, projections, windows)
   * without paying sink IO, so the numbers reflect real operator cost.
-  * One JIT warm-up pass (flagship query) runs before timing.
+  * One JIT warm-up pass (flagship query) runs before timing; each query
+  * is timed twice and the MINIMUM reported — single-run numbers on this
+  * container swing ±50% from CPU contention, min-of-2 keeps round-over-
+  * round comparisons meaningful.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,13 +33,18 @@ object Bench {
     try run("q1_flagship") catch { case _: Throwable => () }
 
     var failed = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        if (!failed.contains(name)) {
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> math.min(timeOnce(name), timeOnce(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

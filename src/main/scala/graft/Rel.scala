@@ -201,6 +201,61 @@ object Rel {
       "ORDER BY o_custkey, o_orderkey")
   )
 
+  /** Exact interpolated quantiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the interpolation formula (verified
+    * bit-identical on the testdata). Exact percentile needs the group's
+    * values together (one shuffle); the sketch-based streaming-friendly
+    * variant is `approx_agg`. */
+  private val quantileAgg = QDef(
+    "quantile_agg",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("med_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.5)").as("med_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("SELECT l_returnflag, " +
+      "quantile_cont(l_extendedprice, 0.5) AS med_price, " +
+      "quantile_cont(l_extendedprice, 0.9) AS p90_price, " +
+      "quantile_cont(l_quantity, 0.5) AS med_qty " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+  )
+
+  /** Sketch aggregates (HLL++ distinct count, KLL-style quantile) — the
+    * constant-memory per-group versions for when exact is too expensive.
+    * Sketch internals are engine-specific → rows-only check; accuracy
+    * bounds are unit-tested against the exact aggregates. */
+  private val approxAgg = QDef(
+    "approx_agg",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"))
+      .orderBy(col("l_returnflag")),
+    None
+  )
+
+  /** CUBE: all grouping-set combinations with grouping_id levels. */
+  private val cubeAgg = QDef(
+    "cube_agg",
+    (s, d) => lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("lvl"))
+      .orderBy(col("lvl"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+      "sum(l_quantity) AS sum_qty, " +
+      "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl " +
+      "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+      "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+  )
+
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
-    windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving)
+    windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
+    quantileAgg, approxAgg, cubeAgg)
 }

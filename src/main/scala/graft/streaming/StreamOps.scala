@@ -59,6 +59,31 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key from the trailing `windowMinutes`.
+    * Both sides are watermarked so the join state (buffered unmatched
+    * rows) is bounded by watermark + interval — the only state-bounded
+    * stream-stream join contract. Batch analog: `Joins.asofJoin` (which
+    * keeps only the latest prior event instead of the full interval). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      windowMinutes: Int = 30,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   /** Tumbling-window event aggregation: counts + exact decimal sums per
     * (window, event_type). Runs identically in batch mode. */
   def windowedEventCounts(

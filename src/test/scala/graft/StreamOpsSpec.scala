@@ -71,6 +71,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[Ev]
+    val rmem = MemoryStream[Ev]
+    val q = StreamOps.intervalJoin(lmem.toDF(), rmem.toDF(), "user_id",
+      windowMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      rmem.addData(Ev(100, ts(0), 1, 0.0), Ev(101, ts(40), 1, 0.0),
+        Ev(102, ts(5), 2, 0.0))
+      lmem.addData(Ev(0, ts(20), 1, 1.0),  // matches right 100 (20m prior)
+        Ev(1, ts(50), 1, 1.0),             // matches right 101 (10m prior), not 100 (50m)
+        Ev(2, ts(1), 2, 1.0))              // right 102 is AFTER left -> no match
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 100L), (1L, 101L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("windowedEventCounts runs in batch mode on the events table") {
     val got = StreamOps.windowedEventCounts(Tables.events(spark, sf0001))
     assert(got.count() > 0)
