@@ -255,7 +255,47 @@ object Rel {
       "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
   )
 
+  /** Set intersection (distinct semantics, like SQL INTERSECT). */
+  private val setIntersect = QDef(
+    "set_intersect",
+    (s, d) => {
+      val n = nation(s, d)
+      n.filter(col("n_regionkey") < 3)
+        .intersect(n.filter(col("n_nationkey") < 15))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation WHERE n_regionkey < 3 " +
+      "INTERSECT SELECT * FROM nation WHERE n_nationkey < 15 " +
+      "ORDER BY n_nationkey")
+  )
+
+  /** Set difference (distinct semantics, like SQL EXCEPT). */
+  private val setExcept = QDef(
+    "set_except",
+    (s, d) => {
+      val n = nation(s, d)
+      n.except(n.filter(col("n_regionkey") >= 3))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation " +
+      "EXCEPT SELECT * FROM nation WHERE n_regionkey >= 3 " +
+      "ORDER BY n_nationkey")
+  )
+
+  /** JSON field extraction from the events.props payload column —
+    * semi-structured columns are routine in event pipelines; extraction
+    * is a codegen'd path expression, no parsing UDF. */
+  private val jsonExtract = QDef(
+    "json_extract",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id")),
+    Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k " +
+      "FROM events ORDER BY event_id")
+  )
+
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
     windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
-    quantileAgg, approxAgg, cubeAgg)
+    quantileAgg, approxAgg, cubeAgg, setIntersect, setExcept, jsonExtract)
 }
