@@ -295,7 +295,38 @@ object Rel {
       "FROM events ORDER BY event_id")
   )
 
+  /** TPC-H Q3-shaped 3-way join pipeline: segment filter pushed into the
+    * customer scan, customer broadcast into orders, orders⋈lineitem on the
+    * shuffle key, decimal-exact revenue, top-10 by revenue. The multi-join
+    * shape Catalyst + AQE must reorder/choose strategies for. */
+  private val q3Shipping = QDef(
+    "q3_shipping",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-06-15").cast("timestamp"))
+      .join(orders(s, d).filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+        * (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10),
+    Some("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+      " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "WHERE l_shipdate > TIMESTAMP '1998-06-15' " +
+      "AND o_orderdate < TIMESTAMP '1998-06-15' " +
+      "AND c_mktsegment = 'BUILDING' " +
+      "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+      "ORDER BY revenue DESC, l_orderkey LIMIT 10")
+  )
+
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
     windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
-    quantileAgg, approxAgg, cubeAgg, setIntersect, setExcept, jsonExtract)
+    quantileAgg, approxAgg, cubeAgg, setIntersect, setExcept, jsonExtract,
+    q3Shipping)
 }
