@@ -325,8 +325,26 @@ object Rel {
       "ORDER BY revenue DESC, l_orderkey LIMIT 10")
   )
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-returnflag and per-linestatus subtotals only, no detail rows. */
+  private val groupingSets = QDef(
+    "grouping_sets",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("_li_gs")
+      s.sql("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "sum(l_quantity) AS sum_qty, grouping_id() AS lvl FROM _li_gs " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+        "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+    },
+    Some("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+      "sum(l_quantity) AS sum_qty, " +
+      "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl " +
+      "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+      "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+  )
+
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
     windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
     quantileAgg, approxAgg, cubeAgg, setIntersect, setExcept, jsonExtract,
-    q3Shipping)
+    q3Shipping, groupingSets)
 }
