@@ -190,25 +190,39 @@ object Ext {
     None
   )
 
+  /** DuckDB brute-force exact 3-gram Jaccard pairs at `t` — the oracle for
+    * both the prefix-filtered exact pipeline and the minhash-verified one. */
+  private def ngramJaccardSql(t: Double): String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard " +
+      "FROM inter JOIN sizes sa ON sa.doc_id = id_a " +
+      "JOIN sizes sb ON sb.doc_id = id_b " +
+      s"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $t " +
+      "ORDER BY id_a, id_b"
+
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs. */
   private val dedupNgram = QDef(
     "dedup_ngram",
     (s, d) => NearDup.ngramJaccardPairs(documents(s, d), threshold = 0.5),
-    Some(
-      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
-        "FROM tok WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
-        "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2) " +
-        "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard " +
-        "FROM inter JOIN sizes sa ON sa.doc_id = id_a " +
-        "JOIN sizes sb ON sb.doc_id = id_b " +
-        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 " +
-        "ORDER BY id_a, id_b")
-    )
+    Some(ngramJaccardSql(0.5))
+  )
+
+  /** MinHash-LSH candidates + exact-Jaccard verification — the production
+    * minhash dedup pipeline, and (unlike raw est-Jaccard thresholding) an
+    * oracle-CHECKABLE one: 16 bands × 2 rows make a true ≥0.5 pair a
+    * candidate with prob ≈1, so the verified pairs equal DuckDB's exact
+    * brute-force Jaccard pair set. */
+  private val dedupMinhashVerified = QDef(
+    "dedup_minhash_verified",
+    (s, d) => NearDup.minhashVerifiedPairs(documents(s, d), threshold = 0.5),
+    Some(ngramJaccardSql(0.5))
   )
 
   /** MinHash+LSH near-dup pairs (xxhash64 signatures — engine-native,
@@ -227,18 +241,35 @@ object Ext {
     None
   )
 
-  /** Embedding-cosine near-dup pairs via sign-LSH buckets — rows-only
-    * (bucket keys are engine-side literals). Production-realistic config:
-    * threshold 0.95 with 8-bit buckets (sign-LSH recall is high exactly in
-    * the near-dup regime). The testdata embeddings contain no planted
-    * near-identical pairs (max pairwise cosine ≈0.51 at sf0.01), so the
-    * correct output here is empty; the operator's behavior on real
-    * duplicates is pinned by NearDupSpec's planted-vector test. */
+  /** Embedding-cosine near-dup pairs via sign-LSH buckets, over the corpus
+    * plus 20 planted duplicates (vec_id + 1000000 copies of vec_id < 20) —
+    * the raw testdata has no near-identical pairs (max pairwise cosine
+    * ≈0.51), which made this check vacuous (0 rows). With planted exact
+    * duplicates the output is non-empty AND fully oracle-checkable:
+    * identical vectors agree on every hyperplane sign, so sign-LSH recall
+    * on them is exactly 1 regardless of the engine-side plane literals, and
+    * the verified output equals DuckDB's brute-force cosine≥0.95 pair set
+    * (background pairs at ≤0.51 can't reach the threshold). */
   private val dedupEmbed = QDef(
     "dedup_embed",
-    (s, d) => Similarity.embeddingNearDups(embeddings(s, d),
-      "vec_id", "embedding", threshold = 0.95, nPlanes = 8),
-    None
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.embeddingNearDups(e.union(planted),
+        "vec_id", "embedding", threshold = 0.95, nPlanes = 8)
+    },
+    Some(
+      ("WITH corpus AS (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cosSql("a.v", "b.v")} AS sim " +
+        "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.95 " +
+        "ORDER BY id_a, id_b")
+    )
   )
 
   /** Tumbling-window event aggregation — the batch face of
@@ -319,7 +350,7 @@ object Ext {
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLsh, annIvf, dedupNgram, dedupMinhash,
-    dedupSimhash, dedupEmbed, windowAgg, vocabTopK, tfidfTop, sampleDet,
-    histogramQ
+    dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
+    tfidfTop, sampleDet, histogramQ
   )
 }

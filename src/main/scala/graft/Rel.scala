@@ -201,31 +201,50 @@ object Rel {
       "ORDER BY o_custkey, o_orderkey")
   )
 
-  /** Exact interpolated quantiles — Spark `percentile` and DuckDB
+  /** Exact interpolated quantiles per group — Spark `percentile` and DuckDB
     * `quantile_cont` share the interpolation formula (verified
-    * bit-identical on the testdata). Exact percentile needs the group's
-    * values together (one shuffle); the sketch-based streaming-friendly
-    * variant is `approx_agg`. */
+    * bit-identical on the testdata). Exact percentile concentrates each
+    * group's values into one task, so it is registered on a
+    * HIGH-CARDINALITY grouping (l_partkey mod 1024 — ~n/1024 values per
+    * task, and the shape scales by raising the modulus with the data); the
+    * 3-group `l_returnflag` version of this query would put a third of the
+    * table in one task at 100 TB. For a global (single-group) exact
+    * quantile see `quantile_dist`; for constant memory see `approx_agg`. */
   private val quantileAgg = QDef(
     "quantile_agg",
     (s, d) => lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+      .groupBy(pmod(col("l_partkey"), lit(1024)).as("pk_bucket"))
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("med_price"),
         expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
         expr("percentile(l_quantity, 0.5)").as("med_qty"))
-      .orderBy(col("l_returnflag")),
-    Some("SELECT l_returnflag, " +
+      .orderBy(col("pk_bucket")),
+    Some("SELECT l_partkey % 1024 AS pk_bucket, " +
       "quantile_cont(l_extendedprice, 0.5) AS med_price, " +
       "quantile_cont(l_extendedprice, 0.9) AS p90_price, " +
       "quantile_cont(l_quantity, 0.5) AS med_qty " +
-      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+      "FROM lineitem GROUP BY 1 ORDER BY pk_bucket")
+  )
+
+  /** GLOBAL exact interpolated quantiles with NO value concentration — the
+    * two-pass range-partition + order-statistics plan
+    * ([[graft.functions.Quantiles.exactQuantilesGlobal]]). The scale
+    * counterpart to `quantile_agg`: a global `percentile(...)` aggregate
+    * would pull every value of the table into one task. */
+  private val quantileDist = QDef(
+    "quantile_dist",
+    (s, d) => graft.functions.Quantiles.exactQuantilesGlobal(
+      lineitem(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99)),
+    Some(Seq(0.25, 0.5, 0.9, 0.99).map(q =>
+      s"SELECT $q AS q, quantile_cont(l_extendedprice, $q) AS value FROM lineitem")
+      .mkString("", " UNION ALL ", " ORDER BY q"))
   )
 
   /** Sketch aggregates (HLL++ distinct count, KLL-style quantile) — the
     * constant-memory per-group versions for when exact is too expensive.
     * Sketch internals are engine-specific → rows-only check; accuracy
-    * bounds are unit-tested against the exact aggregates. */
+    * bounds are unit-tested against the exact aggregates and
+    * oracle-checked by `approx_agg_bounds`. */
   private val approxAgg = QDef(
     "approx_agg",
     (s, d) => lineitem(s, d)
@@ -235,6 +254,31 @@ object Rel {
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"))
       .orderBy(col("l_returnflag")),
     None
+  )
+
+  /** Oracle-checkable companion to `approx_agg`: per group, does the sketch
+    * land within its documented error bound of the exact aggregate?
+    * (HLL++ rsd 5% default → 15% bound; approx_percentile accuracy 1000 →
+    * 5% relative bound on the median.) The booleans are computed in Spark
+    * from BOTH the sketch and the exact value; the oracle asserts they are
+    * all true — a hash-matching driver-visible accuracy gate for the
+    * engine-native sketches. */
+  private val approxAggBounds = QDef(
+    "approx_agg_bounds",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        countDistinct(col("l_partkey")).as("ep"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
+        expr("percentile(l_extendedprice, 0.5)").as("em"))
+      .select(col("l_returnflag"),
+        (abs(col("ap") - col("ep")).cast(DoubleType) / col("ep") <= 0.15)
+          .as("parts_in_bound"),
+        (abs(col("am") - col("em")) / col("em") <= 0.05).as("med_in_bound"))
+      .orderBy(col("l_returnflag")),
+    Some("SELECT l_returnflag, true AS parts_in_bound, true AS med_in_bound " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 
   /** CUBE: all grouping-set combinations with grouping_id levels. */
@@ -325,6 +369,46 @@ object Rel {
       "ORDER BY revenue DESC, l_orderkey LIMIT 10")
   )
 
+  /** TPC-H Q5-shaped 5-table join: revenue by nation where customer and
+    * supplier share the nation, region-filtered. The join-reorder stress
+    * q3 doesn't reach — two fact tables (lineitem, orders) plus three
+    * dimension hops (customer, supplier, nation→region). Strategy: facts
+    * shuffle on l_orderkey; supplier/nation/region are broadcast (supplier
+    * is sf-tiny, nation/region are constant-size); the region filter
+    * prunes before the broadcast ships. */
+  private val q5LocalSupplier = QDef(
+    "q5_local_supplier",
+    (s, d) => lineitem(s, d)
+      .join(orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+        * (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name")),
+    Some("SELECT n_name, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+      " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1999-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name")
+  )
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * per-returnflag and per-linestatus subtotals only, no detail rows. */
   private val groupingSets = QDef(
@@ -345,6 +429,7 @@ object Rel {
 
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
     windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
-    quantileAgg, approxAgg, cubeAgg, setIntersect, setExcept, jsonExtract,
-    q3Shipping, groupingSets)
+    quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
+    setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
+    groupingSets)
 }

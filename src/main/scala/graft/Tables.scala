@@ -25,6 +25,13 @@ object Tables {
     * has no native type for. Read nanos as long (legacy conf) and convert
     * to a microsecond timestamp — the testdata's values are micro-precision
     * anyway, and the DuckDB oracle casts TIMESTAMP_NS → TIMESTAMP to match.
+    *
+    * Session invariant: `spark.sql.legacy.parquet.nanosAsLong=true` is set
+    * at session construction by every owned builder (Bench / Verify /
+    * SparkSpec) — the set below is a defensive idempotent re-assert for
+    * externally-built sessions (e.g. the driver's `SparkEntry.entry`
+    * session). It is session-global and harmless to non-nanos reads (only
+    * events.parquet carries a nanos column).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -44,19 +44,39 @@ object Ivf {
     transform(slice(sorted, 1, nProbe), s => s.getField("cell"))
   }
 
-  /** Train the coarse quantizer; returns the centroid matrix. Few
-    * iterations — a COARSE quantizer only partitions space, it doesn't
-    * need converged clusters. In a production pipeline the quantizer is
-    * trained once (on a sample) and reused across every query batch; the
-    * per-call training here is a self-contained-query artifact. */
+  /** Cached centroid matrices, keyed by the corpus plan's canonicalized
+    * semantic hash + quantizer config: training runs ONCE per (corpus,
+    * config) per JVM and every later query batch reuses the centroids —
+    * the production shape (train offline on a sample, serve many probes).
+    * Centroid payload is O(nCells·dim) doubles, so the cache stays tiny. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Long), Array[Array[Double]]]()
+
+  /** Train the coarse quantizer on a SAMPLE of the corpus; returns the
+    * centroid matrix. Few iterations — a COARSE quantizer only partitions
+    * space, it doesn't need converged clusters — and a seeded Bernoulli
+    * sample capped at `maxTrainRows`: k-means cell shape stabilizes at a
+    * few hundred points per cell, so scanning the full corpus (the whole
+    * 100 TB table!) into the trainer buys nothing. */
   def trainCentroids(
-      corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L
+      corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L,
+      sampleFraction: Double = 0.5, maxTrainRows: Int = 50000
   ): Array[Array[Double]] = {
-    val feats = corpus.select(
-      array_to_vector(Similarity.asDouble(col(vecCol))).as("features"))
+    val feats = corpus
+      .sample(withReplacement = false, sampleFraction, seed)
+      .limit(maxTrainRows)
+      .select(array_to_vector(Similarity.asDouble(col(vecCol))).as("features"))
     new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features")
       .fit(feats).clusterCenters.map(_.toArray)
+  }
+
+  /** [[trainCentroids]] through the per-JVM cache. */
+  def centroidsFor(
+      corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L
+  ): Array[Array[Double]] = {
+    val key = (corpus.queryExecution.analyzed.semanticHash(), vecCol, nCells, seed)
+    centroidCache.computeIfAbsent(key, _ => trainCentroids(corpus, vecCol, nCells, seed))
   }
 
   /** IVF top-k: probe the query's nearest `nProbe` cells, exact cosine
@@ -70,7 +90,7 @@ object Ivf {
       nCells: Int = 16,
       nProbe: Int = 4
   ): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, nCells)
+    val centroids = centroidsFor(corpus, vecCol, nCells)
     val c = NearDup.fanOut(corpus).select(
       col(idCol).as("nid"), Similarity.asDouble(col(vecCol)).as("nv"))
       .withColumn("cell",

@@ -1,5 +1,9 @@
 package graft.functions
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,16 +11,17 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column handling — EXT tier.
   *
   * Media is an opaque `BinaryType` column plus a typed metadata struct;
-  * decode / feature-extract / resize / frame-sample run per-partition so a
-  * real implementation amortizes codec initialization across a partition's
-  * rows (the Scala analog of PySpark's `mapInPandas` batch shape — in Scala
-  * the batch-iterator surface IS `mapPartitions` with an `Encoder`).
+  * decode / feature-extract / resize / frame-sample run per-partition so
+  * codec initialization amortizes across a partition's rows (the Scala
+  * analog of PySpark's `mapInPandas` batch shape — in Scala the
+  * batch-iterator surface IS `mapPartitions` with an `Encoder`).
   *
-  * The container ships no image/audio codecs, so the byte-level decode is a
-  * clearly-marked DETERMINISTIC STUB (seeded by content hash). Everything
-  * Spark-side — schema, partition-wise batching, UDF signature, output
-  * shapes — is real and tested; swapping `stubDecode*` for a JNI codec call
-  * changes no plan shape.
+  * IMAGE decode is REAL: the JDK ships a PNG codec (`javax.imageio`), so
+  * `syntheticMedia` emits genuine PNG bytes and `decodeInfo` /
+  * `extractFeatures` / `resize` decode them pixel-for-pixel. Only the
+  * video frame sampler remains a clearly-marked deterministic stub (the
+  * container ships no video codec); its partitioning/batch shape is the
+  * real one.
   */
 object Multimodal {
 
@@ -33,10 +38,45 @@ object Multimodal {
 
   final case class MediaFeature(asset_id: Long, feature: Array[Float])
   final case class MediaFrames(asset_id: Long, frames: Array[Array[Byte]])
+  final case class MediaInfo(asset_id: Long, width: Int, height: Int, decoded: Boolean)
 
-  /** STUB decode: deterministic pseudo-feature from the content bytes.
-    * Stands in for "decode image → embed"; same signature a real codec
-    * featurizer would have. */
+  /** Real image decode: PNG/JPEG/BMP bytes → BufferedImage via the JDK
+    * codec; None when the bytes aren't a decodable image. */
+  private[functions] def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  private[functions] def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real image feature: L1-normalized luminance histogram with `dim`
+    * bins — deterministic, pixel-exact, codec-backed. */
+  private[functions] def imageFeature(img: BufferedImage, dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        hist((lum * dim) / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (img.getWidth.toLong * img.getHeight).toFloat
+    var i = 0
+    while (i < dim) { hist(i) /= n; i += 1 }
+    hist
+  }
+
+  /** STUB fallback feature for undecodable bytes: deterministic
+    * pseudo-feature seeded by the content hash (same signature the codec
+    * featurizer has, so mixed-media tables degrade gracefully). */
   private[functions] def stubDecodeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
     val h = java.util.Arrays.hashCode(bytes)
     val rnd = new scala.util.Random(h.toLong)
@@ -44,27 +84,48 @@ object Multimodal {
   }
 
   /** STUB frame sampling: every n-th fixed-size chunk of the byte stream
-    * stands in for every n-th decoded video frame. */
+    * stands in for every n-th decoded video frame (no video codec in the
+    * JDK; the per-partition batch shape is the real one). */
   private[functions] def stubSampleFrames(
       bytes: Array[Byte], everyN: Int, frameSize: Int): Array[Array[Byte]] =
     bytes.grouped(frameSize).zipWithIndex
       .collect { case (chunk, i) if i % everyN == 0 => chunk }
       .toArray
 
-  /** Partition-wise feature extraction over a media table. Real plumbing:
-    * one "codec init" per partition, streamed rows, typed output. */
-  def extractFeatures(media: DataFrame, dim: Int = 64): Dataset[MediaFeature] = {
-    implicit val enc = Encoders.product[MediaFeature]
+  /** REAL decode pass: actual pixel dimensions from the image codec.
+    * `decoded=false` (with -1 dims) marks undecodable rows — at scale you
+    * route those to a quarantine sink instead of failing the job. */
+  def decodeInfo(media: DataFrame): Dataset[MediaInfo] = {
+    implicit val enc = Encoders.product[MediaInfo]
     media.select(col("asset_id"), col("media"))
       .mapPartitions { rows =>
-        // real impl: val codec = Codec.load()  -- once per partition
         rows.map { r =>
-          MediaFeature(r.getLong(0), stubDecodeFeature(r.getAs[Array[Byte]](1), dim))
+          readImage(r.getAs[Array[Byte]](1)) match {
+            case Some(img) => MediaInfo(r.getLong(0), img.getWidth, img.getHeight, decoded = true)
+            case None => MediaInfo(r.getLong(0), -1, -1, decoded = false)
+          }
         }
       }
   }
 
-  /** Partition-wise frame sampling (video → every n-th frame). */
+  /** Partition-wise feature extraction: REAL luminance-histogram features
+    * for decodable images, stub fallback otherwise. */
+  def extractFeatures(media: DataFrame, dim: Int = 64): Dataset[MediaFeature] = {
+    implicit val enc = Encoders.product[MediaFeature]
+    media.select(col("asset_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val feat = readImage(bytes) match {
+            case Some(img) => imageFeature(img, dim)
+            case None => stubDecodeFeature(bytes, dim)
+          }
+          MediaFeature(r.getLong(0), feat)
+        }
+      }
+  }
+
+  /** Partition-wise frame sampling (video → every n-th frame; stub codec). */
   def sampleFrames(media: DataFrame, everyN: Int = 10, frameSize: Int = 256): Dataset[MediaFrames] = {
     implicit val enc = Encoders.product[MediaFrames]
     media.select(col("asset_id"), col("media"))
@@ -76,26 +137,48 @@ object Multimodal {
       }
   }
 
-  /** "Resize": metadata-level transform (the real op rewrites bytes; the
-    * stub rewrites the typed metadata and truncates bytes proportionally —
-    * enough to exercise schema evolution through the media struct). */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.select(
-      col("asset_id"),
-      expr(s"substring(media, 1, greatest(1, int(length(media) * $w * $h / " +
-        "greatest(1, meta.width * meta.height))))").as("media"),
-      struct(
-        col("meta.format").as("format"),
-        lit(w).as("width"),
-        lit(h).as("height")).as("meta"))
+  /** REAL resize: decode → bilinear rescale to w×h → re-encode PNG, with
+    * the metadata struct rewritten to match. Runs per-partition (codec
+    * state amortized). Undecodable rows keep their bytes and only update
+    * metadata. Output conforms to [[mediaSchema]]. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    media.select(col("asset_id"), col("media"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val (outBytes, format) = readImage(bytes) match {
+            case Some(img) =>
+              val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              (encodePng(scaled), "png")
+            case None => (bytes, meta.getString(0))
+          }
+          Row(r.getLong(0), outBytes, Row(format, w, h))
+        }
+      }.toDF("asset_id", "media", "meta")
+  }
 
-  /** Deterministic synthetic media table for tests/demos (no real assets in
-    * the container). */
-  def syntheticMedia(spark: SparkSession, n: Int, bytesPerAsset: Int = 4096): DataFrame = {
+  /** Deterministic synthetic media table: REAL PNG bytes (seeded pixel
+    * noise, true width/height in the metadata struct). */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0L until n.toLong).map { i =>
+      val w = 32 + (i % 64).toInt
+      val h = 32 + (i % 48).toInt
       val rnd = new scala.util.Random(i)
-      val bytes = Array.fill(bytesPerAsset)(rnd.nextInt().toByte)
-      Row(i, bytes, Row("png", 32 + (i % 64).toInt, 32 + (i % 48).toInt))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF); x += 1 }
+        y += 1
+      }
+      Row(i, encodePng(img), Row("png", w, h))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, n / 100)), mediaSchema)

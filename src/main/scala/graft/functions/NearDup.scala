@@ -15,11 +15,39 @@ object NearDup {
   /** Spread a compute-bound per-row stage across the cluster when the
     * input's file layout under-parallelizes it (a single-row-group parquet
     * file scans as ONE partition — which serialized all shingling/hashing
-    * on one core locally). No-op when the scan already has enough splits,
-    * so at real scale (thousands of splits) no reshuffle happens. */
+    * on one core locally). No-op when the input is big enough to split,
+    * so at real scale (thousands of splits) no reshuffle happens.
+    * Split count is estimated from Catalyst plan statistics (driver-side
+    * metadata only — no RDD lineage materialization, no job). */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val maxSplit = bytesConf(spark.conf.get(
+      "spark.sql.files.maxPartitionBytes", "134217728"), 134217728L)
+    val estSplits =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(maxSplit.max(1L))) + 1
+    if (estSplits >= want) df else df.repartition(want)
+  }
+
+  /** Parse a Spark byte-size conf value ("10MB", "134217728b", "-1"). */
+  private def bytesConf(v: String, default: Long): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    catch { case _: NumberFormatException => default }
+
+  /** Broadcast hint gated on a size estimate: applied only when the plan's
+    * estimated size fits the session's autoBroadcastJoinThreshold. The
+    * near-dup verify tables are O(docs) — small at test SF, unbounded at
+    * 100 TB — so a hardcoded hint would OOM at scale; with the gate, small
+    * inputs keep the single-shuffle broadcast plan and large inputs fall
+    * back to a shuffled join on the id key (which AQE may still convert to
+    * broadcast at runtime if the actual size turns out small). */
+  private[graft] def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold = bytesConf(df.sparkSession.conf.get(
+      "spark.sql.autoBroadcastJoinThreshold", "10485760"), -1L)
+    if (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold))
+      broadcast(df)
+    else df
   }
 
   /** Distinct w-token shingles over a TOKEN-ARRAY column. `toks` must be a
@@ -28,11 +56,12 @@ object NearDup {
     * re-evaluated PER ELEMENT — with inline split that re-tokenizes the
     * whole document for every shingle, turning shingling O(tokens²)
     * (measured: 6s of a 10s query at sf0.1). */
-  def shinglesOf(toks: Column, w: Int = 3): Column =
+  def shinglesOf(toks: Column, w: Int = 3): Column = {
+    require(w >= 1, "shingle width must be >= 1")
     array_distinct(
       transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + 1 + j)): _*)))
+  }
 
   /** Distinct w-token shingles of `text` — convenience form for single-use
     * contexts; see [[shinglesOf]] for the per-element-eval caveat. */
@@ -70,17 +99,40 @@ object NearDup {
     * ordering (global doc-frequency rank) prunes harder but costs an extra
     * aggregate + shuffle for the frequency table.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
-    // (doc_id, sorted distinct shingle-hash array, n) — persisted: feeds
-    // the prefix branch, the verify branch, and the size lookups
-    val arrs = fanOut(docs)
+  /** (doc_id, sorted distinct shingle-hash array, n_shingles) — the shared
+    * payload for prefix filtering, minhash signatures, and exact verify. */
+  private def shingleHashArrays(docs: DataFrame, w: Int): DataFrame =
+    fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("_toks"))
       .filter(size(col("_toks")) >= w)
       .select(col("doc_id"),
         array_sort(array_distinct(
           transform(shinglesOf(col("_toks"), w), s => xxhash64(s)))).as("arr"))
       .withColumn("n_shingles", size(col("arr")))
-      .persist()
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * per-doc shingle-hash arrays: row-local sorted-intersect (no explode,
+    * no per-pair groupBy), size-gated broadcast of the O(docs) array table
+    * (shuffled join on the id at scale). */
+  private def verifyJaccard(
+      cand: DataFrame, arrs: DataFrame, threshold: Double): DataFrame = {
+    val byId = arrs.select(col("doc_id"), col("arr"), col("n_shingles"))
+    cand
+      .join(broadcastIfSmall(byId.toDF("id_a", "arr_a", "na")), "id_a")
+      .join(broadcastIfSmall(byId.toDF("id_b", "arr_b", "nb")), "id_b")
+      .withColumn("inter", graft.plans.SortedIntersectCount
+        .sortedIntersectCount(col("arr_a"), col("arr_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    // (doc_id, sorted distinct shingle-hash array, n) — persisted: feeds
+    // the prefix branch, the verify branch, and the size lookups
+    val arrs = shingleHashArrays(docs, w).persist()
     val prefixLen = (floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
       .cast("int")
     val prefix = arrs.select(col("doc_id"),
@@ -90,23 +142,7 @@ object NearDup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verify: rejoin the two shingle arrays and intersect ROW-
-    // LOCALLY (array_intersect) — no explode, no per-pair groupBy. The
-    // doc→array table is O(docs) while candidates are O(pairs), so the
-    // arrays are the broadcast side: candidate pairs stream through two
-    // broadcast hash joins and never shuffle their wide array payload.
-    // (Beyond broadcast size, drop the hint and AQE shuffle-joins by id.)
-    val byId = arrs.select(col("doc_id"), col("arr"), col("n_shingles"))
-    cand
-      .join(broadcast(byId.toDF("id_a", "arr_a", "na")), "id_a")
-      .join(broadcast(byId.toDF("id_b", "arr_b", "nb")), "id_b")
-      .withColumn("inter", graft.plans.SortedIntersectCount
-        .sortedIntersectCount(col("arr_a"), col("arr_b")))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+    verifyJaccard(cand, arrs, threshold)
   }
 
   /** Naive variant (full shingle self-join) — the reference implementation
@@ -121,9 +157,9 @@ object NearDup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+      .join(broadcastIfSmall(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("n_shingles", "na")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+      .join(broadcastIfSmall(sizes.withColumnRenamed("doc_id", "id_b")
         .withColumnRenamed("n_shingles", "nb")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -189,11 +225,53 @@ object NearDup {
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_b" else s"b_$c").toIndexedSeq: _*)
     val agree = (0 until k).map(j =>
       when(col(s"a_mh_$j") === col(s"b_mh_$j"), 1).otherwise(0)).reduce(_ + _)
-    cand.join(broadcast(sa), "id_a").join(broadcast(sb), "id_b")
+    // signature table is O(docs) — broadcast only when the size gate says
+    // it fits; at scale this is a shuffled join on the doc id
+    cand.join(broadcastIfSmall(sa), "id_a").join(broadcastIfSmall(sb), "id_b")
       .withColumn("est_jaccard", agree.cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash-LSH candidates + EXACT Jaccard verification — the production
+    * dedup pipeline (banded signatures prune the pair space, the exact
+    * row-local intersect confirms), and the oracle-checkable face of
+    * minhash: with r=2 rows per band × 16 bands, a true pair at Jaccard
+    * ≥ t is a candidate with probability 1-(1-t²)^16 (≈ 1-1e-7 at t=0.8),
+    * so the verified output equals the exact-Jaccard pair set, which DuckDB
+    * can reproduce — turning the engine-native signature pipeline into a
+    * hash-matching correctness check rather than a rows-only count.
+    * Signatures are derived from the SAME shingle-hash arrays the verify
+    * step uses (hash once, reuse everywhere).
+    */
+  def minhashVerifiedPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      k: Int = 32,
+      bands: Int = 16,
+      w: Int = 3
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val arrs = shingleHashArrays(docs, w).persist()
+    val ds = arrs.select(col("doc_id"), explode(col("arr")).as("h0"))
+    val slots = slotSalts(k).zipWithIndex.map { case (salt, j) =>
+      min(xxhash64(col("h0").bitwiseXOR(lit(salt)))).as(s"mh_$j")
+    }
+    val sig = ds.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (b * r until (b + 1) * r).map(j => col(s"mh_$j"))): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, arrs, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

@@ -73,6 +73,15 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Embedding dimension for plane generation: the explicit value when
+    * given (>0), else read from the first corpus vector — one single-row
+    * job, the price of not silently hashing against wrong-width planes
+    * (the native kernel hard-errors on a plane/vector width mismatch). */
+  private def resolveDim(corpus: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus: any dim, empty output
+
   /** Deterministic random hyperplanes for sign-LSH (seeded, generated on
     * the driver once — tiny, broadcast as literals). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
@@ -117,10 +126,11 @@ object Similarity {
       k: Int,
       nPlanes: Int = 4,
       nTables: Int = 8,
-      dim: Int = 64
+      dim: Int = -1
   ): DataFrame = {
+    val d = resolveDim(corpus, vecCol, dim)
     val tables = (0 until nTables).map(t =>
-      hyperplanes(nPlanes, dim, seed = 42L + t))
+      hyperplanes(nPlanes, d, seed = 42L + t))
     def tagged(df: DataFrame, id: String): DataFrame =
       NearDup.fanOut(df).select(col(idCol).as(id),
         posexplode(lshTags(col(vecCol), tables)).as(Seq("table", "bucket")))
@@ -149,10 +159,10 @@ object Similarity {
       threshold: Double,
       nPlanes: Int = 4,
       nTables: Int = 8,
-      dim: Int = 64
+      dim: Int = -1
   ): DataFrame = {
     val tables = (0 until nTables).map(t =>
-      hyperplanes(nPlanes, dim, seed = 42L + t))
+      hyperplanes(nPlanes, resolveDim(corpus, vecCol, dim), seed = 42L + t))
     val tagged = NearDup.fanOut(corpus).select(col(idCol).as("id"),
       posexplode(lshTags(col(vecCol), tables)).as(Seq("table", "bucket")))
     val cand = tagged.as("a")

@@ -39,10 +39,14 @@ case class SignLshBuckets(
       var p = 0
       while (p < table.length) {
         val plane = table(p)
-        val n = math.min(plane.length, x.numElements())
+        if (plane.length != x.numElements()) {
+          throw new IllegalArgumentException(
+            s"sign_lsh_buckets: hyperplane dim ${plane.length} != vector dim " +
+              s"${x.numElements()} — derive the plane dim from the corpus")
+        }
         var dot = 0.0
         var i = 0
-        while (i < n) { dot += x.getDouble(i) * plane(i); i += 1 }
+        while (i < plane.length) { dot += x.getDouble(i) * plane(i); i += 1 }
         if (dot >= 0) bucket |= (1L << p)
         p += 1
       }
@@ -63,9 +67,13 @@ case class SignLshBuckets(
          |  long bucket = 0L;
          |  for (int p = 0; p < tables[t].length; p++) {
          |    double[] plane = tables[t][p];
-         |    int n = Math.min(plane.length, $v.numElements());
+         |    if (plane.length != $v.numElements()) {
+         |      throw new IllegalArgumentException(
+         |        "sign_lsh_buckets: hyperplane dim " + plane.length +
+         |        " != vector dim " + $v.numElements());
+         |    }
          |    double dot = 0.0;
-         |    for (int i = 0; i < n; i++) dot += $v.getDouble(i) * plane[i];
+         |    for (int i = 0; i < plane.length; i++) dot += $v.getDouble(i) * plane[i];
          |    if (dot >= 0) bucket |= (1L << p);
          |  }
          |  out[t] = bucket;

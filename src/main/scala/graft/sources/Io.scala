@@ -43,19 +43,31 @@ object Io {
     * leading row-number column. The reference writes one file from one
     * array; a distributed engine writes one file per partition — callers
     * wanting a single file coalesce(1) explicitly (driver-size data only).
+    *
+    * `writeIndex` emits the reference's contiguous 0..n-1 row numbers,
+    * which requires a caller-supplied total order (`indexOrder`) — there
+    * is no "frame order" after a shuffle. The numbering window is global
+    * (single-partition): correct for the driver-size exports `toCsv`
+    * serves; for a 100 TB sink drop the index or use a partition-offset
+    * scheme like [[graft.functions.Quantiles]]'s ranking pass.
     */
   def writeCsv(
       df: DataFrame,
       path: String,
       sep: String = ",",
       writeHeader: Boolean = true,
-      writeIndex: Boolean = false
+      writeIndex: Boolean = false,
+      indexOrder: Seq[String] = Seq.empty
   ): Unit = {
     val out =
-      if (writeIndex)
-        df.withColumn("index", monotonically_increasing_id())
+      if (writeIndex) {
+        require(indexOrder.nonEmpty,
+          "writeIndex=true needs indexOrder: contiguous row numbers require a total order")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(indexOrder.map(col): _*)
+        df.withColumn("index", row_number().over(w) - 1)
           .select(col("index") +: df.columns.map(col).toIndexedSeq: _*)
-      else df
+      } else df
     out.write
       .option("sep", sep)
       .option("header", writeHeader)

@@ -67,6 +67,21 @@ class FrameIoSpec extends SparkSpec {
     assert(rows(back.sortAll()) == rows(df.sortAll()))
   }
 
+  test("writeCsv writeIndex emits contiguous 0..n-1 row numbers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvi").toString
+    Io.writeCsv(df, s"$dir/out", sep = "\t", writeIndex = true,
+      indexOrder = Seq("s", "i", "d"))
+    val schema = StructType(Seq(
+      StructField("index", LongType), StructField("s", StringType),
+      StructField("i", IntegerType), StructField("d", DoubleType)))
+    val back = Io.readTable(spark, s"$dir/out", schema, sep = "\t", headerLines = 1)
+    assert(back.select("index").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // and without an order, writeIndex refuses rather than emitting
+    // non-contiguous partition-offset ids
+    intercept[IllegalArgumentException](
+      Io.writeCsv(df, s"$dir/out2", writeIndex = true))
+  }
+
   test("readTable drops leading index columns (fromTable indexCols)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv2").toString
     java.nio.file.Files.writeString(

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.Multimodal
 
-/** Multimodal plumbing: schema, partition-wise batch shape, stub decode
-  * determinism. The byte-level decode is a documented stub; these tests
-  * pin down everything a real codec would plug into. */
+/** Multimodal plumbing + REAL PNG decode: schema, partition-wise batch
+  * shape, codec-backed dimensions/features/resize. Only video frame
+  * sampling remains a documented stub (no video codec in the JDK). */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -16,10 +16,22 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 40)
   }
 
-  test("feature extraction: typed output, stable across recomputation") {
+  test("real decode: PNG dimensions match the metadata struct") {
+    val decoded = Multimodal.decodeInfo(media)
+      .toDF("asset_id", "w", "h", "decoded")
+    val mismatches = decoded.join(media, "asset_id")
+      .filter(!col("decoded")
+        || col("w") =!= col("meta.width") || col("h") =!= col("meta.height"))
+      .count()
+    assert(mismatches == 0, "decoded dims diverge from meta")
+  }
+
+  test("feature extraction: real histogram, stable across recomputation") {
     val f1 = Multimodal.extractFeatures(media, dim = 16)
-    assert(f1.head().feature.length == 16)
-    // deterministic stub: same input -> same features on a second run
+    val first = f1.head()
+    assert(first.feature.length == 16)
+    // a luminance histogram is L1-normalized
+    assert(math.abs(first.feature.map(_.toDouble).sum - 1.0) < 1e-4)
     val a = f1.collect().map(m => m.asset_id -> m.feature.toSeq).toMap
     val b = Multimodal.extractFeatures(media, dim = 16)
       .collect().map(m => m.asset_id -> m.feature.toSeq).toMap
@@ -35,18 +47,25 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling: every n-th chunk, typed binary frames") {
+    val lens = media.select(col("asset_id"), length(col("media")).as("len"))
+      .as[(Long, Int)].collect().toMap
     val frames = Multimodal.sampleFrames(media, everyN = 4, frameSize = 256)
-    val f = frames.head()
-    assert(f.frames.length == 4)   // 4096 bytes / 256 = 16 chunks, every 4th
-    assert(f.frames.head.length == 256)
+    frames.collect().foreach { f =>
+      val nChunks = (lens(f.asset_id) + 255) / 256
+      val expected = (nChunks + 3) / 4 // every 4th chunk, starting at 0
+      assert(f.frames.length == expected)
+      assert(f.frames.head.length <= 256 && f.frames.head.length > 0)
+    }
   }
 
-  test("resize rewrites metadata struct and truncates media") {
-    val resized = Multimodal.resize(media, 16, 16)
+  test("real resize: re-encoded bytes decode at the new dimensions") {
+    val resized = Multimodal.resize(media, 16, 16).cache()
     assert(resized.schema == Multimodal.mediaSchema)
-    val r = resized.select(col("meta.width"), col("meta.height"),
-      length(col("media"))).collect().head
-    assert(r.getInt(0) == 16 && r.getInt(1) == 16)
-    assert(r.getInt(2) <= 4096)
+    val m = resized.select(col("meta.width"), col("meta.height")).head()
+    assert(m.getInt(0) == 16 && m.getInt(1) == 16)
+    // the BYTES are really 16x16 now, not just the metadata
+    val redecoded = Multimodal.decodeInfo(resized)
+      .filter(i => !(i.decoded && i.width == 16 && i.height == 16))
+    assert(redecoded.count() == 0)
   }
 }

@@ -31,6 +31,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"non-columnar scans in: $offenders")
   }
 
+  test("near-dup verify joins never broadcast the O(docs) tables when large") {
+    // The verify-side tables (minhash signatures, shingle arrays) are
+    // O(docs) — unbounded at 100 TB. The broadcast hint is gated on a size
+    // estimate vs autoBroadcastJoinThreshold; with broadcasting disabled
+    // (the stand-in for "table bigger than threshold") the static plan must
+    // contain NO BroadcastExchange — the verify joins shuffle on doc_id.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val plans = Seq(
+        "dedup_minhash" -> functions.NearDup.minhashPairs(docs, 0.5),
+        "dedup_ngram" -> functions.NearDup.ngramJaccardPairs(docs, 0.5))
+      for ((name, df) <- plans) {
+        val p = df.queryExecution.executedPlan.toString()
+        assert(!p.contains("BroadcastExchange"),
+          s"$name hardcodes a broadcast of an unbounded table")
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("no query shuffles more than 6 times") {
     // count DISTINCT exchange plan ids: persisted subtrees repeat their
     // plan text under every InMemoryRelation occurrence, but share ids.

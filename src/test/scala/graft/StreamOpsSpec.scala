@@ -92,6 +92,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed agg append mode: watermark finalizes windows, drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.windowedEventCounts(
+      mem.toDF().withColumn("event_type",
+        org.apache.spark.sql.functions.lit("click")),
+      windowMinutes = 5, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(Ev(0, ts(1), 1, 10.0), Ev(1, ts(7), 1, 5.0))
+      q.processAllAvailable() // watermark still 0 — nothing finalized
+      mem.addData(Ev(2, ts(30), 1, 1.0))
+      q.processAllAvailable() // after this batch the watermark is 00:20
+      // LATE: event-time 00:02 is far below the 00:20 watermark → dropped;
+      // this batch also finalizes+emits the two closed windows
+      mem.addData(Ev(3, ts(2), 1, 100.0))
+      q.processAllAvailable()
+      val got = rows(spark.table("late_out").orderBy("window_start")
+        .select("window_start", "n_events", "sum_value"))
+      // on-time rows only: the late 100.0 never lands in window [00:00,00:05)
+      assert(got == Seq(Seq(ts(0), 1L, 10.0), Seq(ts(5), 1L, 5.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("interval join: state evicted past the watermark ignores late matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[Ev]
+    val rmem = MemoryStream[Ev]
+    val q = StreamOps.intervalJoin(lmem.toDF(), rmem.toDF(), "user_id",
+      windowMinutes = 30, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_late").start()
+    try {
+      rmem.addData(Ev(100, ts(0), 1, 0.0))
+      lmem.addData(Ev(0, ts(20), 1, 1.0))
+      q.processAllAvailable() // on-time pair (0,100) joins
+      // jump event time on BOTH sides → global watermark passes 00:20 state
+      lmem.addData(Ev(1, ts(200), 9, 0.0))
+      rmem.addData(Ev(101, ts(200), 9, 0.0))
+      q.processAllAvailable()
+      // late right event that WOULD pair with left 0 — but left 0's
+      // buffered state is gone and the row is below the watermark
+      rmem.addData(Ev(102, ts(10), 1, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ij_late")
+        .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 100L), (1L, 101L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("windowedEventCounts runs in batch mode on the events table") {
     val got = StreamOps.windowedEventCounts(Tables.events(spark, sf0001))
     assert(got.count() > 0)
