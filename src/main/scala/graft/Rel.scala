@@ -262,23 +262,37 @@ object Rel {
     * 5% relative bound on the median.) The booleans are computed in Spark
     * from BOTH the sketch and the exact value; the oracle asserts they are
     * all true — a hash-matching driver-visible accuracy gate for the
-    * engine-native sketches. */
+    * engine-native sketches. Shape notes, each learned from a measured
+    * failure: (a) grouped on a 64-bucket key, not 3 groups — the EXACT
+    * reference aggregates concentrate each group's values into one task
+    * (19 s at sf0.1 on `l_returnflag`, a scale-killer); (b) not 1024
+    * buckets — `approx_percentile` returns an ELEMENT while `percentile`
+    * interpolates, and in a ~60-row bucket adjacent order statistics can
+    * differ by more than any sane bound (observed FAIL), while ~1000-row
+    * buckets keep the gap ≪ the 10% bound; (c) the exact distinct count is
+    * a two-step group-by (bucket,key)→(bucket), NOT `countDistinct` in the
+    * same agg — that would Expand every row per aggregate. */
   private val approxAggBounds = QDef(
     "approx_agg_bounds",
-    (s, d) => lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("ap"),
-        countDistinct(col("l_partkey")).as("ep"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
-        expr("percentile(l_extendedprice, 0.5)").as("em"))
-      .select(col("l_returnflag"),
-        (abs(col("ap") - col("ep")).cast(DoubleType) / col("ep") <= 0.15)
-          .as("parts_in_bound"),
-        (abs(col("am") - col("em")) / col("em") <= 0.05).as("med_in_bound"))
-      .orderBy(col("l_returnflag")),
-    Some("SELECT l_returnflag, true AS parts_in_bound, true AS med_in_bound " +
-      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    (s, d) => {
+      val li = lineitem(s, d)
+        .withColumn("pk_bucket", pmod(col("l_partkey"), lit(64)))
+      val exactDistinct = li.groupBy(col("pk_bucket"), col("l_orderkey")).agg(count(lit(1)))
+        .groupBy(col("pk_bucket")).agg(count(lit(1)).as("eo"))
+      val sketches = li.groupBy(col("pk_bucket"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"))
+      sketches.join(exactDistinct, "pk_bucket")
+        .select(col("pk_bucket"),
+          (abs(col("ao") - col("eo")).cast(DoubleType) / col("eo") <= 0.15)
+            .as("orders_in_bound"),
+          (abs(col("am") - col("em")) / col("em") <= 0.10).as("med_in_bound"))
+        .orderBy(col("pk_bucket"))
+    },
+    Some("SELECT l_partkey % 64 AS pk_bucket, true AS orders_in_bound, " +
+      "true AS med_in_bound FROM lineitem GROUP BY 1 ORDER BY pk_bucket")
   )
 
   /** CUBE: all grouping-set combinations with grouping_id levels. */
@@ -409,6 +423,31 @@ object Rel {
       "GROUP BY n_name ORDER BY revenue DESC, n_name")
   )
 
+  /** TPC-H Q17-shaped two-pass aggregate join: revenue of lineitems whose
+    * quantity is below 20% of their part's average quantity. The
+    * "aggregate, join back to the fact" shape (a decorrelated scalar
+    * subquery): per-part averages are one hash aggregate — O(parts) rows —
+    * then a key join back to lineitem. At scale both sides shuffle on
+    * l_partkey once; AQE broadcasts the aggregate side when it fits. */
+  private val q17SmallQty = QDef(
+    "q17_small_qty",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / 7.0).as("avg_yearly"))
+    },
+    Some("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) " +
+      " / 7.0 AS avg_yearly " +
+      "FROM lineitem JOIN (SELECT l_partkey AS ap_partkey, " +
+      " CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty " +
+      " FROM lineitem GROUP BY 1) ON l_partkey = ap_partkey " +
+      "WHERE l_quantity < 0.2 * avg_qty")
+  )
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * per-returnflag and per-linestatus subtotals only, no detail rows. */
   private val groupingSets = QDef(
@@ -431,5 +470,5 @@ object Rel {
     windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
-    groupingSets)
+    q17SmallQty, groupingSets)
 }

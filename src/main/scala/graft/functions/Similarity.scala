@@ -73,14 +73,23 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Per-JVM cache of derived embedding dims, keyed by the corpus plan's
+    * canonicalized hash — the single-row probe job runs once per corpus. */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+
   /** Embedding dimension for plane generation: the explicit value when
     * given (>0), else read from the first corpus vector — one single-row
-    * job, the price of not silently hashing against wrong-width planes
-    * (the native kernel hard-errors on a plane/vector width mismatch). */
+    * job per corpus (cached), the price of not silently hashing against
+    * wrong-width planes (the native kernel hard-errors on a plane/vector
+    * width mismatch). */
   private def resolveDim(corpus: DataFrame, vecCol: String, dim: Int): Int =
     if (dim > 0) dim
-    else corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus: any dim, empty output
+    else dimCache.computeIfAbsent(
+      (corpus.queryExecution.analyzed.semanticHash(), vecCol),
+      _ => corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+        .headOption.map(r => Integer.valueOf(r.getInt(0)))
+        .getOrElse(Integer.valueOf(1))) // empty corpus: any dim, empty output
 
   /** Deterministic random hyperplanes for sign-LSH (seeded, generated on
     * the driver once — tiny, broadcast as literals). */

@@ -45,6 +45,64 @@ object StreamOps {
       }
   }
 
+  /** Closed-session summary emitted on event-time timeout. */
+  final case class SessionSummary(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+  /** Open-session accumulator held in GroupState (public: the state
+    * encoder's generated code instantiates it; field names avoid
+    * collection-method collisions that break Janino resolution). */
+  final case class SessionAcc(startMs: Long, endMs: Long, cnt: Long, total: Double)
+
+  /** Gap-closed per-user sessions via `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT: state accumulates a user's open session; when the
+    * watermark passes last-event + gap, the timeout fires, the closed
+    * session is EMITTED and its state removed. This is the custom-state
+    * counterpart of `session_window` (StreamSessions) — the shape to reach
+    * for when the per-session result isn't expressible as an aggregate
+    * (model-state, decaying counters, ...). State per key = one small case
+    * class; eviction is driven by the watermark, so state is bounded by
+    * (active users within horizon), not history. */
+  def sessionTotalsWithTimeout(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"
+  ): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val encLong: Encoder[Long] = Encoders.scalaLong
+    implicit val encRow: Encoder[(Long, java.sql.Timestamp, Double)] =
+      Encoders.product[(Long, java.sql.Timestamp, Double)]
+    implicit val encOut: Encoder[SessionSummary] = Encoders.product[SessionSummary]
+    implicit val encAcc: Encoder[SessionAcc] = Encoders.product[SessionAcc]
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator.single(SessionSummary(user,
+              new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs),
+              a.cnt, a.total))
+          } else {
+            val acc0 = state.getOption
+              .getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0))
+            val acc = rows.foldLeft(acc0) { case (a, (_, t, v)) =>
+              SessionAcc(math.min(a.startMs, t.getTime),
+                math.max(a.endMs, t.getTime), a.cnt + 1, a.total + v)
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.endMs + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose key columns repeat within the
     * watermark horizon. State is bounded by the watermark — the streaming
     * analog of `Dedup.dropExactDups`, trading "dedup against all history"

@@ -143,6 +143,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState event-time timeout emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionTotalsWithTimeout(
+      mem.toDF(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(Ev(0, ts(1), 1, 10.0), Ev(1, ts(5), 1, 2.5))
+      q.processAllAvailable() // open session for user 1, nothing emitted
+      assert(spark.table("sess_out").count() == 0)
+      // jump event time: after this batch the watermark is 01:50, far past
+      // user 1's last event + 30-min gap → timeout pending
+      mem.addData(Ev(2, ts(120), 2, 1.0))
+      q.processAllAvailable()
+      // next batch processes the fired timeout and emits the closed session
+      mem.addData(Ev(3, ts(125), 2, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      assert(rows(got) == Seq(Seq(1L, ts(1), ts(5), 2L, 12.5)), s"got ${rows(got)}")
+    } finally q.stop()
+  }
+
   test("windowedEventCounts runs in batch mode on the events table") {
     val got = StreamOps.windowedEventCounts(Tables.events(spark, sf0001))
     assert(got.count() > 0)
