@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftsql.Bridge
+
+import graft.functions.{NearDup, Similarity}
+import graft.plans.{CosineSimilarity, SortedIntersectCount}
+
+/** SQL surface for graft's kernels: makes the library usable from pure
+  * `spark.sql(...)` — a koalas user migrating SQL-first workloads calls
+  * `graft_cosine` / `graft_simhash64` / ... without touching the Scala
+  * API.
+  *
+  * Two registration paths, same builders:
+  *  - [[GraftExtensions]]: a `SparkSessionExtensions` hook for cluster
+  *    deployment (`spark.sql.extensions=graft.GraftExtensions` — every
+  *    session, every executor, at build time);
+  *  - [[GraftFunctions.register]]: session-scoped temp functions for an
+  *    already-built session (tests, notebooks).
+  *
+  * All functions resolve to the same codegen'd Catalyst expressions the
+  * DataFrame API uses — no UDF wrapping, identical plans either way.
+  */
+object GraftFunctions {
+
+  /** (name, description, builder) for every exposed function. */
+  private[graft] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two numeric arrays (fused native kernel)",
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_cosine takes 2 arguments")
+        // cast elements to double HERE so float arrays go through the same
+        // per-element cast as the Column API's asDouble — the kernel reads
+        // doubles, and skipping the cast is a 1-ULP divergence, not an error
+        def d(e: Expression) = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+        CosineSimilarity(d(es(0)), d(es(1)))
+      }),
+    ("graft_sorted_intersect",
+      "graft_sorted_intersect(a, b) - intersection size of two SORTED long arrays",
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_sorted_intersect takes 2 arguments")
+        SortedIntersectCount(es(0), es(1))
+      }),
+    ("graft_simhash64",
+      "graft_simhash64(text) - 64-bit SimHash over whitespace tokens",
+      (es: Seq[Expression]) => {
+        require(es.length == 1, "graft_simhash64 takes 1 argument")
+        Bridge.toAnalyzableExpression(NearDup.simhash64(Bridge.toColumn(es(0))))
+      }),
+    ("graft_shingles",
+      "graft_shingles(text, w) - distinct w-token shingles of text (w literal int)",
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_shingles takes 2 arguments")
+        val w = es(1).eval(null).asInstanceOf[Int]
+        Bridge.toAnalyzableExpression(NearDup.shingles(Bridge.toColumn(es(0)), w))
+      }),
+    ("graft_dot",
+      "graft_dot(a, b) - sequential-fold dot product of two numeric arrays",
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_dot takes 2 arguments")
+        Bridge.toAnalyzableExpression(Similarity.dot(
+          Similarity.asDouble(Bridge.toColumn(es(0))),
+          Similarity.asDouble(Bridge.toColumn(es(1)))))
+      })
+  )
+
+  /** Register every graft function on an already-built session
+    * (session-scoped, `createOrReplaceTempFunction`). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", null, name, usage, ""),
+        builder))
+    }
+}

@@ -11,4 +11,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree into a catalyst Expression tree
+    * (`ColumnNodeToExpressionConverter`). `toExpression` wraps lazily in a
+    * `ColumnNodeExpression`, which is fine inside DataFrame analysis but
+    * UNEVALUABLE when embedded in a SQL function's expression tree — the
+    * analyzer never descends into the wrapper. SQL function builders that
+    * compose Column-API helpers must use this. */
+  def toAnalyzableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a session-scoped SQL function backed by an Expression
+    * builder (`sessionState.functionRegistry` is `private[sql]`; this is
+    * the session-level counterpart of `SparkSessionExtensions
+    * .injectFunction`, for sessions built without the extensions conf). */
+  def registerFunction(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
