@@ -167,6 +167,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file streaming source/sink: landed files become micro-batches, sink is batch-readable") {
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("graft_ssrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sout").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_scp").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+
+    def land(batch: Seq[(Long, Long, Double)], name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      batch.toDF("event_id", "user_id", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+
+    land(Seq((0L, 1L, 1.0), (1L, 2L, 2.0)), "b0")
+    val stream = graft.sources.StreamIo.readParquetStream(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = graft.sources.StreamIo.writeParquetStream(
+      stream.filter(org.apache.spark.sql.functions.col("value") > 0), out, cp)
+    try {
+      q.processAllAvailable()
+      land(Seq((2L, 1L, 3.0)), "b1") // second file = second micro-batch
+      q.processAllAvailable()
+      val sunk = spark.read.schema(schema).parquet(out)
+      assert(sunk.count() == 3)
+      assert(sunk.select("event_id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts runs in batch mode on the events table") {
     val got = StreamOps.windowedEventCounts(Tables.events(spark, sf0001))
     assert(got.count() > 0)
