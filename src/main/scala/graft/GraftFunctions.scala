@@ -45,10 +45,10 @@ object GraftFunctions {
         SortedIntersectCount(es(0), es(1))
       }),
     ("graft_simhash64",
-      "graft_simhash64(text) - 64-bit SimHash over whitespace tokens",
+      "graft_simhash64(text) - 64-bit SimHash over whitespace tokens (native single-pass kernel)",
       (es: Seq[Expression]) => {
         require(es.length == 1, "graft_simhash64 takes 1 argument")
-        Bridge.toAnalyzableExpression(NearDup.simhash64(Bridge.toColumn(es(0))))
+        graft.plans.SimHash64(es(0))
       }),
     ("graft_shingles",
       "graft_shingles(text, w) - distinct w-token shingles of text (w literal int)",

@@ -321,9 +321,14 @@ object NearDup {
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     * keys; pairs matching on any band are candidates (Hamming distance
     * ≤ 3 guarantees a matching band by pigeonhole for 4 bands); verify
-    * exact Hamming distance ≤ maxHamming. */
+    * exact Hamming distance ≤ maxHamming. Fingerprints come from the
+    * native single-pass kernel ([[graft.plans.SimHash64]]) — a per-row
+    * expression, so NOTHING shuffles before the banding join (the
+    * exploded bit-sum aggregate `simhashTable` form cost one extra
+    * explode+groupBy exchange). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withSim = simhashTable(docs)
+    val withSim = fanOut(docs).select(col("doc_id"),
+      graft.plans.SimHash64.simhash64Native(col("text")).as("sh"))
     val banded = withSim.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))

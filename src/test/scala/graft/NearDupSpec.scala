@@ -76,6 +76,20 @@ class NearDupSpec extends SparkSpec {
     assert(viaExpr == viaAgg)
   }
 
+  test("native single-pass simhash equals the HOF expression (incl. edge tokens)") {
+    import graft.plans.SimHash64
+    val edge = Seq((0L, "a b"), (1L, " leading"), (2L, "trailing "),
+      (3L, "double  space"), (4L, "x")).toDF("doc_id", "text")
+    for (df <- Seq(docs, edge, Tables.documents(spark, sf0001))) {
+      val hof = df.select(col("doc_id"), NearDup.simhash64(col("text")).as("sh"))
+        .as[(Long, Long)].collect().toMap
+      val nat = df.select(col("doc_id"),
+        SimHash64.simhash64Native(col("text")).as("sh"))
+        .as[(Long, Long)].collect().toMap
+      assert(hof == nat, "native simhash diverges from the HOF reference")
+    }
+  }
+
   test("simhash: identical docs distance 0, near docs close, pairs found") {
     val sh = docs.select(col("doc_id"), NearDup.simhash64(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
