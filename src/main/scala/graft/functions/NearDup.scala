@@ -153,6 +153,40 @@ object NearDup {
     verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs))
   }
 
+  /** Exact n-gram Jaccard with RAREST-FIRST prefix ordering: the global
+    * total order behind the prefix filter is (document frequency asc,
+    * hash) instead of the raw hash. Prefix filtering is lossless under ANY
+    * consistently-applied global order, but the candidate count is
+    * Σ df_prefix² — putting the RAREST shingles in every prefix minimizes
+    * exactly that sum, which matters on zipfian corpora where a handful of
+    * stop-shingles would otherwise pair everything with everything. Costs
+    * one extra aggregate (the df table) and a per-doc re-sort shuffle over
+    * the hash-ordered default [[ngramJaccardPairs]]; choose it when the
+    * shingle distribution is skewed. Output is identical (both exact). */
+  def ngramJaccardPairsRareFirst(
+      docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    val arrs = shingleHashArrays(docs, w).persist()
+    val exploded = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted rarest-first: struct sort = (df asc, h asc),
+    // a valid global total order (ties broken by the hash)
+    val ranked = exploded.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"),
+        count(lit(1)).as("n_sh"))
+    val prefix = ranked.select(col("doc_id"),
+      explode(transform(
+        slice(col("ordered"), lit(1),
+          (floor((lit(1.0) - threshold) * col("n_sh")) + 1).cast("int")),
+        s => s.getField("h"))).as("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs))
+  }
+
   /** Naive variant (full shingle self-join) — the reference implementation
     * prefix filtering is tested against. */
   private[graft] def ngramJaccardPairsNaive(

@@ -56,6 +56,17 @@ class NearDupSpec extends SparkSpec {
       rows(NearDup.ngramJaccardPairsNaive(docs, 0.5)))
   }
 
+  test("rarest-first prefix ordering is lossless too (equals naive)") {
+    val d = Tables.documents(spark, sf0001)
+    for (t <- Seq(0.3, 0.8)) {
+      assert(rows(NearDup.ngramJaccardPairsRareFirst(d, t)) ==
+        rows(NearDup.ngramJaccardPairsNaive(d, t)),
+        s"rarest-first lost pairs at t=$t")
+    }
+    assert(rows(NearDup.ngramJaccardPairsRareFirst(docs, 0.5)) ==
+      rows(NearDup.ngramJaccardPairsNaive(docs, 0.5)))
+  }
+
   test("minhash agrees with exact jaccard pairs on sf0.001 documents") {
     val d = Tables.documents(spark, sf0001)
     val exact = NearDup.ngramJaccardPairs(d, threshold = 0.5)

@@ -73,6 +73,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
   }
 
+  test("q5 5-table join broadcasts the dimension chain, facts shuffle once") {
+    val p = physical(q("q5_local_supplier"))
+    // supplier/nation/region are broadcast-hash-joined (3 dimension hops)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension chain not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q5:\n$p")
+    // the region filter is pushed into its scan, pruning before broadcast
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+  }
+
+  test("q17 aggregate-join-back: per-part averages shuffle on the join key") {
+    val p = physical(q("q17_small_qty"))
+    assert(!p.contains("CartesianProduct"))
+    // decorrelated: a plain aggregate + equi-join, no per-row subquery
+    assert(p.contains("HashAggregate"), s"no aggregate side:\n$p")
+  }
+
   test("join_anti plans as an anti join, not a subquery re-scan") {
     val p = physical(q("join_anti"))
     assert(p.contains("LeftAnti"), s"no anti join:\n$p")
