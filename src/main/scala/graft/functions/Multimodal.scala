@@ -164,6 +164,97 @@ object Multimodal {
       }.toDF("asset_id", "media", "meta")
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Canonical audio-asset schema: id + bytes + typed audio metadata. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false)
+    )), nullable = false)
+  ))
+
+  final case class AudioInfo(
+      asset_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      duration_s: Double, rms: Double, decoded: Boolean)
+
+  /** REAL audio decode: WAV/AIFF bytes → (format, PCM payload) via the JDK
+    * codec (`javax.sound.sampled`); None for undecodable bytes. */
+  private[functions] def readAudio(
+      bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val pcm = in.readAllBytes()
+      Some((in.getFormat, pcm))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Partition-wise REAL audio feature pass: sample rate / channels /
+    * frame count / duration / RMS amplitude decoded from the actual PCM
+    * samples (16-bit signed little-endian — the synthetic and usual WAV
+    * layout). Undecodable rows get decoded=false. */
+  def decodeAudioInfo(audio: DataFrame): Dataset[AudioInfo] = {
+    implicit val enc = Encoders.product[AudioInfo]
+    audio.select(col("asset_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          readAudio(r.getAs[Array[Byte]](1)) match {
+            case Some((fmt, pcm)) =>
+              val frameSize = fmt.getFrameSize
+              val nFrames = pcm.length.toLong / frameSize
+              var sumSq = 0.0
+              var i = 0
+              while (i + 1 < pcm.length) { // 16-bit LE samples
+                val s = ((pcm(i + 1) << 8) | (pcm(i) & 0xFF)).toShort / 32768.0
+                sumSq += s * s
+                i += 2
+              }
+              val nSamples = pcm.length / 2
+              AudioInfo(r.getLong(0), fmt.getSampleRate.toInt, fmt.getChannels,
+                nFrames, nFrames / fmt.getSampleRate.toDouble,
+                if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+                decoded = true)
+            case None =>
+              AudioInfo(r.getLong(0), -1, -1, -1L, -1.0, -1.0, decoded = false)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic audio table: REAL WAV bytes (16-bit signed
+    * mono PCM sine wave, frequency varying per asset). */
+  def syntheticAudio(
+      spark: SparkSession, n: Int,
+      seconds: Double = 0.1, sampleRate: Int = 8000): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rows = (0L until n.toLong).map { i =>
+      val freq = 220.0 + 20.0 * (i % 16)
+      val nFrames = (seconds * sampleRate).toInt
+      val pcm = new Array[Byte](nFrames * 2)
+      var f = 0
+      while (f < nFrames) {
+        val s = (0.5 * math.sin(2 * math.Pi * freq * f / sampleRate) * 32767).toShort
+        pcm(2 * f) = (s & 0xFF).toByte
+        pcm(2 * f + 1) = ((s >> 8) & 0xFF).toByte
+        f += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      Row(i, out.toByteArray, Row("wav", sampleRate, 1))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 100)), audioSchema)
+  }
+
   /** Deterministic synthetic media table: REAL PNG bytes (seeded pixel
     * noise, true width/height in the metadata struct). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

@@ -58,6 +58,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real audio decode: WAV PCM round-trips rate/frames/RMS") {
+    val audio = Multimodal.syntheticAudio(spark, 20,
+      seconds = 0.1, sampleRate = 8000).cache()
+    assert(audio.schema == Multimodal.audioSchema)
+    val infos = Multimodal.decodeAudioInfo(audio).collect()
+    assert(infos.length == 20)
+    infos.foreach { a =>
+      assert(a.decoded, s"asset ${a.asset_id} failed to decode")
+      assert(a.sample_rate == 8000 && a.channels == 1)
+      assert(a.n_frames == 800)
+      assert(math.abs(a.duration_s - 0.1) < 1e-9)
+      // a 0.5-amplitude sine has RMS 0.5/sqrt(2) ~= 0.3536
+      assert(math.abs(a.rms - 0.3536) < 0.01, s"rms ${a.rms}")
+    }
+    // non-audio bytes degrade gracefully
+    val bad = Multimodal.decodeAudioInfo(
+      media.select(col("asset_id"), col("media"))).collect()
+    assert(bad.forall(!_.decoded))
+  }
+
   test("real resize: re-encoded bytes decode at the new dimensions") {
     val resized = Multimodal.resize(media, 16, 16).cache()
     assert(resized.schema == Multimodal.mediaSchema)
