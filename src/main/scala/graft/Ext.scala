@@ -335,6 +335,27 @@ object Ext {
       "ORDER BY l_orderkey, l_linenumber")
   )
 
+  /** Deterministic per-group bottom-k-by-md5 sample — the custom
+    * TypedImperativeAggregate ([[graft.plans.BottomKByHash]]). A pure
+    * function of the value set (partition- and engine-invariant), so the
+    * DuckDB oracle reproduces it exactly via a row_number over md5. */
+  private val sampleBottomK = QDef(
+    "sample_bottomk",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.plans.BottomKByHash
+        .bottomK(col("l_orderkey").cast("string"), 8).as("sample"))
+      .select(col("l_returnflag"),
+        posexplode(col("sample")).as(Seq("pos", "okey")))
+      .orderBy(col("l_returnflag"), col("pos")),
+    Some("WITH d AS (SELECT DISTINCT l_returnflag, " +
+      "CAST(l_orderkey AS VARCHAR) AS okey FROM lineitem), " +
+      "r AS (SELECT l_returnflag, okey, row_number() OVER " +
+      "(PARTITION BY l_returnflag ORDER BY md5(okey)) - 1 AS pos FROM d) " +
+      "SELECT l_returnflag, CAST(pos AS INT) AS pos, okey FROM r " +
+      "WHERE pos < 8 ORDER BY l_returnflag, pos")
+  )
+
   /** Histogram: 10k-wide price bins (floor of one IEEE divide —
     * deterministic binning both engines). */
   private val histogramQ = QDef(
@@ -351,6 +372,6 @@ object Ext {
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLsh, annIvf, dedupNgram, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, sampleDet, histogramQ
+    tfidfTop, sampleDet, sampleBottomK, histogramQ
   )
 }

@@ -22,6 +22,25 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k-by-hash sample: deterministic, partition-invariant") {
+    import graft.plans.BottomKByHash
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").cast("string").as("v"))
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.agg(BottomKByHash.bottomK(col("v"), 10).as("s"))
+        .collect().head.getSeq[String](0)
+    val a = sample(li)
+    assert(a.length == 10)
+    // partition-invariant: the partial/merge path yields the same set
+    assert(sample(li.repartition(13)) == a)
+    // equals the brute-force definition: 10 distinct values with the
+    // smallest md5 digests, in digest order
+    val expected = li.distinct()
+      .select(col("v"), md5(col("v")).as("h")).orderBy(col("h"))
+      .limit(10).select("v").as[String].collect().toSeq
+    assert(a == expected)
+  }
+
   test("cube emits all four grouping levels") {
     val got = SparkEntry.queries("cube_agg")(spark, sf0001)
     assert(got.select("lvl").distinct().as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
