@@ -54,7 +54,23 @@ object GraftFunctions {
       "graft_shingles(text, w) - distinct w-token shingles of text (w literal int)",
       (es: Seq[Expression]) => {
         require(es.length == 2, "graft_shingles takes 2 arguments")
-        val w = es(1).eval(null).asInstanceOf[Int]
+        // w parameterizes the generated expression tree, so it must be a
+        // literal: a column reference or non-integral literal would
+        // otherwise surface as an opaque NPE/ClassCastException here.
+        if (!es(1).foldable) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3055",
+          messageParameters = Map("reason" ->
+            "graft_shingles: the shingle width w must be a foldable INT literal, got a non-foldable expression"))
+        val w = es(1).eval(null) match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3055",
+            messageParameters = Map("reason" ->
+              s"graft_shingles: w must be an INT literal, got ${if (other == null) "NULL" else other.getClass.getSimpleName}"))
+        }
         Bridge.toAnalyzableExpression(NearDup.shingles(Bridge.toColumn(es(0)), w))
       }),
     ("graft_dot",

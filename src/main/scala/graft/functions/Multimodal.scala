@@ -182,23 +182,38 @@ object Multimodal {
       duration_s: Double, rms: Double, decoded: Boolean)
 
   /** REAL audio decode: WAV/AIFF bytes → (format, PCM payload) via the JDK
-    * codec (`javax.sound.sampled`); None for undecodable bytes. */
+    * codec (`javax.sound.sampled`); None for undecodable bytes. The payload
+    * is normalized to 16-bit signed LITTLE-ENDIAN PCM regardless of the
+    * container's native layout (8-bit WAV, big-endian AIFF, float WAV) —
+    * the RMS pass downstream assumes exactly that layout, so decoding
+    * without converting would silently yield wrong amplitudes. */
   private[functions] def readAudio(
       bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val f0 = raw.getFormat
+      val canonical =
+        f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          f0.getSampleSizeInBits == 16 && !f0.isBigEndian
+      val in =
+        if (canonical) raw
+        else AudioSystem.getAudioInputStream(
+          new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f0.getSampleRate,
+            16, f0.getChannels, f0.getChannels * 2, f0.getSampleRate,
+            /* bigEndian = */ false), raw)
       val pcm = in.readAllBytes()
       Some((in.getFormat, pcm))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no conversion path to 16-bit LE
     }
 
   /** Partition-wise REAL audio feature pass: sample rate / channels /
     * frame count / duration / RMS amplitude decoded from the actual PCM
-    * samples (16-bit signed little-endian — the synthetic and usual WAV
-    * layout). Undecodable rows get decoded=false. */
+    * samples ([[readAudio]] normalizes every decodable container to 16-bit
+    * signed little-endian first). Undecodable rows get decoded=false. */
   def decodeAudioInfo(audio: DataFrame): Dataset[AudioInfo] = {
     implicit val enc = Encoders.product[AudioInfo]
     audio.select(col("asset_id"), col("media"))

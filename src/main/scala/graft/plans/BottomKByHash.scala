@@ -93,11 +93,26 @@ case class BottomKByHash(
     new GenericArrayData(out)
   }
 
+  // Length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps at 65535
+  // bytes and would throw at shuffle/spill time for long values (e.g.
+  // sampling documents.text). Digests are fixed 32-hex, but values are
+  // arbitrary strings.
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+  private def readStr(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   override def serialize(buf: java.util.TreeMap[String, String]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.forEach { (h, v) => out.writeUTF(h); out.writeUTF(v) }
+    buf.forEach { (h, v) => writeStr(out, h); writeStr(out, v) }
     out.flush()
     bytes.toByteArray
   }
@@ -107,7 +122,7 @@ case class BottomKByHash(
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readUTF()); i += 1 }
+    while (i < n) { buf.put(readStr(in), readStr(in)); i += 1 }
     buf
   }
 

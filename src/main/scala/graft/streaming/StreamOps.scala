@@ -90,15 +90,30 @@ object StreamOps {
               new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs),
               a.cnt, a.total))
           } else {
-            val acc0 = state.getOption
-              .getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0))
-            val acc = rows.foldLeft(acc0) { case (a, (_, t, v)) =>
-              SessionAcc(math.min(a.startMs, t.getTime),
-                math.max(a.endMs, t.getTime), a.cnt + 1, a.total + v)
+            // Sessions must close on the gap along the DATA path too, not
+            // only via timeout: a key that keeps receiving data is always
+            // invoked with hasTimedOut=false, so events > gap apart (within
+            // one micro-batch or across data-carrying batches) must split
+            // here or they'd collapse into one session, diverging from
+            // session_window semantics.
+            val gapMs = gapMinutes * 60000L
+            val sorted = rows.toArray.sortBy(_._2.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var acc = state.getOption.orNull
+            sorted.foreach { case (_, t, v) =>
+              val ms = t.getTime
+              if (acc == null) acc = SessionAcc(ms, ms, 1L, v)
+              else if (ms > acc.endMs + gapMs) {
+                closed += SessionSummary(user,
+                  new java.sql.Timestamp(acc.startMs),
+                  new java.sql.Timestamp(acc.endMs), acc.cnt, acc.total)
+                acc = SessionAcc(ms, ms, 1L, v)
+              } else acc = SessionAcc(math.min(acc.startMs, ms),
+                math.max(acc.endMs, ms), acc.cnt + 1, acc.total + v)
             }
             state.update(acc)
-            state.setTimeoutTimestamp(acc.endMs + gapMinutes * 60000L)
-            Iterator.empty
+            state.setTimeoutTimestamp(acc.endMs + gapMs)
+            closed.iterator
           }
       }
   }
