@@ -448,6 +448,91 @@ object Rel {
       "WHERE l_quantity < 0.2 * avg_qty")
   )
 
+  /** TPC-H Q2-shaped correlated-min subquery: for every part, the
+    * supplier(s) and price of its CHEAPEST lineitem. The classic
+    * "row whose value equals a correlated aggregate" shape; testdata has no
+    * partsupp so lineitem plays the price-list role. Decorrelated into a
+    * single window-min over the correlation key — ONE shuffle on l_partkey
+    * (a groupBy+self-join decorrelation would shuffle twice); ties keep all
+    * rows, exactly the correlated-subquery semantics. Dimension hops
+    * (part, supplier) broadcast. */
+  private val q2MinPrice = QDef(
+    "q2_min_price",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      lineitem(s, d)
+        .withColumn("min_price", min(col("l_extendedprice")).over(w))
+        .filter(col("l_extendedprice") === col("min_price"))
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("min_price")).distinct()
+        .orderBy(col("p_partkey"), col("s_name"))
+    },
+    Some("SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS min_price " +
+      "FROM lineitem l JOIN part ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "WHERE l_extendedprice = (SELECT min(l2.l_extendedprice) " +
+      " FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) " +
+      "ORDER BY p_partkey, s_name")
+  )
+
+  /** TPC-H Q18-shaped "large volume" query: orders whose total quantity
+    * exceeds a threshold, with customer detail. The IN-(grouped-HAVING)
+    * subquery decorrelates to aggregate→filter→semi-join: the qualifying
+    * key set is O(big orders) rows, so AQE broadcasts it back against the
+    * fact; lineitem is aggregated once and reused for the output quantity. */
+  private val q18BigOrders = QDef(
+    "q18_big_orders",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val orderQty = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+      orderQty.filter(col("total_qty") > 250)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+      "sum(l_quantity) AS total_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+      " GROUP BY l_orderkey HAVING sum(l_quantity) > 250) " +
+      "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")
+  )
+
+  /** TPC-H Q20-shaped supplier screen: suppliers that shipped more than a
+    * threshold quantity of red-named parts. Nested semi-join pyramid —
+    * part-name filter → semi-join into lineitem (broadcast: the filtered
+    * part key set is small) → grouped HAVING → semi-join into supplier.
+    * Each level's output is strictly smaller; nothing rescans the fact. */
+  private val q20QtySuppliers = QDef(
+    "q20_qty_suppliers",
+    (s, d) => {
+      val redParts = part(s, d).filter(col("p_name").contains("red"))
+        .select(col("p_partkey"))
+      val bigSupp = lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 2000)
+      supplier(s, d)
+        .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (" +
+      "SELECT l_suppkey FROM lineitem " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') " +
+      "GROUP BY l_suppkey HAVING sum(l_quantity) > 2000) " +
+      "ORDER BY s_suppkey")
+  )
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * per-returnflag and per-linestatus subtotals only, no detail rows. */
   private val groupingSets = QDef(
@@ -470,5 +555,5 @@ object Rel {
     windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
-    q17SmallQty, groupingSets)
+    q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, groupingSets)
 }

@@ -83,13 +83,22 @@ object Quantiles {
     val ranked = ranged
       .join(broadcast(offDf), "pid")
       .withColumn("rank", col("off") + row_number().over(w) - 1)
-    ranked.join(broadcast(neededDf), "rank")
+    val result = ranked.join(broadcast(neededDf), "rank")
       .groupBy(col("q"), col("frac"))
       .agg(
         max(when(col("kind") === "lo", col("v"))).as("lo"),
         max(when(col("kind") === "hi", col("v"))).as("hi"))
       .select(col("q"),
         (col("lo") + (col("hi") - col("lo")) * col("frac")).as("value"))
+      .orderBy(col("q"))
+      // O(#qs) rows: materialize eagerly so `ranged` can be released now
+      // instead of leaking a cached copy of the data per call.
+      .collect().toSeq
+    ranged.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(result, 1),
+      StructType(Seq(
+        StructField("q", DoubleType), StructField("value", DoubleType))))
       .orderBy(col("q"))
   }
 }
