@@ -190,6 +190,49 @@ object Ext {
     None
   )
 
+  /** IVF ANN against the PERSISTED index ([[graft.functions.IvfIndex]] —
+    * corpus partitioned by cell on disk, probes prune partitions): the
+    * serve-path counterpart of `ann_ivf`. Rows-only (cell layout depends
+    * on the engine-trained quantizer); the exact-equivalence check is
+    * `ann_ivf_full` below, recall is unit-tested in IvfIndexSpec. */
+  private val annIvfIndexed = QDef(
+    "ann_ivf_indexed",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.IvfIndex.cachedFor(e, "vec_id", "embedding", nCells = 16)
+        .topK(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+    },
+    None
+  )
+
+  /** Full-probe IVF (nProbe = nCells) through the SAME persisted-index
+    * path: every corpus vector lives in exactly one cell and every cell is
+    * probed, so the result is EXACTLY brute-force top-k — independent of
+    * the engine-trained centroids, hence fully oracle-checkable (same SQL
+    * as `sim_topk`). This pins the whole index machinery (assignment,
+    * partitioned write/read, pruning filter, re-rank) to the exact answer;
+    * `ann_ivf_indexed` then only differs by probing fewer cells. */
+  private val annIvfFull = QDef(
+    "ann_ivf_full",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.IvfIndex.cachedFor(e, "vec_id", "embedding", nCells = 16)
+        .topK(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 16)
+    },
+    Some(
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        s"p AS (SELECT qid, nid, ${cosSql("qe", "ce")} AS sim FROM c, q WHERE qid <> nid), " +
+        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, nid) AS rn FROM p) " +
+        "SELECT qid, nid, round(sim, 6) AS sim FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, nid")
+    )
+  )
+
   /** DuckDB brute-force exact 3-gram Jaccard pairs at `t` — the oracle for
     * both the prefix-filtered exact pipeline and the minhash-verified one. */
   private def ngramJaccardSql(t: Double): String =
@@ -370,7 +413,8 @@ object Ext {
 
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
-    dedupExact, simTopK, annLsh, annIvf, dedupNgram, dedupMinhash,
+    dedupExact, simTopK, annLsh, annIvf, annIvfIndexed, annIvfFull,
+    dedupNgram, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ
   )

@@ -35,6 +35,15 @@ object Ivf {
 
   /** Top-`nProbe` cells by score, descending, ties by cell id. Relies on
     * struct ordering: (score desc, cell) via negated score sort. */
+  private[functions] def probeCellsCol(
+      v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    probeCells(v, centroids, nProbe)
+
+  /** Nearest-centroid cell id for a vector — the build-time assignment. */
+  private[functions] def assignCellCol(
+      v: Column, centroids: Array[Array[Double]]): Column =
+    element_at(probeCells(v, centroids, 1), 1)
+
   private def probeCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
     val scored = cellScores(v, centroids)
     val sorted = array_sort(scored, (l, r) =>
