@@ -233,6 +233,20 @@ object Ext {
     )
   )
 
+  /** IVF-PQ ANN top-k ([[graft.functions.Pq]]): compressed-domain ADC scan
+    * inside probed IVF cells, exact re-rank of the shortlist only.
+    * Rows-only (codes depend on the engine-trained codebooks); recall vs
+    * brute force is unit-tested in PqSpec. */
+  private val annPq = QDef(
+    "ann_pq",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.Pq.pqTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", kNeighbors = 5)
+    },
+    None
+  )
+
   /** DuckDB brute-force exact 3-gram Jaccard pairs at `t` — the oracle for
     * both the prefix-filtered exact pipeline and the minhash-verified one. */
   private def ngramJaccardSql(t: Double): String =
@@ -414,7 +428,7 @@ object Ext {
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLsh, annIvf, annIvfIndexed, annIvfFull,
-    dedupNgram, dedupMinhash,
+    annPq, dedupNgram, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ
   )
