@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: the JDK ships a PNG codec (`javax.imageio`), so
   * `syntheticMedia` emits genuine PNG bytes and `decodeInfo` /
-  * `extractFeatures` / `resize` decode them pixel-for-pixel. Only the
-  * video frame sampler remains a clearly-marked deterministic stub (the
-  * container ships no video codec); its partitioning/batch shape is the
-  * real one.
+  * `extractFeatures` / `resize` decode them pixel-for-pixel. AUDIO decode
+  * is REAL (`javax.sound.sampled`). VIDEO rides the documented GVID
+  * container — a real structural demux of real PNG frames (see
+  * [[demuxFrames]]); only the commercial codec layer (H.264/VP9) is out
+  * of scope, since the container ships no such codec. The legacy
+  * byte-chunk sampler ([[stubSampleFrames]]) remains for opaque formats.
   */
 object Multimodal {
 
@@ -268,6 +270,143 @@ object Multimodal {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, n / 100)), audioSchema)
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Canonical video-asset schema: id + container bytes + typed metadata. */
+  val videoSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("fps", FloatType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)
+    )), nullable = false)
+  ))
+
+  final case class VideoFrame(
+      asset_id: Long, frame_idx: Int, ts_s: Double, frame: Array[Byte])
+  final case class VideoFeature(asset_id: Long, n_frames_used: Int, feature: Array[Float])
+
+  /** The container ships no real video codec (H.264/VP9 decode would slot
+    * in exactly at [[demuxFrames]]'s boundary via ffmpeg/jcodec), so video
+    * rides a documented trivial container: ASCII magic "GVID", then
+    * big-endian ints nFrames / fps-millis, then per frame an int byte
+    * length + a REAL PNG payload. The demux below genuinely parses that
+    * structure, and every sampled frame is a real decodable image that
+    * flows into [[imageFeature]] — the only fake is the container format
+    * itself, not the plumbing. */
+  private val VideoMagic = "GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private[functions] def muxFrames(pngFrames: Seq[Array[Byte]], fps: Float): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(VideoMagic)
+    dos.writeInt(pngFrames.length)
+    dos.writeInt((fps * 1000).round)
+    pngFrames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** Parse the GVID container: (fps, frames). None for non-GVID bytes. */
+  private[functions] def demuxFrames(
+      bytes: Array[Byte]): Option[(Float, Array[Array[Byte]])] =
+    try {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, VideoMagic)) return None
+      val n = in.readInt()
+      val fps = in.readInt() / 1000f
+      if (n < 0 || n > 1000000) return None
+      val frames = Array.fill(n) {
+        val len = in.readInt()
+        val f = new Array[Byte](len)
+        in.readFully(f)
+        f
+      }
+      Some((fps, frames))
+    } catch { case _: java.io.IOException => None }
+
+  /** Partition-wise frame sampling over the GVID container: every n-th
+    * frame, exploded to one typed row per frame with its timestamp. The
+    * demux is real (structure-parsing, not chunking); undecodable
+    * containers contribute zero rows — quarantine them with an anti-join
+    * against [[decodeInfo]]-style probes at scale. */
+  def sampleVideoFrames(video: DataFrame, everyN: Int = 10): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    video.select(col("asset_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          demuxFrames(r.getAs[Array[Byte]](1)) match {
+            case Some((fps, frames)) =>
+              frames.iterator.zipWithIndex
+                .filter(_._2 % everyN == 0)
+                .map { case (f, i) =>
+                  VideoFrame(r.getLong(0), i, i / fps.toDouble, f) }
+            case None => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Per-video embedding: mean of the sampled frames' REAL luminance
+    * histograms — the video face of [[extractFeatures]], composable with
+    * [[Similarity]] search like any other embedding column. */
+  def videoFeatures(
+      video: DataFrame, everyN: Int = 10, dim: Int = 64): Dataset[VideoFeature] = {
+    implicit val enc = Encoders.product[VideoFeature]
+    video.select(col("asset_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          demuxFrames(r.getAs[Array[Byte]](1)) match {
+            case Some((_, frames)) =>
+              val sampled = frames.iterator.zipWithIndex
+                .filter(_._2 % everyN == 0)
+                .flatMap(f => readImage(f._1))
+                .map(imageFeature(_, dim))
+                .toArray
+              if (sampled.isEmpty) Iterator.empty
+              else {
+                val mean = new Array[Float](dim)
+                sampled.foreach { f =>
+                  var i = 0; while (i < dim) { mean(i) += f(i); i += 1 } }
+                var i = 0
+                while (i < dim) { mean(i) /= sampled.length; i += 1 }
+                Iterator.single(VideoFeature(r.getLong(0), sampled.length, mean))
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic video table: GVID containers of REAL PNG
+    * frames (seeded noise per frame, dims varying per asset). */
+  def syntheticVideo(
+      spark: SparkSession, n: Int, nFrames: Int = 24, fps: Float = 12f): DataFrame = {
+    val rows = (0L until n.toLong).map { i =>
+      val w = 24 + (i % 16).toInt
+      val h = 16 + (i % 12).toInt
+      val frames = (0 until nFrames).map { f =>
+        val rnd = new scala.util.Random(i * 1000 + f)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF); x += 1 }
+          y += 1
+        }
+        encodePng(img)
+      }
+      Row(i, muxFrames(frames, fps), Row("gvid", w, h, fps, nFrames))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 20)), videoSchema)
   }
 
   /** Deterministic synthetic media table: REAL PNG bytes (seeded pixel

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.Multimodal
 
 /** Multimodal plumbing + REAL PNG decode: schema, partition-wise batch
-  * shape, codec-backed dimensions/features/resize. Only video frame
-  * sampling remains a documented stub (no video codec in the JDK). */
+  * shape, codec-backed dimensions/features/resize. Video rides the GVID
+  * container (real structural demux of real PNG frames; only the
+  * commercial codec layer is out of scope — no H.264 decoder in the JDK). */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -87,5 +88,43 @@ class MultimodalSpec extends SparkSpec {
     val redecoded = Multimodal.decodeInfo(resized)
       .filter(i => !(i.decoded && i.width == 16 && i.height == 16))
     assert(redecoded.count() == 0)
+  }
+
+  private lazy val video =
+    Multimodal.syntheticVideo(spark, 8, nFrames = 24, fps = 12f).cache()
+
+  test("video: GVID demux samples every n-th frame with real timestamps") {
+    assert(video.schema == Multimodal.videoSchema)
+    val frames = Multimodal.sampleVideoFrames(video, everyN = 4).cache()
+    // 24 frames, every 4th -> indices 0,4,...,20 = 6 per asset
+    assert(frames.count() == 8 * 6)
+    val f = frames.filter(f => f.asset_id == 3L && f.frame_idx == 4).head()
+    assert(math.abs(f.ts_s - 4 / 12.0) < 1e-9)
+    // sampled frames are REAL decodable PNGs at the asset's dimensions
+    val w = 24 + 3 % 16
+    val h = 16 + 3 % 12
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f.frame))
+    assert(img.getWidth == w && img.getHeight == h)
+  }
+
+  test("video: non-GVID bytes contribute zero rows, not failures") {
+    val junk = media.select(col("asset_id"), col("media")) // PNGs, not GVID
+    assert(Multimodal.sampleVideoFrames(junk, 2).count() == 0)
+  }
+
+  test("video features: mean of real per-frame histograms, L1-normalized") {
+    val feats = Multimodal.videoFeatures(video, everyN = 4, dim = 16).cache()
+    assert(feats.count() == 8)
+    val f = feats.head()
+    assert(f.n_frames_used == 6)
+    assert(f.feature.length == 16)
+    // mean of L1-normalized histograms is L1-normalized
+    assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-4)
+    // deterministic across recomputation
+    val a = feats.collect().map(v => v.asset_id -> v.feature.toSeq).toMap
+    val b = Multimodal.videoFeatures(video, everyN = 4, dim = 16)
+      .collect().map(v => v.asset_id -> v.feature.toSeq).toMap
+    assert(a == b)
   }
 }
