@@ -448,6 +448,28 @@ object Rel {
       "WHERE l_quantity < 0.2 * avg_qty")
   )
 
+  /** Bloom-pruned fact⋈dim join ([[graft.operators.Joins.bloomPrunedJoin]]):
+    * the fact side is pre-filtered by a Bloom sketch of the (filtered) dim
+    * keys before its shuffle; the exact join removes false positives, so
+    * the oracle is the PLAIN join's SQL — bit-identical results, fewer
+    * shuffled bytes. */
+  private val joinBloom = QDef(
+    "join_bloom",
+    (s, d) => graft.operators.Joins.bloomPrunedJoin(
+      lineitem(s, d),
+      supplier(s, d).filter(col("s_nationkey") === 1),
+      "l_suppkey", "s_suppkey")
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_name")),
+    Some("SELECT s_name, CAST(count(*) AS BIGINT) AS n_items, " +
+      "sum(l_quantity) AS sum_qty " +
+      "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+      "WHERE s_nationkey = 1 GROUP BY s_name ORDER BY s_name")
+  )
+
   /** TPC-H Q2-shaped correlated-min subquery: for every part, the
     * supplier(s) and price of its CHEAPEST lineitem. The classic
     * "row whose value equals a correlated aggregate" shape; testdata has no
@@ -555,5 +577,6 @@ object Rel {
     windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
-    q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, groupingSets)
+    q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
+    groupingSets)
 }

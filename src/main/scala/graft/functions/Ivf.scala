@@ -33,18 +33,21 @@ object Ivf {
         lit(i).as("cell"))
     }: _*)
 
-  /** Top-`nProbe` cells by score, descending, ties by cell id. Relies on
-    * struct ordering: (score desc, cell) via negated score sort. */
+  /** Top-`nProbe` cells by score, descending, ties by cell id — the native
+    * kernel ([[graft.plans.CellProbe]]: one expression node, fused loop).
+    * [[probeCellsHof]] is the HOF reference form (bit-equivalence asserted
+    * in PqSpec); as a tree it is O(nCells·dim) literals re-optimized per
+    * query. */
   private[functions] def probeCellsCol(
       v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
-    probeCells(v, centroids, nProbe)
+    graft.plans.PqNative.probeCellsNative(v, centroids, nProbe)
 
   /** Nearest-centroid cell id for a vector — the build-time assignment. */
   private[functions] def assignCellCol(
       v: Column, centroids: Array[Array[Double]]): Column =
-    element_at(probeCells(v, centroids, 1), 1)
+    element_at(probeCellsCol(v, centroids, 1), 1)
 
-  private def probeCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+  private[graft] def probeCellsHof(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
     val scored = cellScores(v, centroids)
     val sorted = array_sort(scored, (l, r) =>
       when(l.getField("score") > r.getField("score"), -1)
@@ -103,10 +106,10 @@ object Ivf {
     val c = NearDup.fanOut(corpus).select(
       col(idCol).as("nid"), Similarity.asDouble(col(vecCol)).as("nv"))
       .withColumn("cell",
-        element_at(probeCells(col("nv"), centroids, 1), 1))
+        assignCellCol(col("nv"), centroids))
     val q = queries.select(
       col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv"), centroids, nProbe)))
+      .withColumn("cell", explode(probeCellsCol(col("qv"), centroids, nProbe)))
     val sims = c.join(broadcast(q), "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -114,9 +114,12 @@ object Pq {
     aggregate(zip_with(sub, litArr(c), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** PQ codes of a unit-normalized vector column: array<int>, length m.
-    * Per subspace: argmin over the k codebook entries — array_min on
-    * (dist, code) structs gives (lowest dist, lowest code) determinism. */
+  /** HOF REFERENCE form of PQ encode (bit-equivalence with the native
+    * kernel [[graft.plans.PqEncode]] asserted in PqSpec): array<int>,
+    * length m. Per subspace: argmin over the k codebook entries —
+    * array_min on (dist, code) structs gives (lowest dist, lowest code)
+    * determinism. Takes an already-normalized vector; the native kernel
+    * normalizes internally. */
   def encodeCol(vNorm: Column, cb: Codebooks): Column = {
     val subDim = cb(0)(0).length
     array(cb.zipWithIndex.map { case (book, mi) =>
@@ -128,7 +131,8 @@ object Pq {
     }.toIndexedSeq: _*)
   }
 
-  /** Per-query ADC lookup table: exact squared distance from the query's
+  /** HOF REFERENCE form of the per-query ADC lookup table (native kernel:
+    * [[graft.plans.PqLut]]): exact squared distance from the query's
     * sub-vector to every codebook entry, flattened m-major
     * (index = mi·k + ki), so a candidate's score is m element_at's. */
   def lutCol(qNorm: Column, cb: Codebooks): Column = {
@@ -157,22 +161,26 @@ object Pq {
     val cb = codebooksFor(corpus, vecCol, m, kCodes)
     val centroids = Ivf.centroidsFor(corpus, vecCol, nCells)
 
-    def normed(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(idCol).as(id), Similarity.asDouble(col(vecCol)).as("_raw"))
-        .withColumn("_n", Similarity.l2norm(col("_raw")))
-        .withColumn(v, transform(col("_raw"), x => x / col("_n")))
-        .drop("_raw", "_n")
-
-    val c = NearDup.fanOut(normed(corpus, "nid", "nv"))
+    // Native kernels ([[graft.plans.PqEncode]]/[[PqLut]]) normalize
+    // internally, so both sides flow raw double vectors; the cosine
+    // re-rank is norm-invariant. The HOF reference forms (encodeCol /
+    // lutCol) stay only as the bit-equivalence oracle in PqSpec — as
+    // expression TREES they are O(m·k) literal sub-aggregates, which cost
+    // seconds of driver-side optimization per query (measured 14.5 s/run
+    // at sf0.1) against milliseconds for the single-node kernels.
+    val c = NearDup.fanOut(
+      corpus.select(col(idCol).as("nid"),
+        Similarity.asDouble(col(vecCol)).as("nv")))
       .withColumn("cell", Ivf.assignCellCol(col("nv"), centroids))
-      .withColumn("codes", encodeCol(col("nv"), cb))
+      .withColumn("codes", graft.plans.PqNative.encodeNative(col("nv"), cb))
       // at scale this projection IS the index: (nid, cell, codes) is the
       // m-bytes-per-row compressed table; nv rides along here because the
       // re-rank below joins no second scan in this self-contained query
       .select("nid", "nv", "cell", "codes")
-    val q = normed(queries, "qid", "qv")
+    val q = queries
+      .select(col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
       .withColumn("cell", explode(Ivf.probeCellsCol(col("qv"), centroids, nProbe)))
-      .withColumn("lut", lutCol(col("qv"), cb))
+      .withColumn("lut", graft.plans.PqNative.lutNative(col("qv"), cb))
 
     val adc = c.join(broadcast(q), "cell")
       .filter(col("qid") =!= col("nid"))

@@ -54,6 +54,48 @@ object Joins {
       } :+ col(asofCol)): _*)
   }
 
+  /** Bloom-pruned equi-join: build a Bloom filter over the small side's
+    * join keys (one tiny aggregate job — the sketch is KBs against
+    * `expectedItems` keys), then pre-filter the LARGE side with the native
+    * `might_contain` expression BEFORE its shuffle. The exact join then
+    * removes the false positives, so the result is EXACTLY the plain join —
+    * the bloom only cuts shuffle bytes.
+    *
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling only the ~selectivity·(1+fpp) fraction that can
+    * match: the classic semi-join reduction, without moving the fact to the
+    * dim side. Spark's own InjectRuntimeFilter plants the same shape when
+    * its conf is on and thresholds align; this operator makes it explicit
+    * and unconditional. Built from the same internal expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` — both codegen'd,
+    * both hashing via xxhash64).
+    */
+  def bloomPrunedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      largeKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.graftsql.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val sketch = small.select(Bridge.toColumn(
+      new BloomFilterAggregate(
+        Bridge.toAnalyzableExpression(xxhash64(col(smallKey))), expectedItems)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // A null sketch means the small side had ZERO rows — the exact join is
+    // empty; keep the schema and skip the scan-side work entirely.
+    val pruned =
+      if (sketch == null) large.filter(lit(false))
+      else large.filter(Bridge.toColumn(BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        Bridge.toAnalyzableExpression(xxhash64(col(largeKey))))))
+    pruned.join(small, col(largeKey) === col(smallKey))
+  }
+
   /** Salted equi-join for skewed keys: replicate the small side
     * `saltBuckets` times, split each skewed large-side key across buckets
     * by a deterministic row hash. AQE's skew-join handles moderate skew at

@@ -42,4 +42,28 @@ class JoinsSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(rows(salted.orderBy("k", "v", "w")) == rows(plain.orderBy("k", "v", "w")))
   }
+
+  test("bloomPrunedJoin equals the plain join and plants might_contain") {
+    // parquet tables, not local Seqs: ConvertToLocalRelation evaluates
+    // filters over local relations at OPTIMIZATION time, which would hide
+    // the might_contain node from the plan assertion
+    val large = Tables.lineitem(spark, sf0001)
+    val small = Tables.supplier(spark, sf0001).filter(col("s_nationkey") === 3)
+    val plain = large.join(small, col("l_suppkey") === col("s_suppkey"))
+    val bloomed = Joins.bloomPrunedJoin(large, small, "l_suppkey", "s_suppkey")
+    assert(rows(bloomed.orderBy("l_orderkey", "l_linenumber"))
+      == rows(plain.orderBy("l_orderkey", "l_linenumber")))
+    assert(bloomed.count() > 0, "test fixture matched nothing")
+    // the fact side is pre-filtered by the native might_contain expression
+    val p = bloomed.queryExecution.executedPlan.toString()
+    assert(p.contains("might_contain"), p.take(1500))
+  }
+
+  test("bloomPrunedJoin with an empty small side is empty, same schema") {
+    val large = (1L to 100L).map(i => (i, i * 2)).toDF("lk", "v")
+    val small = Seq((1L, "x")).toDF("sk", "w").filter(col("sk") < 0)
+    val out = Joins.bloomPrunedJoin(large, small, "lk", "sk")
+    assert(out.columns.toSeq == Seq("lk", "v", "sk", "w"))
+    assert(out.count() == 0)
+  }
 }

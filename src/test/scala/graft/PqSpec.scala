@@ -43,6 +43,34 @@ class PqSpec extends SparkSpec {
       s"mean self-ADC ${scored.sum / scored.length} not a quantization floor")
   }
 
+  test("native kernels are bit-identical to the HOF reference forms") {
+    val cb = Pq.trainCodebooks(e, "embedding", m = 8, k = 16)
+    val centroids = graft.functions.Ivf.centroidsFor(e, "embedding", 16)
+    val v = e.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("raw"))
+      .withColumn("_n", Similarity.l2norm(col("raw")))
+      .withColumn("nv", transform(col("raw"), x => x / col("_n")))
+    // encode: HOF takes the normalized vector, native normalizes inside
+    val enc = v.select(
+      Pq.encodeCol(col("nv"), cb).as("hof"),
+      graft.plans.PqNative.encodeNative(col("raw"), cb).as("nat"))
+      .collect()
+    assert(enc.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)),
+      "native encode diverges from HOF reference")
+    val lut = v.select(
+      Pq.lutCol(col("nv"), cb).as("hof"),
+      graft.plans.PqNative.lutNative(col("raw"), cb).as("nat"))
+      .collect()
+    assert(lut.forall(r => r.getSeq[Double](0) == r.getSeq[Double](1)),
+      "native LUT diverges from HOF reference")
+    val probes = v.select(
+      graft.functions.Ivf.probeCellsHof(col("raw"), centroids, 4).as("hof"),
+      graft.plans.PqNative.probeCellsNative(col("raw"), centroids, 4).as("nat"))
+      .collect()
+    assert(probes.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)),
+      "native cell probe diverges from HOF reference")
+  }
+
   test("pq ann recall vs brute force on sf0.001 embeddings") {
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
