@@ -233,10 +233,13 @@ object Ext {
     )
   )
 
-  /** IVF-PQ ANN top-k ([[graft.functions.Pq]]): compressed-domain ADC scan
-    * inside probed IVF cells, exact re-rank of the shortlist only.
-    * Rows-only (codes depend on the engine-trained codebooks); recall vs
-    * brute force is unit-tested in PqSpec. */
+  /** IVF-PQ ANN top-k ([[graft.functions.Pq]] →
+    * [[graft.functions.IvfIndex.pqTopK]]): compressed-domain ADC scan over
+    * the PERSISTED codes (encoded once at index build, partitioned by
+    * cell — the scan reads (id, codes) and never touches the raw-vector
+    * pages), exact re-rank of the shortlist only. Rows-only (codes depend
+    * on the engine-trained codebooks); recall vs brute force is unit-tested
+    * in PqSpec; the exact-equivalence check is `ann_pq_full` below. */
   private val annPq = QDef(
     "ann_pq",
     (s, d) => {
@@ -245,6 +248,35 @@ object Ext {
         "vec_id", "embedding", kNeighbors = 5)
     },
     None
+  )
+
+  /** Full-probe, full-rerank IVF-PQ through the SAME persisted-codes path:
+    * nProbe = nCells makes every corpus vector a candidate and
+    * rerank·k ≥ corpus keeps the whole ADC ranking in the shortlist, so the
+    * exact cosine re-rank degenerates to brute-force top-k — independent of
+    * the engine-trained codebooks/centroids, hence fully oracle-checkable
+    * (same SQL as `sim_topk`). This pins the ENTIRE PQ machinery — build,
+    * native encode, persisted partitioned codes, pruning filter, ADC
+    * scoring, shortlist, re-rank join — to the exact answer; `ann_pq` then
+    * only differs by probing/shortlisting less. */
+  private val annPqFull = QDef(
+    "ann_pq_full",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.Pq.pqTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", kNeighbors = 5,
+        nProbe = 16, rerank = 1000)
+    },
+    Some(
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        s"p AS (SELECT qid, nid, ${cosSql("qe", "ce")} AS sim FROM c, q WHERE qid <> nid), " +
+        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, nid) AS rn FROM p) " +
+        "SELECT qid, nid, round(sim, 6) AS sim FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, nid")
+    )
   )
 
   /** DuckDB brute-force exact 3-gram Jaccard pairs at `t` — the oracle for
@@ -428,7 +460,7 @@ object Ext {
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLsh, annIvf, annIvfIndexed, annIvfFull,
-    annPq, dedupNgram, dedupMinhash,
+    annPq, annPqFull, dedupNgram, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ
   )

@@ -5,10 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Persisted IVF index — the production shape of [[Ivf]]: build ONCE
-  * (train a coarse quantizer on a sample, assign every corpus vector to
-  * its cell, write the assignment `PARTITIONED BY (cell)`), then serve
-  * many query batches against the on-disk layout.
+/** Persisted IVF(-PQ) index — the production shape of [[Ivf]]/[[Pq]]: build
+  * ONCE (train a coarse quantizer + per-subspace PQ codebooks on a sample,
+  * assign every corpus vector to its cell, ENCODE it to m small codes, write
+  * the assignment `PARTITIONED BY (cell)`), then serve many query batches
+  * against the on-disk layout.
   *
   * Why partitioned-by-cell matters at 100 TB: a probe of `nProbe` of
   * `nCells` cells becomes a DIRECTORY-level filter — the scan reads
@@ -19,6 +20,15 @@ import org.apache.spark.sql.types._
   * difference between "ANN query reads 100 TB" and "ANN query reads
   * 100 TB × nProbe/nCells once the index exists".
   *
+  * Why codes live in the SAME table as the raw vectors: parquet is
+  * columnar — the ADC serve path projects `(id, codes)` and the raw-vector
+  * column's pages are never fetched (ReadSchema asserted in IvfIndexSpec),
+  * so one cell-partitioned table behaves exactly like a codes table with a
+  * sibling raw-vector table, without the build writing the corpus twice or
+  * the two tables drifting apart. At (m,k) = (8,16) the ADC scan reads
+  * ~m bytes/row instead of dim·4 — the compressed-domain win of PQ reaches
+  * disk, instead of being recomputed per query.
+  *
   * The query batch is broadcast-small by contract (same contract as
   * [[Similarity.bruteForceTopK]]); its probed-cell set is collected
   * driver-side — O(queries·nProbe) ints — and pushed as a literal IN
@@ -27,15 +37,27 @@ import org.apache.spark.sql.types._
 final class IvfIndex private (
     spark: SparkSession,
     path: String,
-    val centroids: Array[Array[Double]]) {
+    val centroids: Array[Array[Double]],
+    codebooksOpt: Option[Pq.Codebooks]) {
 
   def nCells: Int = centroids.length
 
+  /** PQ codebooks persisted with the index (codebooks(mi)(ki) = sub-centroid). */
+  def codebooks: Pq.Codebooks = codebooksOpt.getOrElse(
+    throw new IllegalStateException(
+      s"index at $path has no PQ codebooks (built before PQ persistence?)"))
+
   /** Cell-assigned corpus, read from the partitioned layout:
-    * (id BIGINT, v ARRAY<DOUBLE>, cell INT partition column). */
+    * (id BIGINT, v ARRAY<DOUBLE>, codes ARRAY<INT>, cell INT partition col). */
   def cells: DataFrame = spark.read.parquet(s"$path/cells")
 
-  /** Top-k cosine neighbors of each query against the probed cells only.
+  /** Driver-side probed-cell set of a tagged query frame (tiny:
+    * O(queries·nProbe) ints) — the static partition-pruning literal. */
+  private def probedCells(q: DataFrame): Seq[Int] =
+    q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Top-k cosine neighbors of each query against the probed cells only,
+    * re-ranking RAW vectors (the plain-IVF serve path).
     * `nProbe = nCells` probes everything → exact brute-force top-k (each
     * corpus vector lives in exactly one cell), which is what makes the
     * index path oracle-checkable end-to-end. */
@@ -44,12 +66,64 @@ final class IvfIndex private (
     val q = queries.select(
       col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
       .withColumn("cell", explode(Ivf.probeCellsCol(col("qv"), centroids, nProbe)))
-    // Driver-side probed-cell set (tiny): static partition pruning.
-    val probed = q.select(col("cell")).distinct().collect()
-      .map(_.getInt(0)).toSeq
-    val sims = cells.filter(col("cell").isin(probed: _*))
+    val probed = probedCells(q)
+    val sims = cells.select(col("id"), col("cell"), col("v"))
+      .filter(col("cell").isin(probed: _*))
       .join(broadcast(q), "cell")
       .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        Similarity.cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("nid"))
+  }
+
+  /** IVF-PQ top-k against the PERSISTED codes: probe cells, ADC-score the
+    * probed partitions' `(id, codes)` projection (raw vectors never read —
+    * compressed-domain scan), shortlist `rerank·k` per query, exact cosine
+    * re-rank of the shortlist only.
+    *
+    * The re-rank reads the raw-vector projection of the SAME probed
+    * partitions and broadcast-joins the shortlist ids against it — at scale
+    * the scan is bounded by nProbe/nCells of the corpus and the join keeps
+    * only the shortlist. `nProbe = nCells` with `rerank·k ≥ corpus`
+    * degenerates to exact brute force (the `ann_pq_full` oracle).
+    */
+  def pqTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, rerank: Int): DataFrame = {
+    val cb = codebooks
+    val m = cb.length
+    val kCodes = cb(0).length
+    val q = queries.select(
+      col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(Ivf.probeCellsCol(col("qv"), centroids, nProbe)))
+      .withColumn("lut", graft.plans.PqNative.lutNative(col("qv"), cb))
+    val probed = probedCells(q)
+
+    // Compressed-domain scan: the projection IS (id, codes) — columnar
+    // pruning keeps the raw-vector pages on disk (plan-asserted).
+    val adc = cells.select(col("id"), col("cell"), col("codes"))
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adc",
+        aggregate(
+          zip_with(col("codes"),
+            sequence(lit(0), lit(m - 1)),
+            (code, mi) => element_at(col("lut"), mi * kCodes + code + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    val shortlist = adc.withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= rerank * k)
+      .select(col("qid"), col("qv"), col("id"))
+
+    // Exact re-rank: raw vectors only for the shortlist ids, read from the
+    // probed partitions only (every shortlist id lives in a probed cell).
+    val sims = cells.select(col("id"), col("cell"), col("v"))
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(shortlist), "id")
       .select(col("qid"), col("id").as("nid"),
         Similarity.cosine(col("qv"), col("v")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
@@ -62,15 +136,18 @@ final class IvfIndex private (
 
 object IvfIndex {
 
-  /** Train on a sample, assign, and persist the index at `path`
-    * (`path/cells` partitioned by cell, `path/centroids` the quantizer). */
+  /** Train on a sample, assign + PQ-encode, and persist the index at `path`
+    * (`path/cells` partitioned by cell with raw vectors AND codes;
+    * `path/centroids` the coarse quantizer; `path/codebooks` the PQ books). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      path: String, seed: Long = 42L): IvfIndex = {
+      path: String, seed: Long = 42L, m: Int = 8, kCodes: Int = 16): IvfIndex = {
     val spark = corpus.sparkSession
     val centroids = Ivf.trainCentroids(corpus, vecCol, nCells, seed)
+    val cb = Pq.trainCodebooks(corpus, vecCol, m, kCodes, seed)
     NearDup.fanOut(corpus)
       .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
       .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
+      .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val cRows = centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
     spark.createDataFrame(
@@ -78,31 +155,52 @@ object IvfIndex {
       StructType(Seq(StructField("cell", IntegerType),
         StructField("centroid", ArrayType(DoubleType)))))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    new IvfIndex(spark, path, centroids)
+    val cbRows = for {
+      (book, mi) <- cb.zipWithIndex
+      (c, ki) <- book.zipWithIndex
+    } yield Row(mi, ki, c.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cbRows.toIndexedSeq, 1),
+      StructType(Seq(StructField("mi", IntegerType),
+        StructField("ki", IntegerType),
+        StructField("centroid", ArrayType(DoubleType)))))
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    new IvfIndex(spark, path, centroids, Some(cb))
   }
 
-  /** Load a previously-built index: centroids are O(nCells·dim) — a
-    * driver-side literal matrix, like the LSH planes. */
+  /** Load a previously-built index: centroids and codebooks are
+    * O(nCells·dim + m·k·subDim) — driver-side literal matrices, like the
+    * LSH planes. Indexes built before PQ persistence load with no
+    * codebooks (topK works; pqTopK errors with a clear message). */
   def load(spark: SparkSession, path: String): IvfIndex = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
-    new IvfIndex(spark, path, centroids)
+    val cbOpt =
+      try {
+        val rows = spark.read.parquet(s"$path/codebooks").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val m = rows.map(_._1).max + 1
+        Some(Array.tabulate(m) { mi =>
+          rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
+        }: Pq.Codebooks)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    new IvfIndex(spark, path, centroids, cbOpt)
   }
 
   /** Per-JVM built-index cache for the registered queries: one build per
-    * (corpus identity, nCells), every later call loads the persisted
-    * layout — the serve-many-probes production shape. */
+    * (corpus identity, quantizer config), every later call loads the
+    * persisted layout — the serve-many-probes production shape. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), IvfIndex]()
 
   private[graft] def cachedFor(corpus: DataFrame, idCol: String,
-      vecCol: String, nCells: Int): IvfIndex = {
-    val key = (corpus.queryExecution.analyzed.semanticHash(), nCells)
+      vecCol: String, nCells: Int, m: Int = 8, kCodes: Int = 16): IvfIndex = {
+    val key = (corpus.queryExecution.analyzed.semanticHash(), nCells, m, kCodes)
     indexCache.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_ivf_${key._1}_$nCells").toString
-      build(corpus, idCol, vecCol, nCells, dir)
+      build(corpus, idCol, vecCol, nCells, dir, m = m, kCodes = kCodes)
     })
   }
 }

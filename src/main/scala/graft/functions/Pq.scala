@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the win is the scan: probed cells are read as m-byte codes
   * (RAM-resident at billions of rows), the full float vectors are touched
-  * only for the shortlist. Encode uses HOF expressions (interpreted) —
-  * fine for the build-side pass; a native codegen kernel is the upgrade
-  * path if encode ever dominates (same path CosineSimilarity took).
+  * only for the shortlist. Encoding happens ONCE, at [[IvfIndex.build]]
+  * time with the native kernel ([[graft.plans.PqEncode]]), and the codes
+  * are PERSISTED in the cell-partitioned layout — the serve path scans
+  * them from disk instead of re-encoding the corpus per query. The HOF
+  * forms below ([[encodeCol]]/[[lutCol]]) are the bit-equivalence oracle
+  * for the kernels (asserted in PqSpec), not the production path.
   */
 object Pq {
 
@@ -97,15 +100,6 @@ object Pq {
     }
   }
 
-  private val cbCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), Codebooks]()
-
-  /** [[trainCodebooks]] through the per-JVM cache (train once, serve many). */
-  def codebooksFor(corpus: DataFrame, vecCol: String, m: Int, k: Int): Codebooks =
-    cbCache.computeIfAbsent(
-      (corpus.queryExecution.analyzed.semanticHash(), vecCol, m, k),
-      _ => trainCodebooks(corpus, vecCol, m, k))
-
   private def litArr(a: Array[Double]): Column =
     array(a.map(lit).toIndexedSeq: _*)
 
@@ -143,9 +137,13 @@ object Pq {
     }.toIndexedSeq: _*)
   }
 
-  /** IVF-PQ top-k: IVF cell candidates → ADC shortlist → exact re-rank.
-    * The ADC score is computed inline: zip the candidate's codes with the
-    * subspace indices and sum the selected LUT entries. */
+  /** IVF-PQ top-k: IVF cell candidates → ADC shortlist → exact re-rank,
+    * served from the PERSISTED [[IvfIndex]] (codes encoded once at build
+    * time and stored in the cell-partitioned layout — the compressed-domain
+    * scan reads `(id, codes)` and never touches the raw-vector pages;
+    * [[IvfIndex.pqTopK]] holds the serve-path plan). The per-JVM index
+    * cache means one build per (corpus, quantizer config) and every later
+    * query batch hits the on-disk codes — the serve-many-probes shape. */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -157,50 +155,7 @@ object Pq {
       nCells: Int = 16,
       nProbe: Int = 4,
       rerank: Int = 4
-  ): DataFrame = {
-    val cb = codebooksFor(corpus, vecCol, m, kCodes)
-    val centroids = Ivf.centroidsFor(corpus, vecCol, nCells)
-
-    // Native kernels ([[graft.plans.PqEncode]]/[[PqLut]]) normalize
-    // internally, so both sides flow raw double vectors; the cosine
-    // re-rank is norm-invariant. The HOF reference forms (encodeCol /
-    // lutCol) stay only as the bit-equivalence oracle in PqSpec — as
-    // expression TREES they are O(m·k) literal sub-aggregates, which cost
-    // seconds of driver-side optimization per query (measured 14.5 s/run
-    // at sf0.1) against milliseconds for the single-node kernels.
-    val c = NearDup.fanOut(
-      corpus.select(col(idCol).as("nid"),
-        Similarity.asDouble(col(vecCol)).as("nv")))
-      .withColumn("cell", Ivf.assignCellCol(col("nv"), centroids))
-      .withColumn("codes", graft.plans.PqNative.encodeNative(col("nv"), cb))
-      // at scale this projection IS the index: (nid, cell, codes) is the
-      // m-bytes-per-row compressed table; nv rides along here because the
-      // re-rank below joins no second scan in this self-contained query
-      .select("nid", "nv", "cell", "codes")
-    val q = queries
-      .select(col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
-      .withColumn("cell", explode(Ivf.probeCellsCol(col("qv"), centroids, nProbe)))
-      .withColumn("lut", graft.plans.PqNative.lutNative(col("qv"), cb))
-
-    val adc = c.join(broadcast(q), "cell")
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"),
-            sequence(lit(0), lit(m - 1)),
-            (code, mi) => element_at(col("lut"), mi * kCodes + code + 1)),
-          lit(0.0), (acc, x) => acc + x))
-    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
-    val shortlist = adc.withColumn("_ar", row_number().over(wAdc))
-      .filter(col("_ar") <= rerank * kNeighbors)
-
-    val wSim = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    shortlist
-      .select(col("qid"), col("nid"),
-        Similarity.cosine(col("qv"), col("nv")).as("sim"))
-      .withColumn("_rn", row_number().over(wSim))
-      .filter(col("_rn") <= kNeighbors)
-      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("qid"), col("nid"))
-  }
+  ): DataFrame =
+    IvfIndex.cachedFor(corpus, idCol, vecCol, nCells, m, kCodes)
+      .pqTopK(queries, idCol, vecCol, kNeighbors, nProbe, rerank)
 }

@@ -52,4 +52,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(loaded.topK(q, "vec_id", "embedding", 3, 8))
       == rows(built.topK(q, "vec_id", "embedding", 3, 8)))
   }
+
+  test("pq serve path scans persisted codes, not raw vectors") {
+    val plan = index.pqTopK(q, "vec_id", "embedding", k = 5,
+      nProbe = 4, rerank = 4)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    // the ADC scan projects (id, codes): its ReadSchema must not carry the
+    // raw-vector column — the compressed-domain win reaches the scan
+    val codeScans = scans.filter(_.contains("codes:array<int>"))
+    assert(codeScans.nonEmpty, s"no codes-projection scan:\n${scans.mkString("\n")}")
+    assert(codeScans.forall(!_.contains("v:array")),
+      s"codes scan also reads raw vectors:\n${codeScans.mkString("\n")}")
+    // and both index scans prune cell partitions
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+  }
+
+  test("pq full probe + full rerank through the persisted codes is exact") {
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    val full = index.pqTopK(q, "vec_id", "embedding", k = 5,
+      nProbe = 16, rerank = 1000)
+    assert(rows(full) == rows(exact))
+  }
+
+  test("load() round-trips the persisted codebooks") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cb").toString
+    val built = IvfIndex.build(e, "vec_id", "embedding", nCells = 8, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      == built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(rows(loaded.pqTopK(q, "vec_id", "embedding", 3, 8, 1000))
+      == rows(built.pqTopK(q, "vec_id", "embedding", 3, 8, 1000)))
+  }
 }
