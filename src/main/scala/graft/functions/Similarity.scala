@@ -78,6 +78,33 @@ object Similarity {
   private val dimCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
 
+  /** Per-JVM cache of corpus row counts (for [[autoPlanes]]): one count job
+    * per corpus identity — parquet answers it from row-group metadata, so
+    * even at 100 TB this is a footer scan, not a data scan. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+
+  private def estimatedRows(corpus: DataFrame): Long =
+    countCache.computeIfAbsent(
+      Integer.valueOf(corpus.queryExecution.analyzed.semanticHash()),
+      _ => java.lang.Long.valueOf(corpus.count()))
+
+  /** Scale-aware plane count: pick `nPlanes` so the EXPECTED bucket
+    * population is ~`targetBucket`, keeping the within-bucket candidate
+    * cost (Σ bucket² per table) near n·targetBucket instead of n²/2^planes
+    * with a fixed plane count. Clamped to [4, 30] (bit-packed in a Long).
+    * More planes lower per-table recall for a fixed pair similarity
+    * (p^nPlanes), so at high plane counts `nTables` is the recall knob —
+    * the standard LSH banding tradeoff. */
+  private[graft] def autoPlanes(n: Long, targetBucket: Int = 64): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
+  private def resolvePlanes(corpus: DataFrame, nPlanes: Int): Int =
+    if (nPlanes > 0) nPlanes else autoPlanes(estimatedRows(corpus))
+
   /** Embedding dimension for plane generation: the explicit value when
     * given (>0), else read from the first corpus vector — one single-row
     * job per corpus (cached), the price of not silently hashing against
@@ -133,13 +160,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nPlanes: Int = 4,
+      nPlanes: Int = -1,
       nTables: Int = 8,
       dim: Int = -1
   ): DataFrame = {
     val d = resolveDim(corpus, vecCol, dim)
+    val np = resolvePlanes(corpus, nPlanes)
     val tables = (0 until nTables).map(t =>
-      hyperplanes(nPlanes, d, seed = 42L + t))
+      hyperplanes(np, d, seed = 42L + t))
     def tagged(df: DataFrame, id: String): DataFrame =
       NearDup.fanOut(df).select(col(idCol).as(id),
         posexplode(lshTags(col(vecCol), tables)).as(Seq("table", "bucket")))
@@ -158,27 +186,93 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Salt bits available for hot-bucket sub-splitting (extra hyperplane
+    * signs per table — see [[lshCandidatePairs]]). */
+  private val SaltBits = 16
+
+  /** LSH candidate pairs (id_a < id_b, distinct) with HOT-BUCKET
+    * SUB-SPLITTING — the Σ bucket² guard for skewed corpora.
+    *
+    * Bucket populations are counted per (table, bucket); buckets above
+    * `maxBucket` are sub-split on `r = ceil(log2(count/maxBucket)) + 2`
+    * EXTRA hyperplane sign bits (same sign-LSH family, different seeds),
+    * and the self-join key becomes (table, bucket, salt). The salt is
+    * derived from vector CONTENT, not row id: exactly-identical vectors
+    * always share every salt bit, so exact-duplicate recall stays 1.0, and
+    * a near-pair split in one table's sub-buckets can still collide in
+    * another table (OR-amplification degrades recall gracefully instead of
+    * dropping hot pairs wholesale).
+    *
+    * Sharp boundary, documented: extra planes split a hot bucket only to
+    * the extent its members DIFFER in direction. A bucket that is hot
+    * because the planes under-resolved a moderately-spread region splits
+    * well (the failure mode this guards). A bucket that is hot because of
+    * a genuinely near-identical mass does not split — but then the
+    * candidate volume ≈ the true near-dup output volume, which no correct
+    * algorithm can avoid emitting. */
+  private[graft] def lshCandidatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int,
+      nTables: Int,
+      dim: Int,
+      maxBucket: Int
+  ): DataFrame = {
+    val d = resolveDim(corpus, vecCol, dim)
+    val np = resolvePlanes(corpus, nPlanes)
+    val tables = (0 until nTables).map(t => hyperplanes(np, d, seed = 42L + t))
+    val saltTables = (0 until nTables).map(t =>
+      hyperplanes(SaltBits, d, seed = 9042L + t))
+    // One fused kernel pass computes bucket + salt signs for all tables;
+    // slice splits the 2L-long array back into the two per-table views.
+    val allTags = lshTags(col(vecCol), tables ++ saltTables)
+    val tagged = NearDup.fanOut(corpus).select(col(idCol).as("id"),
+      posexplode(arrays_zip(
+        slice(allTags, 1, nTables).as("bucket"),
+        slice(allTags, nTables + 1, nTables).as("sbits")))
+        .as(Seq("table", "z")))
+      .select(col("id"), col("table"),
+        col("z.bucket").as("bucket"), col("z.sbits").as("sbits"))
+    // Hot-bucket map: tiny by construction (≤ n·L/maxBucket entries), one
+    // partial-aggregated count job; broadcast back as the salt mask.
+    val hot = tagged.groupBy("table", "bucket").count()
+      .filter(col("count") > maxBucket)
+      .select(col("table"), col("bucket"),
+        (pow(lit(2.0),
+          least(lit(SaltBits),
+            (ceil(log2(col("count") / maxBucket)) + lit(2)).cast(IntegerType)))
+          .cast(LongType) - 1L).as("smask"))
+    val salted = tagged.join(broadcast(hot), Seq("table", "bucket"), "left")
+      .select(col("id"), col("table"), col("bucket"),
+        coalesce(col("sbits").bitwiseAND(col("smask")), lit(0L)).as("salt"))
+    salted.as("a")
+      .join(salted.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
+          && col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
-    * generation, exact cosine verify, `sim >= threshold`. Output each pair
-    * once (id_a < id_b). */
+    * generation (scale-aware plane count, hot-bucket sub-split — see
+    * [[lshCandidatePairs]]), exact cosine verify, `sim >= threshold`.
+    * Output each pair once (id_a < id_b).
+    *
+    * @param nPlanes   bits per hash table; -1 (default) derives it from the
+    *                  corpus row count targeting ~64 rows/bucket
+    * @param maxBucket bucket-population cap before sub-splitting kicks in
+    */
   def embeddingNearDups(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nPlanes: Int = 4,
+      nPlanes: Int = -1,
       nTables: Int = 8,
-      dim: Int = -1
+      dim: Int = -1,
+      maxBucket: Int = 1024
   ): DataFrame = {
-    val tables = (0 until nTables).map(t =>
-      hyperplanes(nPlanes, resolveDim(corpus, vecCol, dim), seed = 42L + t))
-    val tagged = NearDup.fanOut(corpus).select(col(idCol).as("id"),
-      posexplode(lshTags(col(vecCol), tables)).as(Seq("table", "bucket")))
-    val cand = tagged.as("a")
-      .join(tagged.as("b"),
-        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val cand = lshCandidatePairs(corpus, idCol, vecCol, nPlanes, nTables, dim, maxBucket)
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     cand
       .join(v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")

@@ -148,4 +148,53 @@ class NearDupSpec extends SparkSpec {
     val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(found == Set((0L, 9999L)), s"got $found")
   }
+
+  // Direction-skewed corpus: a moderately-spread cluster the base planes
+  // under-resolve (the hot-bucket failure mode) + uniform background.
+  private def skewedCorpus(n: Int, clusterFrac: Double, eps: Double, d: Int) = {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(d)(rnd.nextGaussian())
+    val nc = (n * clusterFrac).toInt
+    val rows: Seq[(Long, Seq[Float])] =
+      (0 until nc).map(i => (i.toLong,
+        base.map(b => (b + eps * rnd.nextGaussian()).toFloat).toSeq)) ++
+      (nc until n).map(i => (i.toLong,
+        Array.fill(d)(rnd.nextGaussian().toFloat).toSeq))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("hot-bucket sub-split bounds LSH candidates on a skewed corpus") {
+    // eps=0.5 → pairwise cluster cosine ~0.8: hot because 6 planes
+    // under-resolve the region, NOT because members are near-identical —
+    // exactly the case the salt bits must split.
+    val corpus = skewedCorpus(3000, 0.8, eps = 0.5, d = 16)
+    def cand(maxBucket: Int): Long =
+      Similarity.lshCandidatePairs(corpus, "vec_id", "embedding",
+        nPlanes = 6, nTables = 8, dim = 16, maxBucket = maxBucket).count()
+    val uncapped = cand(Int.MaxValue)
+    val capped = cand(100)
+    assert(capped < uncapped / 2,
+      s"sub-split did not bound candidates: capped=$capped uncapped=$uncapped")
+  }
+
+  test("sub-split never separates exactly-identical vectors") {
+    // Tight cluster → guaranteed hot bucket at maxBucket=20; the planted
+    // exact duplicate must survive aggressive sub-splitting because salt
+    // bits are functions of vector content, not id.
+    val base = skewedCorpus(500, 1.0, eps = 0.3, d = 16)
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.embeddingNearDups(base.union(dup),
+      "vec_id", "embedding", threshold = 0.9999, maxBucket = 20)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 9999L)), s"planted exact dup lost: $found")
+  }
+
+  test("autoPlanes targets ~64-row buckets and clamps to [4, 30]") {
+    assert(Similarity.autoPlanes(0) == 4)
+    assert(Similarity.autoPlanes(500) == 4)
+    assert(Similarity.autoPlanes(2000) == 5)
+    assert(Similarity.autoPlanes(1000000) == 14)
+    assert(Similarity.autoPlanes(Long.MaxValue) == 30)
+  }
 }
