@@ -457,11 +457,72 @@ object Ext {
       "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY bin")
   )
 
+  // ---------------------------------------------------------- multimodal
+  // Media tables aren't in the driver testdata, so each query generates its
+  // corpus DETERMINISTICALLY in-query (real PNG/WAV/GVID bytes) and outputs
+  // only STRUCTURAL fields — ids, dims, indices, timestamps, counts — that
+  // are pure arithmetic for any other engine. The oracle reproduces them
+  // with range() math: a decode failure anywhere in the real codec path
+  // yields -1 dims / decoded=false and a hash mismatch.
+
+  /** REAL JDK PNG decode: asset i is a (32+i%64)×(32+i%48) noise PNG;
+    * the decoded dims must round-trip the encode. */
+  private val mediaDecode = QDef(
+    "media_decode",
+    (s, d) => graft.functions.Multimodal.decodeInfo(
+      graft.functions.Multimodal.syntheticMedia(s, 64))
+      .toDF().orderBy(col("asset_id")),
+    Some("SELECT i AS asset_id, CAST(32 + i % 64 AS INT) AS width, " +
+      "CAST(32 + i % 48 AS INT) AS height, TRUE AS decoded " +
+      "FROM range(0, 64) t(i) ORDER BY asset_id")
+  )
+
+  /** REAL GVID demux + per-frame PNG decode: 12 videos × 24 frames at
+    * fps 12, sampled every 5th frame → indices {0,5,10,15,20}, timestamps
+    * idx/12, per-asset frame dims — all arithmetic. */
+  private val videoFrames = QDef(
+    "video_frames",
+    (s, d) => graft.functions.Multimodal.videoFrameInfo(
+      graft.functions.Multimodal.syntheticVideo(s, 12), everyN = 5)
+      .toDF()
+      .select(col("asset_id"), col("frame_idx"), round(col("ts_s"), 6).as("ts_s"),
+        col("frame_w"), col("frame_h"), col("decoded"))
+      .orderBy(col("asset_id"), col("frame_idx")),
+    Some("SELECT a.i AS asset_id, CAST(f.j AS INT) AS frame_idx, " +
+      "round(f.j / 12.0, 6) AS ts_s, " +
+      "CAST(24 + a.i % 16 AS INT) AS frame_w, " +
+      "CAST(16 + a.i % 12 AS INT) AS frame_h, TRUE AS decoded " +
+      "FROM range(0, 12) a(i), range(0, 24) f(j) WHERE f.j % 5 = 0 " +
+      "ORDER BY asset_id, frame_idx")
+  )
+
+  /** REAL JDK WAV decode: 0.1 s of 16-bit mono PCM at 8 kHz per asset →
+    * 800 frames, 0.1 s duration; the PCM-derived RMS of a 0.5-amplitude
+    * sine must land within 0.01 of 0.5/√2 (a bounds check, like
+    * approx_agg_bounds — exact RMS would pin cross-engine libm sin). */
+  private val audioDecode = QDef(
+    "audio_decode",
+    (s, d) => graft.functions.Multimodal.decodeAudioInfo(
+      graft.functions.Multimodal.syntheticAudio(s, 32))
+      .toDF()
+      .select(col("asset_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), round(col("duration_s"), 6).as("duration_s"),
+        (abs(col("rms") - lit(0.5 / math.sqrt(2.0))) < 0.01).as("rms_ok"),
+        col("decoded"))
+      .orderBy(col("asset_id")),
+    Some("SELECT i AS asset_id, CAST(8000 AS INT) AS sample_rate, " +
+      "CAST(1 AS INT) AS channels, CAST(800 AS BIGINT) AS n_frames, " +
+      "round(CAST(0.1 AS DOUBLE), 6) AS duration_s, " +
+      "TRUE AS rms_ok, TRUE AS decoded " +
+      "FROM range(0, 32) t(i) ORDER BY asset_id")
+  )
+
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLsh, annIvf, annIvfIndexed, annIvfFull,
     annPq, annPqFull, dedupNgram, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, sampleDet, sampleBottomK, histogramQ
+    tfidfTop, sampleDet, sampleBottomK, histogramQ,
+    mediaDecode, videoFrames, audioDecode
   )
 }

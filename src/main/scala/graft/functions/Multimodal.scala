@@ -354,6 +354,30 @@ object Multimodal {
       }
   }
 
+  final case class VideoFrameInfo(
+      asset_id: Long, frame_idx: Int, ts_s: Double,
+      frame_w: Int, frame_h: Int, decoded: Boolean)
+
+  /** Structural per-frame info: demux the container, sample every n-th
+    * frame, and REALLY decode each sampled frame's pixel dimensions. The
+    * output is pure structure (ids, indices, timestamps, dims) — for a
+    * deterministic synthetic corpus it is arithmetic-reproducible by any
+    * other engine, which is what makes the whole demux+decode path
+    * end-to-end checkable against a SQL oracle. */
+  def videoFrameInfo(video: DataFrame, everyN: Int = 10): Dataset[VideoFrameInfo] = {
+    implicit val enc = Encoders.product[VideoFrameInfo]
+    sampleVideoFrames(video, everyN).mapPartitions { frames =>
+      frames.map { vf =>
+        readImage(vf.frame) match {
+          case Some(img) => VideoFrameInfo(vf.asset_id, vf.frame_idx, vf.ts_s,
+            img.getWidth, img.getHeight, decoded = true)
+          case None => VideoFrameInfo(vf.asset_id, vf.frame_idx, vf.ts_s,
+            -1, -1, decoded = false)
+        }
+      }
+    }
+  }
+
   /** Per-video embedding: mean of the sampled frames' REAL luminance
     * histograms — the video face of [[extractFeatures]], composable with
     * [[Similarity]] search like any other embedding column. */
