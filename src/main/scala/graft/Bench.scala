@@ -8,10 +8,13 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through a noop-format write: unlike `count()`,
   * this executes the full physical plan (sorts, projections, windows)
   * without paying sink IO, so the numbers reflect real operator cost.
-  * One JIT warm-up pass (flagship query) runs before timing; each query
-  * is timed twice and the MINIMUM reported — single-run numbers on this
-  * container swing ±50% from CPU contention, min-of-2 keeps round-over-
-  * round comparisons meaningful.
+  * One JIT warm-up pass (flagship query) runs before timing; then THREE
+  * full INTERLEAVED rounds (A,B,C,A,B,C — not A,A,B,B) and the per-query
+  * MINIMUM is reported. Single-run numbers on this container swing ±50%
+  * from CPU contention, and back-to-back repeats share the same
+  * contention window — interleaving decorrelates the repeats so min-of-3
+  * converges on the real cost (round-5 min-of-2 showed untouched queries
+  * swinging 2-5× round-over-round).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,9 +48,17 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
+    // Dev filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 3; name <- names) {
+      val t = timeOnce(name)
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val results = names.map(name => name -> best(name))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -19,20 +19,26 @@ object Text {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Per-document statistics: char count, token count, distinct-token
-    * count, summed token length, average token length. */
-  def textStats(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).as("n_chars2"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_uniq_tokens"),
-      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast(LongType)
-        .as("sum_token_len"),
-      (aggregate(t, lit(0), (acc, x) => acc + length(x)).cast(DoubleType)
-        / size(t)).as("avg_token_len")
-    )
-  }
+    * count, summed token length, average token length.
+    *
+    * The token array and the token-length sum are each bound to an
+    * attribute once and reused: interpreted HOFs are not CSE'd, so
+    * referencing `aggregate(t, …)` twice (sum + avg) would traverse every
+    * token list twice. CollapseProject keeps the binding projections intact
+    * because the bound attributes feed multiple non-cheap expressions. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).as("n_chars2"),
+        tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("n_chars2"),
+        size(col("_t")).as("n_tokens"),
+        size(array_distinct(col("_t"))).as("n_uniq_tokens"),
+        aggregate(col("_t"), lit(0), (acc, x) => acc + length(x))
+          .cast(LongType).as("sum_token_len"))
+      .select(col("doc_id"), col("n_chars2"), col("n_tokens"),
+        col("n_uniq_tokens"), col("sum_token_len"),
+        (col("sum_token_len").cast(DoubleType) / col("n_tokens"))
+          .as("avg_token_len"))
 
   /** BPE-ish regex token count alongside whitespace count: runs of
     * lowercase letters, digit runs, and single other non-space chars. */
@@ -56,19 +62,32 @@ object Text {
     "fr" -> Seq("le", "et", "les", "des", "est")
   )
 
-  private def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
-
   /** Adds `lang_pred`: argmax over marker-hit counts, 'und' if no hits.
-    * Tie-break: earlier language in [[langMarkers]] wins. */
+    * Tie-break: earlier language in [[langMarkers]] wins.
+    *
+    * Single-tokenize shape: `split(text)` is bound to ONE attribute and the
+    * four marker counts project from it; the counts are THEMSELVES bound to
+    * attributes before the argmax fold, because the fold references each
+    * count ~3× per level — inlined, that nests the interpreted `filter`
+    * traversals exponentially (the measured 4×-retokenize that made this
+    * the slowest query in round 5). Both binding projections survive
+    * CollapseProject (multi-use, non-cheap). */
   def langId(docs: DataFrame): DataFrame = {
-    val hits = langMarkers.map { case (l, ms) => l -> markerHits(col("text"), ms) }
+    val toks = docs.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("_toks"))
+    val withHits = toks.select(
+      col("doc_id") +: col("lang") +:
+        langMarkers.map { case (l, ms) =>
+          size(filter(col("_toks"), t => t.isin(ms.map(lit): _*)))
+            .as(s"_mk_$l")
+        }: _*)
+    val hits = langMarkers.map { case (l, _) => l -> col(s"_mk_$l") }
     val best = hits.foldRight(lit("und") -> lit(0)) {
       case ((l, h), (bl, bh)) => // fold right so earlier langs win ties via >=
         (when(h >= bh && h > 0, lit(l)).otherwise(bl),
           when(h >= bh, h).otherwise(bh))
     }._1
-    docs.select(col("doc_id"), col("lang"), best.as("lang_pred"))
+    withHits.select(col("doc_id"), col("lang"), best.as("lang_pred"))
   }
 
   /** Stopword set for quality scoring. */
@@ -79,20 +98,26 @@ object Text {
     * web-scale corpus cleaning. All per-row IEEE arithmetic:
     * deterministic across engines and cluster sizes. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val nTok = size(t).cast(DoubleType)
-    val stopRatio = size(filter(t, x => x.isin(stopwords.map(lit): _*))) / nTok
+    // bind the token array once (same single-tokenize shape as langId)
+    val toks = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("_t"))
+    val nTok = size(col("_t")).cast(DoubleType)
+    val stopRatio =
+      size(filter(col("_t"), x => x.isin(stopwords.map(lit): _*))) / nTok
     val alphaRatio =
       length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
         length(col("text"))
     val lenScore = least(nTok / 200.0, lit(1.0))
-    docs.select(
-      col("doc_id"),
-      stopRatio.as("stop_ratio"),
-      alphaRatio.as("alpha_ratio"),
-      lenScore.as("len_score"),
-      (stopRatio * 0.5 + alphaRatio * 0.3 + lenScore * 0.2).as("quality")
-    )
+    toks
+      .select(
+        col("doc_id"),
+        stopRatio.as("stop_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        lenScore.as("len_score"))
+      .select(col("doc_id"), col("stop_ratio"), col("alpha_ratio"),
+        col("len_score"),
+        (col("stop_ratio") * 0.5 + col("alpha_ratio") * 0.3 +
+          col("len_score") * 0.2).as("quality"))
   }
 
   /** Order-canonical document fingerprint: md5 over the sorted distinct
