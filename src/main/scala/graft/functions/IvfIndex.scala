@@ -115,15 +115,21 @@ final class IvfIndex private (
             (code, mi) => element_at(col("lut"), mi * kCodes + code + 1)),
           lit(0.0), (acc, x) => acc + x))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    // Shortlist carries (qid, id) ONLY — duplicating the query vector per
+    // shortlist row would broadcast O(queries·rerank·k·dim) doubles; the
+    // vectors re-join from the (tiny, separately broadcast) query frame.
     val shortlist = adc.withColumn("_ar", row_number().over(wAdc))
       .filter(col("_ar") <= rerank * k)
-      .select(col("qid"), col("qv"), col("id"))
+      .select(col("qid"), col("id"))
+    val qVecs = queries.select(
+      col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
 
     // Exact re-rank: raw vectors only for the shortlist ids, read from the
     // probed partitions only (every shortlist id lives in a probed cell).
     val sims = cells.select(col("id"), col("cell"), col("v"))
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(shortlist), "id")
+      .join(broadcast(qVecs), "qid")
       .select(col("qid"), col("id").as("nid"),
         Similarity.cosine(col("qv"), col("v")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
@@ -176,15 +182,23 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
+    // Only a genuinely ABSENT codebooks dir means "legacy index without PQ"
+    // — an existing-but-unreadable or empty one is corruption and must
+    // surface, not silently degrade to a PQ-less index.
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cbOpt =
-      try {
+      if (!fs.exists(cbPath)) None
+      else {
         val rows = spark.read.parquet(s"$path/codebooks").collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        require(rows.nonEmpty, s"codebooks at $cbPath exist but hold no rows" +
+          " (corrupt or half-written index?)")
         val m = rows.map(_._1).max + 1
         Some(Array.tabulate(m) { mi =>
           rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
         }: Pq.Codebooks)
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }
     new IvfIndex(spark, path, centroids, cbOpt)
   }
 

@@ -186,9 +186,35 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Per-query recall@k of an ANN result against the exact top-k (both
+    * `(qid, nid, …)` frames): `|ann ∩ exact| / k` per qid, 0.0 for qids the
+    * ANN missed entirely. Both inputs are O(queries·k) — the comparison
+    * itself is trivially small; the cost is running the two pipelines that
+    * produce them. This is the driver-visible accuracy gate behind the
+    * `ann_*_recall` registered queries (the `approx_agg_bounds` pattern:
+    * booleans computed in-engine from both the approximate and the exact
+    * answer, oracle asserts they are all true). */
+  def recallAtK(exact: DataFrame, ann: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("qid"), col("nid"))
+      .join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("_hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("_hits"), lit(0L)).cast(DoubleType) / k).as("recall"))
+  }
+
   /** Salt bits available for hot-bucket sub-splitting (extra hyperplane
     * signs per table — see [[lshCandidatePairs]]). */
   private val SaltBits = 16
+
+  /** Cap on broadcast hot-bucket entries: the hot map is taken as the
+    * top-`MaxHotEntries` HOTTEST buckets, so the broadcast is O(1M) rows
+    * regardless of corpus size or skew (unbounded it is n·L/maxBucket —
+    * O(n) driver/executor state on a pathological corpus). Buckets beyond
+    * the cap stay unsalted — graceful: they are by construction the least
+    * hot of the hot set. */
+  private val MaxHotEntries = 1 << 20
 
   /** LSH candidate pairs (id_a < id_b, distinct) with HOT-BUCKET
     * SUB-SPLITTING — the Σ bucket² guard for skewed corpora.
@@ -227,6 +253,11 @@ object Similarity {
     // One fused kernel pass computes bucket + salt signs for all tables;
     // slice splits the 2L-long array back into the two per-table views.
     val allTags = lshTags(col(vecCol), tables ++ saltTables)
+    // Persisted: the tag kernel's output feeds the hot-bucket count job AND
+    // both sides of the salted self-join — without the cache the kernel
+    // re-runs per consumer (exchange reuse covers the self-join but not the
+    // count job's separate pass). MEMORY_AND_DISK: at 100 TB the spill is
+    // n·L narrow rows, the price of tagging once instead of twice.
     val tagged = NearDup.fanOut(corpus).select(col(idCol).as("id"),
       posexplode(arrays_zip(
         slice(allTags, 1, nTables).as("bucket"),
@@ -234,10 +265,14 @@ object Similarity {
         .as(Seq("table", "z")))
       .select(col("id"), col("table"),
         col("z.bucket").as("bucket"), col("z.sbits").as("sbits"))
-    // Hot-bucket map: tiny by construction (≤ n·L/maxBucket entries), one
-    // partial-aggregated count job; broadcast back as the salt mask.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket map: one partial-aggregated count job, capped at the
+    // top-MaxHotEntries hottest buckets so the broadcast stays bounded on
+    // ANY corpus (see [[MaxHotEntries]]); broadcast back as the salt mask.
     val hot = tagged.groupBy("table", "bucket").count()
       .filter(col("count") > maxBucket)
+      .orderBy(col("count").desc, col("table"), col("bucket"))
+      .limit(MaxHotEntries)
       .select(col("table"), col("bucket"),
         (pow(lit(2.0),
           least(lit(SaltBits),
