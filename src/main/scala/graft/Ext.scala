@@ -164,46 +164,79 @@ object Ext {
     )
   )
 
-  /** LSH-bucketed ANN top-k — the 100 TB path (candidates from a hash join
-    * on the sign-LSH bucket). Bucketing depends on engine-side hyperplane
-    * literals → rows-only check; recall vs brute force is unit-tested. */
-  private val annLsh = QDef(
-    "ann_lsh",
+  /** Oracle for every `ann_*_recall` query: the booleans are computed
+    * in-engine from BOTH the ANN result and the exact top-k; the oracle
+    * asserts they are all true (the `approx_agg_bounds` pattern). A recall
+    * regression anywhere in the ANN machinery — bucketing, probing,
+    * persisted layout, ADC, re-rank — flips a boolean and hash-mismatches. */
+  private val recallOracleSql: String =
+    "SELECT vec_id AS qid, true AS recall_ok, true AS macro_ok " +
+      "FROM embeddings WHERE vec_id < 20 ORDER BY qid"
+
+  /** Gate a per-qid recall frame ([[Similarity.recallAtK]]): per-query
+    * recall ≥ `perQ` AND corpus-level mean recall ≥ `macro` (repeated per
+    * row — same value every row, so the hash pins it). Thresholds sit well
+    * under the measured minima at sf0.01 AND sf0.1 (documented per query);
+    * everything is seeded, so the measured values are reproducible. */
+  private def recallBounds(
+      rec: org.apache.spark.sql.DataFrame, perQ: Double, macroMin: Double) = {
+    val avgR = rec.agg(avg(col("recall")).as("_avg"))
+    rec.crossJoin(broadcast(avgR))
+      .select(col("qid"),
+        (col("recall") >= perQ).as("recall_ok"),
+        (col("_avg") >= macroMin).as("macro_ok"))
+      .orderBy(col("qid"))
+  }
+
+  /** LSH ANN recall gate — the 100 TB candidate path (hash join on sign-LSH
+    * buckets, 16-table OR-amplification), driver-gated on recall@5 vs the
+    * in-engine exact top-k. Measured: min per-qid 0.4/0.6, mean 0.85/0.95
+    * at sf0.01/sf0.1 → gates at 0.2/0.6. */
+  private val annLshRecall = QDef(
+    "ann_lsh_recall",
     (s, d) => {
       val e = embeddings(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5, nPlanes = 4)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+        nPlanes = 4, nTables = 16)
+      recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
     },
-    None
+    Some(recallOracleSql)
   )
 
-  /** IVF ANN top-k — the k-means-quantizer scale path (mllib KMeans,
-    * seeded; centroids are driver-side literals like the LSH planes).
-    * Rows-only: cell assignment depends on the engine-trained quantizer. */
-  private val annIvf = QDef(
-    "ann_ivf",
+  /** In-query IVF ANN recall gate (mllib KMeans quantizer, seeded;
+    * 8 of 16 cells probed). Measured: min per-qid 0.6/0.4, mean 0.93/0.86
+    * at sf0.01/sf0.1 → gates at 0.2/0.6. */
+  private val annIvfRecall = QDef(
+    "ann_ivf_recall",
     (s, d) => {
       val e = embeddings(s, d)
-      graft.functions.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = graft.functions.Ivf.ivfTopK(e, q, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
     },
-    None
+    Some(recallOracleSql)
   )
 
-  /** IVF ANN against the PERSISTED index ([[graft.functions.IvfIndex]] —
-    * corpus partitioned by cell on disk, probes prune partitions): the
-    * serve-path counterpart of `ann_ivf`. Rows-only (cell layout depends
-    * on the engine-trained quantizer); the exact-equivalence check is
-    * `ann_ivf_full` below, recall is unit-tested in IvfIndexSpec. */
-  private val annIvfIndexed = QDef(
-    "ann_ivf_indexed",
+  /** PERSISTED-index IVF recall gate: the serve path against the
+    * cell-partitioned on-disk layout (partition pruning plan-asserted in
+    * IvfIndexSpec). Same quantizer/probe regime as `ann_ivf_recall`,
+    * measured identically → gates at 0.2/0.6. */
+  private val annIvfIndexedRecall = QDef(
+    "ann_ivf_indexed_recall",
     (s, d) => {
       val e = embeddings(s, d)
-      graft.functions.IvfIndex.cachedFor(e, "vec_id", "embedding", nCells = 16)
-        .topK(e.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 5, nProbe = 4)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = graft.functions.IvfIndex
+        .cachedFor(e, "vec_id", "embedding", nCells = 16)
+        .topK(q, "vec_id", "embedding", k = 5, nProbe = 8)
+      recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
     },
-    None
+    Some(recallOracleSql)
   )
 
   /** Full-probe IVF (nProbe = nCells) through the SAME persisted-index
@@ -212,7 +245,7 @@ object Ext {
     * the engine-trained centroids, hence fully oracle-checkable (same SQL
     * as `sim_topk`). This pins the whole index machinery (assignment,
     * partitioned write/read, pruning filter, re-rank) to the exact answer;
-    * `ann_ivf_indexed` then only differs by probing fewer cells. */
+    * `ann_ivf_indexed_recall` then only differs by probing fewer cells. */
   private val annIvfFull = QDef(
     "ann_ivf_full",
     (s, d) => {
@@ -233,21 +266,25 @@ object Ext {
     )
   )
 
-  /** IVF-PQ ANN top-k ([[graft.functions.Pq]] →
+  /** IVF-PQ recall gate ([[graft.functions.Pq]] →
     * [[graft.functions.IvfIndex.pqTopK]]): compressed-domain ADC scan over
-    * the PERSISTED codes (encoded once at index build, partitioned by
-    * cell — the scan reads (id, codes) and never touches the raw-vector
-    * pages), exact re-rank of the shortlist only. Rows-only (codes depend
-    * on the engine-trained codebooks); recall vs brute force is unit-tested
-    * in PqSpec; the exact-equivalence check is `ann_pq_full` below. */
-  private val annPq = QDef(
-    "ann_pq",
+    * the PERSISTED codes (encoded once at index build; the scan reads
+    * (id, codes) and never touches the raw-vector pages — plan-asserted),
+    * exact re-rank of a 40·k shortlist, driver-gated on recall@5 vs the
+    * exact top-k. Measured: min per-qid 0.6/0.2, mean 0.92/0.78 at
+    * sf0.01/sf0.1 → gates at 0.2/0.5 (ADC quantization distortion keeps
+    * PQ under the raw-vector IVF paths — expected, documented). */
+  private val annPqRecall = QDef(
+    "ann_pq_recall",
     (s, d) => {
       val e = embeddings(s, d)
-      graft.functions.Pq.pqTopK(e, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", kNeighbors = 5)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = graft.functions.Pq.pqTopK(e, q, "vec_id", "embedding",
+        kNeighbors = 5, nProbe = 8, rerank = 40)
+      recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.5)
     },
-    None
+    Some(recallOracleSql)
   )
 
   /** Full-probe, full-rerank IVF-PQ through the SAME persisted-codes path:
@@ -257,15 +294,23 @@ object Ext {
     * the engine-trained codebooks/centroids, hence fully oracle-checkable
     * (same SQL as `sim_topk`). This pins the ENTIRE PQ machinery — build,
     * native encode, persisted partitioned codes, pruning filter, ADC
-    * scoring, shortlist, re-rank join — to the exact answer; `ann_pq` then
+    * scoring, shortlist, re-rank join — to the exact answer; `ann_pq_recall` then
     * only differs by probing/shortlisting less. */
   private val annPqFull = QDef(
     "ann_pq_full",
     (s, d) => {
       val e = embeddings(s, d)
+      // Degeneracy preconditions made explicit instead of hardcoded:
+      // nProbe == nCells probes every cell, rerank·k ≥ |corpus| keeps the
+      // whole ADC ranking in the shortlist (the count is a parquet footer
+      // read). Either drifting silently would break exactness for a
+      // non-obvious reason.
+      val nCells = 16
+      val k = 5
+      val rerank = math.max(1, math.ceil(e.count().toDouble / k).toInt)
       graft.functions.Pq.pqTopK(e, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", kNeighbors = 5,
-        nProbe = 16, rerank = 1000)
+        "vec_id", "embedding", kNeighbors = k,
+        nCells = nCells, nProbe = nCells, rerank = rerank)
     },
     Some(
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
@@ -519,8 +564,8 @@ object Ext {
 
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
-    dedupExact, simTopK, annLsh, annIvf, annIvfIndexed, annIvfFull,
-    annPq, annPqFull, dedupNgram, dedupMinhash,
+    dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
+    annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ,
     mediaDecode, videoFrames, audioDecode

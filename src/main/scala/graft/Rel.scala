@@ -470,6 +470,33 @@ object Rel {
       "WHERE s_nationkey = 1 GROUP BY s_name ORDER BY s_name")
   )
 
+  /** Salted equi-join on a PATHOLOGICALLY skewed key: `l_returnflag` has 3
+    * distinct values, so a plain shuffle join lands each key's entire row
+    * mass on one reducer — the partition that doesn't fit an executor at
+    * 100 TB. [[graft.operators.Joins.saltedJoin]] splits every key across
+    * 8 salt buckets by a deterministic row hash and replicates the (tiny)
+    * dim side per bucket: parallelism becomes keys×buckets, and the result
+    * is EXACTLY the plain join — which is precisely what the oracle checks
+    * (the dim derives from lineitem itself, so the join is an identity on
+    * flags and the oracle is the plain group-by). */
+  private val joinSalted = QDef(
+    "join_salted",
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val dim = lineitem(s, d).select(col("l_returnflag")).distinct()
+        .withColumn("flag_code", ascii(col("l_returnflag")))
+      graft.operators.Joins.saltedJoin(li, dim, "l_returnflag", saltBuckets = 8)
+        .groupBy(col("l_returnflag"), col("flag_code"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("SELECT l_returnflag, CAST(ascii(l_returnflag) AS INT) AS flag_code, " +
+      "CAST(count(*) AS BIGINT) AS n_items, sum(l_quantity) AS sum_qty " +
+      "FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag")
+  )
+
   /** TPC-H Q2-shaped correlated-min subquery: for every part, the
     * supplier(s) and price of its CHEAPEST lineitem. The classic
     * "row whose value equals a correlated aggregate" shape; testdata has no
@@ -578,5 +605,5 @@ object Rel {
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
-    groupingSets)
+    joinSalted, groupingSets)
 }

@@ -60,10 +60,15 @@ class PlanAuditSpec extends SparkSpec {
     // repartitions spreading compute-bound stages, not data movement a
     // better plan would avoid.
     val exchangeId = "Exchange (?:hash|range)partitioning[^\\n]*plan_id=(\\d+)".r
+    // Accuracy-gate queries (`*_recall`, `*_bounds`) deliberately run TWO
+    // full pipelines (exact reference + approximate) plus the comparison
+    // join/aggregate — their budget is a pipeline-pair, not one pipeline.
+    def cap(name: String): Int =
+      if (name.endsWith("_recall") || name.endsWith("_bounds")) 16 else 6
     val offenders = Queries.all.flatMap { q =>
       val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
       val n = exchangeId.findAllMatchIn(p).map(_.group(1)).toSet.size
-      if (n > 6) Some(s"${q.name}($n)") else None
+      if (n > cap(q.name)) Some(s"${q.name}($n)") else None
     }
     assert(offenders.isEmpty, s"shuffle-heavy plans: $offenders")
   }

@@ -49,10 +49,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
   }
 
-  test("ann_lsh candidate generation is a broadcast hash join on (table,bucket)") {
-    val p = physical(q("ann_lsh"))
+  test("ann_lsh_recall candidate generation is a broadcast hash join on (table,bucket)") {
+    val p = physical(q("ann_lsh_recall"))
     assert(p.contains("BroadcastHashJoin"), s"no hash join for candidates:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("join_salted shuffles on (key, salt), not the bare skewed key") {
+    val p = physical(q("join_salted"))
+    assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
   test("dedup_ngram joins on the shingle key, never cross-product") {
