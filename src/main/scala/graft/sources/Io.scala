@@ -18,8 +18,11 @@ object Io {
 
   /** @param indexCols  drop this many leading columns after parse
     *                   (reference `dataframe.d:119`)
-    * @param headerLines 0 or 1 — 1 skips a header line (the reference
-    *                   supports N; CSV sources support one)
+    * @param headerLines skip this many leading header lines per file
+    *                   (reference `dataframe.d:111-114` supports N).
+    *                   0/1 ride the native CSV source; N>1 routes through
+    *                   [[linesSkippingHeader]] (same splittable text scan,
+    *                   header dropped at the file-start split).
     */
   def readTable(
       spark: SparkSession,
@@ -29,14 +32,45 @@ object Io {
       indexCols: Int = 0,
       headerLines: Int = 0
   ): DataFrame = {
-    require(headerLines <= 1, "Spark CSV supports at most one header line")
-    val df = spark.read
-      .option("sep", sep)
-      .option("header", headerLines == 1)
-      .option("mode", "FAILFAST") // strict parse: to!T throws on mismatch
-      .schema(schema)
-      .csv(path)
+    require(headerLines >= 0, "headerLines must be non-negative")
+    val df =
+      if (headerLines <= 1)
+        spark.read
+          .option("sep", sep)
+          .option("header", headerLines == 1)
+          .option("mode", "FAILFAST") // strict parse: to!T throws on mismatch
+          .schema(schema)
+          .csv(path)
+      else
+        spark.read
+          .option("sep", sep)
+          .option("mode", "FAILFAST")
+          .schema(schema)
+          .csv(linesSkippingHeader(spark, path, headerLines))
     if (indexCols == 0) df else df.drop(schema.fieldNames.take(indexCols): _*)
+  }
+
+  /** The text lines of `path` minus the first `n` lines of EACH file,
+    * dropped distributedly: Hadoop's text splits carry the byte offset of
+    * every line as the record key, and only a file-START split ever yields
+    * a key-0 record — so the partition holding a file's head drops its
+    * first `n` records and every other partition passes through untouched.
+    * No driver-side reads, no per-file listing, fully splittable (the one
+    * assumption: a file's header fits inside its first input split —
+    * 128 MB of header is not a real table). */
+  private[graft] def linesSkippingHeader(
+      spark: SparkSession, path: String, n: Int) = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.TextInputFormat
+    import spark.implicits._
+    val raw = spark.sparkContext.hadoopFile(
+      path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+    spark.createDataset(raw.mapPartitions { it =>
+      val buf = it.buffered
+      val atFileStart = buf.hasNext && buf.head._1.get == 0L
+      val rest = if (atFileStart) buf.drop(n) else buf
+      rest.map(_._2.toString) // copy out: Hadoop reuses the Text instance
+    })
   }
 
   /** CSV sink (`toCsv`, `dataframe.d:128-149`): optional header, optional
