@@ -244,33 +244,38 @@ object Multimodal {
       }
   }
 
+  /** Renders one WAV asset — called on EXECUTORS by [[syntheticAudio]]. */
+  private def renderAudioRow(i: Long, seconds: Double, sampleRate: Int): Row = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val freq = 220.0 + 20.0 * (i % 16)
+    val nFrames = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](nFrames * 2)
+    var f = 0
+    while (f < nFrames) {
+      val s = (0.5 * math.sin(2 * math.Pi * freq * f / sampleRate) * 32767).toShort
+      pcm(2 * f) = (s & 0xFF).toByte
+      pcm(2 * f + 1) = ((s >> 8) & 0xFF).toByte
+      f += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    Row(i, out.toByteArray, Row("wav", sampleRate, 1))
+  }
+
   /** Deterministic synthetic audio table: REAL WAV bytes (16-bit signed
-    * mono PCM sine wave, frequency varying per asset). */
+    * mono PCM sine wave, frequency varying per asset). Rendered
+    * EXECUTOR-side (`spark.range` → per-partition codec work) — the corpus
+    * generation pattern that holds at 100 TB; the driver touches no PCM. */
   def syntheticAudio(
       spark: SparkSession, n: Int,
-      seconds: Double = 0.1, sampleRate: Int = 8000): DataFrame = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    val rows = (0L until n.toLong).map { i =>
-      val freq = 220.0 + 20.0 * (i % 16)
-      val nFrames = (seconds * sampleRate).toInt
-      val pcm = new Array[Byte](nFrames * 2)
-      var f = 0
-      while (f < nFrames) {
-        val s = (0.5 * math.sin(2 * math.Pi * freq * f / sampleRate) * 32767).toShort
-        pcm(2 * f) = (s & 0xFF).toByte
-        pcm(2 * f + 1) = ((s >> 8) & 0xFF).toByte
-        f += 1
-      }
-      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-      val out = new ByteArrayOutputStream()
-      AudioSystem.write(
-        new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
-        AudioFileFormat.Type.WAVE, out)
-      Row(i, out.toByteArray, Row("wav", sampleRate, 1))
-    }
+      seconds: Double = 0.1, sampleRate: Int = 8000): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, n / 100)), audioSchema)
-  }
+      spark.range(0, n.toLong, 1, math.max(1, n / 100)).rdd
+        .map(i => renderAudioRow(i, seconds, sampleRate)),
+      audioSchema)
 
   // ------------------------------------------------------------- video
 
@@ -409,37 +414,12 @@ object Multimodal {
       }
   }
 
-  /** Deterministic synthetic video table: GVID containers of REAL PNG
-    * frames (seeded noise per frame, dims varying per asset). */
-  def syntheticVideo(
-      spark: SparkSession, n: Int, nFrames: Int = 24, fps: Float = 12f): DataFrame = {
-    val rows = (0L until n.toLong).map { i =>
-      val w = 24 + (i % 16).toInt
-      val h = 16 + (i % 12).toInt
-      val frames = (0 until nFrames).map { f =>
-        val rnd = new scala.util.Random(i * 1000 + f)
-        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF); x += 1 }
-          y += 1
-        }
-        encodePng(img)
-      }
-      Row(i, muxFrames(frames, fps), Row("gvid", w, h, fps, nFrames))
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, n / 20)), videoSchema)
-  }
-
-  /** Deterministic synthetic media table: REAL PNG bytes (seeded pixel
-    * noise, true width/height in the metadata struct). */
-  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
-    val rows = (0L until n.toLong).map { i =>
-      val w = 32 + (i % 64).toInt
-      val h = 32 + (i % 48).toInt
-      val rnd = new scala.util.Random(i)
+  /** Renders one GVID asset — called on EXECUTORS by [[syntheticVideo]]. */
+  private def renderVideoRow(i: Long, nFrames: Int, fps: Float): Row = {
+    val w = 24 + (i % 16).toInt
+    val h = 16 + (i % 12).toInt
+    val frames = (0 until nFrames).map { f =>
+      val rnd = new scala.util.Random(i * 1000 + f)
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
@@ -447,9 +427,43 @@ object Multimodal {
         while (x < w) { img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF); x += 1 }
         y += 1
       }
-      Row(i, encodePng(img), Row("png", w, h))
+      encodePng(img)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, n / 100)), mediaSchema)
+    Row(i, muxFrames(frames, fps), Row("gvid", w, h, fps, nFrames))
   }
+
+  /** Deterministic synthetic video table: GVID containers of REAL PNG
+    * frames (seeded noise per frame, dims varying per asset). Rendered
+    * EXECUTOR-side — the codec work distributes; the driver muxes nothing. */
+  def syntheticVideo(
+      spark: SparkSession, n: Int, nFrames: Int = 24, fps: Float = 12f): DataFrame =
+    spark.createDataFrame(
+      spark.range(0, n.toLong, 1, math.max(1, n / 20)).rdd
+        .map(i => renderVideoRow(i, nFrames, fps)),
+      videoSchema)
+
+  /** Renders one PNG asset — called on EXECUTORS by [[syntheticMedia]]. */
+  private def renderMediaRow(i: Long): Row = {
+    val w = 32 + (i % 64).toInt
+    val h = 32 + (i % 48).toInt
+    val rnd = new scala.util.Random(i)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    Row(i, encodePng(img), Row("png", w, h))
+  }
+
+  /** Deterministic synthetic media table: REAL PNG bytes (seeded pixel
+    * noise, true width/height in the metadata struct). Rendered
+    * EXECUTOR-side (`spark.range` + per-partition render, NOT a driver-side
+    * `Seq` + `parallelize`) — the pattern a real 100 TB corpus generator
+    * follows: the driver ships only the range bounds. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame =
+    spark.createDataFrame(
+      spark.range(0, n.toLong, 1, math.max(1, n / 100)).rdd.map(i => renderMediaRow(i)),
+      mediaSchema)
 }
