@@ -197,7 +197,7 @@ object Ext {
     (s, d) => {
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") < 20)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val exact = Similarity.bruteForceTopKCached(e, q, "vec_id", "embedding", k = 5)
       val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
         nPlanes = 4, nTables = 16)
       recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
@@ -213,7 +213,7 @@ object Ext {
     (s, d) => {
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") < 20)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val exact = Similarity.bruteForceTopKCached(e, q, "vec_id", "embedding", k = 5)
       val ann = graft.functions.Ivf.ivfTopK(e, q, "vec_id", "embedding",
         k = 5, nProbe = 8)
       recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
@@ -230,7 +230,7 @@ object Ext {
     (s, d) => {
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") < 20)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val exact = Similarity.bruteForceTopKCached(e, q, "vec_id", "embedding", k = 5)
       val ann = graft.functions.IvfIndex
         .cachedFor(e, "vec_id", "embedding", nCells = 16)
         .topK(q, "vec_id", "embedding", k = 5, nProbe = 8)
@@ -279,7 +279,7 @@ object Ext {
     (s, d) => {
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") < 20)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val exact = Similarity.bruteForceTopKCached(e, q, "vec_id", "embedding", k = 5)
       val ann = graft.functions.Pq.pqTopK(e, q, "vec_id", "embedding",
         kNeighbors = 5, nProbe = 8, rerank = 40)
       recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.5)
@@ -368,11 +368,41 @@ object Ext {
     None
   )
 
-  /** SimHash (64-bit, banded) near-dup pairs — rows-only, same reason. */
+  /** SimHash (64-bit, banded) near-dup pairs — rows-only, same reason;
+    * driver-gated by `dedup_simhash_bounds` below. */
   private val dedupSimhash = QDef(
     "dedup_simhash",
     (s, d) => NearDup.simhashPairs(documents(s, d), maxHamming = 3),
     None
+  )
+
+  /** Driver-visible EXACTNESS gate for the banded SimHash pipeline: with
+    * maxHamming < bands, banding is EXACT by pigeonhole (a pair within
+    * Hamming 3 must agree on one of 4 bands untouched by the 3 differing
+    * bits), so two INDEPENDENT band decompositions (4×16 and 8×8 — both
+    * exact for ham ≤ 3, no shared pigeonhole structure) must emit the
+    * IDENTICAL pair set, and scalably: both are equality joins on band
+    * keys, no O(n²) reference needed. The signatures are engine-native
+    * (xxhash64), so the oracle asserts the computed booleans — same
+    * pattern as `approx_agg_bounds`. */
+  private val dedupSimhashBounds = QDef(
+    "dedup_simhash_bounds",
+    (s, d) => {
+      val a = NearDup.simhashPairs(documents(s, d), maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b"))
+      val b = NearDup.simhashPairs(documents(s, d), maxHamming = 3, bands = 8)
+        .select(col("id_a"), col("id_b"))
+      val aOnly = a.join(b, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("a_only"))
+      val bOnly = b.join(a, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("b_only"))
+      val nA = a.agg(count(lit(1)).as("n_a"))
+      aOnly.crossJoin(bOnly).crossJoin(nA)
+        .select(
+          (col("a_only") === 0 && col("b_only") === 0).as("bands_agree"),
+          (col("n_a") > 0).as("nonempty"))
+    },
+    Some("SELECT true AS bands_agree, true AS nonempty")
   )
 
   /** Embedding-cosine near-dup pairs via sign-LSH buckets, over the corpus
@@ -566,7 +596,7 @@ object Ext {
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupMinhash,
-    dedupMinhashVerified, dedupSimhash, dedupEmbed, windowAgg, vocabTopK,
+    dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ,
     mediaDecode, videoFrames, audioDecode
   )

@@ -352,20 +352,28 @@ object NearDup {
     agg.select(col("doc_id"), sh.as("sh"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    * keys; pairs matching on any band are candidates (Hamming distance
-    * ≤ 3 guarantees a matching band by pigeonhole for 4 bands); verify
-    * exact Hamming distance ≤ maxHamming. Fingerprints come from the
-    * native single-pass kernel ([[graft.plans.SimHash64]]) — a per-row
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into `bands`
+    * equal-width keys; pairs matching on any band are candidates, then
+    * exact Hamming distance ≤ maxHamming is verified. When
+    * `maxHamming < bands`, candidate generation is EXACT by pigeonhole (a
+    * matching band survives the ≤ maxHamming differing bits), so the
+    * banded output EQUALS the brute-force pair set — `dedup_simhash_bounds`
+    * asserts that at the driver by comparing two independent
+    * decompositions. With `maxHamming ≥ bands` banding degrades to a
+    * recall heuristic (still useful, no guarantee). Fingerprints come from
+    * the native single-pass kernel ([[graft.plans.SimHash64]]) — a per-row
     * expression, so NOTHING shuffles before the banding join (the
     * exploded bit-sum aggregate `simhashTable` form cost one extra
     * explode+groupBy exchange). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val withSim = fanOut(docs).select(col("doc_id"),
       graft.plans.SimHash64.simhash64Native(col("text")).as("sh"))
     val banded = withSim.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sh"), b * bits).bitwiseAND(mask)): _*))
         .as(Seq("band", "band_key")))
     val cand = banded.as("x")
       .join(banded.as("y"),

@@ -73,6 +73,34 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Per-JVM cache of exact top-k reference sets, keyed by the corpus and
+    * query plans' canonicalized hashes: the four `ann_*_recall` gates share
+    * ONE brute-force pass per (corpus, queries, k) instead of four. The
+    * cached value is the COLLECTED result — O(queries·k) rows, driver-side
+    * metadata like the centroids/codebooks, not corpus data. */
+  private val topKCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, String, Int),
+      Array[org.apache.spark.sql.Row]]()
+
+  /** [[bruteForceTopK]] through the per-JVM result cache — use when the
+    * same exact reference set gates several ANN paths (the recall
+    * queries). Identical output, computed once. */
+  def bruteForceTopKCached(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val key = (corpus.queryExecution.analyzed.semanticHash(),
+      queries.queryExecution.analyzed.semanticHash(), idCol, vecCol, k)
+    val rows = topKCache.computeIfAbsent(key, _ => exact.collect())
+    val spark = corpus.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), exact.schema)
+  }
+
   /** Per-JVM cache of derived embedding dims, keyed by the corpus plan's
     * canonicalized hash — the single-row probe job runs once per corpus. */
   private val dimCache =
