@@ -348,6 +348,52 @@ object Ext {
     Some(ngramJaccardSql(0.5))
   )
 
+  /** Benchmark decontamination: overlap report of the corpus against a
+    * held-out "benchmark" slice (doc_id < 10 stands in for the eval
+    * suite) — broadcast bench shingles, one corpus pass, one doc_id
+    * aggregate ([[graft.functions.Contamination]]). */
+  private val decontaminate = QDef(
+    "decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.functions.Contamination.report(
+        docs, docs.filter(col("doc_id") < 10), w = 3, minShared = 1L)
+    },
+    Some(
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "b AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 10), " +
+        "m AS (SELECT ds.doc_id, count(*) AS n_shingles, " +
+        "sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_shared " +
+        "FROM ds LEFT JOIN b ON ds.shingle = b.shingle GROUP BY ds.doc_id) " +
+        "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, " +
+        "CAST(n_shared AS BIGINT) AS n_shared, " +
+        "CAST(n_shared AS DOUBLE) / n_shingles AS overlap_frac " +
+        "FROM m WHERE n_shared >= 1 ORDER BY doc_id")
+  )
+
+  /** Gopher-style intra-doc repetition: top 2-gram share per document,
+    * computed per-row with ZERO shuffle ([[Text.repetitionScore]] — the
+    * relational explode→groupBy form would shuffle the whole gram
+    * stream; the oracle RUNS that relational form, pinning the run-length
+    * fold to the group-by-count semantics). */
+  private val repetitionQ = QDef(
+    "repetition_score",
+    (s, d) => Text.repetitionScore(documents(s, d), w = 2)
+      .orderBy(col("doc_id")),
+    Some(
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) AS gram FROM tok WHERE len(t) >= 2), " +
+        "c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n FROM c GROUP BY 1) " +
+        "SELECT doc_id, CAST(max_c AS BIGINT) AS max_gram_count, " +
+        "CAST(n AS BIGINT) AS n_grams, " +
+        "CAST(max_c AS DOUBLE) / n AS top_gram_share FROM m ORDER BY doc_id")
+  )
+
   /** MinHash-LSH candidates + exact-Jaccard verification — the production
     * minhash dedup pipeline, and (unlike raw est-Jaccard thresholding) an
     * oracle-CHECKABLE one: 16 bands × 2 rows make a true ≥0.5 pair a
@@ -595,7 +641,8 @@ object Ext {
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
-    annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupMinhash,
+    annIvfFull, annPqRecall, annPqFull, dedupNgram, decontaminate,
+    repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ,
     mediaDecode, videoFrames, audioDecode

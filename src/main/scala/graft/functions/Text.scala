@@ -120,6 +120,40 @@ object Text {
           col("len_score") * 0.2).as("quality"))
   }
 
+  /** Gopher-style intra-document repetition score: the share of the doc's
+    * `w`-gram stream taken by its single most frequent `w`-gram — the
+    * cheap detector for looped/boilerplate text (a clean doc scores near
+    * 1/n_grams; a repeated-line doc approaches 1.0).
+    *
+    * Scale shape: ZERO shuffle. The relational form (explode grams →
+    * groupBy(doc, gram) → max) shuffles the whole gram stream; here the
+    * max multiplicity is computed per-row as the longest run in the
+    * row's SORTED gram array via one `aggregate` fold — embarrassingly
+    * parallel, and the gram array never leaves the row. */
+  def repetitionScore(docs: DataFrame, w: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= w)
+    // non-distinct w-gram list (multiplicities matter here)
+    val grams = transform(sequence(lit(0), size(col("_t")) - w),
+      i => concat_ws(" ", (0 until w).map(j => element_at(col("_t"), i + 1 + j)): _*))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val maxRun = aggregate(array_sort(grams), zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    toks
+      .select(col("doc_id"),
+        maxRun.cast(LongType).as("max_gram_count"),
+        size(col("_t")).cast(LongType).minus(w - 1).as("n_grams"))
+      .select(col("doc_id"), col("max_gram_count"), col("n_grams"),
+        (col("max_gram_count").cast(DoubleType) / col("n_grams"))
+          .as("top_gram_share"))
+  }
+
   /** Order-canonical document fingerprint: md5 over the sorted distinct
     * token set. Two documents with permuted/duplicated tokens share a
     * fingerprint — the cheap bag-of-words near-dup key. */
