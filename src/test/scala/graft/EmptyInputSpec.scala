@@ -37,10 +37,17 @@ class EmptyInputSpec extends SparkSpec {
   test("text + dedup operators on an empty corpus") {
     assert(Text.textStats(noDocs).count() == 0)
     assert(Text.langId(noDocs.withColumn("lang", lit("en"))).count() == 0)
+    assert(Text.repetitionScore(noDocs).count() == 0)
     assert(Dedup.exactGroups(noDocs).count() == 0)
     assert(NearDup.ngramJaccardPairs(noDocs, 0.5).count() == 0)
     assert(NearDup.minhashPairs(noDocs).count() == 0)
     assert(NearDup.simhashPairs(noDocs).count() == 0)
+  }
+
+  test("contamination report on empty corpus / empty benchmark") {
+    val docs = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.functions.Contamination.report(noDocs, docs).count() == 0)
+    assert(graft.functions.Contamination.report(docs, noDocs).count() == 0)
   }
 
   test("similarity search on an empty corpus / empty query set") {
