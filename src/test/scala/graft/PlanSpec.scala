@@ -55,6 +55,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
   }
 
+  test("decontaminate broadcasts the bench shingles, aggregates once on doc_id") {
+    val p = physical(q("decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1,
+      s"no doc_id aggregate exchange:\n$p")
+    // exactly ONE shingle exchange is allowed: the bench-side distinct
+    // inside the broadcast subtree (an eval suite, tiny). The corpus side
+    // must reach the join straight from its scan — a second shingle
+    // exchange would mean the training corpus is being shuffled by shingle.
+    assert("Exchange hashpartitioning\\(shingle".r.findAllIn(p).size <= 1,
+      s"corpus shuffled by shingle:\n$p")
+  }
+
+  test("repetition_score has no aggregation shuffle (per-row fold)") {
+    val p = physical(q("repetition_score"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row repetition must not hash-shuffle:\n$p")
+  }
+
   test("join_salted shuffles on (key, salt), not the bare skewed key") {
     val p = physical(q("join_salted"))
     assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
