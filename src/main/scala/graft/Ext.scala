@@ -394,6 +394,55 @@ object Ext {
         "CAST(max_c AS DOUBLE) / n AS top_gram_share FROM m ORDER BY doc_id")
   )
 
+  /** End-to-end corpus cleaning ([[graft.functions.CorpusClean]]): the
+    * composition of quality filter + exact-dedup keeper + near-dup drop +
+    * benchmark decontamination, all four criteria oracle-mirrored — the
+    * flagship demonstration that the pieces compose into the pipeline
+    * they exist for, reproducibly across engines. */
+  private val corpusClean = QDef(
+    "corpus_clean",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.functions.CorpusClean.surviving(
+        docs, docs.filter(col("doc_id") < 10),
+        qualityMin = 0.3, jaccardT = 0.5, w = 3, minShared = 1L)
+    },
+    Some(
+      "WITH qm AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t IN (" +
+        Text.stopwords.map(w => s"'$w'").mkString(", ") + "))) AS DOUBLE) " +
+        " / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) " +
+        " / length(text) AS alpha_ratio, " +
+        "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(200.0 AS DOUBLE), " +
+        " CAST(1.0 AS DOUBLE)) AS len_score FROM documents), " +
+        "q AS (SELECT doc_id, stop_ratio * CAST(0.5 AS DOUBLE) " +
+        " + alpha_ratio * CAST(0.3 AS DOUBLE) " +
+        " + len_score * CAST(0.2 AS DOUBLE) AS quality FROM qm), " +
+        "qf AS (SELECT doc_id, quality FROM q WHERE quality >= 0.3), " +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        " GROUP BY md5(lower(trim(text)))), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "nd AS (SELECT DISTINCT id_b AS doc_id FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+        "bsh AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 10), " +
+        "contam AS (SELECT ds.doc_id FROM ds JOIN bsh ON ds.shingle = bsh.shingle " +
+        "GROUP BY ds.doc_id HAVING count(*) >= 1) " +
+        "SELECT doc_id, quality FROM qf " +
+        "WHERE doc_id IN (SELECT doc_id FROM keep) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM nd) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM contam) " +
+        "ORDER BY doc_id")
+  )
+
   /** MinHash-LSH candidates + exact-Jaccard verification — the production
     * minhash dedup pipeline, and (unlike raw est-Jaccard thresholding) an
     * oracle-CHECKABLE one: 16 bands × 2 rows make a true ≥0.5 pair a
@@ -641,7 +690,7 @@ object Ext {
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
-    annIvfFull, annPqRecall, annPqFull, dedupNgram, decontaminate,
+    annIvfFull, annPqRecall, annPqFull, dedupNgram, decontaminate, corpusClean,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ,

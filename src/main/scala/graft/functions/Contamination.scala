@@ -29,10 +29,18 @@ object Contamination {
       w: Int = 3,
       minShared: Long = 1L
   ): DataFrame = {
-    val benchShingles = broadcast(
-      NearDup.docShingles(bench, w).select(col("shingle")).distinct())
+    // Size-gated like every other O(table) broadcast in the near-dup
+    // family: below the threshold the bench shingle set ships once per
+    // executor; above it (someone passed a corpus as "bench") the join
+    // degrades to a shuffled shingle join instead of an OOM. The gate
+    // reads the SOURCE scan's stats via sizeProxy — post-aggregate stats
+    // wildly overestimate (the measured NearDup lesson).
+    val benchShingles = NearDup.broadcastIfSmall(
+      NearDup.docShingles(bench, w).select(col("shingle")).distinct()
+        .withColumn("_hit", lit(1)),
+      sizeProxy = Some(bench))
     val marked = NearDup.docShingles(train, w)
-      .join(benchShingles.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .join(benchShingles, Seq("shingle"), "left")
     marked.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
