@@ -331,6 +331,13 @@ object Queries {
     groupbyMax, groupbyAggNumeric, q1Flagship
   )
 
-  /** All registered queries: core verbs + relational extensions + EXT tier. */
-  def all: Seq[QDef] = core ++ Rel.all ++ Ext.all
+  /** All registered queries: core verbs + relational extensions + EXT tier.
+    * Names must be unique — `SparkEntry.queries` is a Map, and a duplicate
+    * would silently shadow an earlier query in the driver's gate. */
+  def all: Seq[QDef] = {
+    val qs = core ++ Rel.all ++ Ext.all
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 }
