@@ -443,6 +443,65 @@ object Ext {
         "ORDER BY doc_id")
   )
 
+  /** INCREMENTAL ingest dedup — the 100 TB production shape: a new batch
+    * (doc_id ≥ 250) is screened against the already-ingested corpus
+    * (doc_id < 250) without ever re-pairing the corpus with itself. A new
+    * doc survives iff its content hash is unseen, it is its in-batch
+    * exact keeper, it has no Jaccard≥0.5 match in the ingested corpus
+    * ([[graft.functions.NearDup.ngramJaccardAcross]] — prefix-filtered,
+    * batch-sized cost), and it is not the higher id of an in-batch
+    * near-dup pair. Every criterion mirrored in DuckDB. */
+  private val dedupIncremental = QDef(
+    "dedup_incremental",
+    (s, d) => {
+      val docs = documents(s, d)
+      val existing = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250)
+      val exKeys = existing
+        .select(md5(lower(trim(col("text")))).as("h")).distinct()
+      val keepers = incoming
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val afterExact = keepers.join(exKeys, Seq("h"), "left_anti")
+      val ndOld = NearDup.ngramJaccardAcross(incoming, existing, threshold = 0.5)
+        .select(col("id_a").as("doc_id")).distinct()
+      val ndNew = NearDup.ngramJaccardPairs(incoming, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      afterExact.select(col("doc_id"))
+        .join(ndOld, Seq("doc_id"), "left_anti")
+        .join(ndNew, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      "WITH inh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents " +
+        "WHERE doc_id >= 250), " +
+        "exh AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents " +
+        "WHERE doc_id < 250), " +
+        "keep AS (SELECT h, min(doc_id) AS doc_id FROM inh GROUP BY h), " +
+        "ae AS (SELECT doc_id FROM keep WHERE h NOT IN (SELECT h FROM exh)), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+        "io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM ds a JOIN ds b ON a.shingle = b.shingle " +
+        "AND a.doc_id >= 250 AND b.doc_id < 250 GROUP BY 1, 2), " +
+        "nd_old AS (SELECT DISTINCT id_a AS doc_id FROM io " +
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+        "inn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM ds a JOIN ds b ON a.shingle = b.shingle " +
+        "AND a.doc_id >= 250 AND b.doc_id >= 250 AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "nd_new AS (SELECT DISTINCT id_b AS doc_id FROM inn " +
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5) " +
+        "SELECT doc_id FROM ae " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM nd_old) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM nd_new) ORDER BY doc_id")
+  )
+
   /** MinHash-LSH candidates + exact-Jaccard verification — the production
     * minhash dedup pipeline, and (unlike raw est-Jaccard thresholding) an
     * oracle-CHECKABLE one: 16 bands × 2 rows make a true ≥0.5 pair a
@@ -691,6 +750,7 @@ object Ext {
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, decontaminate, corpusClean,
+    dedupIncremental,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ,

@@ -123,11 +123,19 @@ object NearDup {
     * (shuffled join on the id at scale). */
   private def verifyJaccard(
       cand: DataFrame, arrs: DataFrame, threshold: Double,
-      sizeProxy: Option[DataFrame]): DataFrame = {
-    val byId = arrs.select(col("doc_id"), col("arr"), col("n_shingles"))
+      sizeProxy: Option[DataFrame]): DataFrame =
+    verifyJaccardTwoSided(cand, arrs, arrs, threshold, sizeProxy, sizeProxy)
+
+  /** [[verifyJaccard]] with distinct array tables per pair side — the
+    * cross-corpus case ([[ngramJaccardAcross]]). */
+  private def verifyJaccardTwoSided(
+      cand: DataFrame, arrsA: DataFrame, arrsB: DataFrame, threshold: Double,
+      proxyA: Option[DataFrame], proxyB: Option[DataFrame]): DataFrame = {
+    def byId(arrs: DataFrame) =
+      arrs.select(col("doc_id"), col("arr"), col("n_shingles"))
     cand
-      .join(broadcastIfSmall(byId.toDF("id_a", "arr_a", "na"), sizeProxy), "id_a")
-      .join(broadcastIfSmall(byId.toDF("id_b", "arr_b", "nb"), sizeProxy), "id_b")
+      .join(broadcastIfSmall(byId(arrsA).toDF("id_a", "arr_a", "na"), proxyA), "id_a")
+      .join(broadcastIfSmall(byId(arrsB).toDF("id_b", "arr_b", "nb"), proxyB), "id_b")
       .withColumn("inter", graft.plans.SortedIntersectCount
         .sortedIntersectCount(col("arr_a"), col("arr_b")))
       .withColumn("jaccard",
@@ -135,6 +143,31 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** CROSS-corpus exact n-gram Jaccard pairs: near-dups BETWEEN `left`
+    * and `right` (`id_a` from left, `id_b` from right) — the
+    * INCREMENTAL-INGEST probe: a new batch screened against the
+    * already-ingested corpus without ever re-pairing the corpus with
+    * itself. Same lossless PPJoin prefix filter as [[ngramJaccardPairs]]
+    * (a cross pair with Jaccard ≥ t must share a hash inside both
+    * prefixes, by the same total order), same row-local sorted-intersect
+    * verify; cost ∝ shared prefix hashes between the sides — at scale the
+    * new batch is small, so this is batch-sized, never corpus². No
+    * `a < b` constraint: the sides are distinct by role (ids may overlap;
+    * callers pass disjoint corpora). */
+  def ngramJaccardAcross(
+      left: DataFrame, right: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    val la = shingleHashArrays(left, w).persist()
+    val ra = shingleHashArrays(right, w).persist()
+    val prefixLen = (floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
+      .cast("int")
+    def prefix(arrs: DataFrame, id: String) = arrs.select(
+      col("doc_id").as(id), explode(slice(col("arr"), lit(1), prefixLen)).as("h"))
+    val cand = prefix(la, "id_a").join(prefix(ra, "id_b"), "h")
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccardTwoSided(cand, la, ra, threshold,
+      proxyA = Some(left), proxyB = Some(right))
   }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {

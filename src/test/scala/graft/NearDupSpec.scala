@@ -67,6 +67,20 @@ class NearDupSpec extends SparkSpec {
       rows(NearDup.ngramJaccardPairsNaive(docs, 0.5)))
   }
 
+  test("cross-corpus jaccard equals the self-join restricted to left×right") {
+    val d = Tables.documents(spark, sf0001)
+    val left = d.filter(col("doc_id") >= 250)
+    val right = d.filter(col("doc_id") < 250)
+    val across = NearDup.ngramJaccardAcross(left, right, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the self-join emits (a<b); a cross pair (new, old) appears as (old, new)
+    val expect = NearDup.ngramJaccardPairs(d, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .collect { case (a, b) if a < 250 && b >= 250 => (b, a) }.toSet
+    assert(across == expect, s"$across vs $expect")
+    assert(across.nonEmpty, "split must cut at least one planted pair")
+  }
+
   test("minhash agrees with exact jaccard pairs on sf0.001 documents") {
     val d = Tables.documents(spark, sf0001)
     val exact = NearDup.ngramJaccardPairs(d, threshold = 0.5)

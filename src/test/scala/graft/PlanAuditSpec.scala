@@ -62,11 +62,12 @@ class PlanAuditSpec extends SparkSpec {
     val exchangeId = "Exchange (?:hash|range)partitioning[^\\n]*plan_id=(\\d+)".r
     // Accuracy-gate queries (`*_recall`, `*_bounds`) deliberately run TWO
     // full pipelines (exact reference + approximate) plus the comparison
-    // join/aggregate, and `corpus_clean` composes FOUR operator pipelines —
-    // their budget is a pipeline multiple, not one pipeline.
+    // join/aggregate, and the composition queries (`corpus_clean`,
+    // `dedup_incremental`) run FOUR operator pipelines each — their budget
+    // is a pipeline multiple, not one pipeline.
     def cap(name: String): Int =
       if (name.endsWith("_recall") || name.endsWith("_bounds")
-        || name == "corpus_clean") 16
+        || name == "corpus_clean" || name == "dedup_incremental") 16
       else 6
     val offenders = Queries.all.flatMap { q =>
       val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
