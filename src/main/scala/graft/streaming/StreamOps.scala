@@ -132,6 +132,20 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming face of the incremental-ingest gate (`dedup_incremental`):
+    * drop stream rows whose key already exists in the STATIC ingested-key
+    * table. A stream-static left-anti join — Spark rebroadcasts/rescans
+    * the static side per micro-batch, the stream side carries no state at
+    * all (unlike watermark dedup, which is for in-stream repeats; compose
+    * both for the full gate: anti-join history, then watermark-dedup the
+    * survivors). */
+  def dedupAgainstStatic(
+      stream: DataFrame,
+      ingestedKeys: DataFrame,
+      keyCol: String
+  ): DataFrame =
+    stream.join(ingestedKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key from the trailing `windowMinutes`.
     * Both sides are watermarked so the join state (buffered unmatched
