@@ -114,6 +114,32 @@ object Ext {
     )
   )
 
+  /** PII redaction over a corpus with SYNTHESIZED deterministic PII (the
+    * testdata word soup has none): each doc gets an email and a ≥6-digit
+    * reference appended from its own doc_id, so both engines build the
+    * identical dirty input and the scrubbed output + per-doc PII counts
+    * hash-match. */
+  private val redactPii = QDef(
+    "redact_pii",
+    (s, d) => Text.redactPii(
+      documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com ref "),
+          (col("doc_id") * 100003L + 100019L).cast("string")).as("text")))
+      .orderBy(col("doc_id")),
+    Some(
+      "WITH dirty AS (SELECT doc_id, text || ' contact u' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com ref ' || " +
+        "CAST(doc_id * 100003 + 100019 AS VARCHAR) AS text FROM documents) " +
+        s"SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${Text.emailPattern}')) AS INT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(regexp_replace(text, '${Text.emailPattern}', '<EMAIL>', 'g'), " +
+        s"'${Text.longNumberPattern}')) AS INT) AS n_numbers, " +
+        s"regexp_replace(regexp_replace(text, '${Text.emailPattern}', '<EMAIL>', 'g'), " +
+        s"'${Text.longNumberPattern}', '<NUM>', 'g') AS redacted " +
+        "FROM dirty ORDER BY doc_id")
+  )
+
   /** Bag-of-words canonical fingerprint. */
   private val fingerprintQ = QDef(
     "fingerprint",
@@ -748,6 +774,7 @@ object Ext {
 
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
+    redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, decontaminate, corpusClean,
     dedupIncremental,

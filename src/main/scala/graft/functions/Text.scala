@@ -154,6 +154,29 @@ object Text {
           .as("top_gram_share"))
   }
 
+  /** PII patterns for [[redactPii]] — kept to the regex subset Java
+    * (Spark) and RE2 (DuckDB) interpret identically (char classes +
+    * bounded quantifiers, no lookaround/backrefs), so the redacted
+    * strings hash-match across engines. */
+  val emailPattern = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  val longNumberPattern = "[0-9]{6,}"
+
+  /** Deterministic PII redaction — the scrub pass of a training-data
+    * pipeline: email-like spans then long digit runs become typed
+    * placeholders (emails first: they contain digits). Per-row codegen'd
+    * `regexp_replace`, zero shuffle; counts emitted so a pipeline can
+    * quarantine PII-dense documents rather than silently rewriting them. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col(textCol), lit(emailPattern)).as("n_emails"),
+      regexp_count(
+        regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        lit(longNumberPattern)).as("n_numbers"),
+      regexp_replace(
+        regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        longNumberPattern, "<NUM>").as("redacted"))
+
   /** Order-canonical document fingerprint: md5 over the sorted distinct
     * token set. Two documents with permuted/duplicated tokens share a
     * fingerprint — the cheap bag-of-words near-dup key. */
