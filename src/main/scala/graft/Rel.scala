@@ -470,6 +470,78 @@ object Rel {
       "WHERE s_nationkey = 1 GROUP BY s_name ORDER BY s_name")
   )
 
+  /** TPC-H Q6-shaped forecast-revenue scan: tight multi-predicate filter
+    * straight into one global aggregate — the purest pushdown+codegen
+    * shape (no shuffle beyond the single-row final agg). Revenue goes
+    * through exact decimal products (DECIMAL(18,2)×DECIMAL(18,2) — both
+    * engines multiply decimals exactly), so the sum is reduction-order-
+    * and engine-invariant. */
+  private val q6Forecast = QDef(
+    "q6_forecast",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))
+          * col("l_discount").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+      "* CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+      "CAST(count(*) AS BIGINT) AS n_items FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24")
+  )
+
+  /** TPC-H Q4-shaped EXISTS aggregate: orders with at least one deeply
+    * discounted item, counted by priority — EXISTS decorrelates to a
+    * left-semi join (no payload duplication, no distinct needed). */
+  private val q4Priority = QDef(
+    "q4_priority",
+    (s, d) => orders(s, d)
+      .join(lineitem(s, d).filter(col("l_discount") >= 0.06),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority")),
+    Some("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders " +
+      "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_discount >= 0.06) " +
+      "GROUP BY 1 ORDER BY o_orderpriority")
+  )
+
+  /** TPC-H Q14-shaped promo-revenue ratio: conditional vs total aggregate
+    * in ONE pass over the filtered fact (no second scan), dimension
+    * broadcast. Exact decimal sums; the final ratio is one IEEE divide. */
+  private val q14Promo = QDef(
+    "q14_promo",
+    (s, d) => {
+      val prod = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", prod)).cast(DoubleType)
+            .as("promo_rev"),
+          sum(prod).cast(DoubleType).as("total_rev"))
+        .select((col("promo_rev") * 100.0 / col("total_rev"))
+          .as("promo_pct"))
+    },
+    Some("SELECT CAST(sum(CASE WHEN p_type = 'PROMO' " +
+      "THEN CAST(l_extendedprice AS DECIMAL(18,2)) " +
+      "* CAST(1.0 - l_discount AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 " +
+      "/ CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+      "* CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_pct " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01'")
+  )
+
   /** Salted equi-join on a PATHOLOGICALLY skewed key: `l_returnflag` has 3
     * distinct values, so a plain shuffle join lands each key's entire row
     * mass on one reducer — the partition that doesn't fit an executor at
@@ -605,5 +677,5 @@ object Rel {
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
-    joinSalted, groupingSets)
+    joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo)
 }
