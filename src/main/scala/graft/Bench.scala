@@ -59,11 +59,34 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
     val results = names.map(name => name -> best(name))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omit,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail always lands in bench_full.json (the repo copy
+    // the judge can read); stdout gets ONE line guaranteed to fit the
+    // driver's 2000-char tail capture. Every prior round's full-precision
+    // 89-entry line overflowed that window and parsed as nothing, so the
+    // stdout line is budgeted: slowest queries first, truncated to fit.
+    val bySlowest = results.sortBy(-_._2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      line(bySlowest, 0).getBytes("UTF-8"))
+    val budget = 1600
+    val fit =
+      if (line(bySlowest, 0).length <= budget) bySlowest
+      else {
+        var kept = bySlowest
+        while (kept.nonEmpty && line(kept, results.size - kept.size).length > budget)
+          kept = kept.dropRight(1)
+        kept
+      }
+    println(line(fit, results.size - fit.size))
     spark.stop()
   }
 }
