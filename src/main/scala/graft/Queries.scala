@@ -335,7 +335,7 @@ object Queries {
     * Names must be unique — `SparkEntry.queries` is a Map, and a duplicate
     * would silently shadow an earlier query in the driver's gate. */
   def all: Seq[QDef] = {
-    val qs = core ++ Rel.all ++ Ext.all
+    val qs = core ++ Rel.all ++ Tpch.all ++ Ext.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs

@@ -120,6 +120,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"no anti join:\n$p")
   }
 
+  test("q21 decorrelates EXISTS/NOT EXISTS to semi/anti joins, no subquery loop") {
+    val p = physical(q("q21_waiting"))
+    assert(p.contains("LeftSemi"), s"no semi join for EXISTS:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join for NOT EXISTS:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q21:\n$p")
+  }
+
+  test("q13 plans a left outer join preserving zero-order customers") {
+    val p = physical(q("q13_order_dist"))
+    assert(p.contains("LeftOuter"), s"no outer join:\n$p")
+    // the priority predicate prunes orders BEFORE the join (pushed to scan)
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"priority filter not pushed into the orders scan:\n$p")
+  }
+
+  test("q19 pushes the prunable side of the disjunction to the part scan") {
+    val p = physical(q("q19_disjunctive"))
+    // the part-side disjunction (brand=X AND size<=s, OR'd) is implied by
+    // the OR-of-ANDs and must reach the part scan's pushed filters
+    // (plan toString elides long PushedFilters lists — the Filter node's
+    // `= Brand#12` and the pushed `EqualTo(p_brand` prefix are both stable)
+    assert(p.contains("EqualTo(p_brand") || p.contains("= Brand#12)"),
+      s"no brand pruning at the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+  }
+
+  test("q7 broadcasts both nation hops and supplier; facts shuffle on orderkey") {
+    val p = physical(q("q7_nation_volume"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension hops not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q7:\n$p")
+  }
+
+  test("q22 broadcasts the 1-row average and anti-joins urgent orders") {
+    val p = physical(q("q22_opportunity"))
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar-average side not broadcast:\n$p")
+  }
+
   test("sessionize reuses one exchange for both windows and the aggregate") {
     val p = physical(q("sessionize"))
     // both window passes and the groupBy hash on user_id; a single
