@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing — the concatenate-and-chunk step of an LLM training
+  * pipeline: documents are laid out in a deterministic global token
+  * stream (ordered by a key), and the stream is cut every `budget` tokens
+  * into training bins. Each document gets its global stream offset and
+  * the bin its first token lands in; bin-level stats (docs per bin, fill,
+  * boundary-spanning docs) fall out of one aggregate over that.
+  *
+  * The scale problem is the GLOBAL running sum: a single `Window.orderBy`
+  * cumsum funnels the whole corpus through one task. This implementation
+  * is the two-pass order-statistics shape instead (same pattern as
+  * [[Quantiles.exactQuantilesGlobal]]):
+  *
+  *   1. rows land in `nBuckets` ORDER-PRESERVING key ranges (a monotone
+  *      function of the key, so bucket boundaries respect stream order);
+  *   2. per-bucket token totals — one tiny aggregate (`nBuckets` rows,
+  *      driver-side prefix sum: bounded metadata, never row data);
+  *   3. the in-bucket cumsum is a window PARTITIONED BY bucket (each
+  *      window partition is corpus/nBuckets rows, not the corpus), and
+  *      the global offset = bucket prefix + in-bucket cumsum.
+  *
+  * No stage sees more than corpus/nBuckets rows in one task; the only
+  * driver state is `nBuckets` longs. The DuckDB oracle reproduces the
+  * result with a plain global-window cumsum — exact (integer arithmetic),
+  * so the distributed layout is hash-checked against the sequential
+  * definition.
+  */
+object Packing {
+
+  /** Per-document packing assignment: (all input columns) + `n_tokens`,
+    * `stream_offset` (tokens before this doc in the global stream), and
+    * `bin` (= stream_offset div budget — the training bin the doc starts
+    * in; a doc spans into the next bin iff offset+n_tokens crosses a
+    * multiple of `budget`).
+    *
+    * `orderKey` must be unique per row (stream order must be total for
+    * the layout to be deterministic); `tokenCount` is any non-negative
+    * integer expression (whitespace tokens, BPE-ish counts, bytes).
+    */
+  def packSequences(
+      docs: DataFrame,
+      orderKey: Column,
+      tokenCount: Column,
+      budget: Long,
+      nBuckets: Int = 1024
+  ): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val keyed = docs
+      .withColumn("_key", orderKey.cast(LongType))
+      .withColumn("n_tokens", tokenCount.cast(LongType))
+
+    // Order-preserving bucket: scale the key into [0, nBuckets) by the key
+    // span. min/max are a footer-cheap aggregate (bounded driver state).
+    val Array(minKey, maxKey) = keyed.agg(min(col("_key")), max(col("_key")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = math.max(1L, maxKey - minKey + 1)
+    val bucketed = keyed.withColumn("_bucket",
+      least(((col("_key") - minKey) * nBuckets / span).cast(LongType),
+        lit(nBuckets - 1L)))
+
+    // Pass 1: per-bucket totals → driver prefix sums (nBuckets longs).
+    val totals = bucketed.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_bucket_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefixes = {
+      var acc = 0L
+      (0L until nBuckets.toLong).map { b =>
+        val p = b -> acc; acc += totals.getOrElse(b, 0L); p
+      }.toMap
+    }
+    val prefixCol = {
+      // nBuckets-entry literal CASE is wasteful; a map literal keeps it one
+      // expression: element_at(map(...), bucket)
+      val entries = prefixes.toSeq.sortBy(_._1)
+        .flatMap { case (b, p) => Seq(lit(b), lit(p)) }
+      element_at(map(entries: _*), col("_bucket"))
+    }
+
+    // Pass 2: in-bucket exclusive cumsum; window partitions are bucket-sized.
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("_key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("stream_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + prefixCol)
+      .withColumn("bin", expr(s"stream_offset div ${budget}L"))
+      .drop("_key", "_bucket")
+  }
+
+  /** Bin-level packing stats over [[packSequences]] output: documents per
+    * bin, tokens STARTING in the bin, and how many of its docs span past
+    * the bin boundary (span iff offset + n_tokens > (bin+1)·budget). The
+    * span rate is the packing-efficiency metric pipeline owners watch. */
+  def binStats(packed: DataFrame, budget: Long): DataFrame =
+    packed
+      .withColumn("_spans",
+        (col("stream_offset") + col("n_tokens") >
+          (col("bin") + 1) * budget).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_starting"),
+        sum(col("_spans")).cast(LongType).as("n_spanning"))
+}

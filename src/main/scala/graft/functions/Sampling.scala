@@ -26,4 +26,27 @@ object Sampling {
     df.withColumn("split",
       when(substring(md5(key), 1, 2) < th, lit("test")).otherwise(lit("train")))
   }
+
+  /** Balanced stratified sample: exactly `min(n, |stratum|)` rows per
+    * stratum, chosen by md5 order of the row key — deterministic,
+    * engine-independent (DuckDB reproduces it with a row_number window),
+    * and a pure function of the data, so re-runs and late additions
+    * never reshuffle previously-selected rows within an unchanged
+    * stratum. This is the "cap every language/source at N docs" mixture
+    * step of corpus assembly.
+    *
+    * Scale shape: one hash shuffle on the stratum key and a per-stratum
+    * top-n window — no stratum ever concentrates more than its own rows
+    * in a task, and there is no driver-side state at all. A skewed
+    * stratum is inherent to the operator's semantics (its rows must meet
+    * to be ranked); for corpus-scale strata apply [[hashSample]] first to
+    * pre-thin, then rank exactly. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(key), key)
+    df.withColumn("_sel", row_number().over(w))
+      .filter(col("_sel") <= n)
+      .drop("_sel")
+  }
 }
