@@ -61,7 +61,10 @@ object Bench {
     val results = names.map(name => name -> best(name))
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale-pinned: the f interpolator honors the default locale, and a
+    // comma-decimal locale would emit invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

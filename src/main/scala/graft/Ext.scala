@@ -712,6 +712,86 @@ object Ext {
       "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY bin")
   )
 
+  // ------------------------------------------------ packing & splitting
+
+  /** Sequence packing layout over documents: each doc's global stream
+    * offset and starting bin ([[graft.functions.Packing.packSequences]] —
+    * the distributed two-pass cumsum). The oracle is the sequential
+    * definition: a plain global-window running sum. Integer arithmetic
+    * end-to-end, so the distributed layout hash-matches it exactly. */
+  private val packSeq = QDef(
+    "pack_sequences",
+    (s, d) => graft.functions.Packing.packSequences(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        orderKey = col("doc_id"), tokenCount = col("n_chars"),
+        budget = 4096L)
+      .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
+        col("bin"))
+      .orderBy(col("doc_id")),
+    Some("WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS stream_offset FROM documents) " +
+      "SELECT doc_id, n_tokens, stream_offset, " +
+      "stream_offset // 4096 AS bin FROM s ORDER BY doc_id")
+  )
+
+  /** Bin-level packing stats ([[graft.functions.Packing.binStats]]):
+    * docs per bin, tokens starting in it, boundary-spanning docs. */
+  private val packBins = QDef(
+    "pack_binstats",
+    (s, d) => graft.functions.Packing.binStats(
+        graft.functions.Packing.packSequences(
+          documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), budget = 4096L),
+        budget = 4096L)
+      .orderBy(col("bin")),
+    Some("WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS stream_offset FROM documents), " +
+      "p AS (SELECT n_tokens, stream_offset, " +
+      "stream_offset // 4096 AS bin FROM s) " +
+      "SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS n_tokens_starting, " +
+      "CAST(sum(CASE WHEN stream_offset + n_tokens > (bin + 1) * 4096 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning " +
+      "FROM p GROUP BY bin ORDER BY bin")
+  )
+
+  /** Balanced per-stratum cap ([[graft.functions.Sampling
+    * .stratifiedSample]]): ≤10 docs per language by md5 order of the row
+    * key — deterministic, so DuckDB reproduces the exact row set. */
+  private val sampleStrat = QDef(
+    "sample_stratified",
+    (s, d) => graft.functions.Sampling.stratifiedSample(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        stratum = col("lang"), key = col("doc_id").cast("string"), n = 10)
+      .orderBy(col("lang"), col("doc_id")),
+    Some("WITH r AS (SELECT doc_id, lang, row_number() OVER " +
+      "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), " +
+      "CAST(doc_id AS VARCHAR)) AS rn FROM documents) " +
+      "SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY lang, doc_id")
+  )
+
+  /** Hash-deterministic train/test split ([[graft.functions.Sampling
+    * .trainTestSplit]]), verified by split counts: membership is a pure
+    * function of the key, so both engines agree row-for-row. */
+  private val splitTT = QDef(
+    "split_traintest",
+    (s, d) => graft.functions.Sampling.trainTestSplit(
+        lineitem(s, d),
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split")),
+    Some("SELECT CASE WHEN substring(md5(CAST(l_orderkey AS VARCHAR) " +
+      "|| '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a' " +
+      "THEN 'test' ELSE 'train' END AS split, " +
+      "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+      "GROUP BY 1 ORDER BY split")
+  )
+
   // ---------------------------------------------------------- multimodal
   // Media tables aren't in the driver testdata, so each query generates its
   // corpus DETERMINISTICALLY in-query (real PNG/WAV/GVID bytes) and outputs
@@ -781,6 +861,7 @@ object Ext {
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, sampleDet, sampleBottomK, histogramQ,
+    packSeq, packBins, sampleStrat, splitTT,
     mediaDecode, videoFrames, audioDecode
   )
 }

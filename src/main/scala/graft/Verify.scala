@@ -9,6 +9,13 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    // A misspelled filter would otherwise write an empty outDir and
+    // silently zero the round's correctness — fail loudly instead.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -51,18 +51,32 @@ object Packing {
       nBuckets: Int = 1024
   ): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    val reserved = Seq("n_tokens", "stream_offset", "bin", "_key", "_bucket")
+    val clash = docs.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"packSequences reserves output columns ${reserved.mkString("/")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before packing")
     val keyed = docs
       .withColumn("_key", orderKey.cast(LongType))
       .withColumn("n_tokens", tokenCount.cast(LongType))
 
-    // Order-preserving bucket: scale the key into [0, nBuckets) by the key
-    // span. min/max are a footer-cheap aggregate (bounded driver state).
+    // Order-preserving bucket: fixed-width key ranges. min/max are a
+    // footer-cheap aggregate (bounded driver state). Width is computed
+    // DIVIDE-FIRST: `(key-min)*nBuckets/span` would wrap for spans past
+    // Long.MaxValue/nBuckets (~9e15 — nanosecond timestamps, hash keys),
+    // silently producing negative/non-monotone buckets. `(key-min)/width`
+    // with width = ceil(span/nBuckets) cannot overflow (key-min < span),
+    // stays monotone, and provably lands in [0, nBuckets). Span overflow
+    // itself fails loudly via addExact/subtractExact.
     val Array(minKey, maxKey) = keyed.agg(min(col("_key")), max(col("_key")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = math.max(1L, maxKey - minKey + 1)
+    val span =
+      try Math.addExact(Math.subtractExact(maxKey, minKey), 1L)
+      catch { case _: ArithmeticException => throw new IllegalArgumentException(
+        s"key span [$minKey, $maxKey] exceeds Long range; rescale the order key") }
+    val width = math.max(1L, (math.max(1L, span) - 1L) / nBuckets + 1L)
     val bucketed = keyed.withColumn("_bucket",
-      least(((col("_key") - minKey) * nBuckets / span).cast(LongType),
-        lit(nBuckets - 1L)))
+      expr(s"(_key - ${minKey}L) div ${width}L"))
 
     // Pass 1: per-bucket totals → driver prefix sums (nBuckets longs).
     val totals = bucketed.groupBy(col("_bucket"))

@@ -43,6 +43,8 @@ object Sampling {
     * pre-thin, then rank exactly. */
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
       n: Int): DataFrame = {
+    require(!df.columns.contains("_sel"),
+      "stratifiedSample reserves the internal column _sel; rename it first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(md5(key), key)
     df.withColumn("_sel", row_number().over(w))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Packing, Sampling}
+
+/** Sequence-packing layout ([[graft.functions.Packing]]) — the
+  * distributed two-pass cumsum vs its sequential definition, the
+  * overflow-safe bucketing, and the reserved-column guards. Oracle parity
+  * at sf is covered by `pack_sequences` / `pack_binstats` in CORRECTNESS;
+  * these tests pin the edge cases the oracle data can't reach. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seqPack(rows: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long)] = {
+    // sequential definition: running sum in key order
+    var acc = 0L
+    rows.sortBy(_._1).map { case (k, n) =>
+      val off = acc; acc += n; (k, off, off / budget)
+    }
+  }
+
+  test("packSequences matches the sequential cumsum definition") {
+    val rows = (0L until 200L).map(i => (i * 7 % 997, i % 13 + 1))
+    val df = rows.toDF("k", "n")
+    val packed = Packing.packSequences(df, col("k"), col("n"), budget = 50L, nBuckets = 16)
+      .select("k", "stream_offset", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == seqPack(rows, 50L))
+  }
+
+  test("bucketing survives key spans past Long.MaxValue/nBuckets (divide-first)") {
+    // A multiply-first bucket expression wraps for these keys; divide-first
+    // must stay monotone and exact. Keys span ~1.8e19 of range.
+    val big = Seq(Long.MinValue / 4, -1000000L, 0L, 1000000L, Long.MaxValue / 4)
+      .zipWithIndex.map { case (k, i) => (k, i.toLong + 1) }
+    val packed = Packing.packSequences(big.toDF("k", "n"), col("k"), col("n"),
+        budget = 3L, nBuckets = 1024)
+      .select("k", "stream_offset", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == seqPack(big, 3L))
+  }
+
+  test("span overflowing Long fails loudly, not silently") {
+    val df = Seq((Long.MinValue, 1L), (Long.MaxValue, 1L)).toDF("k", "n")
+    val e = intercept[IllegalArgumentException](
+      Packing.packSequences(df, col("k"), col("n"), budget = 10L))
+    assert(e.getMessage.contains("span"))
+  }
+
+  test("reserved output columns in the input fail fast") {
+    val df = Seq((1L, 2L)).toDF("k", "n_tokens")
+    val e = intercept[IllegalArgumentException](
+      Packing.packSequences(df, col("k"), col("k"), budget = 10L))
+    assert(e.getMessage.contains("n_tokens"))
+  }
+
+  test("binStats counts boundary-spanning docs") {
+    // budget 10: doc A [0,8) no span, B [8,14) spans, C [14,18) no span
+    val df = Seq((1L, 8L), (2L, 6L), (3L, 4L)).toDF("k", "n")
+    val packed = Packing.packSequences(df, col("k"), col("n"), budget = 10L)
+    val stats = Packing.binStats(packed, budget = 10L)
+      .select("bin", "n_docs", "n_tokens_starting", "n_spanning")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stats == Seq((0L, 2L, 14L, 1L), (1L, 1L, 4L, 0L)))
+  }
+
+  test("stratifiedSample caps each stratum and rejects _sel collisions") {
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val sampled = Sampling.stratifiedSample(df, col("g"), col("id").cast("string"), 5)
+    val counts = sampled.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L) && counts.size == 3)
+    // deterministic: same rows on re-run
+    val again = Sampling.stratifiedSample(df, col("g"), col("id").cast("string"), 5)
+    assert(sampled.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(df.withColumn("_sel", lit(1)), col("g"), col("id"), 5))
+  }
+}
