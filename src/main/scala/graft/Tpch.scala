@@ -267,6 +267,148 @@ object Tpch {
       "GROUP BY c_nationkey ORDER BY c_nationkey")
   )
 
+  /** TPC-H Q8-shaped market share: one nation's fraction of the revenue
+    * that ASIA-region customers spent on STANDARD-type parts, per order
+    * year. Shape: star join with two nation hops + conditional aggregation
+    * whose ratio is a per-group scalar divide. The numerator/denominator
+    * are exact DECIMAL sums, divided only after the cast to DOUBLE — one
+    * IEEE divide of identical operands in both engines. */
+  private val q8MarketShare = QDef(
+    "q8_market_share",
+    (s, d) => {
+      val volDec = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("c_nk"),
+          col("n_regionkey"))), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(part(s, d).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_7", volDec))
+          .cast(DoubleType) /
+          sum(volDec).cast(DoubleType)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+      "CAST(sum(CASE WHEN n2.n_name = 'NATION_7' THEN " +
+      "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) / " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+      "JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD' " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "GROUP BY 1 ORDER BY o_year")
+  )
+
+  /** TPC-H Q11-shaped important stock (adapted: the schema has no
+    * partsupp, so part "value" is its lineitem revenue): parts whose
+    * revenue exceeds 1.5× the mean part revenue. Stock Q11's fixed
+    * fraction-of-total threshold goes degenerate as part count grows
+    * (0 survivors at sf0.1); a mean multiple is scale-free. Shape:
+    * aggregate filtered against a global scalar subquery — the scalar
+    * lands as a 1-row broadcast cross join, never a shuffle. Threshold
+    * compare happens in DOUBLE on both sides from exact DECIMAL sums,
+    * with matching operator order (1.5*total)/n in both engines. */
+  private val q11ImportantStock = QDef(
+    "q11_important_stock",
+    (s, d) => {
+      val volDec = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))
+      val partVal = lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(sum(volDec).as("_value_dec"))
+      val total = partVal.agg(sum(col("_value_dec")).as("_total_dec"),
+        count(lit(1)).as("_n_parts"))
+      partVal.crossJoin(broadcast(total))
+        .filter(col("_value_dec").cast(DoubleType) >
+          lit(1.5) * col("_total_dec").cast(DoubleType) / col("_n_parts"))
+        .select(col("l_partkey"),
+          col("_value_dec").cast(DoubleType).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+    Some("WITH pv AS (SELECT l_partkey, " +
+      "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS vd " +
+      "FROM lineitem GROUP BY 1), " +
+      "t AS (SELECT sum(vd) AS td, count(*) AS n FROM pv) " +
+      "SELECT l_partkey, CAST(vd AS DOUBLE) AS part_value FROM pv, t " +
+      "WHERE CAST(vd AS DOUBLE) > 1.5 * CAST(td AS DOUBLE) / n " +
+      "ORDER BY part_value DESC, l_partkey")
+  )
+
+  /** TPC-H Q12-shaped shipping-priority audit (adapted: no ship mode or
+    * receipt date in the schema — l_linestatus stands in as the mode
+    * class, and "late" means shipped more than 90 days after the order
+    * date): per class, count lines from high- vs low-priority orders.
+    * Shape: fact-fact join + CASE-conditional aggregation. */
+  private val q12ShipModes = QDef(
+    "q12_ship_modes",
+    (s, d) => lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT"
+          || col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT"
+          && col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus")),
+    Some("SELECT l_linestatus, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY " +
+      "GROUP BY l_linestatus ORDER BY l_linestatus")
+  )
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) with maximum revenue
+    * over a 3-month window — the view-plus-max-of-aggregate shape. The
+    * max lands as a 1-row broadcast; revenue equality is tested on the
+    * exact DECIMAL sum (cross-engine-safe, unlike a double ==). */
+  private val q15TopSupplier = QDef(
+    "q15_top_supplier",
+    (s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .as("_rev_dec"))
+      val maxRev = rev.agg(max(col("_rev_dec")).as("_max_rev"))
+      rev.join(broadcast(maxRev), col("_rev_dec") === col("_max_rev"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("_rev_dec").cast(DoubleType).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("WITH r AS (SELECT l_suppkey, " +
+      "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS rd " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+      "SELECT s_suppkey, s_name, CAST(rd AS DOUBLE) AS total_revenue " +
+      "FROM r JOIN supplier ON l_suppkey = s_suppkey " +
+      "WHERE rd = (SELECT max(rd) FROM r) ORDER BY s_suppkey")
+  )
+
   val all: Seq[QDef] = Seq(q7NationVolume, q9Profit, q10Returned,
-    q13OrderDist, q16SupplierCnt, q19Disjunctive, q21Waiting, q22Opportunity)
+    q13OrderDist, q16SupplierCnt, q19Disjunctive, q21Waiting, q22Opportunity,
+    q8MarketShare, q11ImportantStock, q12ShipModes, q15TopSupplier)
 }
