@@ -374,6 +374,42 @@ object Ext {
     Some(ngramJaccardSql(0.5))
   )
 
+  /** Duplicate-cluster resolution: transitive closure of the near-dup
+    * pairs via distributed min-label propagation
+    * ([[graft.functions.Clusters.connectedComponents]]) — every document
+    * labeled with the minimum doc_id of its duplicate cluster (itself if
+    * unique). This is the keep-one-per-cluster step after pair finding.
+    * The oracle computes the same closure with a recursive CTE. */
+  private val dedupClusters = QDef(
+    "dedup_clusters",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.functions.Clusters.connectedComponents(
+        docs.select(col("doc_id")),
+        NearDup.ngramJaccardPairs(docs, threshold = 0.5),
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "e AS (SELECT id_a AS s, id_b AS t FROM pairs " +
+      "UNION SELECT id_b AS s, id_a AS t FROM pairs), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS lbl FROM documents " +
+      "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t) " +
+      "SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk " +
+      "GROUP BY node ORDER BY doc_id")
+  )
+
   /** Benchmark decontamination: overlap report of the corpus against a
     * held-out "benchmark" slice (doc_id < 10 stands in for the eval
     * suite) — broadcast bench shingles, one corpus pass, one doc_id
@@ -856,7 +892,8 @@ object Ext {
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
-    annIvfFull, annPqRecall, annPqFull, dedupNgram, decontaminate, corpusClean,
+    annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
+    decontaminate, corpusClean,
     dedupIncremental,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,

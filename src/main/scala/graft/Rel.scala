@@ -121,6 +121,35 @@ object Rel {
       "FROM events e WHERE e.event_type = 'purchase' ORDER BY event_id")
   )
 
+  /** Point-in-interval join via banding ([[graft.operators.Joins
+    * .rangeJoin]]): count lineitems whose (floored) price falls within
+    * ±500 of each sampled part's retail price. A plain inequality join
+    * here is a BroadcastNestedLoopJoin — O(points×intervals); the banded
+    * form is an ordinary hash join on the band key (PlanSpec asserts no
+    * nested loop survives). The oracle runs the naive BETWEEN join —
+    * same rows, quadratic plan, which is the point. */
+  private val joinRange = QDef(
+    "join_range",
+    (s, d) => {
+      val pts = lineitem(s, d).select(
+        expr("CAST(floor(l_extendedprice) AS BIGINT)").as("price_pt"))
+      val iv = part(s, d).filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey"),
+          (expr("CAST(floor(p_retailprice) AS BIGINT)") - 500L).as("lo"),
+          (expr("CAST(floor(p_retailprice) AS BIGINT)") + 500L).as("hi"))
+      graft.operators.Joins
+        .rangeJoin(pts, iv, "price_pt", "lo", "hi", bandWidth = 256L)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_in_band"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_in_band " +
+      "FROM part JOIN lineitem ON CAST(floor(l_extendedprice) AS BIGINT) " +
+      "BETWEEN CAST(floor(p_retailprice) AS BIGINT) - 500 " +
+      "AND CAST(floor(p_retailprice) AS BIGINT) + 500 " +
+      "WHERE p_partkey % 100 = 0 GROUP BY 1 ORDER BY 1")
+  )
+
   /** Hierarchical totals: ROLLUP over the grouping keys with grouping_id
     * disambiguating subtotal levels (Spark's grouping_id bit order matches
     * DuckDB's GROUPING(a,b)). */
@@ -673,7 +702,8 @@ object Rel {
   )
 
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
-    windowTopK, joinAsof, rollupAgg, distinctCountAgg, pivotAgg, windowMoving,
+    windowTopK, joinAsof, joinRange, rollupAgg, distinctCountAgg, pivotAgg,
+    windowMoving,
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,

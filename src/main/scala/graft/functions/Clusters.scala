@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution — the step AFTER pair finding. MinHash /
+  * n-gram / SimHash emit near-dup PAIRS; keep-one-per-group dedup needs the
+  * transitive closure of those pairs (A~B, B~C ⇒ {A,B,C} is one cluster)
+  * and a canonical representative per cluster. This is connected
+  * components over the pair graph.
+  *
+  * Implementation: iterative min-label propagation — every node starts
+  * labeled with itself; each round, every node adopts the minimum label
+  * among itself and its neighbors; fixpoint = every node carries its
+  * component's minimum node id. Each round is ONE equi-join of the edge
+  * list against the label table plus one aggregate — all hash shuffles on
+  * node id, no driver-side graph state ever (the driver sees only the
+  * one-row convergence check). Rounds needed = graph diameter; dup
+  * clusters are near-cliques (diameter ≤ ~3), so this converges in 2–4
+  * rounds where a general-graph algorithm (large-star/small-star) would
+  * pay its constant factors for nothing.
+  *
+  * Scale notes: the label table is persisted per round and the previous
+  * round is unpersisted, so lineage stays one round deep (on a cluster,
+  * swap persist for checkpoint past ~20 rounds). Hitting `maxIter`
+  * without a fixpoint throws — a truncated closure would silently
+  * under-merge clusters and let duplicates through.
+  */
+object Clusters {
+
+  /** Connected components over `nodes` with undirected `edges`.
+    *
+    * @param nodes   one row per node (isolated nodes allowed — they
+    *                become singleton clusters)
+    * @param edges   pair rows; direction and duplicates don't matter
+    * @return (nodeCol, cluster_id) — cluster_id = min node id reachable
+    *         from the node, so ids are stable, deterministic, and
+    *         partition-invariant.
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      nodeCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // Symmetric closure of the edge list; self-loops never change a label.
+    val sym = edges
+      .select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .union(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
+      .filter(col("_src") =!= col("_dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = nodes
+      .select(col(nodeCol).as("_node"), col(nodeCol).as("_label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label among each node's neighbors, joined back onto the node
+      val minNbr = sym
+        .join(labels, col("_dst") === col("_node"))
+        .groupBy(col("_src"))
+        .agg(min(col("_label")).as("_nbr_min"))
+      val next = labels
+        .join(minNbr, col("_node") === col("_src"), "left")
+        .select(col("_node"),
+          least(col("_label"), coalesce(col("_nbr_min"), col("_label")))
+            .as("_label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.as("n")
+        .join(labels.as("p"), col("n._node") === col("p._node"))
+        .filter(col("n._label") =!= col("p._label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it")
+    labels.select(col("_node").as(nodeCol), col("_label").as("cluster_id"))
+  }
+}

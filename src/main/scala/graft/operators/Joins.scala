@@ -96,6 +96,52 @@ object Joins {
     pruned.join(small, col(largeKey) === col(smallKey))
   }
 
+  /** Banded range join: pair each point row with every interval row that
+    * contains it (`start <= point <= end`) WITHOUT the nested-loop plan a
+    * plain inequality join degenerates to. Spark plans a non-equi join as
+    * BroadcastNestedLoopJoin — O(points × intervals) comparisons, the
+    * classic scale-killer for "assign events to windows" pipelines.
+    *
+    * Banding converts it to an equi-join: chop the number line into
+    * `bandWidth`-sized bands, band each point once (`point div W`),
+    * explode each interval to the bands it overlaps (`start div W` ..
+    * `end div W`), hash-join on the band, then apply the exact residual
+    * predicate. Each (point, interval) match meets in EXACTLY one band —
+    * the point's — so the result needs no dedup. Correct for negative
+    * values too: truncating division is monotone, so band(start) <=
+    * band(point) <= band(end) whenever the residual can pass.
+    *
+    * Cost: interval replication is len/W + 1 rows, and the shuffle is an
+    * ordinary hash exchange on the band key — pick `bandWidth` near the
+    * typical interval length for ~2× replication. At 100 TB both sides
+    * partition by band; no broadcast, no nested loop, and skew only where
+    * bands are genuinely hot (saltable like any equi-join).
+    *
+    * Point/start/end columns must be integral (cast timestamps to epoch
+    * units first); intervals with `start > end` are dropped as empty.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bandWidth: Long
+  ): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val clash = (points.columns ++ intervals.columns).contains("_band")
+    require(!clash, "rangeJoin reserves the internal column _band; rename it first")
+    val p = points.withColumn("_band", expr(s"$pointCol div ${bandWidth}L"))
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("_band", explode(sequence(
+        expr(s"$startCol div ${bandWidth}L"),
+        expr(s"$endCol div ${bandWidth}L"))))
+    p.join(iv, Seq("_band"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_band")
+  }
+
   /** Salted equi-join for skewed keys: replicate the small side
     * `saltBuckets` times, split each skewed large-side key across buckets
     * by a deterministic row hash. AQE's skew-join handles moderate skew at

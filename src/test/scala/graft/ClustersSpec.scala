@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Clusters
+
+/** Connected components ([[graft.functions.Clusters]]) — closure
+  * correctness on shapes the testdata's disjoint planted pairs can't
+  * reach: chains (multi-round propagation), cycles, merged stars, and
+  * the loud non-convergence guard. */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 25) =
+    Clusters.connectedComponents(
+        nodes.toDF("id"), edges.toDF("a", "b"), "id", "a", "b", maxIter)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("chain merges to one cluster labeled by its minimum") {
+    // 5-4-3-2-1: min label must walk the full diameter
+    val got = cc(1L to 5L, Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(got == (1L to 5L).map(_ -> 1L))
+  }
+
+  test("cycle, star, singleton, and duplicate/reversed edges") {
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L), // cycle
+      (20L, 21L), (20L, 22L), (22L, 20L), (21L, 20L),   // star + dups
+      (30L, 31L))
+    val got = cc(Seq(10L, 11L, 12L, 20L, 21L, 22L, 30L, 31L, 40L), edges)
+    assert(got == Seq(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L,
+      40L -> 40L))
+  }
+
+  test("two pair-chains merging via a bridge edge") {
+    // {1,2} and {3,4} separately, then 2-3 bridges them
+    val got = cc(1L to 4L, Seq((1L, 2L), (3L, 4L), (2L, 3L)))
+    assert(got == (1L to 4L).map(_ -> 1L))
+  }
+
+  test("no edges → every node is its own singleton cluster") {
+    val got = cc(Seq(7L, 8L, 9L), Seq.empty)
+    assert(got == Seq(7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("maxIter too small for the diameter fails loudly, never truncates") {
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException](cc(1L to 8L, chain, maxIter = 2))
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("near-dup pairs at sf0.001 match a driver-side union-find closure") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.functions.NearDup.ngramJaccardPairs(docs, threshold = 0.5)
+    val got = Clusters.connectedComponents(
+        docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // reference: classic union-find over the collected pairs (tiny here)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toSeq
+    assert(got == expected)
+    // and the pair graph is non-trivial: some clusters exceed two docs
+    val sizes = got.groupBy(_._2).values.map(_.size)
+    assert(sizes.exists(_ >= 2), "no multi-doc cluster — fixture degenerate")
+  }
+}

@@ -66,4 +66,33 @@ class JoinsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("lk", "v", "sk", "w"))
     assert(out.count() == 0)
   }
+
+  test("rangeJoin equals the naive inequality join, incl. negatives and overlaps") {
+    val pts = Seq(-300L, -256L, -1L, 0L, 1L, 255L, 256L, 1000L, 5000L)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+    val iv = Seq((1L, -300L, -200L), (2L, -10L, 10L), (3L, 0L, 0L),
+      (4L, 200L, 300L), (5L, 250L, 260L), // overlapping intervals
+      (6L, 999L, 1001L), (7L, 10L, 5L))   // start > end: empty
+      .toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(pts, iv, "p", "lo", "hi", bandWidth = 256L)
+    val naive = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(rows(got.orderBy("pid", "iid")) == rows(naive.orderBy("pid", "iid")))
+    // each matching pair appears exactly once (bands never double-count)
+    assert(got.count() == got.dropDuplicates("pid", "iid").count())
+  }
+
+  test("rangeJoin with band width larger and smaller than every interval") {
+    val pts = (0L until 100L).map(p => (p, p)).toDF("pid", "p")
+    val iv = Seq((1L, 10L, 30L), (2L, 25L, 26L)).toDF("iid", "lo", "hi")
+    val naive = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = Joins.rangeJoin(pts, iv, "p", "lo", "hi", bandWidth = w)
+      assert(rows(got.orderBy("pid", "iid")) == rows(naive.orderBy("pid", "iid")),
+        s"bandWidth=$w diverged")
+    }
+    intercept[IllegalArgumentException](
+      Joins.rangeJoin(pts, iv, "p", "lo", "hi", bandWidth = 0L))
+    intercept[IllegalArgumentException](
+      Joins.rangeJoin(pts.withColumn("_band", lit(1)), iv, "p", "lo", "hi", 8L))
+  }
 }

@@ -65,9 +65,14 @@ class PlanAuditSpec extends SparkSpec {
     // join/aggregate, and the composition queries (`corpus_clean`,
     // `dedup_incremental`) run FOUR operator pipelines each — their budget
     // is a pipeline multiple, not one pipeline.
+    // dedup_clusters is ITERATIVE (min-label propagation): ~2 bounded
+    // shuffles per closure round, rounds = graph diameter — its shuffle
+    // count is the algorithm, not a plan defect. Budget 4 shuffles per
+    // round over its 25-round ceiling's realistic 10-round slice.
     def cap(name: String): Int =
       if (name.endsWith("_recall") || name.endsWith("_bounds")
         || name == "corpus_clean" || name == "dedup_incremental") 16
+      else if (name == "dedup_clusters") 40
       else 6
     val offenders = Queries.all.flatMap { q =>
       val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()

@@ -115,6 +115,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"no aggregate side:\n$p")
   }
 
+  test("join_range bands the inequality into an equi-join, no nested loop") {
+    val p = physical(q("join_range"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in join_range:\n$p")
+    // the band key is a real equi-join: hash or sort-merge on _band
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"no equi-join on the band:\n$p")
+  }
+
   test("join_anti plans as an anti join, not a subquery re-scan") {
     val p = physical(q("join_anti"))
     assert(p.contains("LeftAnti"), s"no anti join:\n$p")
