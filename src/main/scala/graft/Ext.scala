@@ -410,6 +410,62 @@ object Ext {
       "GROUP BY node ORDER BY doc_id")
   )
 
+  /** Keep-one-per-cluster dedup: the corpus with every near-dup cluster
+    * collapsed to its canonical (minimum-id) document — the end-to-end
+    * use of [[graft.functions.Clusters.connectedComponents]]. A doc
+    * survives iff it IS its cluster's label. */
+  private val dedupCollapse = QDef(
+    "dedup_collapse",
+    (s, d) => {
+      val docs = documents(s, d)
+      val labels = graft.functions.Clusters.connectedComponents(
+        docs.select(col("doc_id")),
+        NearDup.ngramJaccardPairs(docs, threshold = 0.5),
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+      docs.join(
+          labels.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "e AS (SELECT id_a AS s, id_b AS t FROM pairs " +
+      "UNION SELECT id_b AS s, id_a AS t FROM pairs), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS lbl FROM documents " +
+      "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t), " +
+      "cl AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node) " +
+      "SELECT d.doc_id, lang, source, n_chars FROM documents d " +
+      "JOIN cl ON d.doc_id = cl.node WHERE cl.node = cl.cluster_id " +
+      "ORDER BY d.doc_id")
+  )
+
+  /** Mixture-weighted corpus sample ([[graft.functions.Sampling
+    * .mixtureSample]]): keep ~75% of English, ~50% of Chinese, ~25% of
+    * everything else, deterministically by row-key hash. */
+  private val mixtureQ = QDef(
+    "mixture_sample",
+    (s, d) => graft.functions.Sampling.mixtureSample(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        stratum = col("lang"), key = col("doc_id").cast("string"),
+        rates = Map("en" -> 0.75, "zh" -> 0.5), defaultRate = 0.25)
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, lang FROM documents " +
+      "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +
+      "(CASE lang WHEN 'en' THEN 'c0' WHEN 'zh' THEN '80' ELSE '40' END) " +
+      "ORDER BY doc_id")
+  )
+
   /** Benchmark decontamination: overlap report of the corpus against a
     * held-out "benchmark" slice (doc_id < 10 stands in for the eval
     * suite) — broadcast bench shingles, one corpus pass, one doc_id
@@ -893,7 +949,7 @@ object Ext {
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
-    decontaminate, corpusClean,
+    dedupCollapse, mixtureQ, decontaminate, corpusClean,
     dedupIncremental,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,

@@ -56,12 +56,16 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes
-      .select(col(nodeCol).as("_node"), col(nodeCol).as("_label"))
+      .select(col(nodeCol).as("_node"), col(nodeCol).as("_label"),
+        lit(false).as("_changed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min label among each node's neighbors, joined back onto the node
+      // min label among each node's neighbors, joined back onto the node.
+      // The round's change flag rides along in the same projection, so the
+      // convergence check is a filter over the (already persisted) round
+      // output — no second join per round.
       val minNbr = sym
         .join(labels, col("_dst") === col("_node"))
         .groupBy(col("_src"))
@@ -70,12 +74,11 @@ object Clusters {
         .join(minNbr, col("_node") === col("_src"), "left")
         .select(col("_node"),
           least(col("_label"), coalesce(col("_nbr_min"), col("_label")))
-            .as("_label"))
+            .as("_label"),
+          (coalesce(col("_nbr_min"), col("_label")) < col("_label"))
+            .as("_changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.as("n")
-        .join(labels.as("p"), col("n._node") === col("p._node"))
-        .filter(col("n._label") =!= col("p._label"))
-        .isEmpty
+      converged = next.filter(col("_changed")).isEmpty
       labels.unpersist()
       labels = next
       iter += 1

@@ -27,6 +27,34 @@ object Sampling {
       when(substring(md5(key), 1, 2) < th, lit("test")).otherwise(lit("train")))
   }
 
+  /** Mixture-weighted sample: per-stratum deterministic keep RATES (vs
+    * [[stratifiedSample]]'s per-stratum COUNT cap) — the "2 parts web, 1
+    * part code" mixing step of corpus assembly. Each stratum keeps
+    * ~rate·|stratum| rows chosen by md5 threshold on the row key, so
+    * membership is a pure function of (key, stratum rate): reproducible
+    * across engines/runs, and stable under late-arriving data. One
+    * filter, zero shuffles — the rate lookup is a literal map expression.
+    *
+    * Rates are clamped to [0, 1] and quantized to 1/256ths (the md5
+    * two-hex-char prefix compared against). Strata absent from `rates`
+    * keep `defaultRate`.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    def th(r: Double): String =
+      if (r >= 1.0) "zz" // every hex pair sorts below "zz": keep all
+      else f"${math.max(0, (r * 256).toInt)}%02x"
+    val thCol =
+      if (rates.isEmpty) lit(th(defaultRate))
+      else coalesce(
+        element_at(
+          map(rates.toSeq.sortBy(_._1)
+            .flatMap { case (k, r) => Seq(lit(k), lit(th(r))) }: _*),
+          stratum),
+        lit(th(defaultRate)))
+    df.filter(substring(md5(key), 1, 2) < thCol)
+  }
+
   /** Balanced stratified sample: exactly `min(n, |stratum|)` rows per
     * stratum, chosen by md5 order of the row key — deterministic,
     * engine-independent (DuckDB reproduces it with a row_number window),

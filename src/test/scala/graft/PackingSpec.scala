@@ -64,6 +64,26 @@ class PackingSpec extends SparkSpec {
     assert(stats == Seq((0L, 2L, 14L, 1L), (1L, 1L, 4L, 0L)))
   }
 
+  test("mixtureSample keeps ~rate per stratum, exact at the 0/1 edges") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val k = col("id").cast("string")
+    val got = Sampling.mixtureSample(df, col("g"), k,
+      Map("a" -> 0.75), defaultRate = 0.25)
+    val byG = got.groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    // 1000 rows per stratum; md5 is uniform — allow ±10% absolute
+    assert(math.abs(byG("a") - 750L) < 100, s"stratum a kept ${byG("a")}")
+    assert(math.abs(byG("b") - 250L) < 100, s"stratum b kept ${byG("b")}")
+    // rate 1.0 keeps everything, 0.0 keeps nothing
+    assert(Sampling.mixtureSample(df, col("g"), k, Map.empty, 1.0).count() == 2000)
+    assert(Sampling.mixtureSample(df, col("g"), k, Map.empty, 0.0).count() == 0)
+    // deterministic: the kept id set is a pure function of the key
+    val twice = Sampling.mixtureSample(df, col("g"), k, Map("a" -> 0.75), 0.25)
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      twice.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("stratifiedSample caps each stratum and rejects _sel collisions") {
     val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
     val sampled = Sampling.stratifiedSample(df, col("g"), col("id").cast("string"), 5)
