@@ -466,6 +466,38 @@ object Ext {
       "ORDER BY doc_id")
   )
 
+  /** Deterministic global shuffle order ([[graft.functions.Sampling
+    * .shuffleOrder]]): every doc's rank in md5 order via the two-pass
+    * bucket shape — the oracle runs the sequential single-window
+    * definition, pinning the distributed layout to it. */
+  private val shuffleQ = QDef(
+    "shuffle_order",
+    (s, d) => graft.functions.Sampling.shuffleOrder(
+        documents(s, d).select(col("doc_id")),
+        key = col("doc_id").cast("string"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, row_number() OVER (ORDER BY " +
+      "md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) - 1 " +
+      "AS shuffle_pos FROM documents ORDER BY doc_id")
+  )
+
+  /** Per-source token quota ([[graft.functions.Sampling.tokenQuota]]):
+    * each source greedily filled to 5000 chars in md5 order. */
+  private val quotaQ = QDef(
+    "quota_tokens",
+    (s, d) => graft.functions.Sampling.tokenQuota(
+        documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        stratum = col("source"), key = col("doc_id").cast("string"),
+        tokens = col("n_chars"), budget = 5000L)
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, source, n_chars FROM (" +
+      "SELECT doc_id, source, n_chars, sum(n_chars) OVER (" +
+      "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), " +
+      "CAST(doc_id AS VARCHAR) " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c " +
+      "FROM documents) WHERE c <= 5000 ORDER BY doc_id")
+  )
+
   /** Benchmark decontamination: overlap report of the corpus against a
     * held-out "benchmark" slice (doc_id < 10 stands in for the eval
     * suite) — broadcast bench shingles, one corpus pass, one doc_id
@@ -949,7 +981,7 @@ object Ext {
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
-    dedupCollapse, mixtureQ, decontaminate, corpusClean,
+    dedupCollapse, mixtureQ, shuffleQ, quotaQ, decontaminate, corpusClean,
     dedupIncremental,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,

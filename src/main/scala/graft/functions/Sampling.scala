@@ -55,6 +55,63 @@ object Sampling {
     df.filter(substring(md5(key), 1, 2) < thCol)
   }
 
+  /** Deterministic global shuffle order — the training-order permutation:
+    * every row gets its rank in md5(key) order (`0..n-1`). rand() orders
+    * differ per run and engine; hash order is a pure function of the key
+    * set, so shards cut from it are reproducible everywhere.
+    *
+    * The sequential definition is a GLOBAL row_number window — one task
+    * sees every row. This runs the two-pass order-statistics shape
+    * instead: rows land in 256 md5-prefix buckets (uniform by
+    * construction), per-bucket counts become driver-side prefix offsets
+    * (256 longs), and the rank is offset + in-bucket row_number — no task
+    * ever holds more than n/256 rows. `key` must be unique per row (it is
+    * the order tiebreak after the full md5). */
+  def shuffleOrder(df: DataFrame, key: Column,
+      posCol: String = "shuffle_pos"): DataFrame = {
+    val reserved = Seq(posCol, "_h", "_hbucket")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"shuffleOrder reserves ${reserved.mkString("/")}; input has ${clash.mkString(", ")}")
+    val keyed = df.withColumn("_h", md5(key))
+      .withColumn("_hbucket", substring(col("_h"), 1, 2))
+    val counts = keyed.groupBy(col("_hbucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hex = "0123456789abcdef"
+    val buckets = for (a <- hex; b <- hex) yield s"$a$b"
+    val offsets = {
+      var acc = 0L
+      buckets.map { bk => val p = bk -> acc; acc += counts.getOrElse(bk, 0L); p }
+    }
+    val offsetCol = element_at(
+      map(offsets.flatMap { case (bk, o) => Seq(lit(bk), lit(o)) }: _*),
+      col("_hbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_hbucket")).orderBy(col("_h"), key)
+    keyed
+      .withColumn(posCol, row_number().over(w) - 1 + offsetCol)
+      .drop("_h", "_hbucket")
+  }
+
+  /** Per-stratum token quota — "cap every source at `budget` tokens":
+    * walk each stratum in md5(key) order and keep rows while the running
+    * token total stays within budget (greedy deterministic fill). One
+    * shuffle on the stratum key; the cumsum window partitions by stratum,
+    * so no task concentrates more than a stratum. Deterministic: the kept
+    * set is a pure function of the data, reproducible in any engine. */
+  def tokenQuota(df: DataFrame, stratum: Column, key: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(!df.columns.contains("_cum_tokens"),
+      "tokenQuota reserves the internal column _cum_tokens; rename it first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(key), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("_cum_tokens", sum(tokens).over(w))
+      .filter(col("_cum_tokens") <= budget)
+      .drop("_cum_tokens")
+  }
+
   /** Balanced stratified sample: exactly `min(n, |stratum|)` rows per
     * stratum, chosen by md5 order of the row key — deterministic,
     * engine-independent (DuckDB reproduces it with a row_number window),

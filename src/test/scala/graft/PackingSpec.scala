@@ -84,6 +84,38 @@ class PackingSpec extends SparkSpec {
       twice.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("shuffleOrder is the exact md5-order permutation, bucket-distributed") {
+    val df = (1L to 500L).toDF("id")
+    val got = Sampling.shuffleOrder(df, col("id").cast("string"))
+      .as[(Long, Long)].collect()
+    // positions are a permutation of 0..n-1
+    assert(got.map(_._2).sorted.toSeq == (0L until 500L))
+    // and equal to the sequential definition: rank by (md5, key)
+    val expected = got.map(_._1).sortBy(id => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }).zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    got.foreach { case (id, pos) => assert(pos == expected(id), s"id=$id") }
+    intercept[IllegalArgumentException](
+      Sampling.shuffleOrder(df.withColumn("shuffle_pos", lit(1)), col("id")))
+  }
+
+  test("tokenQuota greedily fills each stratum to the budget in md5 order") {
+    val df = (1 to 60).map(i => (i.toLong, s"s${i % 3}", 10L)).toDF("id", "g", "tok")
+    // 20 rows x 10 tokens per stratum; budget 95 keeps exactly 9 per stratum
+    val got = Sampling.tokenQuota(df, col("g"), col("id").cast("string"),
+      col("tok"), budget = 95L)
+    val perG = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(perG.values.toSeq == Seq(9L, 9L, 9L), s"got $perG")
+    assert(got.columns.toSeq == Seq("id", "g", "tok"), "internal column leaked")
+    // a single row larger than the budget is excluded even when first
+    val big = Seq((1L, "x", 100L), (2L, "x", 1L)).toDF("id", "g", "tok")
+    val kept = Sampling.tokenQuota(big, col("g"), col("id").cast("string"),
+      col("tok"), budget = 50L).as[(Long, String, Long)].collect()
+    assert(!kept.exists(_._3 == 100L))
+  }
+
   test("stratifiedSample caps each stratum and rejects _sel collisions") {
     val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
     val sampled = Sampling.stratifiedSample(df, col("g"), col("id").cast("string"), 5)
