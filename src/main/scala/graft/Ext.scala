@@ -466,6 +466,39 @@ object Ext {
       "ORDER BY doc_id")
   )
 
+  /** Per-label embedding centroid via the custom
+    * [[graft.plans.VectorSumFixed]] aggregate: element-wise sums of
+    * pre-scaled integer vectors (exact, reduction-order-invariant) plus
+    * the count — the caller divides for the mean. The shuffle carries ONE
+    * dim-length array per (partition, group) regardless of row count;
+    * the relational posexplode alternative would inflate the shuffle by
+    * the vector dimension. The oracle recomputes the sums positionally
+    * via unnest WITH ORDINALITY. */
+  private val embedCentroid = QDef(
+    "embed_centroid",
+    (s, d) => embeddings(s, d)
+      .select(col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT))")
+        .as("sv"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.plans.VectorSumFixed.vectorSum(col("sv"), 64).as("_centroid"))
+      // flattened for the driver compare (array cells don't hash): one
+      // row per (label, position) — the aggregate itself stays array-shaped
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("_centroid")).as(Seq("pos", "centroid_num")))
+      .orderBy(col("label"), col("pos")),
+    Some("WITH u AS (SELECT label, i AS ord, " +
+      "CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) AS sx " +
+      "FROM embeddings, unnest(range(1, 65)) AS t(i)), " +
+      "s AS (SELECT label, ord, sum(sx) AS sx FROM u GROUP BY 1, 2), " +
+      "n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs " +
+      "FROM embeddings GROUP BY 1) " +
+      "SELECT s.label, n_vecs, CAST(ord - 1 AS INTEGER) AS pos, " +
+      "sx AS centroid_num FROM s JOIN n ON s.label = n.label " +
+      "ORDER BY s.label, pos")
+  )
+
   /** Deterministic global shuffle order ([[graft.functions.Sampling
     * .shuffleOrder]]): every doc's rank in md5 order via the two-pass
     * bucket shape — the oracle runs the sequential single-window
@@ -981,7 +1014,8 @@ object Ext {
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
-    dedupCollapse, mixtureQ, shuffleQ, quotaQ, decontaminate, corpusClean,
+    dedupCollapse, mixtureQ, shuffleQ, quotaQ, embedCentroid,
+    decontaminate, corpusClean,
     dedupIncremental,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
