@@ -62,4 +62,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sessions.sessionize(noEvents.withColumn("value", lit(0.0))
       .select("event_id", "ts", "user_id", "value")).count() == 0)
   }
+
+  test("packing, sampling, shuffle order, and token quota on empty frames") {
+    import graft.functions.{Packing, Sampling}
+    val noKeyed = Seq.empty[(Long, Long)].toDF("k", "n")
+    val packed = Packing.packSequences(noKeyed, col("k"), col("n"), budget = 10L)
+    assert(packed.count() == 0)
+    assert(packed.columns.toSeq ==
+      Seq("k", "n", "n_tokens", "stream_offset", "bin"))
+    assert(Packing.binStats(packed, 10L).count() == 0)
+    val key = col("i").cast("string")
+    assert(Sampling.stratifiedSample(noRows, col("k"), key, 3).count() == 0)
+    assert(Sampling.mixtureSample(noRows, col("k"), key, Map("a" -> 0.5), 0.1).count() == 0)
+    assert(Sampling.shuffleOrder(noRows, key).count() == 0)
+    assert(Sampling.tokenQuota(noRows, col("k"), key, col("i"), 10L).count() == 0)
+  }
+
+  test("connected components and range join on empty inputs") {
+    import graft.functions.Clusters
+    import graft.operators.Joins
+    val noNodes = Seq.empty[Long].toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Clusters.connectedComponents(noNodes, noEdges, "id", "a", "b").count() == 0)
+    val nodes = Seq(1L, 2L).toDF("id")
+    assert(Clusters.connectedComponents(nodes, noEdges, "id", "a", "b").count() == 2)
+    val noPts = Seq.empty[(Long, Long)].toDF("pid", "p")
+    val noIv = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    val iv = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    assert(Joins.rangeJoin(noPts, iv, "p", "lo", "hi", 8L).count() == 0)
+    assert(Joins.rangeJoin(Seq((1L, 5L)).toDF("pid", "p"), noIv,
+      "p", "lo", "hi", 8L).count() == 0)
+  }
 }
