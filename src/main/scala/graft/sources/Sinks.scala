@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Parquet sinks with the two layout levers that matter at 100 TB:
   * partition columns (directory-level pruning: a date/tenant filter skips
@@ -37,4 +38,31 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Training shards: the corpus cut into `nShards` near-equal partitioned
+    * directories in DETERMINISTIC shuffle order ([[graft.functions.Sampling
+    * .shuffleOrder]] — rank by md5 of the row key). Shard membership is
+    * `rank mod nShards`, so (a) shard sizes differ by at most one row,
+    * (b) the assignment is a pure function of the key set — re-runs and
+    * engines agree — and (c) each shard is itself a uniform sample of the
+    * corpus (any prefix of shards is a valid smaller training set). The
+    * write repartitions ON the shard column, so each task writes one
+    * shard's file — no tiny-file spray — and readers of `shard=k` prune
+    * every other directory at listing time.
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      keyCol: String,
+      path: String,
+      nShards: Int
+  ): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val sharded = graft.functions.Sampling
+      .shuffleOrder(df, col(keyCol).cast("string"))
+      .withColumn("shard", (col("shuffle_pos") % nShards).cast("int"))
+      .drop("shuffle_pos")
+    sharded
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

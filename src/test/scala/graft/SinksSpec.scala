@@ -48,6 +48,31 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("training shards: near-equal, deterministic, prunable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    val docs = Tables.documents(spark, sf0001)
+    Sinks.writeTrainingShards(docs, "doc_id", s"$dir/shards", nShards = 8)
+
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() == docs.count())
+    // near-equal shard sizes: max-min <= 1
+    val sizes = back.groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(sizes.size == 8)
+    assert(sizes.values.max - sizes.values.min <= 1, s"skewed shards: $sizes")
+    // deterministic: a second write assigns identical shards
+    Sinks.writeTrainingShards(docs, "doc_id", s"$dir/shards2", nShards = 8)
+    val a = back.select("doc_id", "shard").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val b = spark.read.parquet(s"$dir/shards2")
+      .select("doc_id", "shard").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // a shard filter prunes the other directories at listing time
+    val one = back.filter(col("shard") === 3)
+    val scan = one.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter not pushed to listing:\n$scan")
+  }
+
   test("row iteration streams partitions without a full collect (opApply analog)") {
     // reference foreach with early break (`dataframe.d:265-277`):
     // toLocalIterator pulls one partition at a time to the driver
