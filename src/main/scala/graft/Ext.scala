@@ -819,6 +819,21 @@ object Ext {
     )
   )
 
+  /** Corpus-frequency quality score ([[Text.unigramQuality]]) — the
+    * log-free LM-style rare-token detector: exact integer frequency sums
+    * into one IEEE divide. */
+  private val unigramQ = QDef(
+    "unigram_quality",
+    (s, d) => Text.unigramQuality(documents(s, d)),
+    Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+      "FROM documents), " +
+      "cf AS (SELECT token, count(*) AS corpus_tf FROM t GROUP BY 1) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(corpus_tf) AS BIGINT) AS sum_tf, " +
+      "CAST(sum(corpus_tf) AS DOUBLE) / count(*) AS mean_tf " +
+      "FROM t JOIN cf USING (token) GROUP BY doc_id ORDER BY doc_id")
+  )
+
   /** Deterministic ~10% sample by md5 hex-prefix of the row key —
     * reproducible across engines and runs (vs rand()). */
   private val sampleDet = QDef(
@@ -1019,7 +1034,7 @@ object Ext {
     dedupIncremental,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, sampleDet, sampleBottomK, histogramQ,
+    tfidfTop, unigramQ, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     mediaDecode, videoFrames, audioDecode
   )

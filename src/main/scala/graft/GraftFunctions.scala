@@ -80,8 +80,39 @@ object GraftFunctions {
         Bridge.toAnalyzableExpression(Similarity.dot(
           Similarity.asDouble(Bridge.toColumn(es(0))),
           Similarity.asDouble(Bridge.toColumn(es(1)))))
+      }),
+    ("graft_vector_sum",
+      "graft_vector_sum(v, dim) - AGGREGATE: element-wise exact sum of fixed-length bigint vectors (dim literal int)",
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_vector_sum takes 2 arguments")
+        val dim = literalInt(es(1), "graft_vector_sum", "dim")
+        graft.plans.VectorSumFixed(es(0), dim).toAggregateExpression()
+      }),
+    ("graft_bottom_k",
+      "graft_bottom_k(v, k) - AGGREGATE: the k distinct values with smallest md5 digests (deterministic sample; k literal int)",
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_bottom_k takes 2 arguments")
+        val k = literalInt(es(1), "graft_bottom_k", "k")
+        graft.plans.BottomKByHash(es(0), k).toAggregateExpression()
       })
   )
+
+  /** Evaluate a parameter that shapes the expression tree: must be a
+    * foldable INT literal (same contract as graft_shingles' w). Plain
+    * IllegalArgumentException — error-class-based AnalysisExceptions
+    * don't render outside the sql module's own error classes. */
+  private def literalInt(e: Expression, fn: String, param: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $param must be a foldable INT literal, got a non-foldable expression")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be an INT literal, got ${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+  }
 
   /** Register every graft function on an already-built session
     * (session-scoped, `createOrReplaceTempFunction`). Idempotent. */

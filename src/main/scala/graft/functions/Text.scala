@@ -196,6 +196,29 @@ object Text {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Corpus-frequency quality score — the log-free cousin of LM-perplexity
+    * filtering: a document built from tokens the corpus rarely uses (OCR
+    * noise, mojibake, boilerplate IDs) scores low mean corpus term
+    * frequency; natural prose scores high. Per doc: token count, the
+    * exact BIGINT sum of each token's corpus frequency, and their ratio
+    * (one IEEE divide of exact integers — bit-reproducible, unlike a
+    * log-prob sum whose libm and reduction order both vary).
+    *
+    * Two shuffles at any scale: the corpus frequency aggregate (vocab-
+    * sized) and the token→frequency join (AQE broadcasts the vocab side
+    * when it fits); the per-doc aggregate rides the join's doc_id
+    * partials. */
+  def unigramQuality(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val corpusFreq = toks.groupBy(col("token")).agg(count(lit(1)).as("corpus_tf"))
+    toks.join(corpusFreq, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("corpus_tf")).as("sum_tf"))
+      .withColumn("mean_tf", col("sum_tf").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top terms per document by tf·(N/df) — the ratio-idf variant (no
     * logarithm on purpose: libm log() may differ in the last ulp across
     * engines, tf·N/df is exact integer arithmetic into one IEEE divide,

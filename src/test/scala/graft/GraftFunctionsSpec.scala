@@ -39,6 +39,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 11.0)
   }
 
+  test("graft_vector_sum / graft_bottom_k aggregates from SQL match the Column API") {
+    val df = (1 to 50).map(i => (i % 2, Array(i.toLong, -i.toLong), i.toString))
+      .toDF("g", "v", "s")
+    df.createOrReplaceTempView("_gf_agg")
+    val viaSql = spark.sql(
+      "SELECT g, graft_vector_sum(v, 2) AS vs, graft_bottom_k(s, 3) AS bk " +
+        "FROM _gf_agg GROUP BY g")
+      .as[(Int, Seq[Long], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2.toList, r._3.toList))).toMap
+    val viaApi = df.groupBy("g").agg(
+        graft.plans.VectorSumFixed.vectorSum(col("v"), 2).as("vs"),
+        graft.plans.BottomKByHash.bottomK(col("s"), 3).as("bk"))
+      .as[(Int, Seq[Long], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2.toList, r._3.toList))).toMap
+    assert(viaSql == viaApi)
+    // dim/k must be literals (the analyzer wraps our AnalysisException)
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_vector_sum(v, g) FROM _gf_agg GROUP BY g").collect())
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("extensions hook registers the same functions at session build") {
     // exercise the SparkSessionExtensions path directly (the shared test
     // session is already built, so apply the injections to a fresh
@@ -50,6 +71,6 @@ class GraftFunctionsSpec extends SparkSpec {
     // without throwing, and names stay in sync with the session-level path
     assert(GraftFunctions.all.map(_._1).toSet == Set(
       "graft_cosine", "graft_sorted_intersect", "graft_simhash64",
-      "graft_shingles", "graft_dot"))
+      "graft_shingles", "graft_dot", "graft_vector_sum", "graft_bottom_k"))
   }
 }
