@@ -72,7 +72,7 @@ class PlanAuditSpec extends SparkSpec {
     def cap(name: String): Int =
       if (name.endsWith("_recall") || name.endsWith("_bounds")
         || name == "corpus_clean" || name == "dedup_incremental") 16
-      else if (name == "dedup_clusters") 40
+      else if (name == "dedup_clusters" || name == "dedup_collapse") 40
       else 6
     val offenders = Queries.all.flatMap { q =>
       val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
