@@ -227,4 +227,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.columns.toSeq ==
       Seq("window_start", "event_type", "n_events", "sum_value"))
   }
+
+  test("hash samplers are streaming-safe and batch-identical (stateless filters)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // membership is a pure function of the key → the streaming result must
+    // equal the batch filter over the same rows, micro-batching and all
+    val q = graft.functions.Sampling.mixtureSample(
+        mem.toDF(), stratum = col("text"), key = col("doc_id").cast("string"),
+        rates = Map("keep half" -> 0.5), defaultRate = 0.25)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_out").start()
+    val docs = (1L to 200L).map(i =>
+      Doc(i, if (i % 2 == 0) "keep half" else "other", ts((i % 50).toInt)))
+    try {
+      mem.addData(docs.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(100): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out").select("doc_id").as[Long].collect().sorted
+      val batch = graft.functions.Sampling.mixtureSample(
+          docs.toDF(), col("text"), col("doc_id").cast("string"),
+          Map("keep half" -> 0.5), 0.25)
+        .select("doc_id").as[Long].collect().sorted
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty && batch.length < 200)
+    } finally q.stop()
+  }
 }
