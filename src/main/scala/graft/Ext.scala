@@ -819,6 +819,26 @@ object Ext {
     )
   )
 
+  /** Heavy-hitters vocabulary via the Misra–Gries sketch
+    * ([[graft.plans.HeavyHittersMG]]): capacity-bounded per-partition
+    * state instead of a vocab-wide shuffle. Registered with capacity 64 >
+    * |vocab| — the regime where MG is provably EXACT, so the sketch
+    * hash-matches the exact count table (the ann_*_full pattern: pin the
+    * machinery with an exact-mode oracle; the sub-capacity bounds are
+    * unit-asserted on a zipf stream). */
+  private val vocabSketch = QDef(
+    "vocab_sketch",
+    (s, d) => documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .agg(graft.plans.HeavyHittersMG.heavyHitters(col("token"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("n"))
+      .orderBy(col("n").desc, col("token")),
+    Some("SELECT token, CAST(count(*) AS BIGINT) AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+      "GROUP BY token ORDER BY n DESC, token")
+  )
+
   /** Corpus-frequency quality score ([[Text.unigramQuality]]) — the
     * log-free LM-style rare-token detector: exact integer frequency sums
     * into one IEEE divide. */
@@ -1034,7 +1054,7 @@ object Ext {
     dedupIncremental,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, sampleDet, sampleBottomK, histogramQ,
+    tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     mediaDecode, videoFrames, audioDecode
   )

@@ -94,6 +94,13 @@ object GraftFunctions {
         require(es.length == 2, "graft_bottom_k takes 2 arguments")
         val k = literalInt(es(1), "graft_bottom_k", "k")
         graft.plans.BottomKByHash(es(0), k).toAggregateExpression()
+      }),
+    ("graft_heavy_hitters",
+      "graft_heavy_hitters(v, capacity) - AGGREGATE: Misra-Gries frequent items, capacity-bounded state (capacity literal int)",
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_heavy_hitters takes 2 arguments")
+        val cap = literalInt(es(1), "graft_heavy_hitters", "capacity")
+        graft.plans.HeavyHittersMG(es(0), cap).toAggregateExpression()
       })
   )
 

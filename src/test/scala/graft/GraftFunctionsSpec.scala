@@ -71,6 +71,7 @@ class GraftFunctionsSpec extends SparkSpec {
     // without throwing, and names stay in sync with the session-level path
     assert(GraftFunctions.all.map(_._1).toSet == Set(
       "graft_cosine", "graft_sorted_intersect", "graft_simhash64",
-      "graft_shingles", "graft_dot", "graft_vector_sum", "graft_bottom_k"))
+      "graft_shingles", "graft_dot", "graft_vector_sum", "graft_bottom_k",
+      "graft_heavy_hitters"))
   }
 }
