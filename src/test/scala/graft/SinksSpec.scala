@@ -73,6 +73,37 @@ class SinksSpec extends SparkSpec {
       s"shard filter not pushed to listing:\n$scan")
   }
 
+  test("z-order write: every file covers a small rectangle of BOTH key ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    Sinks.writeZOrdered(li, s"$dir/z", "l_partkey", "l_suppkey", nFiles = 16)
+
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == li.count())
+    // per-file min/max of both keys — the footer stats pruning works from
+    val spans = back
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(min("l_partkey").as("pLo"), max("l_partkey").as("pHi"),
+        min("l_suppkey").as("sLo"), max("l_suppkey").as("sHi"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(spans.length >= 8, s"expected ~16 files, got ${spans.length}")
+    val Seq(pMin, pMax, sMin, sMax) = li
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    def avgFrac(lohi: Seq[(Long, Long)], lo: Long, hi: Long) =
+      lohi.map { case (a, b) => (b - a).toDouble / math.max(1L, hi - lo) }
+        .sum / lohi.length
+    val pFrac = avgFrac(spans.map(s => (s._2, s._3)).toSeq, pMin, pMax)
+    val sFrac = avgFrac(spans.map(s => (s._4, s._5)).toSeq, sMin, sMax)
+    // 16 files ≈ 4 z-bits: each file should span ~25% of each dimension;
+    // a single-column sort would pin one near 100%. Allow slack to 60%.
+    assert(pFrac < 0.6, f"l_partkey avg file span $pFrac%.2f of range")
+    assert(sFrac < 0.6, f"l_suppkey avg file span $sFrac%.2f of range")
+  }
+
   test("row iteration streams partitions without a full collect (opApply analog)") {
     // reference foreach with early break (`dataframe.d:265-277`):
     // toLocalIterator pulls one partition at a time to the driver
