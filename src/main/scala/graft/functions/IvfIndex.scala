@@ -56,6 +56,23 @@ final class IvfIndex private (
   private def probedCells(q: DataFrame): Seq[Int] =
     q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
 
+  /** Incremental ingest: assign + encode a NEW batch with the index's
+    * FROZEN quantizer (centroids + codebooks unchanged — the standard IVF
+    * growth mode) and append it to the cell-partitioned layout. Cost is
+    * batch-sized: the existing corpus is never read or rewritten, and the
+    * new rows land in their cells' directories where every later probe
+    * finds them ([[cells]] re-reads the layout per serve call). Retraining
+    * the quantizer (after heavy drift) is [[IvfIndex.build]] to a fresh
+    * path — append never silently changes what existing codes mean. */
+  def appendBatch(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cb = codebooks // fail fast on legacy PQ-less indexes
+    NearDup.fanOut(batch)
+      .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
+      .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Top-k cosine neighbors of each query against the probed cells only,
     * re-ranking RAW vectors (the plain-IVF serve path).
     * `nProbe = nCells` probes everything → exact brute-force top-k (each

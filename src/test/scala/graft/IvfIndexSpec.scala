@@ -75,6 +75,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(full) == rows(exact))
   }
 
+  test("appendBatch: incremental ingest serves like a full build, batch-sized cost") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val old = e.filter(col("vec_id") < 400)
+    val fresh = e.filter(col("vec_id") >= 400)
+    val idx = IvfIndex.build(old, "vec_id", "embedding", nCells = 8, dir)
+    idx.appendBatch(fresh, "vec_id", "embedding")
+    // the appended layout holds the whole corpus, still cell-partitioned
+    assert(idx.cells.count() == e.count())
+    assert(idx.cells.select("cell").distinct().count() <= 8)
+    // full probe over the grown index is exact over the UNION corpus
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == rows(exact))
+    // the PQ path sees appended codes too (full probe + big rerank = exact)
+    assert(rows(idx.pqTopK(q, "vec_id", "embedding", 5, nProbe = 8,
+      rerank = 1000)) == rows(exact))
+    // appended rows landed INSIDE existing cell directories (no new cells,
+    // no rewrite of the quantizer): a reload answers identically
+    val reloaded = IvfIndex.load(spark, dir)
+    assert(rows(reloaded.topK(q, "vec_id", "embedding", 5, nProbe = 8))
+      == rows(exact))
+  }
+
   test("load() round-trips the persisted codebooks") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cb").toString
     val built = IvfIndex.build(e, "vec_id", "embedding", nCells = 8, dir)
