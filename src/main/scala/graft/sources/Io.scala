@@ -73,6 +73,28 @@ object Io {
     })
   }
 
+  /** JSONL (one JSON object per line) source — the interchange format LLM
+    * corpora actually ship in. Same contract as [[readTable]]: caller
+    * supplies the schema (no inference pass over 100 TB), FAILFAST parse
+    * so a malformed line fails the job instead of silently nulling a
+    * column. JSONL is splittable text: each file split parses in
+    * parallel, same as the CSV path. */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: StructType
+  ): DataFrame =
+    spark.read
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .json(path)
+
+  /** JSONL sink: one object per line, one file per partition. Column
+    * order/naming carries through as JSON keys; callers wanting one file
+    * coalesce(1) explicitly (driver-size data only). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** CSV sink (`toCsv`, `dataframe.d:128-149`): optional header, optional
     * leading row-number column. The reference writes one file from one
     * array; a distributed engine writes one file per partition — callers

@@ -67,6 +67,23 @@ class FrameIoSpec extends SparkSpec {
     assert(rows(back.sortAll()) == rows(df.sortAll()))
   }
 
+  test("jsonl round-trip with schema; FAILFAST throws on malformed lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Io.writeJsonl(df, s"$dir/out")
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("i", IntegerType),
+      StructField("d", DoubleType)))
+    val back = Io.readJsonl(spark, s"$dir/out", schema)
+    assert(back.columns.toSeq == Seq("s", "i", "d"))
+    assert(rows(back.sortAll()) == rows(df.sortAll()))
+    // a malformed line fails the job rather than silently nulling columns
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.jsonl"),
+      "{\"s\": \"ok\", \"i\": 1, \"d\": 2.0}\nnot json at all\n".getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException](
+      Io.readJsonl(spark, s"$dir/bad.jsonl", schema).collect())
+  }
+
   test("writeCsv writeIndex emits contiguous 0..n-1 row numbers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csvi").toString
     Io.writeCsv(df, s"$dir/out", sep = "\t", writeIndex = true,
