@@ -47,6 +47,7 @@ object Clusters {
       maxIter: Int = 25
   ): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val nodeSet = nodes.select(col(nodeCol).as("_node"))
     // Symmetric closure of the edge list; self-loops never change a label.
     val sym = edges
       .select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
@@ -55,8 +56,17 @@ object Clusters {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = nodes
-      .select(col(nodeCol).as("_node"), col(nodeCol).as("_label"),
+    // Iterate ONLY over nodes that touch an edge: an isolated node can
+    // neither change nor influence a label, and in a dedup corpus the
+    // pair-touched subgraph is a sliver of the corpus — the per-round
+    // label state is O(edge endpoints), not O(nodes). Singletons rejoin
+    // as their own cluster at the end. Endpoints outside the node set
+    // stay UNLABELED, which drops them from both round joins — the same
+    // edges-restricted-to-nodes contract as labeling the full node set.
+    var labels = nodeSet
+      .join(sym.select(col("_src").as("_node")).distinct(),
+        Seq("_node"), "left_semi")
+      .select(col("_node"), col("_node").as("_label"),
         lit(false).as("_changed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
@@ -88,6 +98,9 @@ object Clusters {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise it")
-    labels.select(col("_node").as(nodeCol), col("_label").as("cluster_id"))
+    nodeSet
+      .join(labels, Seq("_node"), "left")
+      .select(col("_node").as(nodeCol),
+        coalesce(col("_label"), col("_node")).as("cluster_id"))
   }
 }
