@@ -131,13 +131,18 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `--conf spark.sql.extensions=graft.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.GraftExtensions`. Installs the SQL
+  * function surface AND the banded-range-join optimizer rule
+  * ([[graft.plans.BandedRangeJoinRule]] — naive inequality joins stop
+  * planning as nested loops, cluster-wide). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftFunctions", null, name, usage, ""),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+  }
 }
