@@ -115,6 +115,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"no aggregate side:\n$p")
   }
 
+  test("vocab_sketch never shuffles on the token key (capacity-bounded state)") {
+    val p = physical(q("vocab_sketch"))
+    // the exact vocab count would hash-exchange on token; the sketch's
+    // whole point is that only ≤capacity-entry partial states move
+    assert(!p.contains("hashpartitioning(token"),
+      s"sketch shuffled the token stream:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no imperative aggregate for the sketch:\n$p")
+  }
+
+  test("embed_centroid aggregates partially before one label exchange") {
+    val p = physical(q("embed_centroid"))
+    assert("hashpartitioning\\(label".r.findAllIn(p).size >= 1, p.take(1500))
+    // no posexplode before the aggregate: the dim-fold row inflation is
+    // exactly what the custom aggregate avoids (the flatten for the
+    // driver compare runs AFTER the agg, on nLabels rows)
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    val genIdx = p.indexOf("Generate")
+    assert(aggIdx >= 0, s"no ObjectHashAggregate:\n${p.take(1500)}")
+    assert(genIdx == -1 || genIdx < aggIdx,
+      s"explode runs before the aggregate:\n${p.take(2000)}")
+  }
+
   test("join_range bands the inequality into an equi-join, no nested loop") {
     val p = physical(q("join_range"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
