@@ -121,6 +121,29 @@ object Rel {
       "FROM events e WHERE e.event_type = 'purchase' ORDER BY event_id")
   )
 
+  /** Tolerance-bounded as-of join ([[graft.operators.Joins
+    * .asofJoinWithin]]): latest prior signup per purchase, but only if it
+    * happened within the last 24 hours — stale matches null out. */
+  private val joinAsofTol = QDef(
+    "join_asof_tol",
+    (s, d) => {
+      val ev = events(s, d)
+      graft.operators.Joins.asofJoinWithin(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "signup"),
+        key = "user_id", tsCol = "ts", asofCol = "last_signup_ts",
+        toleranceSec = 86400L)
+        .orderBy(col("event_id"))
+    },
+    Some("SELECT event_id, CAST(e.ts AS TIMESTAMP) AS ts, user_id, event_type, value, props, " +
+      "(SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s " +
+      " WHERE s.user_id = e.user_id AND s.event_type = 'signup' " +
+      " AND CAST(s.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) " +
+      " AND CAST(s.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 86400 SECOND" +
+      ") AS last_signup_ts " +
+      "FROM events e WHERE e.event_type = 'purchase' ORDER BY event_id")
+  )
+
   /** Point-in-interval join via banding ([[graft.operators.Joins
     * .rangeJoin]]): count lineitems whose (floored) price falls within
     * ±500 of each sampled part's retail price. A plain inequality join
@@ -702,8 +725,8 @@ object Rel {
   )
 
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
-    windowTopK, joinAsof, joinRange, rollupAgg, distinctCountAgg, pivotAgg,
-    windowMoving,
+    windowTopK, joinAsof, joinAsofTol, joinRange, rollupAgg, distinctCountAgg,
+    pivotAgg, windowMoving,
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,

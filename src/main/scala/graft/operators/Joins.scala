@@ -54,6 +54,27 @@ object Joins {
       } :+ col(asofCol)): _*)
   }
 
+  /** [[asofJoin]] with a staleness bound — the `merge_asof(tolerance=…)`
+    * shape: a prior right-side event older than `toleranceSec` seconds is
+    * no match (a feature pipeline must not attach last year's signup to
+    * today's purchase). Same single-shuffle running-max plan; the
+    * tolerance is a post-window null-out, not a join condition, so the
+    * plan is IDENTICAL to the unbounded as-of. */
+  def asofJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      asofCol: String,
+      toleranceSec: Long
+  ): DataFrame = {
+    require(toleranceSec >= 0, s"tolerance must be non-negative, got $toleranceSec")
+    asofJoin(left, right, key, tsCol, asofCol)
+      .withColumn(asofCol,
+        when(col(asofCol) >=
+          col(tsCol) - expr(s"INTERVAL $toleranceSec SECONDS"), col(asofCol)))
+  }
+
   /** Bloom-pruned equi-join: build a Bloom filter over the small side's
     * join keys (one tiny aggregate job — the sketch is KBs against
     * `expectedItems` keys), then pre-filter the LARGE side with the native

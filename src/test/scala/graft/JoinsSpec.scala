@@ -33,6 +33,20 @@ class JoinsSpec extends SparkSpec {
     assert(rows(got).head == Seq(1L, ts(9), 7L, "x", 1.5, ts(1)))
   }
 
+  test("asofJoinWithin nulls out matches older than the tolerance") {
+    val left = Seq((10L, ts(30), 1L), (11L, ts(31), 2L)).toDF("event_id", "ts", "user_id")
+    val right = Seq((ts(29), 1L), (ts(5), 2L)).toDF("ts", "user_id")
+    val got = Joins.asofJoinWithin(left, right, "user_id", "ts", "prev_ts",
+      toleranceSec = 600L) // 10 minutes
+      .orderBy("event_id")
+    assert(rows(got.select("event_id", "prev_ts")) == Seq(
+      Seq(10L, ts(29)), // 1 min old: kept
+      Seq(11L, null)    // 26 min old: stale, nulled
+    ))
+    intercept[IllegalArgumentException](
+      Joins.asofJoinWithin(left, right, "user_id", "ts", "p", -1L))
+  }
+
   test("saltedJoin equals the plain join (incl. a pathologically skewed key)") {
     val large = ((1 to 500).map(i => ("hot", i)) ++ Seq(("a", 1), ("b", 2)))
       .toDF("k", "v")
