@@ -60,13 +60,20 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       e.references.subsetOf(pointSide.outputSet) && integral(e) && e.deterministic
     def fromBound(e: Expression) =
       e.references.subsetOf(boundSide.outputSet) && integral(e) && e.deterministic
+    // strict bounds band identically: the lo..hi band cover is a superset
+    // of the strict interval's, and the original conjunct stays in the
+    // join condition as the exact residual
     val lower = conjuncts.collectFirst {
       case GreaterThanOrEqual(p, lo) if fromPoint(p) && fromBound(lo) => (p, lo)
       case LessThanOrEqual(lo, p) if fromPoint(p) && fromBound(lo) => (p, lo)
+      case GreaterThan(p, lo) if fromPoint(p) && fromBound(lo) => (p, lo)
+      case LessThan(lo, p) if fromPoint(p) && fromBound(lo) => (p, lo)
     }
     val upper = conjuncts.collectFirst {
       case LessThanOrEqual(p, hi) if fromPoint(p) && fromBound(hi) => (p, hi)
       case GreaterThanOrEqual(hi, p) if fromPoint(p) && fromBound(hi) => (p, hi)
+      case LessThan(p, hi) if fromPoint(p) && fromBound(hi) => (p, hi)
+      case GreaterThan(hi, p) if fromPoint(p) && fromBound(hi) => (p, hi)
     }
     (lower, upper) match {
       case (Some((p1, lo)), Some((p2, hi))) if p1.semanticEquals(p2) =>

@@ -44,6 +44,18 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("strict bounds band too, residual keeps strictness") {
+    val expected = rows(
+      pts.join(iv, col("p") > col("lo") && col("p") < col("hi"))
+        .orderBy("pid", "iid"))
+    withRule {
+      val joined = pts.join(iv, col("p") > col("lo") && col("p") < col("hi"))
+      val p = plan(joined)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$p")
+      assert(rows(joined.orderBy("pid", "iid")) == expected)
+    }
+  }
+
   test("band width conf is honored") {
     withRule {
       spark.conf.set("spark.graft.rangeJoin.bandWidth", "64")
