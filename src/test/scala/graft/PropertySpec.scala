@@ -60,4 +60,62 @@ class PropertySpec extends SparkSpec {
       assert(firsts.length == df.select("k").distinct().count())
     }
   }
+
+  test("rangeJoin == naive inequality join over random points/intervals/widths") {
+    import org.apache.spark.sql.functions._
+    val ptGen = Gen.listOfN(40, Gen.choose(-1000L, 1000L))
+    val ivGen = Gen.listOfN(15, Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(0L, 300L)))
+    for (i <- 1 to 5) {
+      val pts = ptGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .zipWithIndex.map { case (p, j) => (j.toLong, p) }.toDF("pid", "p")
+      val iv = ivGen.pureApply(Gen.Parameters.default, Seed(100L + i))
+        .zipWithIndex.map { case ((lo, len), j) => (j.toLong, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val naive = rows(pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+        .orderBy("pid", "iid"))
+      for (w <- Seq(7L, 64L, 5000L)) {
+        val banded = rows(graft.operators.Joins
+          .rangeJoin(pts, iv, "p", "lo", "hi", w).orderBy("pid", "iid"))
+        assert(banded == naive, s"seed=$i width=$w")
+      }
+    }
+  }
+
+  test("packSequences == sequential cumsum over random docs") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(50, Gen.choose(0L, 500L))
+    for (i <- 1 to 5) {
+      val toks = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .zipWithIndex.map { case (n, j) => (j.toLong * 13 % 997, n) }
+        .distinctBy(_._1) // orderKey must be unique
+      val df = toks.toDF("k", "n")
+      val got = graft.functions.Packing
+        .packSequences(df, col("k"), col("n"), budget = 64L, nBuckets = 8)
+        .select("k", "stream_offset", "bin")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      var acc = 0L
+      val expected = toks.sortBy(_._1).map { case (k, n) =>
+        val off = acc; acc += n; (k, off, off / 64L)
+      }
+      assert(got == expected, s"seed=$i")
+    }
+  }
+
+  test("connectedComponents == union-find over random graphs") {
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    for (i <- 1 to 5) {
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val got = graft.functions.Clusters.connectedComponents(
+          (0L until 20L).toDF("id"), edges.toDF("a", "b"), "id", "a", "b")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val parent = scala.collection.mutable.Map((0L until 20L).map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      assert(got == (0L until 20L).map(n => n -> find(n)), s"seed=$i")
+    }
+  }
 }
