@@ -1044,6 +1044,82 @@ object Ext {
       "FROM range(0, 32) t(i) ORDER BY asset_id")
   )
 
+  // ------------------------------------------- semdedup / chunking / search
+
+  /** SemDedup ([[graft.functions.SemDedup.semanticDupPairs]]): k-means-cell
+    * pairwise dedup on the same planted-duplicate corpus as `dedup_embed` —
+    * the two approximate embedding-dedup paths (sign-LSH vs clustered) are
+    * hash-checked against ONE exact brute-force oracle. The oracle is exact
+    * here because planted pairs are identical vectors (cell assignment is a
+    * pure function of the vector, so both copies land in the same cell) and
+    * the base corpus has no ≥0.95 pair (measured: zero ≥0.93 at sf0.01). */
+  private val semdedupPairs = QDef(
+    "semdedup_pairs",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.functions.SemDedup.semanticDupPairs(e.union(planted),
+        "vec_id", "embedding", threshold = 0.95, nCells = 16)
+    },
+    Some(
+      ("WITH corpus AS (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cosSql("a.v", "b.v")} AS sim " +
+        "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.95 " +
+        "ORDER BY id_a, id_b")
+    )
+  )
+
+  /** Context-window chunking ([[graft.functions.Text.chunkDocs]]):
+    * 32-token windows, stride 24 (8-token overlap). Chunk layout is pure
+    * integer arithmetic, so DuckDB reproduces it exactly — including the
+    * short final window (list_slice and Spark's slice both clamp). */
+  private val chunkDocsQ = QDef(
+    "chunk_docs",
+    (s, d) => Text.chunkDocs(documents(s, d), sizeTokens = 32, strideTokens = 24)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some(
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "n AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 1 " +
+        "ELSE ((len(toks) - 32 + 23) // 24) + 1 END AS n_chunks FROM t), " +
+        "c AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n) " +
+        "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
+        "array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ') AS chunk_text, " +
+        "CAST(len(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32)) AS INT) AS n_chunk_tokens " +
+        "FROM c ORDER BY doc_id, chunk_id")
+    )
+  )
+
+  /** Metadata-filtered exact vector search ([[graft.functions.Similarity
+    * .filteredTopK]]): top-5 neighbors restricted to corpus label = 1.
+    * The predicate lands in the parquet scan (pre-filter), asserted in
+    * PlanSpec. */
+  private val simTopKFiltered = QDef(
+    "sim_topk_filtered",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.Similarity.filteredTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, corpusPredicate = col("label") === 1)
+    },
+    Some(
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE label = 1), " +
+        s"p AS (SELECT qid, nid, ${cosSql("qe", "ce")} AS sim FROM c, q WHERE qid <> nid), " +
+        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, nid) AS rn FROM p) " +
+        "SELECT qid, nid, round(sim, 6) AS sim FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, nid")
+    )
+  )
+
   val all: Seq[QDef] = Seq(
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii,
@@ -1056,6 +1132,7 @@ object Ext {
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
+    semdedupPairs, chunkDocsQ, simTopKFiltered,
     mediaDecode, videoFrames, audioDecode
   )
 }

@@ -73,6 +73,24 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Metadata-filtered exact search — the vector-database "filtered ANN"
+    * composition, PRE-filter flavor: the predicate restricts the corpus
+    * BEFORE fan-out, so it reaches the parquet scan as a pushed filter and
+    * only qualifying vectors are ever scored (post-filtering a top-k
+    * instead can starve the result below k). For selective predicates the
+    * exact scan IS the scale path — the corpus side shrinks to the
+    * predicate's selectivity; for broad predicates compose the same
+    * filter with [[Ivf.ivfTopK]] / [[IvfIndex]] probing instead. */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      corpusPredicate: Column
+  ): DataFrame =
+    bruteForceTopK(corpus.filter(corpusPredicate), queries, idCol, vecCol, k)
+
   /** Per-JVM cache of exact top-k reference sets, keyed by the corpus and
     * query plans' canonicalized hashes: the four `ann_*_recall` gates share
     * ONE brute-force pass per (corpus, queries, k) instead of four. The

@@ -51,6 +51,40 @@ object Text {
       regexp_count(col("text"), lit(bpeishPattern)).as("n_bpeish_tokens")
     )
 
+  /** Context-window chunking: split each document's token stream into
+    * windows of `sizeTokens` tokens advancing by `strideTokens` (overlap =
+    * size − stride) — the example-construction step between corpus
+    * cleaning and [[Packing.packSequences]] in a training pipeline. Every
+    * token is covered; the LAST window of a document may be shorter
+    * (`slice` clamps at the end of the array). Documents with ≤`sizeTokens`
+    * tokens yield exactly one chunk.
+    *
+    * Chunk count is pure integer arithmetic
+    * (`ceil((n − size) / stride) + 1` via `div`), so the layout is
+    * engine-exact and the DuckDB oracle reproduces it bit-for-bit. Scale
+    * shape: per-row explode with fan-out ~n/stride — no shuffle, no driver
+    * state; output size is input·(size/stride), the expected overlap
+    * factor. */
+  def chunkDocs(docs: DataFrame, sizeTokens: Int, strideTokens: Int): DataFrame = {
+    require(sizeTokens > 0, s"sizeTokens must be positive, got $sizeTokens")
+    require(strideTokens > 0 && strideTokens <= sizeTokens,
+      s"strideTokens must be in [1, sizeTokens=$sizeTokens], got $strideTokens")
+    val nChunks = when(col("_n") <= sizeTokens, lit(1L))
+      .otherwise(expr(s"(_n - $sizeTokens + $strideTokens - 1) div $strideTokens") + lit(1L))
+    val start = (col("chunk_id") * strideTokens + 1).cast(IntegerType)
+    val chunk = slice(col("_toks"), start, lit(sizeTokens))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk_id", col("chunk_id").cast(IntegerType))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).as("n_chunk_tokens"))
+  }
+
   /** Language-ID marker words. Deterministic n-gram-free heuristic: count
     * exact-token hits per language's closed-class markers, argmax with a
     * fixed tie order. (A real pipeline would plug a fastText-style model in

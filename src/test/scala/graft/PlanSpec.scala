@@ -49,6 +49,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
   }
 
+  test("sim_topk_filtered pushes the metadata predicate into the corpus scan") {
+    val p = physical(q("sim_topk_filtered"))
+    assert(p.contains("EqualTo(label,1)"),
+      s"corpus predicate not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("semdedup_pairs compares only within a cell (equi-join, no cross product)") {
+    val p = physical(q("semdedup_pairs"))
+    assert(p.contains("_cell"), s"no cell key in the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise comparison not pruned by the cell key:\n$p")
+  }
+
   test("ann_lsh_recall candidate generation is a broadcast hash join on (table,bucket)") {
     val p = physical(q("ann_lsh_recall"))
     assert(p.contains("BroadcastHashJoin"), s"no hash join for candidates:\n$p")
