@@ -384,7 +384,7 @@ object Ext {
     "dedup_clusters",
     (s, d) => {
       val docs = documents(s, d)
-      graft.functions.Clusters.connectedComponents(
+      graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")),
         NearDup.ngramJaccardPairs(docs, threshold = 0.5),
         nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
@@ -418,7 +418,7 @@ object Ext {
     "dedup_collapse",
     (s, d) => {
       val docs = documents(s, d)
-      val labels = graft.functions.Clusters.connectedComponents(
+      val labels = graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")),
         NearDup.ngramJaccardPairs(docs, threshold = 0.5),
         nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")

@@ -47,6 +47,60 @@ object Clusters {
       maxIter: Int = 25
   ): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    finishLabels(nodes, nodeCol,
+      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter))
+  }
+
+  /** Per-JVM cache of EDGE-TOUCHED label tables, keyed by the node/edge
+    * plans' canonicalized hashes: the closure is the expensive part of
+    * every keep-one-per-cluster pipeline, and downstream consumers
+    * (cluster report, collapsed corpus, survivor join) all need the SAME
+    * labels. Production pipelines persist this intermediate once and fan
+    * out; the cache is that shape across separately-issued queries. The
+    * persisted payload is the edge-touched subgraph only — O(dup-pair
+    * endpoints), the same working set the iteration itself must hold,
+    * never the corpus — and it spills (MEMORY_AND_DISK). */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), DataFrame]()
+
+  /** [[connectedComponents]] through the per-JVM cache — use when several
+    * queries consume one closure. Identical output, computed once. */
+  def connectedComponentsShared(
+      nodes: DataFrame,
+      edges: DataFrame,
+      nodeCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val key = (nodes.queryExecution.analyzed.semanticHash(),
+      edges.queryExecution.analyzed.semanticHash(), s"$nodeCol/$srcCol/$dstCol")
+    val labels = ccCache.computeIfAbsent(key, _ =>
+      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter))
+    finishLabels(nodes, nodeCol, labels)
+  }
+
+  /** Singleton rejoin: nodes outside the edge-touched subgraph become
+    * their own cluster. */
+  private def finishLabels(
+      nodes: DataFrame, nodeCol: String, labels: DataFrame): DataFrame =
+    nodes.select(col(nodeCol).as("_node"))
+      .join(labels.select(col("_node"), col("_label")), Seq("_node"), "left")
+      .select(col("_node").as(nodeCol),
+        coalesce(col("_label"), col("_node")).as("cluster_id"))
+
+  /** The label-propagation fixpoint over the edge-touched subgraph; the
+    * returned frame stays persisted (callers either unpersist it or cache
+    * it for reuse — see [[connectedComponentsShared]]). */
+  private def edgeTouchedLabels(
+      nodes: DataFrame,
+      edges: DataFrame,
+      nodeCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int
+  ): DataFrame = {
     val nodeSet = nodes.select(col(nodeCol).as("_node"))
     // Symmetric closure of the edge list; self-loops never change a label.
     val sym = edges
@@ -98,9 +152,6 @@ object Clusters {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise it")
-    nodeSet
-      .join(labels, Seq("_node"), "left")
-      .select(col("_node").as(nodeCol),
-        coalesce(col("_label"), col("_node")).as("cluster_id"))
+    labels
   }
 }

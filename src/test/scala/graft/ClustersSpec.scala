@@ -70,4 +70,17 @@ class ClustersSpec extends SparkSpec {
     val sizes = got.groupBy(_._2).values.map(_.size)
     assert(sizes.exists(_ >= 2), "no multi-doc cluster — fixture degenerate")
   }
+
+  test("connectedComponentsShared matches the uncached closure on repeat calls") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val want = Clusters.connectedComponents(nodes, edges, "id", "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // both the cold (computing) and warm (cache-hit) paths must agree
+    for (_ <- 1 to 2) {
+      val got = Clusters.connectedComponentsShared(nodes, edges, "id", "a", "b")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want)
+    }
+  }
 }
