@@ -1096,6 +1096,32 @@ object Ext {
     )
   )
 
+  /** Exact-substring dedup ([[graft.functions.SubstringDedup
+    * .dupSpanStats]]): per-doc count of token positions inside an 8-token
+    * window repeated verbatim in another document. The oracle groups by
+    * the gram STRING where the engine groups by its xxhash64 — identical
+    * output absent a 64-bit collision, which the planted sf corpora can't
+    * produce (~1e4 grams vs 2^64). */
+  private val dedupSubstring = QDef(
+    "dedup_substring",
+    (s, d) => graft.functions.SubstringDedup.dupSpanStats(documents(s, d), l = 8)
+      .orderBy(col("doc_id")),
+    Some(
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "gr AS (SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t " +
+        "FROM tok WHERE len(t) >= 8), " +
+        "g2 AS (SELECT doc_id, pos, " +
+        "array_to_string(list_slice(t, pos, pos + 7), ' ') AS gram FROM gr), " +
+        "dup AS (SELECT gram FROM g2 GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + u AS p " +
+        "FROM g2 JOIN dup USING (gram), unnest(range(0, 8)) v(u)), " +
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM cov GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_tokens " +
+        "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id")
+    )
+  )
+
   /** Metadata-filtered exact vector search ([[graft.functions.Similarity
     * .filteredTopK]]): top-5 neighbors restricted to corpus label = 1.
     * The predicate lands in the parquet scan (pre-filter), asserted in
@@ -1132,7 +1158,7 @@ object Ext {
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
-    semdedupPairs, chunkDocsQ, simTopKFiltered,
+    semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring,
     mediaDecode, videoFrames, audioDecode
   )
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication (Lee et al. 2022, arXiv:2107.06499,
+  * "Deduplicating Training Data Makes Language Models Better") — the
+  * span-level member of the dedup family: instead of scoring whole
+  * documents (exact hash, MinHash, SimHash, n-gram Jaccard, embeddings),
+  * find the TOKEN SPANS that are repeated verbatim across documents. Any
+  * shared substring of ≥ L tokens contains a shared L-token window, so
+  * windowed L-grams (stride 1) detect exactly the ≥L-token duplications
+  * the paper removes — the Spark-native equivalent of its suffix-array
+  * pass, built from the operations a cluster does well: explode, hash,
+  * aggregate, equi-join.
+  *
+  * Scale shape: the gram stream is n_tokens rows per doc (stride 1), each
+  * carried as an 8-byte `xxhash64` — never the gram text — so the shuffle
+  * is ~8·n_tokens bytes per doc; cross-doc repetition is `min(doc) ≠
+  * max(doc)` per gram (one partial-agg pass, no distinct expansion);
+  * coverage re-joins only the DUPLICATED grams (dup-span-sized, not
+  * corpus-sized) back to positions. No driver state, no windows over the
+  * corpus, equality shuffles only. 64-bit gram collisions are the
+  * standard trade (the paper's hash pass makes it too); a collision can
+  * only over-mark ~L tokens.
+  */
+object SubstringDedup {
+
+  /** Per-document duplicated-span stats: `n_tokens`, and `n_dup_tokens` =
+    * how many of the doc's token positions sit inside an L-token window
+    * that appears verbatim in ANOTHER document. `n_dup_tokens / n_tokens`
+    * is the cut ratio a Lee-style cleaning pass would remove. Docs shorter
+    * than L tokens can't participate and report 0. */
+  def dupSpanStats(docs: DataFrame, l: Int = 8): DataFrame = {
+    require(l > 1, s"gram length must exceed 1 token, got $l")
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val grams = base.filter(col("_n") >= l)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(array_join(slice(col("_t"), col("pos"), lit(l)), " ")).as("_h"))
+    // repeated across documents ⇔ two distinct doc ids share the hash
+    val dup = grams.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("_lo"), max(col("doc_id")).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .select(col("_h"))
+    val covered = grams.join(dup, Seq("_h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + l - 1)).as("_p"))
+      .distinct() // overlapping dup windows cover a position once
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_ndup"))
+    base
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_n").as("n_tokens"),
+        coalesce(col("_ndup"), lit(0L)).as("n_dup_tokens"))
+  }
+}

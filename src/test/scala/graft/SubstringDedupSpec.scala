@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.SubstringDedup
+
+/** Exact-substring dedup ([[graft.functions.SubstringDedup]]) — span
+  * semantics the sf oracle data can't pin: exact window boundaries,
+  * overlapping-window coverage, within-doc-only repetition, and the
+  * shorter-than-L guard. Oracle parity at sf is `dedup_substring`. */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(texts: Seq[String], l: Int): Map[Long, (Int, Long)] =
+    SubstringDedup.dupSpanStats(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        l)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, n, d) => id -> (n, d) }.toMap
+
+  test("a shared L-token run marks exactly its span in both docs") {
+    // docs 0 and 1 share tokens c..f (4 tokens); the rest is unique
+    val got = stats(Seq("a b c d e f g", "x y c d e f z w"), l = 4)
+    assert(got(0L) == (7, 4L)) // positions of c d e f
+    assert(got(1L) == (8, 4L))
+    assert(!got.contains(2L)) // no third doc in the fixture
+  }
+
+  test("overlapping duplicate windows count each position once") {
+    // 6 shared tokens with l=4 → three overlapping windows, 6 covered
+    val got = stats(Seq("p q c d e f g h r", "c d e f g h"), l = 4)
+    assert(got(0L) == (9, 6L))
+    assert(got(1L) == (6, 6L))
+  }
+
+  test("repetition WITHIN one doc does not mark spans (cross-doc only)") {
+    val got = stats(Seq("a b c d a b c d", "u v w x y z q r"), l = 4)
+    assert(got(0L) == (8, 0L))
+    assert(got(1L) == (8, 0L))
+  }
+
+  test("docs shorter than the gram length report zero") {
+    val got = stats(Seq("a b c", "a b c", "a b c d"), l = 4)
+    assert(got(0L) == (3, 0L) && got(1L) == (3, 0L))
+    assert(got(2L) == (4, 0L)) // its one 4-gram appears nowhere else
+  }
+
+  test("identical docs are fully covered") {
+    val t = "m n o p q r s"
+    val got = stats(Seq(t, t), l = 4)
+    assert(got(0L) == (7, 7L) && got(1L) == (7, 7L))
+  }
+}
