@@ -1096,6 +1096,32 @@ object Ext {
     )
   )
 
+  /** Gopher quality rules ([[graft.functions.Text.gopherRules]]): per-rule
+    * booleans + verdict. Ratios are single IEEE divides of exact integer
+    * counts, so the doubles (and the booleans derived from them)
+    * hash-match across engines. */
+  private val gopherRulesQ = QDef(
+    "gopher_rules",
+    (s, d) => Text.gopherRules(documents(s, d)).orderBy(col("doc_id")),
+    Some {
+      val stopList = Text.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "m AS (SELECT doc_id, len(toks) AS n, " +
+        "CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len, " +
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac, " +
+        s"len(list_filter($stopList, s -> list_contains(toks, s))) AS n_stop_hits FROM t) " +
+        "SELECT doc_id, CAST(n AS INT) AS n_tokens, mean_token_len, alpha_frac, " +
+        "CAST(n_stop_hits AS INT) AS n_stop_hits, " +
+        "n >= 15 AND n <= 150 AS ok_len, " +
+        "mean_token_len >= 3.0 AND mean_token_len <= 10.0 AS ok_mean_len, " +
+        "alpha_frac >= 0.8 AS ok_alpha, " +
+        "n_stop_hits >= 2 AS ok_stop, " +
+        "(n >= 15 AND n <= 150) AND (mean_token_len >= 3.0 AND mean_token_len <= 10.0) " +
+        "AND alpha_frac >= 0.8 AND n_stop_hits >= 2 AS pass " +
+        "FROM m ORDER BY doc_id")
+    }
+  )
+
   /** Exact-substring dedup ([[graft.functions.SubstringDedup
     * .dupSpanStats]]): per-doc count of token positions inside an 8-token
     * window repeated verbatim in another document. The oracle groups by
@@ -1158,7 +1184,7 @@ object Ext {
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
-    semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring,
+    semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, gopherRulesQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

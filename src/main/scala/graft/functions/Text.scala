@@ -154,6 +154,53 @@ object Text {
           col("len_score") * 0.2).as("quality"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) — the
+    * published multi-criteria document filter, as per-rule booleans plus
+    * the conjunction: token count within bounds, mean token length within
+    * bounds, fraction of alphabetic tokens above a floor, and a minimum
+    * number of DISTINCT stopwords present (the "closed-class evidence"
+    * rule). Per-rule flags (not just the verdict) are what pipeline owners
+    * monitor: each rule's kill rate is a corpus-drift alarm.
+    *
+    * Scale shape: one projection over a single bound token array — zero
+    * shuffle, codegen-friendly comparisons; the stopword probe iterates
+    * the CONSTANT stopword list against the doc array, not the doc
+    * against the list, so cost is O(|stopwords|·lookup), independent of
+    * doc length ordering. All ratios are single IEEE divides of exact
+    * integer counts — bit-reproducible across engines. */
+  def gopherRules(
+      docs: DataFrame,
+      minTokens: Int = 15,
+      maxTokens: Int = 150,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2
+  ): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val meanLen = aggregate(col("_t"), lit(0L), (acc, x) => acc + length(x))
+      .cast(DoubleType) / col("_n").cast(DoubleType)
+    val alphaFrac = size(filter(col("_t"), x => x.rlike("[a-z]")))
+      .cast(DoubleType) / col("_n").cast(DoubleType)
+    val stopHits = size(filter(
+      array(stopwords.map(lit): _*), s => array_contains(col("_t"), s)))
+    base.select(
+        col("doc_id"), col("_n").as("n_tokens"),
+        meanLen.as("mean_token_len"), alphaFrac.as("alpha_frac"),
+        stopHits.as("n_stop_hits"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("alpha_frac"), col("n_stop_hits"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("ok_len"),
+        (col("mean_token_len") >= minMeanLen &&
+          col("mean_token_len") <= maxMeanLen).as("ok_mean_len"),
+        (col("alpha_frac") >= minAlphaFrac).as("ok_alpha"),
+        (col("n_stop_hits") >= minStopHits).as("ok_stop"))
+      .withColumn("pass",
+        col("ok_len") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
   /** Gopher-style intra-document repetition score: the share of the doc's
     * `w`-gram stream taken by its single most frequent `w`-gram — the
     * cheap detector for looped/boilerplate text (a clean doc scores near

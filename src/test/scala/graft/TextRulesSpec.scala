@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.Text
+
+/** Gopher quality rules ([[graft.functions.Text.gopherRules]]) — rule
+  * semantics the sf corpus can't isolate (it passes most rules): each
+  * rule's kill condition, and stopword DISTINCTNESS. Oracle parity at sf
+  * is `gopher_rules` in CORRECTNESS. */
+class TextRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(texts: Seq[String]) =
+    Text.gopherRules(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        minTokens = 3, maxTokens = 6, minMeanLen = 2.0, maxMeanLen = 5.0,
+        minAlphaFrac = 0.5, minStopHits = 2)
+      .select("doc_id", "ok_len", "ok_mean_len", "ok_alpha", "ok_stop", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("each rule kills independently and pass is their conjunction") {
+    val got = run(Seq(
+      "the of cat sat",          // 0: all rules pass
+      "the of",                  // 1: too short
+      "the of a is to and in",   // 2: too long (7 > 6)
+      "the of x y",              // 3: mean len 1.75 < 2.0
+      "the of 123 456",          // 4: alpha frac 0.5 — passes the floor
+      "the cat cat dog",         // 5: only 1 distinct stopword
+      "the of 12 34 56"          // 6: alpha 0.4 < 0.5
+    ))
+    assert(got(0L) == ((true, true, true, true, true)))
+    assert(got(1L)._1 == false && got(1L)._5 == false)
+    assert(got(2L)._1 == false)
+    assert(got(3L)._2 == false)
+    assert(got(4L) == ((true, true, true, true, true)))
+    assert(got(5L)._4 == false && got(5L)._5 == false)
+    assert(got(6L)._3 == false)
+  }
+
+  test("repeated stopwords count once (distinct closed-class evidence)") {
+    // "the the the the" has 4 stopword TOKENS but 1 distinct stopword
+    val got = run(Seq("the the the the"))
+    assert(got(0L)._4 == false)
+  }
+}
