@@ -1096,6 +1096,61 @@ object Ext {
     )
   )
 
+  /** Gap-filled hourly resample ([[graft.operators.Resample.resampleLocf]])
+    * over the first 100 users: every hour from each user's first to last
+    * occupied bucket, with LOCF value fill. The fill carries stored
+    * doubles verbatim (no arithmetic), so both engines agree
+    * bit-for-bit; DuckDB's time_bucket and the engine's epoch-aligned
+    * integer bucketing coincide for hour buckets. */
+  private val resampleQ = QDef(
+    "resample_locf",
+    (s, d) => graft.operators.Resample.resampleLocf(
+        events(s, d).filter(col("user_id") < 100), bucketMinutes = 60)
+      .orderBy(col("user_id"), col("bucket")),
+    Some(
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value " +
+        "FROM events WHERE user_id < 100), " +
+        "b AS (SELECT user_id, time_bucket(INTERVAL '60 minutes', ts) AS bucket, " +
+        "ts, event_id, value FROM e), " +
+        "lastv AS (SELECT user_id, bucket, value FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, bucket " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1), " +
+        "cnt AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_obs " +
+        "FROM b GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 " +
+        "FROM b GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(b0, b1, " +
+        "INTERVAL '60 minutes')) AS bucket FROM span) " +
+        "SELECT g.user_id, g.bucket, coalesce(c.n_obs, 0) AS n_obs, " +
+        "last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id " +
+        "ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS value_locf " +
+        "FROM grid g LEFT JOIN lastv l USING (user_id, bucket) " +
+        "LEFT JOIN cnt c USING (user_id, bucket) " +
+        "ORDER BY user_id, bucket")
+    )
+  )
+
+  /** Quality-weighted Bernoulli sample ([[graft.functions.Sampling
+    * .weightedSample]]): keep probability ∝ doc length (n_chars/600,
+    * clamped) — per-row continuous rates, hex-threshold determinism, no
+    * transcendentals. */
+  private val weightedSampleQ = QDef(
+    "weighted_sample",
+    (s, d) => graft.functions.Sampling.weightedSample(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        key = col("doc_id").cast("string"),
+        rate01 = least(col("n_chars") / 600.0, lit(1.0)))
+      .orderBy(col("doc_id")),
+    Some(
+      ("SELECT doc_id, n_chars FROM documents " +
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        "CASE WHEN n_chars / 600.0 >= 1.0 THEN 'zzzzz' " +
+        "WHEN n_chars / 600.0 <= 0.0 THEN '0000' " +
+        "ELSE printf('%04x', CAST(floor(n_chars / 600.0 * 65536) AS INT)) END " +
+        "ORDER BY doc_id")
+    )
+  )
+
   /** Gopher quality rules ([[graft.functions.Text.gopherRules]]): per-rule
     * booleans + verdict. Ratios are single IEEE divides of exact integer
     * counts, so the doubles (and the booleans derived from them)
@@ -1185,6 +1240,7 @@ object Ext {
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, gopherRulesQ,
+    resampleQ, weightedSampleQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

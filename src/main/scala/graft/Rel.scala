@@ -253,6 +253,23 @@ object Rel {
       "ORDER BY o_custkey, o_orderkey")
   )
 
+  /** Per-group mode with a pinned tie order ([[graft.operators.Grouped
+    * .modeOf]]): most frequent ship mode per return flag. SQL `mode()`
+    * tie-breaks are implementation-defined, so the oracle mirrors the
+    * same count → top-1-window definition instead. */
+  private val groupbyMode = QDef(
+    "groupby_mode",
+    (s, d) => graft.operators.Grouped
+      .modeOf(events(s, d), "user_id", "event_type")
+      .orderBy(col("user_id")),
+    Some("WITH c AS (SELECT user_id, event_type, " +
+      "CAST(count(*) AS BIGINT) AS n_mode FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+      "ORDER BY n_mode DESC, event_type) AS rn FROM c) " +
+      "SELECT user_id, event_type AS mode_event_type, n_mode " +
+      "FROM r WHERE rn = 1 ORDER BY user_id")
+  )
+
   /** Exact interpolated quantiles per group — Spark `percentile` and DuckDB
     * `quantile_cont` share the interpolation formula (verified
     * bit-identical on the testdata). Exact percentile concentrates each
@@ -730,5 +747,5 @@ object Rel {
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
-    joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo)
+    joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode)
 }

@@ -55,6 +55,27 @@ object Sampling {
     df.filter(substring(md5(key), 1, 2) < thCol)
   }
 
+  /** Per-row weighted Bernoulli keep: each row survives with probability
+    * `rate01` (a per-row Column in [0,1] — e.g. a quality score), decided
+    * by comparing the first FOUR hex chars of md5(key) against the rate
+    * quantized to 1/65536ths. The importance-sampling step of corpus
+    * assembly ("keep high-quality docs proportionally more"), with
+    * [[mixtureSample]]'s determinism contract: membership is a pure
+    * function of (key, rate), reproducible across engines and stable
+    * under late-arriving data — and NO transcendental functions, so the
+    * DuckDB oracle agrees bit-for-bit (an Efraimidis–Spirakis u^(1/w)
+    * key would hinge on pow()'s last ulp).
+    *
+    * Rates ≥ 1 keep always (`zzzzz` sorts above every hex quartet — the
+    * [[mixtureSample]] trick); null/negative rates keep nothing. Zero
+    * shuffle: one codegen'd filter. */
+  def weightedSample(df: DataFrame, key: Column, rate01: Column): DataFrame = {
+    val th = when(rate01.isNull || rate01 <= 0.0, lit("0000"))
+      .when(rate01 >= 1.0, lit("zzzzz"))
+      .otherwise(format_string("%04x", floor(rate01 * 65536).cast("int")))
+    df.filter(substring(md5(key), 1, 4) < th)
+  }
+
   /** Deterministic global shuffle order — the training-order permutation:
     * every row gets its rank in md5(key) order (`0..n-1`). rand() orders
     * differ per run and engine; hash order is a pure function of the key

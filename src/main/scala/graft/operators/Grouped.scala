@@ -110,6 +110,24 @@ object Grouped {
     }
   }
 
+  /** Per-group mode with DETERMINISTIC tie-break (highest count, then
+    * smallest value) — SQL `mode()` leaves ties implementation-defined,
+    * which would be an oracle/engine hazard; pinning the order makes the
+    * result a pure function of the data. Two-phase: a (key, value) count
+    * aggregate (partial-agg combines map-side) then a per-key top-1
+    * window over the COUNT table — group-cardinality-sized, not
+    * row-sized, so the window input is tiny even at 100 TB. */
+  def modeOf(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(valCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_mode"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("n_mode").desc, col(valCol))
+    counts
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol), col(valCol).as(s"mode_$valCol"), col("n_mode"))
+  }
+
   def sumNumeric(df: DataFrame, keys: Seq[String], exactScale: Option[Int] = None): DataFrame =
     numericApply(df, keys, Sum, exactScale)
   def meanNumeric(df: DataFrame, keys: Seq[String], exactScale: Option[Int] = None): DataFrame =

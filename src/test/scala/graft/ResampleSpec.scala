@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.functions.Sampling
+import graft.operators.{Grouped, Resample}
+
+/** Resample/LOCF, weighted Bernoulli sampling, and per-group mode —
+  * gap/tie semantics the sf oracle data can't isolate. Oracle parity at
+  * sf is `resample_locf` / `weighted_sample` / `groupby_mode`. */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("resampleLocf fills gaps with the last observation, counts zero") {
+    // user 1: events in buckets 0 and 3 (hours) — buckets 1,2 are gaps
+    val ev = Seq(
+      (1L, ts(5), 10L, 1.5),   // hour 0
+      (1L, ts(20), 11L, 2.5),  // hour 0, later → bucket-last
+      (1L, ts(185), 12L, 9.0), // hour 3
+      (2L, ts(70), 20L, 4.0)   // user 2: single bucket
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Resample.resampleLocf(ev, bucketMinutes = 60)
+      .orderBy("user_id", "bucket")
+      .select(col("user_id"), col("n_obs"), col("value_locf"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2.5), // hour 0: two events, last by ts = 2.5
+      (1L, 0L, 2.5), // hour 1: gap → carried
+      (1L, 0L, 2.5), // hour 2: gap → carried
+      (1L, 1L, 9.0), // hour 3
+      (2L, 1L, 4.0)))
+  }
+
+  test("resampleLocf bucket-last tie on ts breaks by event_id") {
+    val ev = Seq(
+      (1L, ts(5), 7L, 1.0),
+      (1L, ts(5), 9L, 3.0) // same ts, higher event_id wins
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Resample.resampleLocf(ev, 60)
+      .select("value_locf").as[Double].collect().toSeq
+    assert(got == Seq(3.0))
+  }
+
+  test("weightedSample: rate 0 keeps nothing, rate 1 keeps all, monotone in rate") {
+    val df = (1L to 400L).toDF("id")
+    def kept(rate: Double): Set[Long] =
+      Sampling.weightedSample(df, col("id").cast("string"), lit(rate))
+        .as[Long].collect().toSet
+    assert(kept(0.0).isEmpty)
+    assert(kept(1.0).size == 400)
+    val (k25, k50) = (kept(0.25), kept(0.5))
+    assert(k25.subsetOf(k50), "a kept row must stay kept at a higher rate")
+    // rough proportionality (md5 is uniform; 400 rows, generous bounds)
+    assert(k25.size > 50 && k25.size < 150, s"got ${k25.size}")
+    assert(k50.size > 140 && k50.size < 260, s"got ${k50.size}")
+    assert(kept(0.5) == kept(0.5), "determinism")
+  }
+
+  test("modeOf pins ties to the smallest value") {
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "y"), ("a", "x"), // tie x/y
+      ("b", "z")).toDF("k", "v")
+    val got = Grouped.modeOf(df, "k", "v").orderBy("k")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "x", 2L), ("b", "z", 1L)))
+  }
+}
