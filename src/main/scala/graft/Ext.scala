@@ -951,6 +951,44 @@ object Ext {
       "FROM p GROUP BY bin ORDER BY bin")
   )
 
+  /** Materialized training bins ([[graft.functions.Packing.binTexts]]):
+    * each 4096-token bin's doc count and stream-order concatenated text.
+    * DuckDB mirrors the deterministic concatenation with
+    * `string_agg(... ORDER BY doc_id)`. */
+  private val packTexts = QDef(
+    "pack_bintexts",
+    (s, d) => graft.functions.Packing.binTexts(
+        graft.functions.Packing.packSequences(
+          documents(s, d).select(col("doc_id"), col("text"), col("n_chars")),
+          col("doc_id"), col("n_chars"), budget = 4096L),
+        keyCol = "doc_id", textCol = "text")
+      .orderBy(col("bin")),
+    Some("WITH s AS (SELECT doc_id, text, " +
+      "CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS stream_offset FROM documents) " +
+      "SELECT stream_offset // 4096 AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, " +
+      "string_agg(text, ' ' ORDER BY doc_id) AS bin_text " +
+      "FROM s GROUP BY 1 ORDER BY bin")
+  )
+
+  /** Per-group winsorization ([[graft.functions.Quantiles.winsorize]]):
+    * event values clamped into their event-type's [p05, p95]. */
+  private val winsorizeQ = QDef(
+    "winsorize",
+    (s, d) => graft.functions.Quantiles.winsorize(
+        events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        keyCol = "event_type", valCol = "value")
+      .orderBy(col("event_id")),
+    Some("WITH b AS (SELECT event_type, " +
+      "quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi " +
+      "FROM events GROUP BY 1) " +
+      "SELECT event_type, event_id, value, " +
+      "least(greatest(value, lo), hi) AS value_w " +
+      "FROM events JOIN b USING (event_type) ORDER BY event_id")
+  )
+
   /** Balanced per-stratum cap ([[graft.functions.Sampling
     * .stratifiedSample]]): ≤10 docs per language by md5 order of the row
     * key — deterministic, so DuckDB reproduces the exact row set. */
@@ -1240,7 +1278,7 @@ object Ext {
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, gopherRulesQ,
-    resampleQ, weightedSampleQ,
+    resampleQ, weightedSampleQ, packTexts, winsorizeQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

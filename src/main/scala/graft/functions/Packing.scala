@@ -106,6 +106,26 @@ object Packing {
       .drop("_key", "_bucket")
   }
 
+  /** Materialized training bins over [[packSequences]] output: each bin's
+    * document count and its CONCATENATED text in stream order — the step
+    * that turns the packing layout into actual training examples.
+    *
+    * Per-bin state is budget-bounded (a bin holds ~`budget` tokens by
+    * construction), so the aggregate task never exceeds one bin's text.
+    * `collect_list` order is partition-dependent; sorting the collected
+    * (key, text) structs makes the concatenation deterministic — the
+    * aggregate state is the same either way. */
+  def binTexts(packed: DataFrame, keyCol: String, textCol: String): DataFrame =
+    packed
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(keyCol), col(textCol)))),
+            x => x.getField(textCol)),
+          " ").as("bin_text"))
+
   /** Bin-level packing stats over [[packSequences]] output: documents per
     * bin, tokens STARTING in the bin, and how many of its docs span past
     * the bin boundary (span iff offset + n_tokens > (bin+1)·budget). The

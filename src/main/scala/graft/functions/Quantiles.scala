@@ -101,4 +101,28 @@ object Quantiles {
         StructField("q", DoubleType), StructField("value", DoubleType))))
       .orderBy(col("q"))
   }
+
+  /** Winsorize: clamp `valCol` into its per-group [lo, hi] quantile
+    * bounds — the standard outlier-capping pass before aggregate features
+    * are computed over heavy-tailed values. Adds `<valCol>_w`.
+    *
+    * The bounds table is GROUP-cardinality-sized by construction (two
+    * doubles per group), so the join back is the small-side-broadcast
+    * shape — left to Catalyst/AQE rather than forced, since a
+    * pathological key cardinality should degrade to a shuffle join, not
+    * an executor OOM. Exact interpolated `percentile` matches DuckDB's
+    * `quantile_cont` bit-for-bit (the `quantile_agg` contract); the clamp
+    * itself is order comparisons — no new arithmetic. */
+  def winsorize(
+      df: DataFrame, keyCol: String, valCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val bounds = df.groupBy(col(keyCol)).agg(
+      expr(s"percentile($valCol, $lo)").as("_lo"),
+      expr(s"percentile($valCol, $hi)").as("_hi"))
+    df.join(bounds, Seq(keyCol))
+      .withColumn(s"${valCol}_w",
+        least(greatest(col(valCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

@@ -54,6 +54,25 @@ class PackingSpec extends SparkSpec {
     assert(e.getMessage.contains("n_tokens"))
   }
 
+  test("binTexts concatenates in key order regardless of partitioning") {
+    val docs = (0L until 30L).map(i => (i, s"d$i word", 7L))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs, parts)).toDF("k", "text", "n")
+      Packing.binTexts(
+          Packing.packSequences(df, col("k"), col("n"), budget = 20L),
+          keyCol = "k", textCol = "text")
+        .orderBy("bin")
+        .select("bin", "n_docs", "bin_text")
+        .as[(Long, Long, String)].collect().toSeq
+    }
+    val one = run(1)
+    assert(run(7) == one) // collect_list order is pinned by the sort
+    // sequential reference: budget 20 / 7 tokens → bins of 3 docs
+    assert(one.head == ((0L, 3L, "d0 word d1 word d2 word")))
+    assert(one.map(_._2).sum == 30L)
+  }
+
   test("binStats counts boundary-spanning docs") {
     // budget 10: doc A [0,8) no span, B [8,14) spans, C [14,18) no span
     val df = Seq((1L, 8L), (2L, 6L), (3L, 4L)).toDF("k", "n")

@@ -58,6 +58,22 @@ class ResampleSpec extends SparkSpec {
     assert(kept(0.5) == kept(0.5), "determinism")
   }
 
+  test("winsorize clamps into per-group quantile bounds, leaves the middle") {
+    val df = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("b", 100.0))
+      .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      .toDF("event_id", "event_type", "value")
+    val got = graft.functions.Quantiles.winsorize(df, "event_type", "value",
+        lo = 0.25, hi = 0.75)
+      .orderBy("event_id")
+      .select("event_type", "value", "value_w")
+      .as[(String, Double, Double)].collect().toSeq
+    // group a: p25 = 3, p75 = 7 (interpolated on 1..9)
+    assert(got.filter(_._1 == "a").map(_._3) ==
+      Seq(3.0, 3.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0, 7.0))
+    // singleton group: both bounds equal the value — untouched
+    assert(got.find(_._1 == "b").get._3 == 100.0)
+  }
+
   test("modeOf pins ties to the smallest value") {
     val df = Seq(("a", "x"), ("a", "y"), ("a", "y"), ("a", "x"), // tie x/y
       ("b", "z")).toDF("k", "v")

@@ -255,4 +255,48 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch.nonEmpty && batch.length < 200)
     } finally q.stop()
   }
+
+  test("gopher rules, weighted sample, and chunking are streaming-safe (stateless)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // stateless per-row ops must produce the batch result under
+    // micro-batching, with no state store involved
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Text.chunkDocs(
+        graft.functions.Sampling.weightedSample(
+          df, col("doc_id").cast("string"), lit(0.7)),
+        sizeTokens = 4, strideTokens = 3)
+    def rules(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Text.gopherRules(df,
+          minTokens = 2, maxTokens = 50, minMeanLen = 1.0, maxMeanLen = 10.0,
+          minAlphaFrac = 0.5, minStopHits = 1)
+        .filter(col("pass")).select("doc_id", "n_tokens", "n_stop_hits")
+    val q1 = chunks(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("chunks_out").start()
+    val q2 = rules(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("rules_out").start()
+    val docs = (1L to 120L).map(i =>
+      Doc(i, "the word w" + i + " x y z a b c", ts((i % 30).toInt)))
+    try {
+      mem.addData(docs.take(60): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(docs.drop(60): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val streamedChunks = spark.table("chunks_out")
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Int, String)].collect().sorted
+      val batchChunks = chunks(docs.toDF())
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Int, String)].collect().sorted
+      assert(streamedChunks.toSeq == batchChunks.toSeq)
+      assert(batchChunks.nonEmpty)
+      val streamedRules = spark.table("rules_out")
+        .as[(Long, Int, Int)].collect().sorted
+      val batchRules = rules(docs.toDF())
+        .as[(Long, Int, Int)].collect().sorted
+      assert(streamedRules.toSeq == batchRules.toSeq)
+      assert(batchRules.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
 }
