@@ -370,7 +370,7 @@ object Ext {
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs. */
   private val dedupNgram = QDef(
     "dedup_ngram",
-    (s, d) => NearDup.ngramJaccardPairs(documents(s, d), threshold = 0.5),
+    (s, d) => NearDup.ngramJaccardPairsShared(documents(s, d), threshold = 0.5),
     Some(ngramJaccardSql(0.5))
   )
 
@@ -386,7 +386,7 @@ object Ext {
       val docs = documents(s, d)
       graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")),
-        NearDup.ngramJaccardPairs(docs, threshold = 0.5),
+        NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
         nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
         .orderBy(col("doc_id"))
     },
@@ -420,7 +420,7 @@ object Ext {
       val docs = documents(s, d)
       val labels = graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")),
-        NearDup.ngramJaccardPairs(docs, threshold = 0.5),
+        NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
         nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
       docs.join(
           labels.filter(col("doc_id") === col("cluster_id")).select("doc_id"),

@@ -42,7 +42,7 @@ object CorpusClean {
       .select(col("doc_id"), col("quality"))
       .filter(col("quality") >= qualityMin)
     val keepers = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
-    val nearDupDrop = NearDup.ngramJaccardPairs(docs, jaccardT)
+    val nearDupDrop = NearDup.ngramJaccardPairsShared(docs, jaccardT)
       .select(col("id_b").as("doc_id")).distinct()
     val contaminated = Contamination.report(docs, bench, w, minShared)
       .select(col("doc_id"))

@@ -170,6 +170,27 @@ object NearDup {
       proxyA = Some(left), proxyB = Some(right))
   }
 
+  /** Per-JVM cache of VERIFIED pair tables, keyed by the corpus plan's
+    * canonicalized hash + (threshold, w): the exact-Jaccard pair set is
+    * the expensive shared input of the whole dedup stage — pair report,
+    * cluster closure, collapsed corpus, and the cleaning pipeline's
+    * near-dup criterion all consume the SAME pairs. The persisted payload
+    * is dup pairs only (three columns, dup-pair-sized — a sliver of the
+    * corpus), and it spills (MEMORY_AND_DISK). Same production shape as
+    * [[graft.functions.Clusters.connectedComponentsShared]]: compute the
+    * intermediate once, fan out consumers. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Int), DataFrame]()
+
+  /** [[ngramJaccardPairs]] through the per-JVM cache — use when several
+    * queries consume one pair set. Identical output, computed once. */
+  def ngramJaccardPairsShared(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    val key = (docs.queryExecution.analyzed.semanticHash(), threshold, w)
+    pairsCache.computeIfAbsent(key, _ =>
+      ngramJaccardPairs(docs, threshold, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
     // (doc_id, sorted distinct shingle-hash array, n) — persisted: feeds
     // the prefix branch, the verify branch, and the size lookups
