@@ -951,6 +951,45 @@ object Ext {
       "FROM p GROUP BY bin ORDER BY bin")
   )
 
+  /** Per-column table profile ([[graft.functions.Profile.profile]]):
+    * nulls / exact distinct / min / max per column in one pass, reshaped
+    * from a single aggregate row (bounded driver state: n_cols·4). */
+  private val profileQ = QDef(
+    "profile_table",
+    (s, d) => graft.functions.Profile.profile(documents(s, d)),
+    Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"CAST(min($c) AS VARCHAR) AS min_str, " +
+        s"CAST(max($c) AS VARCHAR) AS max_str FROM documents"
+    }.mkString("", " UNION ALL ", " ORDER BY col_name"))
+  )
+
+  /** Distribution-drift cells ([[graft.functions.Profile.categoryDrift]]):
+    * chi-square contingency terms of lang × source. Terms stay per-cell
+    * (no float reduction), so every double is one fixed IEEE expression
+    * over exact counts — hash-stable across engines. */
+  private val driftQ = QDef(
+    "drift_cells",
+    (s, d) => graft.functions.Profile.categoryDrift(
+      documents(s, d), sliceCol = "source", catCol = "lang"),
+    Some(
+      ("WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_obs " +
+        "FROM documents GROUP BY 1, 2), " +
+        "st AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS _st FROM c GROUP BY 1), " +
+        "ct AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS _ct FROM c GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS _n FROM c) " +
+        "SELECT source, lang, n_obs, " +
+        "CAST(_st AS DOUBLE) * _ct / _n AS expected, " +
+        "(n_obs - (CAST(_st AS DOUBLE) * _ct / _n)) * " +
+        "(n_obs - (CAST(_st AS DOUBLE) * _ct / _n)) / " +
+        "(CAST(_st AS DOUBLE) * _ct / _n) AS chi2_term " +
+        "FROM c JOIN st USING (source) JOIN ct USING (lang) CROSS JOIN n " +
+        "ORDER BY source, lang")
+    )
+  )
+
   /** Materialized training bins ([[graft.functions.Packing.binTexts]]):
     * each 4096-token bin's doc count and stream-order concatenated text.
     * DuckDB mirrors the deterministic concatenation with
@@ -1278,7 +1317,7 @@ object Ext {
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, gopherRulesQ,
-    resampleQ, weightedSampleQ, packTexts, winsorizeQ,
+    resampleQ, weightedSampleQ, packTexts, winsorizeQ, profileQ, driftQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

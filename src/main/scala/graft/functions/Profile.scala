@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus monitoring — the stats a pipeline owner watches between runs.
+  *
+  * [[profile]] is the per-column health summary (nulls, cardinality,
+  * range); [[categoryDrift]] is the distribution-shift alarm between
+  * corpus slices (chi-square contingency terms). Both are single-pass
+  * aggregates whose OUTPUT is group/column-cardinality-sized — the
+  * monitoring plane never carries row data.
+  */
+object Profile {
+
+  /** Per-column profile in long format: row count, null count, distinct
+    * count, and min/max rendered as strings. ONE pass over the table (a
+    * single aggregate row holding 4 expressions per column), reshaped on
+    * the driver — bounded state, n_cols·4 values, the same contract as
+    * the quantile/centroid metadata collects. Distinct counts are exact
+    * (Expand-based multi-distinct, one extra shuffle by design). */
+  def profile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast(StringType).as(s"__mn_$c"),
+        max(col(c)).cast(StringType).as(s"__mx_$c"))
+    }
+    val row: Row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect().head
+    val n = row.getLong(0)
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val b = 1 + i * 4
+      Row(c, n, row.getLong(b), row.getLong(b + 1),
+        row.getString(b + 2), row.getString(b + 3))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nulls", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("min_str", StringType),
+        StructField("max_str", StringType))))
+      .orderBy(col("col_name"))
+  }
+
+  /** Chi-square contingency terms between a slice column (e.g. `source`)
+    * and a category column (e.g. `lang`): per cell, the observed count,
+    * the independence-expected count, and the cell's chi² contribution.
+    * The statistic itself is the trivial downstream sum; emitting TERMS
+    * keeps every value a fixed IEEE expression over exact integer counts
+    * (one multiply, two divides, one square per cell) — no float
+    * reduction whose order could differ between engines. All joins run on
+    * the CELL table (group-cardinality-sized), after one count pass over
+    * the data. */
+  def categoryDrift(df: DataFrame, sliceCol: String, catCol: String): DataFrame = {
+    val cells = df.groupBy(col(sliceCol), col(catCol))
+      .agg(count(lit(1)).as("n_obs"))
+    val sliceTot = cells.groupBy(col(sliceCol)).agg(sum(col("n_obs")).as("_st"))
+    val catTot = cells.groupBy(col(catCol)).agg(sum(col("n_obs")).as("_ct"))
+    val total = cells.agg(sum(col("n_obs")).as("_n"))
+    val expected = col("_st").cast(DoubleType) * col("_ct") / col("_n")
+    cells
+      .join(sliceTot, Seq(sliceCol))
+      .join(catTot, Seq(catCol))
+      .crossJoin(broadcast(total))
+      .select(col(sliceCol), col(catCol), col("n_obs"),
+        expected.as("expected"))
+      .withColumn("chi2_term",
+        (col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected"))
+      .orderBy(col(sliceCol), col(catCol))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.Profile
+
+/** Corpus-monitoring operators ([[graft.functions.Profile]]) — null/
+  * distinct semantics and the chi-square definition on hand-checkable
+  * fixtures. Oracle parity at sf is `profile_table` / `drift_cells`. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile counts nulls, excludes them from distinct, strings min/max") {
+    val df = Seq(
+      (1L, Some("b")), (2L, None), (3L, Some("a")), (4L, Some("a"))
+    ).toDF("id", "s")
+    val got = Profile.profile(df)
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(got("s") == (("s", 4L, 1L, 2L, Some("a"), Some("b"))))
+  }
+
+  test("categoryDrift terms match the textbook chi-square decomposition") {
+    // 2x2 contingency: slices X/Y over cats p/q with a known imbalance
+    val df = (Seq.fill(30)(("X", "p")) ++ Seq.fill(10)(("X", "q")) ++
+      Seq.fill(10)(("Y", "p")) ++ Seq.fill(30)(("Y", "q")))
+      .toDF("source", "lang")
+    val got = Profile.categoryDrift(df, "source", "lang")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // each slice total 40, each cat total 40, n = 80 → expected 20 per cell
+    for (cell <- Seq(("X", "p"), ("X", "q"), ("Y", "p"), ("Y", "q"))) {
+      assert(got(cell)._4 == 20.0)
+      assert(got(cell)._5 == 100.0 / 20.0) // (30-20)^2/20 = (10-20)^2/20
+    }
+    // the statistic (downstream sum of terms) is the textbook 20.0
+    assert(got.values.map(_._5).sum == 20.0)
+  }
+
+  test("categoryDrift on independent distributions yields zero terms") {
+    val df = (for (s <- Seq("X", "Y"); l <- Seq("p", "q"); _ <- 1 to 5)
+      yield (s, l)).toDF("source", "lang")
+    val terms = Profile.categoryDrift(df, "source", "lang")
+      .as[(String, String, Long, Double, Double)].collect().map(_._5)
+    assert(terms.length == 4 && terms.forall(_ == 0.0))
+  }
+}
