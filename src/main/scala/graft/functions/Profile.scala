@@ -59,16 +59,18 @@ object Profile {
     * the CELL table (group-cardinality-sized), after one count pass over
     * the data. */
   def categoryDrift(df: DataFrame, sliceCol: String, catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cells = df.groupBy(col(sliceCol), col(catCol))
       .agg(count(lit(1)).as("n_obs"))
-    val sliceTot = cells.groupBy(col(sliceCol)).agg(sum(col("n_obs")).as("_st"))
-    val catTot = cells.groupBy(col(catCol)).agg(sum(col("n_obs")).as("_ct"))
-    val total = cells.agg(sum(col("n_obs")).as("_n"))
-    val expected = col("_st").cast(DoubleType) * col("_ct") / col("_n")
+    // marginals as windows over the CELL table (group-cardinality-sized):
+    // ONE count pass over the data, and no re-aggregation joins — the
+    // single-partition global window is over cells, not rows, so it is
+    // bounded metadata even at 100 TB
+    val st = sum(col("n_obs")).over(Window.partitionBy(col(sliceCol)))
+    val ct = sum(col("n_obs")).over(Window.partitionBy(col(catCol)))
+    val n = sum(col("n_obs")).over(Window.partitionBy())
+    val expected = st.cast(DoubleType) * ct / n
     cells
-      .join(sliceTot, Seq(sliceCol))
-      .join(catTot, Seq(catCol))
-      .crossJoin(broadcast(total))
       .select(col(sliceCol), col(catCol), col("n_obs"),
         expected.as("expected"))
       .withColumn("chi2_term",

@@ -42,9 +42,12 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set(key, "-1")
     try {
       val docs = Tables.documents(spark, sf0001)
+      // threshold 0.6 (not the registered 0.5): the shared pairs cache
+      // registers the 0.5 plan with the CacheManager, which would swap an
+      // InMemoryRelation (frozen with broadcasts ON) into this plan
       val plans = Seq(
-        "dedup_minhash" -> functions.NearDup.minhashPairs(docs, 0.5),
-        "dedup_ngram" -> functions.NearDup.ngramJaccardPairs(docs, 0.5))
+        "dedup_minhash" -> functions.NearDup.minhashPairs(docs, 0.6),
+        "dedup_ngram" -> functions.NearDup.ngramJaccardPairs(docs, 0.6))
       for ((name, df) <- plans) {
         val p = df.queryExecution.executedPlan.toString()
         assert(!p.contains("BroadcastExchange"),

@@ -101,6 +101,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs covers the stream exactly for random (n, size, stride)") {
+    val cfgGen = Gen.zip(Gen.choose(1, 80), Gen.choose(1, 12))
+      .flatMap { case (n, size) => Gen.choose(1, size).map(st => (n, size, st)) }
+    for (i <- 1 to 10) {
+      val (n, size, stride) = cfgGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val toks = (0 until n).map(j => s"t$j")
+      val chunks = graft.functions.Text.chunkDocs(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), size, stride)
+        .orderBy("chunk_id").select("chunk_text").as[String]
+        .collect().map(_.split(" ").toSeq).toSeq
+      val wantChunks = if (n <= size) 1 else (n - size + stride - 1) / stride + 1
+      assert(chunks.length == wantChunks, s"seed=$i cfg=($n,$size,$stride)")
+      // stride-prefixes + the full last chunk rebuild the token stream
+      assert(chunks.init.flatMap(_.take(stride)) ++ chunks.last == toks,
+        s"seed=$i cfg=($n,$size,$stride)")
+      // every chunk but the last is full-width
+      assert(chunks.init.forall(_.length == size), s"seed=$i cfg=($n,$size,$stride)")
+    }
+  }
+
   test("connectedComponents == union-find over random graphs") {
     val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (i <- 1 to 5) {
