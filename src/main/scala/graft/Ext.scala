@@ -951,6 +951,27 @@ object Ext {
       "FROM p GROUP BY bin ORDER BY bin")
   )
 
+  /** Vocabulary encode ([[graft.functions.Text.tokensToIds]]): documents
+    * as (doc_id, pos, token_id) against the frequency-ranked top-100
+    * vocab, OOV = -1. Long format keeps the oracle compare scalar; the
+    * array layout is [[graft.functions.Text.tokenIdArrays]] (unit). */
+  private val tokenIdsQ = QDef(
+    "token_ids",
+    (s, d) => Text.tokensToIds(documents(s, d), vocabSize = 100)
+      .orderBy(col("doc_id"), col("pos")),
+    Some(
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "stream AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, " +
+        "unnest(toks) AS token FROM tok), " +
+        "v AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM stream GROUP BY 1), " +
+        "vid AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM v), " +
+        "vk AS (SELECT token, CAST(tid AS INT) AS tid FROM vid WHERE tid < 100) " +
+        "SELECT s.doc_id, CAST(s.pos AS INT) AS pos, " +
+        "coalesce(vk.tid, -1) AS token_id " +
+        "FROM stream s LEFT JOIN vk USING (token) ORDER BY doc_id, pos")
+    )
+  )
+
   /** Per-column table profile ([[graft.functions.Profile.profile]]):
     * nulls / exact distinct / min / max per column in one pass, reshaped
     * from a single aggregate row (bounded driver state: n_cols·4). */
@@ -1318,6 +1339,7 @@ object Ext {
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, gopherRulesQ,
     resampleQ, weightedSampleQ, packTexts, winsorizeQ, profileQ, driftQ,
+    tokenIdsQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

@@ -277,6 +277,51 @@ object Text {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Frequency-ranked vocabulary with stable integer ids: id = rank by
+    * (count desc, token) over the whole corpus, 0-based — the id
+    * assignment step of tokenizer training. The ranking window runs over
+    * the VOCAB (distinct tokens), not the token stream; vocabulary ids
+    * are deterministic, so an encode is reproducible forever. */
+  def vocabWithIds(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("token_id", row_number().over(w) - 1)
+      .filter(col("token_id") < vocabSize)
+  }
+
+  /** Encode documents against a [[vocabWithIds]] vocabulary, long format:
+    * one row per token position with its id (OOV → -1). Downstream
+    * packing/batching reads this directly; [[tokenIdArrays]] re-collects
+    * per-doc arrays when a nested layout is wanted.
+    *
+    * Scale shape: the token explode is the unavoidable stream (pos rides
+    * along, so order never depends on partitioning); the vocab join is a
+    * k-row side that AQE broadcasts; no window over the stream. The
+    * global ranking window inside [[vocabWithIds]] is over distinct
+    * tokens — vocab-sized, the same bounded-metadata class as the
+    * centroid/prefix collects. */
+  def tokensToIds(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val vocab = vocabWithIds(docs, vocabSize).select(col("token"), col("token_id"))
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .join(vocab, Seq("token"), "left")
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+  }
+
+  /** [[tokensToIds]] re-collected to one `ids` array per doc (position
+    * order pinned by the sort, partition-independent). */
+  def tokenIdArrays(docs: DataFrame, vocabSize: Int): DataFrame =
+    tokensToIds(docs, vocabSize)
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        x => x.getField("token_id")).as("ids"))
+
   /** Corpus-frequency quality score — the log-free cousin of LM-perplexity
     * filtering: a document built from tokens the corpus rarely uses (OCR
     * noise, mojibake, boilerplate IDs) scores low mean corpus term

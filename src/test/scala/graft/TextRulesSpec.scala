@@ -42,4 +42,21 @@ class TextRulesSpec extends SparkSpec {
     val got = run(Seq("the the the the"))
     assert(got(0L)._4 == false)
   }
+
+  test("tokensToIds ranks by frequency, breaks ties by token, OOV is -1") {
+    import org.apache.spark.sql.functions.col
+    // freq: b=3, a=2, c=1, z=1 → ids b=0, a=1; with vocabSize=2, c/z → -1
+    val df = Seq((1L, "a b c b"), (2L, "b a z")).toDF("doc_id", "text")
+    val got = Text.tokensToIds(df, vocabSize = 2)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1, 1), (1L, 2, 0), (1L, 3, -1), (1L, 4, 0),
+      (2L, 1, 0), (2L, 2, 1), (2L, 3, -1)))
+    // array layout agrees with the long layout, independent of partitions
+    val arrs = Text.tokenIdArrays(df.repartition(5), vocabSize = 2)
+      .orderBy(col("doc_id"))
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(arrs == Seq((1L, Seq(1, 0, -1, 0)), (2L, Seq(0, 1, -1))))
+  }
 }
