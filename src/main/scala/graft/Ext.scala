@@ -1301,6 +1301,40 @@ object Ext {
     )
   )
 
+  /** The substring-dedup REMOVE pass ([[graft.functions.SubstringDedup
+    * .dedupSpansRemoved]]): documents re-materialized with cross-doc
+    * duplicated 8-token spans cut everywhere but their canonical
+    * (min-doc_id) owner — all-but-one semantics, so repeated boilerplate
+    * survives exactly once in the corpus. */
+  private val dedupSpansQ = QDef(
+    "dedup_spans_removed",
+    (s, d) => graft.functions.SubstringDedup
+      .dedupSpansRemoved(documents(s, d), l = 8)
+      .orderBy(col("doc_id")),
+    Some(
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "gr AS (SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t " +
+        "FROM tok WHERE len(t) >= 8), " +
+        "g2 AS (SELECT doc_id, pos, " +
+        "array_to_string(list_slice(t, pos, pos + 7), ' ') AS gram FROM gr), " +
+        "own AS (SELECT gram, min(doc_id) AS owner FROM g2 GROUP BY gram " +
+        "HAVING min(doc_id) <> max(doc_id)), " +
+        "rem AS (SELECT DISTINCT g2.doc_id, pos + u AS p FROM g2 " +
+        "JOIN own USING (gram), unnest(range(0, 8)) v(u) " +
+        "WHERE g2.doc_id <> own.owner), " +
+        "stream AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS p, " +
+        "unnest(t) AS w FROM tok), " +
+        "kept AS (SELECT s.doc_id, s.p, s.w FROM stream s " +
+        "LEFT JOIN rem ON s.doc_id = rem.doc_id AND s.p = rem.p " +
+        "WHERE rem.p IS NULL) " +
+        "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(count(k.p) AS INT) AS n_kept, " +
+        "coalesce(string_agg(k.w, ' ' ORDER BY k.p), '') AS clean_text " +
+        "FROM documents d LEFT JOIN kept k USING (doc_id) " +
+        "GROUP BY d.doc_id, d.text ORDER BY doc_id")
+    )
+  )
+
   /** Metadata-filtered exact vector search ([[graft.functions.Similarity
     * .filteredTopK]]): top-5 neighbors restricted to corpus label = 1.
     * The predicate lands in the parquet scan (pre-filter), asserted in
@@ -1337,7 +1371,8 @@ object Ext {
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
-    semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, gopherRulesQ,
+    semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, dedupSpansQ,
+    gopherRulesQ,
     resampleQ, weightedSampleQ, packTexts, winsorizeQ, profileQ, driftQ,
     tokenIdsQ,
     mediaDecode, videoFrames, audioDecode

@@ -31,6 +31,50 @@ object SubstringDedup {
     * that appears verbatim in ANOTHER document. `n_dup_tokens / n_tokens`
     * is the cut ratio a Lee-style cleaning pass would remove. Docs shorter
     * than L tokens can't participate and report 0. */
+  /** The REMOVE pass: re-materialize each document with its duplicated
+    * spans cut, keeping each span only in its canonical OWNER — the
+    * minimum doc_id that contains the gram (so one copy always survives,
+    * the paper's all-but-one semantics). A token position is dropped iff
+    * some cross-doc-repeated L-gram covers it whose owner is another doc.
+    * Output: (doc_id, n_tokens, n_kept, clean_text).
+    *
+    * Same shuffle shape as [[dupSpanStats]] plus one tiny change: the dup
+    * table carries the per-gram min doc (already computed by the same
+    * aggregate). The text rebuild sorts each doc's KEPT positions — a
+    * per-doc array fold, no window over the stream. */
+  def dedupSpansRemoved(docs: DataFrame, l: Int = 8): DataFrame = {
+    require(l > 1, s"gram length must exceed 1 token, got $l")
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val grams = base.filter(col("_n") >= l)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(array_join(slice(col("_t"), col("pos"), lit(l)), " ")).as("_h"))
+    val dupOwned = grams.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("_owner"), max(col("doc_id")).as("_hi"))
+      .filter(col("_owner") =!= col("_hi"))
+      .select(col("_h"), col("_owner"))
+    // positions covered by a dup gram owned ELSEWHERE
+    val removed = grams.join(dupOwned, Seq("_h"))
+      .filter(col("doc_id") =!= col("_owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + l - 1)).as("_p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("_p"))).as("_cut"))
+    base
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_n").as("n_tokens"),
+        (col("_n") - coalesce(size(col("_cut")), lit(0))).as("n_kept"),
+        array_join(
+          filter(col("_t"), (_, i) =>
+            !array_contains(
+              coalesce(col("_cut"), array().cast("array<int>")), i + 1)),
+          " ").as("clean_text"))
+  }
+
   def dupSpanStats(docs: DataFrame, l: Int = 8): DataFrame = {
     require(l > 1, s"gram length must exceed 1 token, got $l")
     val base = docs

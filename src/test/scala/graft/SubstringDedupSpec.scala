@@ -48,4 +48,30 @@ class SubstringDedupSpec extends SparkSpec {
     val got = stats(Seq(t, t), l = 4)
     assert(got(0L) == (7, 7L) && got(1L) == (7, 7L))
   }
+
+  private def removed(texts: Seq[String], l: Int): Map[Long, (Int, Int, String)] =
+    SubstringDedup.dedupSpansRemoved(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        l)
+      .as[(Long, Int, Int, String)].collect()
+      .map { case (id, n, k, t) => id -> (n, k, t) }.toMap
+
+  test("span removal keeps the canonical owner intact, cuts the copy") {
+    val got = removed(Seq("a b c d e f g", "x y c d e f z w"), l = 4)
+    assert(got(0L) == (7, 7, "a b c d e f g")) // owner: untouched
+    assert(got(1L) == (8, 4, "x y z w"))       // copy: span cut
+  }
+
+  test("identical docs: first survives verbatim, second empties") {
+    val t = "m n o p q r s"
+    val got = removed(Seq(t, t), l = 4)
+    assert(got(0L) == (7, 7, t))
+    assert(got(1L) == (7, 0, ""))
+  }
+
+  test("span removal leaves dup-free corpora untouched") {
+    val texts = Seq("a b c d e", "f g h i j")
+    val got = removed(texts, l = 4)
+    assert(got(0L) == (5, 5, texts(0)) && got(1L) == (5, 5, texts(1)))
+  }
 }
