@@ -140,7 +140,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.GraftFunctions", null, name, usage, ""),
+        new ExpressionInfo("graft.GraftFunctions", null, name, usage,
+          "", "", "", "agg_funcs", "1.0.0", "", "built-in"),
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)

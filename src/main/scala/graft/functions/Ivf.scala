@@ -26,7 +26,7 @@ object Ivf {
 
   /** struct(cell, score) array for a vector against all centroid literals. */
   private def cellScores(v: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
+    array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cl = array(c.map(lit).toIndexedSeq: _*)
       struct(
         (Similarity.dot(v, cl) - lit(c.map(x => x * x).sum / 2)).as("score"),

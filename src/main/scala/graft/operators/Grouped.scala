@@ -50,10 +50,10 @@ object Grouped {
     // row per map partition BEFORE the shuffle — at scale this moves
     // O(groups) rows instead of the O(n) a window row_number() would.
     val ord = struct((orderCols.map(col) ++ df.columns.map(col)): _*)
-    val all = struct(df.columns.map(col): _*)
+    val all = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(cols(keys): _*)
       .agg(min_by(all, ord).as("_first"))
-      .select(df.columns.map(c => col(s"_first.$c").as(c)): _*)
+      .select(df.columns.toIndexedSeq.map(c => col(s"_first.$c").as(c)): _*)
       .orderBy(cols(keys): _*)
   }
 

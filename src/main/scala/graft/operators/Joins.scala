@@ -33,7 +33,7 @@ object Joins {
       tsCol: String,
       asofCol: String
   ): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     // common shape: key, ts, side tag, then left payload (null on right)
     val payload = leftCols.filter(c => c != key && c != tsCol)
     val taggedLeft = left.select(
@@ -176,7 +176,7 @@ object Joins {
       saltBuckets: Int
   ): DataFrame = {
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets.toLong))
+      pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(saltBuckets.toLong))
         .cast(LongType))
     val replicated = small
       .withColumn("_salt", explode(

@@ -47,7 +47,7 @@ object Io {
           .option("mode", "FAILFAST")
           .schema(schema)
           .csv(linesSkippingHeader(spark, path, headerLines))
-    if (indexCols == 0) df else df.drop(schema.fieldNames.take(indexCols): _*)
+    if (indexCols == 0) df else df.drop(schema.fieldNames.take(indexCols).toIndexedSeq: _*)
   }
 
   /** The text lines of `path` minus the first `n` lines of EACH file,
