@@ -1194,6 +1194,46 @@ object Ext {
     )
   )
 
+  /** Ordered funnel ([[graft.operators.Funnel.funnel]]): per user, the
+    * earliest view → first later click → first later purchase; stages
+    * never reached stay null (and `ts > null` keeps later stages null
+    * without special-casing — mirrored by SQL CASE semantics). */
+  private val funnelQ = QDef(
+    "funnel_conv",
+    (s, d) => graft.operators.Funnel.funnel(
+      events(s, d), Seq("view", "click", "purchase")),
+    Some(
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), " +
+        "s0 AS (SELECT user_id, min(ts) AS ts_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "s1 AS (SELECT s0.user_id, ts_view, " +
+        "min(CASE WHEN e.ts > ts_view THEN e.ts END) AS ts_click " +
+        "FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type = 'click' " +
+        "GROUP BY 1, 2), " +
+        "s2 AS (SELECT s1.user_id, ts_view, ts_click, " +
+        "min(CASE WHEN e.ts > ts_click THEN e.ts END) AS ts_purchase " +
+        "FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'purchase' " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT user_id, ts_view, ts_click, ts_purchase FROM s2 ORDER BY user_id")
+    )
+  )
+
+  /** Retention cohorts ([[graft.operators.Funnel.retentionCohorts]]):
+    * first-seen week × week offset × distinct active users — integer
+    * epoch-week arithmetic in both engines. */
+  private val retentionQ = QDef(
+    "retention_cohorts",
+    (s, d) => graft.operators.Funnel.retentionCohorts(events(s, d)),
+    Some(
+      ("WITH a AS (SELECT DISTINCT user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events), " +
+        "c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1) " +
+        "SELECT cohort_week, week - cohort_week AS week_offset, " +
+        "CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2 " +
+        "ORDER BY cohort_week, week_offset")
+    )
+  )
+
   /** Gap-filled hourly resample ([[graft.operators.Resample.resampleLocf]])
     * over the first 100 users: every hour from each user's first to last
     * occupied bucket, with LOCF value fill. The fill carries stored
@@ -1374,7 +1414,7 @@ object Ext {
     semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, dedupSpansQ,
     gopherRulesQ,
     resampleQ, weightedSampleQ, packTexts, winsorizeQ, profileQ, driftQ,
-    tokenIdsQ,
+    tokenIdsQ, funnelQ, retentionQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

@@ -58,6 +58,43 @@ class ResampleSpec extends SparkSpec {
     assert(kept(0.5) == kept(0.5), "determinism")
   }
 
+  test("funnel requires strict stage order and propagates drop-out nulls") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // user 1: full conversion, but only via the SECOND view->click path
+      (1L, ts(10), "view"), (1L, ts(5), "click"),   // click before view: no
+      (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: view only
+      (2L, ts(10), "view"),
+      // user 3: purchase precedes click — stage 3 stays null
+      (3L, ts(10), "view"), (3L, ts(20), "purchase"), (3L, ts(30), "click"),
+      // user 4: never viewed — not in the funnel at all
+      (4L, ts(10), "click"), (4L, ts(20), "purchase")
+    ).map { case (u, t, e) => (u, t, e) }.toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.get(1), r.get(2), r.get(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((ts(10), ts(20), ts(30))))
+    assert(got(2L) == ((ts(10), null, null)))
+    assert(got(3L) == ((ts(10), ts(30), null))) // click at 30, no purchase after
+  }
+
+  test("retention cohorts: offsets count distinct-week activity per cohort") {
+    import graft.operators.Funnel
+    def week(w: Long, m: Long = 0) = new java.sql.Timestamp(w * 604800000L + m * 60000L)
+    val ev = Seq(
+      (1L, week(0)), (1L, week(0, 30)), (1L, week(1)), // cohort 0, offsets 0,1
+      (2L, week(0)), (2L, week(2)),                    // cohort 0, offsets 0,2
+      (3L, week(1)), (3L, week(2))                     // cohort 1, offsets 0,1
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionCohorts(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("winsorize clamps into per-group quantile bounds, leaves the middle") {
     val df = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("b", 100.0))
       .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
