@@ -634,6 +634,35 @@ object Ext {
     * ([[graft.functions.NearDup.ngramJaccardAcross]] — prefix-filtered,
     * batch-sized cost), and it is not the higher id of an in-batch
     * near-dup pair. Every criterion mirrored in DuckDB. */
+  private val incrementalOracleSql: String =
+    "WITH inh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents " +
+      "WHERE doc_id >= 250), " +
+      "exh AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents " +
+      "WHERE doc_id < 250), " +
+      "keep AS (SELECT h, min(doc_id) AS doc_id FROM inh GROUP BY h), " +
+      "ae AS (SELECT doc_id FROM keep WHERE h NOT IN (SELECT h FROM exh)), " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle " +
+      "AND a.doc_id >= 250 AND b.doc_id < 250 GROUP BY 1, 2), " +
+      "nd_old AS (SELECT DISTINCT id_a AS doc_id FROM io " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "inn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle " +
+      "AND a.doc_id >= 250 AND b.doc_id >= 250 AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "nd_new AS (SELECT DISTINCT id_b AS doc_id FROM inn " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5) " +
+      "SELECT doc_id FROM ae " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM nd_old) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM nd_new) ORDER BY doc_id"
+
   private val dedupIncremental = QDef(
     "dedup_incremental",
     (s, d) => {
@@ -655,34 +684,37 @@ object Ext {
         .join(ndNew, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     },
-    Some(
-      "WITH inh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents " +
-        "WHERE doc_id >= 250), " +
-        "exh AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents " +
-        "WHERE doc_id < 250), " +
-        "keep AS (SELECT h, min(doc_id) AS doc_id FROM inh GROUP BY h), " +
-        "ae AS (SELECT doc_id FROM keep WHERE h NOT IN (SELECT h FROM exh)), " +
-        "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
-        "FROM tok WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
-        "io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
-        "FROM ds a JOIN ds b ON a.shingle = b.shingle " +
-        "AND a.doc_id >= 250 AND b.doc_id < 250 GROUP BY 1, 2), " +
-        "nd_old AS (SELECT DISTINCT id_a AS doc_id FROM io " +
-        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
-        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
-        "inn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
-        "FROM ds a JOIN ds b ON a.shingle = b.shingle " +
-        "AND a.doc_id >= 250 AND b.doc_id >= 250 AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2), " +
-        "nd_new AS (SELECT DISTINCT id_b AS doc_id FROM inn " +
-        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
-        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5) " +
-        "SELECT doc_id FROM ae " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM nd_old) " +
-        "AND doc_id NOT IN (SELECT doc_id FROM nd_new) ORDER BY doc_id")
+    Some(incrementalOracleSql)
+  )
+
+  /** Per-JVM signature stores keyed by sf dir: built ONCE from the
+    * "already ingested" slice, then every screen call reads the parquet
+    * store — the production ingest shape ([[graft.functions
+    * .SignatureStore]]). */
+  private val sigStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Store-backed incremental dedup: the SAME contract (and the same
+    * oracle SQL) as `dedup_incremental`, but the ingested corpus is
+    * touched only through its persisted signatures — the batch never
+    * re-shingles history. Oracle equality pins the store round-trip
+    * (write, schema, column-pruned read, across-screen) to the
+    * recompute-from-text definition. */
+  private val dedupIncrementalStore = QDef(
+    "dedup_incremental_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      val dir = sigStoreDirs.computeIfAbsent(d, dd => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sigstore").toString
+        graft.functions.SignatureStore.build(
+          documents(s, dd).filter(col("doc_id") < 250), tmp)
+        tmp
+      })
+      graft.functions.SignatureStore.screenBatch(
+        s, docs.filter(col("doc_id") >= 250), dir, threshold = 0.5)
+    },
+    Some(incrementalOracleSql)
   )
 
   /** MinHash-LSH candidates + exact-Jaccard verification — the production
@@ -1406,7 +1438,7 @@ object Ext {
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
     dedupCollapse, mixtureQ, shuffleQ, quotaQ, embedCentroid,
     decontaminate, corpusClean,
-    dedupIncremental,
+    dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,

@@ -108,7 +108,7 @@ object NearDup {
     */
   /** (doc_id, sorted distinct shingle-hash array, n_shingles) — the shared
     * payload for prefix filtering, minhash signatures, and exact verify. */
-  private def shingleHashArrays(docs: DataFrame, w: Int): DataFrame =
+  private[functions] def shingleHashArrays(docs: DataFrame, w: Int): DataFrame =
     fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("_toks"))
       .filter(size(col("_toks")) >= w)
@@ -157,17 +157,27 @@ object NearDup {
     * `a < b` constraint: the sides are distinct by role (ids may overlap;
     * callers pass disjoint corpora). */
   def ngramJaccardAcross(
-      left: DataFrame, right: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
-    val la = shingleHashArrays(left, w).persist()
-    val ra = shingleHashArrays(right, w).persist()
+      left: DataFrame, right: DataFrame, threshold: Double, w: Int = 3): DataFrame =
+    acrossArrays(
+      shingleHashArrays(left, w).persist(),
+      shingleHashArrays(right, w).persist(),
+      threshold, proxyA = Some(left), proxyB = Some(right))
+
+  /** [[ngramJaccardAcross]] over PRECOMPUTED signature tables
+    * (doc_id, arr, n_shingles) — the store-backed path
+    * ([[SignatureStore]]): the right side comes off parquet, so screening
+    * a batch never re-shingles the ingested corpus. Size proxies default
+    * to the array tables themselves (parquet stats price the store). */
+  private[functions] def acrossArrays(
+      la: DataFrame, ra: DataFrame, threshold: Double,
+      proxyA: Option[DataFrame] = None, proxyB: Option[DataFrame] = None): DataFrame = {
     val prefixLen = (floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
       .cast("int")
     def prefix(arrs: DataFrame, id: String) = arrs.select(
       col("doc_id").as(id), explode(slice(col("arr"), lit(1), prefixLen)).as("h"))
     val cand = prefix(la, "id_a").join(prefix(ra, "id_b"), "h")
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccardTwoSided(cand, la, ra, threshold,
-      proxyA = Some(left), proxyB = Some(right))
+    verifyJaccardTwoSided(cand, la, ra, threshold, proxyA, proxyB)
   }
 
   /** Per-JVM cache of VERIFIED pair tables, keyed by the corpus plan's

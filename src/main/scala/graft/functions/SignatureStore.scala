@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup signature store — the [[IvfIndex]] of text dedup: the
+  * per-document signatures (exact content hash + sorted n-gram hash
+  * array) are computed ONCE at ingest time and written as parquet; every
+  * future batch screens against the STORE, never against re-shingled
+  * corpus text. At 100 TB this is the difference between a batch-sized
+  * job and re-reading the corpus per ingest:
+  *
+  *   - the store row is (doc_id, exact_h, arr, n_shingles) — tens of
+  *     bytes of hashes per doc instead of the document body;
+  *   - screening reads only the columns it needs (exact_h for the
+  *     anti-join, arr/n_shingles for the prefix-filter candidates), both
+  *     column-pruned at the parquet scan;
+  *   - accepted batches [[append]] their signatures — batch-sized
+  *     writes, no compaction of history required.
+  *
+  * Screening semantics match the `dedup_incremental` contract: a batch
+  * doc survives iff it is its batch exact-group's keeper, its exact hash
+  * is not already ingested, and it has no ≥threshold near-dup in the
+  * store or earlier in the batch.
+  */
+object SignatureStore {
+
+  /** Signature frame for a doc table: (doc_id, exact_h, arr, n_shingles).
+    * Docs shorter than `w` tokens get an empty array (they can never be
+    * near-dups but still screen exactly). */
+  def signatures(docs: DataFrame, w: Int = 3): DataFrame = {
+    val arrs = NearDup.shingleHashArrays(docs, w)
+      .select(col("doc_id"), col("arr"), col("n_shingles"))
+    docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("exact_h"))
+      .join(arrs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_h"),
+        coalesce(col("arr"), array().cast("array<bigint>")).as("arr"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"))
+  }
+
+  /** Build (overwrite) the store from an initial corpus. */
+  def build(docs: DataFrame, dir: String, w: Int = 3): Unit =
+    signatures(docs, w).write.mode("overwrite").parquet(dir)
+
+  /** Append a batch's signatures (call after [[screenBatch]] accepts). */
+  def append(docs: DataFrame, dir: String, w: Int = 3): Unit =
+    signatures(docs, w).write.mode("append").parquet(dir)
+
+  /** Surviving doc ids of a new batch screened against the store:
+    * batch-exact-keeper ∧ exact hash unseen ∧ no near-dup vs store ∧ no
+    * near-dup vs smaller batch id. All joins are batch-sized on one side;
+    * the store side is touched via column-pruned scans and the prefix
+    * hash join only. */
+  def screenBatch(
+      spark: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double, w: Int = 3): DataFrame = {
+    val store = spark.read.parquet(dir)
+    val batchSigs = signatures(batch, w).persist()
+    val keepers = batchSigs.groupBy(col("exact_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val afterExact = keepers
+      .join(store.select(col("exact_h")).distinct(), Seq("exact_h"), "left_anti")
+      .select(col("doc_id"))
+    val storeArrs = store
+      .select(col("doc_id"), col("arr"), col("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val batchArrs = batchSigs
+      .select(col("doc_id"), col("arr"), col("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val ndStore = NearDup
+      .acrossArrays(batchArrs, storeArrs, threshold)
+      .select(col("id_a").as("doc_id")).distinct()
+    val ndBatch = NearDup.ngramJaccardPairs(batch, threshold, w)
+      .select(col("id_b").as("doc_id")).distinct()
+    afterExact
+      .join(ndStore, Seq("doc_id"), "left_anti")
+      .join(ndBatch, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+}
