@@ -74,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     // round over its 25-round ceiling's realistic 10-round slice.
     def cap(name: String): Int =
       if (name.endsWith("_recall") || name.endsWith("_bounds")
-        || name == "corpus_clean" || name == "dedup_incremental") 16
+        || name == "corpus_clean" || name == "dedup_incremental"
+        || name == "dedup_incremental_store") 16
       else if (name == "dedup_clusters" || name == "dedup_collapse") 40
       else 6
     val offenders = Queries.all.flatMap { q =>
