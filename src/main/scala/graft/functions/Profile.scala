@@ -25,7 +25,8 @@ object Profile {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__nn_$c"),
         count_distinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast(StringType).as(s"__mn_$c"),
         max(col(c)).cast(StringType).as(s"__mx_$c"))

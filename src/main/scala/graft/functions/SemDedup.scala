@@ -46,6 +46,19 @@ object SemDedup {
       nCells: Int = 16,
       seed: Long = 42L
   ): DataFrame = {
+    // an empty corpus can't train a quantizer — short-circuit to the
+    // empty pair set (one limit-1 probe job at BUILD time, never per row;
+    // the reference's groupby.d:33 empty-input convention)
+    if (df.isEmpty) {
+      val spark = df.sparkSession
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("id_a", df.schema(idCol).dataType),
+          StructField("id_b", df.schema(idCol).dataType),
+          StructField("sim", DoubleType))))
+    }
     val centroids = Ivf.centroidsFor(df, vecCol, nCells, seed)
     val base = NearDup.fanOut(df).select(
       col(idCol), Similarity.asDouble(col(vecCol)).as("_v"))

@@ -78,6 +78,33 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.tokenQuota(noRows, col("k"), key, col("i"), 10L).count() == 0)
   }
 
+  test("round-8 operators on empty frames") {
+    import graft.functions.{Packing, Profile, Sampling, SemDedup, SubstringDedup}
+    import graft.operators.{Funnel, Resample}
+    assert(Text.chunkDocs(noDocs, 8, 6).count() == 0)
+    assert(Text.gopherRules(noDocs).count() == 0)
+    assert(Text.tokensToIds(noDocs, 10).count() == 0)
+    assert(SubstringDedup.dupSpanStats(noDocs).count() == 0)
+    assert(SubstringDedup.dedupSpansRemoved(noDocs).count() == 0)
+    assert(SemDedup.semanticDupPairs(noVecs, "vec_id", "embedding", 0.9).count() == 0)
+    assert(Sampling.weightedSample(noRows, col("k"), lit(0.5)).count() == 0)
+    assert(Resample.resampleLocf(noEvents.toDF()).count() == 0)
+    assert(Funnel.funnel(noEvents.toDF().withColumn("event_type", lit("view")),
+      Seq("view", "click")).count() == 0)
+    assert(Funnel.retentionCohorts(noEvents.toDF()).count() == 0)
+    assert(Grouped.modeOf(noRows, "k", "i").count() == 0)
+    assert(graft.functions.Quantiles.winsorize(noEvents.toDF()
+      .withColumn("event_type", lit("a")), "event_type", "value").count() == 0)
+    assert(Packing.binTexts(
+      Packing.packSequences(noDocs.withColumn("n", lit(1L)),
+        col("doc_id"), col("n"), 10L), "doc_id", "text").count() == 0)
+    val prof = Profile.profile(noRows)
+    assert(prof.count() == 3) // one row per column, zero counts
+    assert(prof.filter(col("n_rows") =!= 0 || col("n_nulls") =!= 0).count() == 0)
+    assert(Profile.categoryDrift(noDocs.withColumn("source", lit("s")), "source", "text")
+      .count() == 0)
+  }
+
   test("connected components and range join on empty inputs") {
     import graft.functions.Clusters
     import graft.operators.Joins
