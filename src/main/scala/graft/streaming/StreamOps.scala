@@ -171,6 +171,75 @@ object StreamOps {
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
   }
 
+  /** Per-user funnel progress held in GroupState: the stage-relevant
+    * events seen so far, as (event_type, epoch_ms). Bounded by the user's
+    * stage-event count — in production, pair with a watermark horizon that
+    * evicts idle users (the [[sessionTotalsWithTimeout]] pattern). */
+  final case class FunnelEvents(evts: Seq[(String, Long)])
+  /** Emitted funnel progress: stages reached and their timestamps (one
+    * entry per reached stage, in stage order). */
+  final case class FunnelProgress(user_id: Long, reached: Int,
+      stage_ts: Seq[java.sql.Timestamp])
+
+  /** The chained-min funnel over an event multiset — the SAME definition
+    * as [[graft.operators.Funnel.funnel]]: stage k's timestamp is the min
+    * event of its type strictly after stage k-1's. Recomputed from state
+    * on every update, so LATE events (an earlier view arriving after the
+    * click) revise the answer exactly as the batch definition would —
+    * a forward-only state machine could not. */
+  private[streaming] def funnelChain(
+      evts: Seq[(String, Long)], stages: Seq[String]): Seq[Long] = {
+    var prev = Long.MinValue
+    val out = Seq.newBuilder[Long]
+    var going = true
+    for (stage <- stages if going) {
+      val cand = evts.collect {
+        case (t, ms) if t == stage && (prev == Long.MinValue || ms > prev) => ms
+      }
+      if (cand.isEmpty) going = false
+      else { prev = cand.min; out += prev }
+    }
+    out.result()
+  }
+
+  /** Streaming funnel: per-user stage progress updated every micro-batch
+    * via `mapGroupsWithState`. Emits the user's current (reached,
+    * stage timestamps); the memory/console consumer keeps the latest
+    * update per user. For users who entered the funnel the latest update
+    * equals the batch funnel over the same history (asserted in
+    * StreamOpsSpec with out-of-order cross-batch arrivals); users with
+    * later-stage-only activity additionally surface as reached=0, which
+    * the batch form omits. */
+  def streamingFunnel(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      stages: Seq[String]
+  ): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val encIn: Encoder[(Long, String, Long)] =
+      Encoders.product[(Long, String, Long)]
+    implicit val encKey: Encoder[Long] = Encoders.scalaLong
+    implicit val encSt: Encoder[FunnelEvents] = Encoders.product[FunnelEvents]
+    implicit val encOut: Encoder[FunnelProgress] = Encoders.product[FunnelProgress]
+    val stageSet = stages.toSet
+    events
+      .select(col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ms"))
+      .as[(Long, String, Long)]
+      .filter(r => stageSet.contains(r._2))
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelEvents]) =>
+          val prev = state.getOption.getOrElse(FunnelEvents(Seq.empty))
+          val all = prev.evts ++ rows.map(r => (r._2, r._3))
+          state.update(FunnelEvents(all))
+          val chain = funnelChain(all, stages)
+          FunnelProgress(user, chain.size,
+            chain.map(ms => new java.sql.Timestamp(ms)))
+      }
+  }
+
   /** Tumbling-window event aggregation: counts + exact decimal sums per
     * (window, event_type). Runs identically in batch mode. */
   def windowedEventCounts(

@@ -256,6 +256,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFunnel matches the batch funnel under out-of-order arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    final case class E(user_id: Long, ts: Timestamp, event_type: String, event_id: Long)
+    val all = Seq(
+      E(1L, ts(20), "click", 1), E(1L, ts(30), "purchase", 2), // batch 1
+      E(2L, ts(10), "view", 3), E(2L, ts(15), "click", 4),
+      E(1L, ts(10), "view", 5),  // LATE: user 1's view arrives after its click
+      E(2L, ts(5), "click", 6),  // late click BEFORE user 2's view: must not count
+      E(3L, ts(1), "purchase", 7) // never viewed
+    )
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val q = StreamOps.streamingFunnel(
+        mem.toDF().toDF("user_id", "ts", "event_type", "event_id"),
+        Seq("view", "click", "purchase"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(all.take(4).map(e => (e.user_id, e.ts, e.event_type, e.event_id)): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(4).map(e => (e.user_id, e.ts, e.event_type, e.event_id)): _*)
+      q.processAllAvailable()
+      // latest update per user ≡ the batch funnel over the full history
+      val latest = spark.table("funnel_out")
+        .groupByKey((r: org.apache.spark.sql.Row) => r.getLong(0))
+        .mapGroups((u: Long, rs: Iterator[org.apache.spark.sql.Row]) => {
+          val r = rs.toSeq.maxBy(_.getInt(1)) // reached only grows per user
+          (u, r.getInt(1), r.getSeq[Timestamp](2).toList)
+        }).collect().toSeq.sortBy(_._1)
+        // batch funnel emits only FUNNEL ENTRANTS; streaming also reports
+        // reached=0 for users with later-stage-only activity — drop those
+        .filter(_._2 > 0)
+      val batch = graft.operators.Funnel.funnel(
+          all.map(e => (e.user_id, e.ts, e.event_type)).toDF("user_id", "ts", "event_type"),
+          Seq("view", "click", "purchase"))
+        .collect().map { r =>
+          val stamps = Seq(1, 2, 3).map(r.getTimestamp).takeWhile(_ != null).toList
+          (r.getLong(0), stamps.size, stamps)
+        }.toSeq.sortBy(_._1)
+      assert(latest == batch)
+      // and the revision is real: user 1 converts only once the late view lands
+      assert(latest.find(_._1 == 1L).get._2 == 3)
+    } finally q.stop()
+  }
+
   test("gopher rules, weighted sample, and chunking are streaming-safe (stateless)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
