@@ -1004,6 +1004,30 @@ object Ext {
     )
   )
 
+  /** Temperature-flattened source mix ([[graft.functions.Sampling
+    * .temperatureMix]]): keep rate ∝ sqrt(source size), largest source
+    * keeps 50%. sqrt is IEEE exactly-rounded, so the per-row keep
+    * decision hash-matches DuckDB bit-for-bit. */
+  private val temperatureMixQ = QDef(
+    "temperature_mix",
+    (s, d) => graft.functions.Sampling.temperatureMix(
+        documents(s, d).select(col("doc_id"), col("source")),
+        stratum = col("source"), key = col("doc_id").cast("string"))
+      .orderBy(col("doc_id")),
+    Some(
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n " +
+        "FROM documents GROUP BY 1), " +
+        "m AS (SELECT max(n) AS maxn FROM c), " +
+        "r AS (SELECT source, 0.5 * sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(maxn AS DOUBLE)) AS rate " +
+        "FROM c CROSS JOIN m) " +
+        "SELECT doc_id, d.source FROM documents d JOIN r USING (source) " +
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        "CASE WHEN rate >= 1.0 THEN 'zzzzz' WHEN rate <= 0.0 THEN '0000' " +
+        "ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END " +
+        "ORDER BY doc_id")
+    )
+  )
+
   /** Per-column table profile ([[graft.functions.Profile.profile]]):
     * nulls / exact distinct / min / max per column in one pass, reshaped
     * from a single aggregate row (bounded driver state: n_cols·4). */
@@ -1446,7 +1470,7 @@ object Ext {
     semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, dedupSpansQ,
     gopherRulesQ,
     resampleQ, weightedSampleQ, packTexts, winsorizeQ, profileQ, driftQ,
-    tokenIdsQ, funnelQ, retentionQ,
+    tokenIdsQ, funnelQ, retentionQ, temperatureMixQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

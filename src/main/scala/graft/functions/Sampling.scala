@@ -76,6 +76,30 @@ object Sampling {
     df.filter(substring(md5(key), 1, 4) < th)
   }
 
+  /** Temperature-flattened corpus mix (the T5/LLaMA mixing step at
+    * temperature 2): per-stratum keep rate ∝ sqrt(stratum size),
+    * normalized so the LARGEST stratum keeps `maxRate` — small sources
+    * are over-represented relative to proportional sampling, large ones
+    * flattened. Composes [[weightedSample]] with a rate computed from the
+    * stratum-count table (group-cardinality-sized, broadcast by AQE).
+    * Deterministic across engines: sqrt is IEEE exactly-rounded and the
+    * rate quantizes to 1/65536ths before the hash compare — no pow(). */
+  def temperatureMix(df: DataFrame, stratum: Column, key: Column,
+      maxRate: Double = 0.5): DataFrame = {
+    require(maxRate > 0 && maxRate <= 1, s"maxRate must be in (0,1], got $maxRate")
+    val counts = df.groupBy(stratum.as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+    val maxN = counts.agg(max(col("_n")).as("_maxn"))
+    val rated = df
+      .join(counts, stratum === col("_stratum"))
+      .crossJoin(broadcast(maxN))
+      .withColumn("_rate",
+        lit(maxRate) * sqrt(col("_n").cast("double"))
+          / sqrt(col("_maxn").cast("double")))
+    weightedSample(rated, key, col("_rate"))
+      .drop("_stratum", "_n", "_maxn", "_rate")
+  }
+
   /** Deterministic global shuffle order — the training-order permutation:
     * every row gets its rank in md5(key) order (`0..n-1`). rand() orders
     * differ per run and engine; hash order is a pure function of the key

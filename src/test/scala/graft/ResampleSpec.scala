@@ -58,6 +58,22 @@ class ResampleSpec extends SparkSpec {
     assert(kept(0.5) == kept(0.5), "determinism")
   }
 
+  test("temperatureMix flattens toward small strata at sqrt rates") {
+    val df = ((1L to 800L).map(i => (i, "big")) ++ (801L to 1000L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, col("src"), col("id").cast("string"))
+      .groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // big keeps ~50% (0.5*sqrt(800/800)); small keeps ~25% (0.5*sqrt(200/800))
+    assert(kept("big") > 320 && kept("big") < 480, s"big=${kept("big")}")
+    assert(kept("small") > 28 && kept("small") < 72, s"small=${kept("small")}")
+    // determinism: same inputs, same rows
+    val again = Sampling.temperatureMix(df, col("src"), col("id").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(again == Sampling.temperatureMix(df, col("src"), col("id").cast("string"))
+      .as[(Long, String)].collect().toSet)
+  }
+
   test("funnel requires strict stage order and propagates drop-out nulls") {
     import graft.operators.Funnel
     val ev = Seq(
