@@ -63,6 +63,20 @@ class PlanSpec extends SparkSpec {
       s"pairwise comparison not pruned by the cell key:\n$p")
   }
 
+  test("funnel stage tables are filtered at the scan and joined on the user key") {
+    val p = physical(q("funnel_conv"))
+    assert(p.contains("EqualTo(event_type,view)") || p.contains("isnotnull(event_type"),
+      s"stage filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stage join degenerated:\n$p")
+  }
+
+  test("token_ids prunes the documents scan to (doc_id, text)") {
+    val p = physical(q("token_ids"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned:\n$p")
+  }
+
   test("ann_lsh_recall candidate generation is a broadcast hash join on (table,bucket)") {
     val p = physical(q("ann_lsh_recall"))
     assert(p.contains("BroadcastHashJoin"), s"no hash join for candidates:\n$p")
