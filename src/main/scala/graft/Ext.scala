@@ -1229,6 +1229,36 @@ object Ext {
     )
   )
 
+  /** SemDedup survivors ([[graft.functions.SemDedup.semanticSurvivors]]):
+    * the planted corpus with every within-cell duplicate collapsed to its
+    * smallest id. On this corpus the cell-pruned pair set equals brute
+    * force (see `semdedup_pairs`), so the survivor set is exactly "all
+    * ids minus the higher side of each brute-force pair" — fully
+    * oracle-checkable. */
+  private val semdedupCollapse = QDef(
+    "semdedup_collapse",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.functions.SemDedup.semanticSurvivors(e.union(planted),
+        "vec_id", "embedding", threshold = 0.95, nCells = 16)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some(
+      ("WITH corpus AS (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cosSql("a.v", "b.v")} AS sim " +
+        "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) " +
+        "SELECT vec_id FROM corpus WHERE vec_id NOT IN " +
+        "(SELECT DISTINCT id_b FROM p WHERE sim >= 0.95) ORDER BY vec_id")
+    )
+  )
+
   /** Context-window chunking ([[graft.functions.Text.chunkDocs]]):
     * 32-token windows, stride 24 (8-token overlap). Chunk layout is pure
     * integer arithmetic, so DuckDB reproduces it exactly — including the
@@ -1467,7 +1497,8 @@ object Ext {
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
-    semdedupPairs, chunkDocsQ, simTopKFiltered, dedupSubstring, dedupSpansQ,
+    semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
+    dedupSubstring, dedupSpansQ,
     gopherRulesQ,
     resampleQ, weightedSampleQ, packTexts, winsorizeQ, profileQ, driftQ,
     tokenIdsQ, funnelQ, retentionQ, temperatureMixQ,
