@@ -38,7 +38,17 @@ object Bench {
     try run("q1_flagship") catch { case _: Throwable => () }
 
     var failed = List.empty[String]
+    // Cold-cache timing: the per-JVM shared-intermediate caches (near-dup
+    // pairs, cluster closures, exact ANN reference sets) and the session's
+    // cached datasets are dropped BEFORE each timed run, so every recorded
+    // number is the query's own cost — not a read of a neighbor's warm
+    // cache. Durable artifact caches (trained quantizers, persisted index
+    // handles, signature-store paths) survive: those model an offline
+    // build-once-serve-many lifecycle, and their parquet layouts are on
+    // disk either way. The clear itself runs outside the timer.
     def timeOnce(name: String): Double = {
+      PlanCache.clearShared()
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try run(name) catch { case e: Throwable =>
         if (!failed.contains(name)) {
@@ -69,7 +79,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omit,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_caches":true,"queries":$qs$omit,"errors":$errs,"sf":"$sfDir"}"""
     }
     // Full per-query detail always lands in bench_full.json (the repo copy
     // the judge can read); stdout gets ONE line guaranteed to fit the

@@ -292,6 +292,56 @@ object Ext {
     )
   )
 
+  /** Appended-index handles for the health gate: built from the BASE
+    * slice, then the shifted batch appended ONCE per JVM (appendBatch
+    * mutates the on-disk layout; the durable cache makes the mutation
+    * idempotent across re-runs, which serve the same appended index). */
+  private val appendedIdx =
+    new graft.PlanCache[graft.functions.IvfIndex](capacity = 4, durable = true)
+
+  /** INDEX-HEALTH gate for the frozen-quantizer ingest path
+    * ([[graft.functions.IvfIndex.appendBatch]]): a distribution-SHIFTED
+    * batch (reversed embeddings — a shape the quantizer never trained on,
+    * under fresh ids) is appended to an index built from the base slice
+    * only, and recall@5 for queries FROM the shifted batch is gated
+    * against the exact top-k over the combined corpus. This is the
+    * rebuild trigger a production ingest loop watches: appendBatch keeps
+    * the quantizer frozen by design, so as appended data drifts, shifted-
+    * query recall decays — when this gate flips false the index needs
+    * retraining. Measured (seeded): min per-qid 1.0/0.8, mean 1.0/0.97 at
+    * sf0.01/sf0.1 → gates at 0.2/0.6 (the shifted region concentrates in
+    * few cells, which probing 8 of 16 still covers — the gate detects
+    * LAYOUT breakage and gross drift, not the gentle tail). */
+  private val annIvfAppendedRecall = QDef(
+    "ann_ivf_appended_recall",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val shifted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val combined = base.unionByName(shifted)
+      val q = shifted.filter(col("vec_id") < 100100L)
+      val exact = Similarity.bruteForceTopKCached(
+        combined, q, "vec_id", "embedding", k = 5)
+      val idx = appendedIdx.getOrCompute(
+        graft.PlanCache.keyOf2(base, shifted, "ivf16"), {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_ivf_appended").toString
+          val i = graft.functions.IvfIndex
+            .build(base, "vec_id", "embedding", nCells = 16, dir)
+          i.appendBatch(shifted, "vec_id", "embedding")
+          i
+        })
+      val ann = idx.topK(q, "vec_id", "embedding", k = 5, nProbe = 8)
+      recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
+    },
+    Some("SELECT CAST(vec_id + 100000 AS BIGINT) AS qid, " +
+      "true AS recall_ok, true AS macro_ok FROM embeddings " +
+      "WHERE vec_id % 5 = 0 AND vec_id < 100 ORDER BY qid")
+  )
+
   /** IVF-PQ recall gate ([[graft.functions.Pq]] →
     * [[graft.functions.IvfIndex.pqTopK]]): compressed-domain ADC scan over
     * the PERSISTED codes (encoded once at index build; the scan reads
@@ -491,7 +541,7 @@ object Ext {
     Some("WITH u AS (SELECT label, i AS ord, " +
       "CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) AS sx " +
       "FROM embeddings, unnest(range(1, 65)) AS t(i)), " +
-      "s AS (SELECT label, ord, sum(sx) AS sx FROM u GROUP BY 1, 2), " +
+      "s AS (SELECT label, ord, CAST(sum(sx) AS BIGINT) AS sx FROM u GROUP BY 1, 2), " +
       "n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs " +
       "FROM embeddings GROUP BY 1) " +
       "SELECT s.label, n_vecs, CAST(ord - 1 AS INTEGER) AS pos, " +
@@ -687,12 +737,13 @@ object Ext {
     Some(incrementalOracleSql)
   )
 
-  /** Per-JVM signature stores keyed by sf dir: built ONCE from the
-    * "already ingested" slice, then every screen call reads the parquet
-    * store — the production ingest shape ([[graft.functions
-    * .SignatureStore]]). */
+  /** Per-JVM signature stores keyed by the ingested-slice plan: built ONCE
+    * from the "already ingested" slice, then every screen call reads the
+    * parquet store — the production ingest shape ([[graft.functions
+    * .SignatureStore]]). Durable artifact cache (the store is a persisted
+    * parquet layout, like the IVF index). */
   private val sigStoreDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.PlanCache[String](capacity = 8, durable = true)
 
   /** Store-backed incremental dedup: the SAME contract (and the same
     * oracle SQL) as `dedup_incremental`, but the ingested corpus is
@@ -704,11 +755,11 @@ object Ext {
     "dedup_incremental_store",
     (s, d) => {
       val docs = documents(s, d)
-      val dir = sigStoreDirs.computeIfAbsent(d, dd => {
+      val ingested = docs.filter(col("doc_id") < 250)
+      val dir = sigStoreDirs.getOrCompute(graft.PlanCache.keyOf(ingested), {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_sigstore").toString
-        graft.functions.SignatureStore.build(
-          documents(s, dd).filter(col("doc_id") < 250), tmp)
+        graft.functions.SignatureStore.build(ingested, tmp)
         tmp
       })
       graft.functions.SignatureStore.screenBatch(
@@ -1354,6 +1405,51 @@ object Ext {
     )
   )
 
+  /** Linear-interpolation resample ([[graft.operators.Resample
+    * .resampleInterp]]): gap buckets get the IEEE-exact linear blend of
+    * the bracketing occupied buckets; occupied buckets keep their own
+    * value. Same grid/bucketing as `resample_locf`; the oracle replicates
+    * the identical operation order so doubles hash-match bit-for-bit. */
+  private val resampleInterpQ = QDef(
+    "resample_interp",
+    (s, d) => graft.operators.Resample.resampleInterp(
+        events(s, d).filter(col("user_id") < 100), bucketMinutes = 60)
+      .orderBy(col("user_id"), col("bucket")),
+    Some(
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value " +
+        "FROM events WHERE user_id < 100), " +
+        "b AS (SELECT user_id, time_bucket(INTERVAL '60 minutes', ts) AS bucket, " +
+        "ts, event_id, value FROM e), " +
+        "lastv AS (SELECT user_id, bucket, value FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, bucket " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1), " +
+        "cnt AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_obs " +
+        "FROM b GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 " +
+        "FROM b GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(b0, b1, " +
+        "INTERVAL '60 minutes')) AS bucket FROM span), " +
+        "f AS (SELECT g.user_id, g.bucket, coalesce(c.n_obs, 0) AS n_obs, " +
+        "last_value(l.value IGNORE NULLS) OVER w_f AS pv, " +
+        "last_value(CASE WHEN l.value IS NOT NULL THEN g.bucket END IGNORE NULLS) " +
+        "OVER w_f AS pb, " +
+        "first_value(l.value IGNORE NULLS) OVER w_b AS nv, " +
+        "first_value(CASE WHEN l.value IS NOT NULL THEN g.bucket END IGNORE NULLS) " +
+        "OVER w_b AS nb " +
+        "FROM grid g LEFT JOIN lastv l USING (user_id, bucket) " +
+        "LEFT JOIN cnt c USING (user_id, bucket) " +
+        "WINDOW w_f AS (PARTITION BY g.user_id ORDER BY g.bucket " +
+        "ROWS UNBOUNDED PRECEDING), " +
+        "w_b AS (PARTITION BY g.user_id ORDER BY g.bucket " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, bucket, n_obs, " +
+        "CASE WHEN nb = pb THEN pv ELSE pv + (nv - pv) * " +
+        "(CAST(epoch_us(bucket) - epoch_us(pb) AS DOUBLE) / " +
+        "CAST(epoch_us(nb) - epoch_us(pb) AS DOUBLE)) END AS value_interp " +
+        "FROM f ORDER BY user_id, bucket")
+    )
+  )
+
   /** Quality-weighted Bernoulli sample ([[graft.functions.Sampling
     * .weightedSample]]): keep probability ∝ doc length (n_chars/600,
     * clamped) — per-row continuous rates, hex-threshold determinism, no
@@ -1485,10 +1581,86 @@ object Ext {
     )
   )
 
+  /** BPE roundtrip: decode(encode(text)) under the checked-in merges
+    * fixture must reproduce the corpus byte-for-byte. The engine runs the
+    * full tokenizer kernel ([[graft.plans.Bpe]]); the oracle is the corpus
+    * itself — a hash-match here pins every piece boundary (one lost or
+    * doubled character anywhere breaks the hash). */
+  private val bpeRoundtrip = QDef(
+    "bpe_roundtrip",
+    (s, d) => documents(s, d).select(col("doc_id"),
+        Text.bpeDecode(Text.bpeEncode(col("text"), Text.fixtureMerges))
+          .as("text"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id")
+  )
+
+  /** DuckDB replica of the BPE tokenizer for the oracle: per DISTINCT
+    * word, a recursive CTE applies the fixture merges in rank order over a
+    * chr(1)-delimited symbol string — `replace` on the delimited pattern
+    * is exactly the kernel's left-to-right non-overlapping merge pass, and
+    * rank-monotonicity of a TRAINED merge table (a pair involving a merged
+    * symbol always ranks after the merges that built it) makes the
+    * step-at-a-time recursion converge to the kernel's all-occurrences-
+    * per-rank result. Piece counts then join back to the doc stream. */
+  private def bpeTokensOracleSql: String = {
+    val mergeRows = Text.fixtureMerges.zipWithIndex.map { case ((a, b), r) =>
+      s"('${a.replace("'", "''")}', '${b.replace("'", "''")}', $r)"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+       |mg(a, b, r) AS (VALUES $mergeRows),
+       |words AS (
+       | SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+       |steps(word, syms) AS (
+       | SELECT word, CASE WHEN word = '' THEN chr(1) || '</w>' || chr(1)
+       |  ELSE chr(1) || array_to_string(
+       |    list_transform(range(1, length(word) + 1), i -> word[i:i]), chr(1))
+       |    || chr(1) || '</w>' || chr(1) END
+       | FROM words
+       | UNION ALL
+       | SELECT s.word,
+       |  replace(s.syms, chr(1) || m.a || chr(1) || m.b || chr(1),
+       |    chr(1) || m.a || m.b || chr(1))
+       | FROM steps s JOIN mg m
+       |  ON contains(s.syms, chr(1) || m.a || chr(1) || m.b || chr(1))
+       |  AND m.r = (SELECT min(r) FROM mg
+       |             WHERE contains(s.syms, chr(1) || a || chr(1) || b || chr(1)))),
+       |pieces AS (
+       | SELECT word, CAST(len(string_split(syms, chr(1))) - 2 AS BIGINT) AS n_pieces
+       | FROM steps s
+       | WHERE NOT EXISTS (SELECT 1 FROM mg
+       |                   WHERE contains(s.syms, chr(1) || a || chr(1) || b || chr(1)))),
+       |doc_words AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT d.doc_id,
+       | CAST(len(string_split(d.text, ' ')) AS INT) AS n_ws_tokens,
+       | CAST(c.n_bpe AS INT) AS n_bpe_tokens
+       |FROM documents d JOIN (
+       | SELECT dw.doc_id, sum(p.n_pieces) AS n_bpe
+       | FROM doc_words dw JOIN pieces p USING (word) GROUP BY 1) c
+       |USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Tokenizer-faithful token counts under the fixture merges, next to the
+    * whitespace count — the column packing/quota decisions should follow
+    * in a real pipeline ([[Text.bpeTokenCount]] drops into
+    * `pack_sequences`/`quota_tokens`, which take arbitrary count columns). */
+  private val bpeTokens = QDef(
+    "bpe_tokens",
+    (s, d) => documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        Text.bpeTokenCount(col("text"), Text.fixtureMerges).as("n_bpe_tokens"))
+      .orderBy(col("doc_id")),
+    Some(bpeTokensOracleSql)
+  )
+
   val all: Seq[QDef] = Seq(
+    bpeRoundtrip, bpeTokens,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
+    annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
     dedupCollapse, mixtureQ, shuffleQ, quotaQ, embedCentroid,
     decontaminate, corpusClean,
@@ -1500,7 +1672,8 @@ object Ext {
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     dedupSubstring, dedupSpansQ,
     gopherRulesQ,
-    resampleQ, weightedSampleQ, packTexts, winsorizeQ, profileQ, driftQ,
+    resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
+    profileQ, driftQ,
     tokenIdsQ, funnelQ, retentionQ, temperatureMixQ,
     mediaDecode, videoFrames, audioDecode
   )

@@ -47,8 +47,11 @@ object Clusters {
       maxIter: Int = 25
   ): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    finishLabels(nodes, nodeCol,
-      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter))
+    val labels = edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter)
+    // uncached entry point: the persisted label table is released after the
+    // caller first materializes the closure
+    graft.AutoUnpersist.afterFirstUse(
+      finishLabels(nodes, nodeCol, labels), labels)
   }
 
   /** Per-JVM cache of EDGE-TOUCHED label tables, keyed by the node/edge
@@ -59,9 +62,10 @@ object Clusters {
     * out; the cache is that shape across separately-issued queries. The
     * persisted payload is the edge-touched subgraph only — O(dup-pair
     * endpoints), the same working set the iteration itself must hold,
-    * never the corpus — and it spills (MEMORY_AND_DISK). */
+    * never the corpus — and it spills (MEMORY_AND_DISK). Bounded LRU with
+    * unpersist on evict; see [[graft.PlanCache]]. */
   private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), DataFrame]()
+    new graft.PlanCache[DataFrame](capacity = 16, onEvict = graft.PlanCache.unpersist)
 
   /** [[connectedComponents]] through the per-JVM cache — use when several
     * queries consume one closure. Identical output, computed once. */
@@ -74,9 +78,8 @@ object Clusters {
       maxIter: Int = 25
   ): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    val key = (nodes.queryExecution.analyzed.semanticHash(),
-      edges.queryExecution.analyzed.semanticHash(), s"$nodeCol/$srcCol/$dstCol")
-    val labels = ccCache.computeIfAbsent(key, _ =>
+    val key = graft.PlanCache.keyOf2(nodes, edges, nodeCol, srcCol, dstCol)
+    val labels = ccCache.getOrCompute(key,
       edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter))
     finishLabels(nodes, nodeCol, labels)
   }

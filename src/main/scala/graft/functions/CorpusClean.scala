@@ -29,6 +29,11 @@ object CorpusClean {
     * keeper (min doc_id) AND is not the higher id of any verified
     * near-dup pair at `jaccardT` AND shares < `minShared` shingles with
     * the benchmark.
+    *
+    * Uncached by default — a library entry point must not quietly route
+    * through the per-JVM pair cache; pass `sharedPairs = true` when this
+    * pipeline runs alongside other consumers of the same pair set (the
+    * cluster report, the collapsed corpus) and the cached table is wanted.
     */
   def surviving(
       docs: DataFrame,
@@ -36,13 +41,17 @@ object CorpusClean {
       qualityMin: Double = 0.3,
       jaccardT: Double = 0.5,
       w: Int = 3,
-      minShared: Long = 1L
+      minShared: Long = 1L,
+      sharedPairs: Boolean = false
   ): DataFrame = {
     val quality = Text.qualityScore(docs)
       .select(col("doc_id"), col("quality"))
       .filter(col("quality") >= qualityMin)
     val keepers = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
-    val nearDupDrop = NearDup.ngramJaccardPairsShared(docs, jaccardT)
+    val pairs =
+      if (sharedPairs) NearDup.ngramJaccardPairsShared(docs, jaccardT, w)
+      else NearDup.ngramJaccardPairs(docs, jaccardT, w)
+    val nearDupDrop = pairs
       .select(col("id_b").as("doc_id")).distinct()
     val contaminated = Contamination.report(docs, bench, w, minShared)
       .select(col("doc_id"))

@@ -60,9 +60,11 @@ object Ivf {
     * semantic hash + quantizer config: training runs ONCE per (corpus,
     * config) per JVM and every later query batch reuses the centroids —
     * the production shape (train offline on a sample, serve many probes).
-    * Centroid payload is O(nCells·dim) doubles, so the cache stays tiny. */
+    * Centroid payload is O(nCells·dim) doubles, so the cache stays tiny.
+    * Durable: a trained quantizer is an offline-built artifact
+    * (build-once-serve-many), not a shared query intermediate. */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Long), Array[Array[Double]]]()
+    new graft.PlanCache[Array[Array[Double]]](capacity = 32, durable = true)
 
   /** Train the coarse quantizer on a SAMPLE of the corpus; returns the
     * centroid matrix. Few iterations — a COARSE quantizer only partitions
@@ -87,8 +89,9 @@ object Ivf {
   def centroidsFor(
       corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L
   ): Array[Array[Double]] = {
-    val key = (corpus.queryExecution.analyzed.semanticHash(), vecCol, nCells, seed)
-    centroidCache.computeIfAbsent(key, _ => trainCentroids(corpus, vecCol, nCells, seed))
+    centroidCache.getOrCompute(
+      graft.PlanCache.keyOf(corpus, vecCol, nCells, seed),
+      trainCentroids(corpus, vecCol, nCells, seed))
   }
 
   /** IVF top-k: probe the query's nearest `nProbe` cells, exact cosine

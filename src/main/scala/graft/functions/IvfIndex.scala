@@ -221,17 +221,18 @@ object IvfIndex {
 
   /** Per-JVM built-index cache for the registered queries: one build per
     * (corpus identity, quantizer config), every later call loads the
-    * persisted layout — the serve-many-probes production shape. */
+    * persisted layout — the serve-many-probes production shape. Durable:
+    * a persisted index is an offline-built artifact; the parquet layout
+    * outlives the handle either way. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), IvfIndex]()
+    new graft.PlanCache[IvfIndex](capacity = 8, durable = true)
 
   private[graft] def cachedFor(corpus: DataFrame, idCol: String,
-      vecCol: String, nCells: Int, m: Int = 8, kCodes: Int = 16): IvfIndex = {
-    val key = (corpus.queryExecution.analyzed.semanticHash(), nCells, m, kCodes)
-    indexCache.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft_ivf_${key._1}_$nCells").toString
-      build(corpus, idCol, vecCol, nCells, dir, m = m, kCodes = kCodes)
-    })
-  }
+      vecCol: String, nCells: Int, m: Int = 8, kCodes: Int = 16): IvfIndex =
+    indexCache.getOrCompute(
+      graft.PlanCache.keyOf(corpus, idCol, vecCol, nCells, m, kCodes), {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_ivf_$nCells").toString
+        build(corpus, idCol, vecCol, nCells, dir, m = m, kCodes = kCodes)
+      })
 }

@@ -157,11 +157,14 @@ object NearDup {
     * `a < b` constraint: the sides are distinct by role (ids may overlap;
     * callers pass disjoint corpora). */
   def ngramJaccardAcross(
-      left: DataFrame, right: DataFrame, threshold: Double, w: Int = 3): DataFrame =
-    acrossArrays(
-      shingleHashArrays(left, w).persist(),
-      shingleHashArrays(right, w).persist(),
-      threshold, proxyA = Some(left), proxyB = Some(right))
+      left: DataFrame, right: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    val la = shingleHashArrays(left, w).persist()
+    val ra = shingleHashArrays(right, w).persist()
+    graft.AutoUnpersist.afterFirstUse(
+      acrossArrays(la, ra, threshold,
+        proxyA = Some(left), proxyB = Some(right)),
+      la, ra)
+  }
 
   /** [[ngramJaccardAcross]] over PRECOMPUTED signature tables
     * (doc_id, arr, n_shingles) — the store-backed path
@@ -188,22 +191,22 @@ object NearDup {
     * is dup pairs only (three columns, dup-pair-sized — a sliver of the
     * corpus), and it spills (MEMORY_AND_DISK). Same production shape as
     * [[graft.functions.Clusters.connectedComponentsShared]]: compute the
-    * intermediate once, fan out consumers. */
+    * intermediate once, fan out consumers. Bounded LRU with unpersist on
+    * evict; see [[graft.PlanCache]] for the key/lifecycle contract. */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Int), DataFrame]()
+    new graft.PlanCache[DataFrame](capacity = 16, onEvict = graft.PlanCache.unpersist)
 
   /** [[ngramJaccardPairs]] through the per-JVM cache — use when several
     * queries consume one pair set. Identical output, computed once. */
-  def ngramJaccardPairsShared(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
-    val key = (docs.queryExecution.analyzed.semanticHash(), threshold, w)
-    pairsCache.computeIfAbsent(key, _ =>
+  def ngramJaccardPairsShared(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame =
+    pairsCache.getOrCompute(graft.PlanCache.keyOf(docs, threshold, w),
       ngramJaccardPairs(docs, threshold, w)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
     // (doc_id, sorted distinct shingle-hash array, n) — persisted: feeds
-    // the prefix branch, the verify branch, and the size lookups
+    // the prefix branch, the verify branch, and the size lookups; released
+    // after the result's first materialization (AutoUnpersist)
     val arrs = shingleHashArrays(docs, w).persist()
     val prefixLen = (floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
       .cast("int")
@@ -214,7 +217,8 @@ object NearDup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs))
+    graft.AutoUnpersist.afterFirstUse(
+      verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs)), arrs)
   }
 
   /** Exact n-gram Jaccard with RAREST-FIRST prefix ordering: the global
@@ -248,7 +252,8 @@ object NearDup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs))
+    graft.AutoUnpersist.afterFirstUse(
+      verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs)), arrs)
   }
 
   /** Naive variant (full shingle self-join) — the reference implementation
@@ -334,12 +339,14 @@ object NearDup {
     // signature table is O(docs) — broadcast only when the size gate
     // (source-scan bytes as proxy) says it fits; at scale this is a
     // shuffled join on the doc id
-    cand.join(broadcastIfSmall(sa, Some(docs)), "id_a")
-      .join(broadcastIfSmall(sb, Some(docs)), "id_b")
-      .withColumn("est_jaccard", agree.cast("double") / k)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+    graft.AutoUnpersist.afterFirstUse(
+      cand.join(broadcastIfSmall(sa, Some(docs)), "id_a")
+        .join(broadcastIfSmall(sb, Some(docs)), "id_b")
+        .withColumn("est_jaccard", agree.cast("double") / k)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      sig)
   }
 
   /** MinHash-LSH candidates + EXACT Jaccard verification — the production
@@ -379,7 +386,8 @@ object NearDup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs))
+    graft.AutoUnpersist.afterFirstUse(
+      verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs)), arrs)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

@@ -63,15 +63,19 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val cells = df.groupBy(col(sliceCol), col(catCol))
       .agg(count(lit(1)).as("n_obs"))
-    // marginals as windows over the CELL table (group-cardinality-sized):
-    // ONE count pass over the data, and no re-aggregation joins — the
-    // single-partition global window is over cells, not rows, so it is
-    // bounded metadata even at 100 TB
+    // marginals as windows over the CELL table (group-cardinality-sized);
+    // the GRAND total is a one-row aggregate broadcast-cross-joined back
+    // (the temperatureMix pattern) — NOT a partition-less window, which
+    // would single-thread the whole cell table through one task the moment
+    // a caller picks a row-scale slice column. Both branches aggregate the
+    // same groupBy exchange, so the data is still scanned once
+    // (ReuseExchange dedupes the identical shuffle at physical planning).
     val st = sum(col("n_obs")).over(Window.partitionBy(col(sliceCol)))
     val ct = sum(col("n_obs")).over(Window.partitionBy(col(catCol)))
-    val n = sum(col("n_obs")).over(Window.partitionBy())
-    val expected = st.cast(DoubleType) * ct / n
+    val total = cells.agg(sum(col("n_obs")).as("_n_total"))
+    val expected = st.cast(DoubleType) * ct / col("_n_total")
     cells
+      .crossJoin(broadcast(total))
       .select(col(sliceCol), col(catCol), col("n_obs"),
         expected.as("expected"))
       .withColumn("chi2_term",

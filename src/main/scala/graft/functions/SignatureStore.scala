@@ -72,9 +72,14 @@ object SignatureStore {
       .select(col("id_a").as("doc_id")).distinct()
     val ndBatch = NearDup.ngramJaccardPairs(batch, threshold, w)
       .select(col("id_b").as("doc_id")).distinct()
-    afterExact
-      .join(ndStore, Seq("doc_id"), "left_anti")
-      .join(ndBatch, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
+    // batchSigs released once the survivor set is first materialized — an
+    // ingest loop screens many batches and must not accumulate one cached
+    // signature table per call
+    graft.AutoUnpersist.afterFirstUse(
+      afterExact
+        .join(ndStore, Seq("doc_id"), "left_anti")
+        .join(ndBatch, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id")),
+      batchSigs)
   }
 }

@@ -97,8 +97,7 @@ object Similarity {
     * cached value is the COLLECTED result — O(queries·k) rows, driver-side
     * metadata like the centroids/codebooks, not corpus data. */
   private val topKCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, String, Int),
-      Array[org.apache.spark.sql.Row]]()
+    new graft.PlanCache[Array[org.apache.spark.sql.Row]](capacity = 32)
 
   /** [[bruteForceTopK]] through the per-JVM result cache — use when the
     * same exact reference set gates several ANN paths (the recall
@@ -111,29 +110,29 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
-    val key = (corpus.queryExecution.analyzed.semanticHash(),
-      queries.queryExecution.analyzed.semanticHash(), idCol, vecCol, k)
-    val rows = topKCache.computeIfAbsent(key, _ => exact.collect())
+    val key = graft.PlanCache.keyOf2(corpus, queries, idCol, vecCol, k)
+    val rows = topKCache.getOrCompute(key, exact.collect())
     val spark = corpus.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), exact.schema)
   }
 
-  /** Per-JVM cache of derived embedding dims, keyed by the corpus plan's
-    * canonicalized hash — the single-row probe job runs once per corpus. */
+  /** Per-JVM cache of derived embedding dims — the single-row probe job
+    * runs once per corpus. Durable: data-shape metadata, not a shared
+    * query intermediate. */
   private val dimCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+    new graft.PlanCache[Integer](capacity = 128, durable = true)
 
   /** Per-JVM cache of corpus row counts (for [[autoPlanes]]): one count job
     * per corpus identity — parquet answers it from row-group metadata, so
-    * even at 100 TB this is a footer scan, not a data scan. */
+    * even at 100 TB this is a footer scan, not a data scan. Durable, like
+    * [[dimCache]]. */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+    new graft.PlanCache[java.lang.Long](capacity = 128, durable = true)
 
   private def estimatedRows(corpus: DataFrame): Long =
-    countCache.computeIfAbsent(
-      Integer.valueOf(corpus.queryExecution.analyzed.semanticHash()),
-      _ => java.lang.Long.valueOf(corpus.count()))
+    countCache.getOrCompute(graft.PlanCache.keyOf(corpus),
+      java.lang.Long.valueOf(corpus.count()))
 
   /** Scale-aware plane count: pick `nPlanes` so the EXPECTED bucket
     * population is ~`targetBucket`, keeping the within-bucket candidate
@@ -158,9 +157,9 @@ object Similarity {
     * width mismatch). */
   private def resolveDim(corpus: DataFrame, vecCol: String, dim: Int): Int =
     if (dim > 0) dim
-    else dimCache.computeIfAbsent(
-      (corpus.queryExecution.analyzed.semanticHash(), vecCol),
-      _ => corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    else dimCache.getOrCompute(
+      graft.PlanCache.keyOf(corpus, vecCol),
+      corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
         .headOption.map(r => Integer.valueOf(r.getInt(0)))
         .getOrElse(Integer.valueOf(1))) // empty corpus: any dim, empty output
 

@@ -279,17 +279,36 @@ object Text {
 
   /** Frequency-ranked vocabulary with stable integer ids: id = rank by
     * (count desc, token) over the whole corpus, 0-based — the id
-    * assignment step of tokenizer training. The ranking window runs over
-    * the VOCAB (distinct tokens), not the token stream; vocabulary ids
-    * are deterministic, so an encode is reproducible forever. */
+    * assignment step of tokenizer training. Vocabulary ids are
+    * deterministic, so an encode is reproducible forever.
+    *
+    * NO global ranking window: the top `vocabSize` tokens come out of a
+    * distributed TakeOrdered (per-partition top-k, driver merge of
+    * `vocabSize` rows — never a full sort, never a single-partition
+    * window over the unbounded distinct-token set), and ids are assigned
+    * on the driver. A tokenizer vocabulary is configured-constant-sized —
+    * the same bounded-metadata class as the centroid/codebook collects. */
   def vocabWithIds(docs: DataFrame, vocabSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("token"))
-    docs.select(explode(tokens(col("text"))).as("token"))
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val spark = docs.sparkSession
+    val top = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("token_id", row_number().over(w) - 1)
-      .filter(col("token_id") < vocabSize)
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabSize)
+      .collect()
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("token_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 
   /** Encode documents against a [[vocabWithIds]] vocabulary, long format:
@@ -366,5 +385,111 @@ object Text {
       .filter(col("_rn") <= k)
       .select(col("doc_id"), col("token"), col("score"))
       .orderBy(col("doc_id"), col("token"))
+  }
+
+  // ---- Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) ----
+  // Tokenizer-FAITHFUL token counts: packing/quota decisions in a real
+  // training pipeline follow the actual tokenizer's counts, not whitespace
+  // splits. The kernel lives in [[graft.plans.Bpe]]; here: the distributed
+  // merge-learning pass, the Column faces, and the checked-in fixture.
+
+  /** Learn `nMerges` BPE merges from a corpus (the standard algorithm:
+    * repeatedly merge the most frequent adjacent symbol pair, weighted by
+    * word frequency; ties break lexicographically so training is
+    * deterministic).
+    *
+    * Scale shape: ONE distributed pass builds the word-frequency table
+    * (explode → count, shuffle is vocabulary-sized) truncated to the
+    * `maxWords` most frequent words — tokenizer training on the vocabulary
+    * HEAD is the standard practice, and it bounds driver state the same
+    * way the quantile/centroid collects do. The merge loop itself is
+    * driver-side arithmetic over that bounded table (O(nMerges · vocab ·
+    * avg word len)); the corpus is never touched again. */
+  def bpeMerges(
+      docs: DataFrame, nMerges: Int, maxWords: Int = 65536): Seq[(String, String)] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val wordFreq = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
+      ((w.map(String.valueOf) :+ graft.plans.Bpe.Marker).toArray, n)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        words = words.map { case (syms, n) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** BPE piece stream of `text` under `merges` — `array<string>`, one
+    * piece per subword token, `</w>`-terminated per word. Per-row codegen'd
+    * kernel, zero shuffle ([[graft.plans.Bpe]]). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.Bpe.bpeEncodeNative(text, merges)
+
+  /** Tokenizer-faithful token count: the piece count of [[bpeEncode]].
+    * Drop-in `tokenCount` column for [[Packing.packSequences]] /
+    * [[Sampling.tokenQuota]]. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(text, merges))
+
+  /** Inverse of [[bpeEncode]]: concatenate pieces, turn each end-of-word
+    * marker back into the space it replaced, drop the final one. Pure
+    * string expressions — decode∘encode ≡ id is oracle-checked corpus-wide
+    * (`bpe_roundtrip`). */
+  def bpeDecode(pieces: Column): Column = {
+    val joined = regexp_replace(
+      array_join(pieces, ""), graft.plans.Bpe.Marker, " ")
+    // strip exactly one trailing space: every encode emits one marker per
+    // word incl. the last, so `joined` always ends in exactly one space
+    // (an empty piece array yields "", where substr's -1 length is "")
+    joined.substr(lit(1), length(joined) - 1)
+  }
+
+  /** The checked-in merges fixture (`graft/bpe_merges.txt` on the
+    * classpath, one `left right` pair per line) — learned once from the
+    * sf0.001 documents table via [[bpeMerges]] and frozen, so the
+    * registered BPE queries are deterministic forever. */
+  lazy val fixtureMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "missing classpath resource /graft/bpe_merges.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val sp = line.indexOf(' ')
+      require(sp > 0 && sp < line.length - 1, s"malformed merge line: '$line'")
+      (line.substring(0, sp), line.substring(sp + 1))
+    }.toList
+    finally src.close()
   }
 }

@@ -50,9 +50,12 @@ object Funnel {
     * weeks² rows: bounded metadata. */
   def retentionCohorts(events: DataFrame): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
+    // floor division (pmod-adjusted): `div` truncates toward zero, which
+    // would mis-assign pre-1970 weeks vs the oracle's flooring `//`
     val active = events
       .select(col("user_id"),
-        expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${weekUs}L)) div ${weekUs}L")
+          .as("week"))
       .distinct()
     val cohort = active.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))

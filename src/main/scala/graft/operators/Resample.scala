@@ -26,12 +26,34 @@ object Resample {
     * bucket's LAST observation by (ts, event_id), carried forward through
     * gaps. The first grid bucket is occupied by construction, so
     * `value_locf` is never null. */
-  def resampleLocf(events: DataFrame, bucketMinutes: Int = 60): DataFrame = {
+  def resampleLocf(events: DataFrame, bucketMinutes: Int = 60): DataFrame =
+    resampled(events, bucketMinutes, interp = false)
+
+  /** Like [[resampleLocf]] but gap buckets get the LINEAR interpolation
+    * between the surrounding occupied buckets' values:
+    * `prev + (next - prev) * (t - t_prev) / (t_next - t_prev)` over epoch
+    * micros. Occupied buckets keep their own last observation verbatim
+    * (the fraction is exactly 0.0 there). The grid ends at each key's last
+    * occupied bucket, so a bracketing occupied bucket always exists on
+    * both sides. IEEE-deterministic: the fraction's numerator/denominator
+    * are exact BIGINT micros cast to double (< 2^53), and the expression's
+    * operation order is fixed, so any IEEE-754 engine (the DuckDB oracle
+    * included) reproduces it bit-for-bit. */
+  def resampleInterp(events: DataFrame, bucketMinutes: Int = 60): DataFrame =
+    resampled(events, bucketMinutes, interp = true)
+
+  private def resampled(
+      events: DataFrame, bucketMinutes: Int, interp: Boolean): DataFrame = {
     require(bucketMinutes > 0, s"bucketMinutes must be positive, got $bucketMinutes")
     val us = bucketMinutes.toLong * 60L * 1000000L
+    // FLOOR-aligned bucket start: micros - pmod(micros, width). Integer
+    // `div` truncates toward zero, which for pre-1970 timestamps would
+    // round UP (buckets starting after their events) and diverge from the
+    // oracle's flooring `//`/time_bucket; pmod keeps it exact integer
+    // arithmetic with no double-division rounding risk.
     val bucketed = events.select(
       col("user_id"),
-      timestamp_micros(expr(s"(unix_micros(ts) div ${us}L) * ${us}L"))
+      timestamp_micros(expr(s"unix_micros(ts) - pmod(unix_micros(ts), ${us}L)"))
         .as("bucket"),
       col("ts"), col("event_id"), col("value"))
     val byRecency = Window.partitionBy(col("user_id"), col("bucket"))
@@ -49,11 +71,35 @@ object Resample {
           expr(s"INTERVAL $bucketMinutes MINUTES"))).as("bucket"))
     val fill = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    grid
+    val joined = grid
       .join(lastObs, Seq("user_id", "bucket"), "left")
       .join(counts, Seq("user_id", "bucket"), "left")
-      .select(col("user_id"), col("bucket"),
+    if (!interp) {
+      joined.select(col("user_id"), col("bucket"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         last(col("_last"), ignoreNulls = true).over(fill).as("value_locf"))
+    } else {
+      // Backward fill shares the forward fill's (user_id, bucket) sort and
+      // exchange — Catalyst plans both windows over one shuffle.
+      val fillBwd = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      val occupiedAt = when(col("_last").isNotNull, col("bucket"))
+      val frac =
+        (unix_micros(col("bucket")) - unix_micros(col("_pb"))).cast("double") /
+        (unix_micros(col("_nb")) - unix_micros(col("_pb"))).cast("double")
+      joined
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          last(col("_last"), ignoreNulls = true).over(fill).as("_pv"),
+          last(occupiedAt, ignoreNulls = true).over(fill).as("_pb"),
+          first(col("_last"), ignoreNulls = true).over(fillBwd).as("_nv"),
+          first(occupiedAt, ignoreNulls = true).over(fillBwd).as("_nb"))
+        .select(col("user_id"), col("bucket"), col("n_obs"),
+          // _nb == _pb only when the row IS that occupied bucket (0/0
+          // guard); everywhere else prev < next strictly brackets.
+          when(col("_nb") === col("_pb"), col("_pv"))
+            .otherwise(col("_pv") + (col("_nv") - col("_pv")) * frac)
+            .as("value_interp"))
+    }
   }
 }

@@ -172,10 +172,21 @@ object StreamOps {
   }
 
   /** Per-user funnel progress held in GroupState: the stage-relevant
-    * events seen so far, as (event_type, epoch_ms). Bounded by the user's
-    * stage-event count — in production, pair with a watermark horizon that
-    * evicts idle users (the [[sessionTotalsWithTimeout]] pattern). */
+    * events seen so far, as (event_type, epoch MICROSECONDS — the native
+    * timestamp resolution, so the strict `>` stage comparison agrees with
+    * the batch funnel even for events inside one millisecond). Bounded by
+    * the user's stage-event count — in production, pair with a watermark
+    * horizon that evicts idle users (the [[sessionTotalsWithTimeout]]
+    * pattern). */
   final case class FunnelEvents(evts: Seq[(String, Long)])
+
+  /** Epoch micros → Timestamp, preserving sub-millisecond precision
+    * (floorDiv/floorMod so pre-1970 instants stay exact too). */
+  private[streaming] def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   /** Emitted funnel progress: stages reached and their timestamps (one
     * entry per reached stage, in stage order). */
   final case class FunnelProgress(user_id: Long, reached: Int,
@@ -194,7 +205,7 @@ object StreamOps {
     var going = true
     for (stage <- stages if going) {
       val cand = evts.collect {
-        case (t, ms) if t == stage && (prev == Long.MinValue || ms > prev) => ms
+        case (t, us) if t == stage && (prev == Long.MinValue || us > prev) => us
       }
       if (cand.isEmpty) going = false
       else { prev = cand.min; out += prev }
@@ -224,7 +235,7 @@ object StreamOps {
     val stageSet = stages.toSet
     events
       .select(col("user_id"), col("event_type"),
-        (unix_micros(col("ts")) / 1000L).cast("long").as("ms"))
+        unix_micros(col("ts")).as("us"))
       .as[(Long, String, Long)]
       .filter(r => stageSet.contains(r._2))
       .groupByKey(_._1)
@@ -235,8 +246,7 @@ object StreamOps {
           val all = prev.evts ++ rows.map(r => (r._2, r._3))
           state.update(FunnelEvents(all))
           val chain = funnelChain(all, stages)
-          FunnelProgress(user, chain.size,
-            chain.map(ms => new java.sql.Timestamp(ms)))
+          FunnelProgress(user, chain.size, chain.map(microsToTimestamp))
       }
   }
 

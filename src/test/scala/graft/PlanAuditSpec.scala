@@ -56,6 +56,25 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("no query plans a partition-less (global) Window") {
+    // A Window with no PARTITION BY funnels every row through ONE task —
+    // fine only when the windowed relation is bounded metadata, and even
+    // then the one-row-aggregate + broadcast cross-join shape (see
+    // Profile.categoryDrift, Sampling.temperatureMix) does the same job
+    // without the single-partition stage. Physical signature: a Window
+    // operator preceded by Exchange SinglePartition.
+    val offenders = Queries.all.flatMap { q =>
+      // sparkPlan (pre-AQE): WindowExec nodes are direct tree children,
+      // not hidden behind an AdaptiveSparkPlanExec boundary
+      val global = q.fn(spark, sf0001).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (global) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"global windows in: $offenders")
+  }
+
   test("no query shuffles more than 6 times") {
     // count DISTINCT exchange plan ids: persisted subtrees repeat their
     // plan text under every InMemoryRelation occurrence, but share ids.
