@@ -1603,7 +1603,7 @@ object Ext {
     * symbol always ranks after the merges that built it) makes the
     * step-at-a-time recursion converge to the kernel's all-occurrences-
     * per-rank result. Piece counts then join back to the doc stream. */
-  private def bpeTokensOracleSql: String = {
+  private def bpeCountCtes: String = {
     val mergeRows = Text.fixtureMerges.zipWithIndex.map { case ((a, b), r) =>
       s"('${a.replace("'", "''")}', '${b.replace("'", "''")}', $r)"
     }.mkString(", ")
@@ -1631,16 +1631,20 @@ object Ext {
        | WHERE NOT EXISTS (SELECT 1 FROM mg
        |                   WHERE contains(s.syms, chr(1) || a || chr(1) || b || chr(1)))),
        |doc_words AS (
-       | SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |bpecnt AS (
+       | SELECT dw.doc_id, CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe
+       | FROM doc_words dw JOIN pieces p USING (word) GROUP BY 1)""".stripMargin
+      .replace('\n', ' ')
+  }
+
+  private def bpeTokensOracleSql: String =
+    s"""$bpeCountCtes
        |SELECT d.doc_id,
        | CAST(len(string_split(d.text, ' ')) AS INT) AS n_ws_tokens,
        | CAST(c.n_bpe AS INT) AS n_bpe_tokens
-       |FROM documents d JOIN (
-       | SELECT dw.doc_id, sum(p.n_pieces) AS n_bpe
-       | FROM doc_words dw JOIN pieces p USING (word) GROUP BY 1) c
-       |USING (doc_id)
+       |FROM documents d JOIN bpecnt c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
-  }
 
   /** Tokenizer-faithful token counts under the fixture merges, next to the
     * whitespace count — the column packing/quota decisions should follow
@@ -1655,8 +1659,58 @@ object Ext {
     Some(bpeTokensOracleSql)
   )
 
+  /** Sequence packing driven by the TOKENIZER-FAITHFUL count: the same
+    * two-pass distributed cumsum as `pack_sequences`, but the stream
+    * positions follow [[Text.bpeTokenCount]] under the fixture merges —
+    * the end-to-end wiring a real pipeline uses (pack by what the model
+    * will actually see, not by whitespace proxy). Oracle = the recursive-
+    * CTE BPE counts feeding the sequential running-sum definition. */
+  private val packSeqBpe = QDef(
+    "pack_sequences_bpe",
+    (s, d) => graft.functions.Packing.packSequences(
+        documents(s, d).select(col("doc_id"),
+          Text.bpeTokenCount(col("text"), Text.fixtureMerges).as("n_bpe")),
+        orderKey = col("doc_id"), tokenCount = col("n_bpe"),
+        budget = 4096L)
+      .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
+        col("bin"))
+      .orderBy(col("doc_id")),
+    Some(
+      s"""$bpeCountCtes,
+         |s AS (SELECT doc_id, n_bpe AS n_tokens,
+         | CAST(coalesce(sum(n_bpe) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |  AS stream_offset FROM bpecnt)
+         |SELECT doc_id, n_tokens, stream_offset,
+         | stream_offset // 4096 AS bin FROM s
+         |ORDER BY doc_id""".stripMargin.replace('\n', ' '))
+  )
+
+  /** Per-source token quota under BPE counts — `quota_tokens` with the
+    * budget measured in tokenizer tokens instead of characters. */
+  private val quotaBpe = QDef(
+    "quota_tokens_bpe",
+    (s, d) => graft.functions.Sampling.tokenQuota(
+        documents(s, d).select(col("doc_id"), col("source"),
+          Text.bpeTokenCount(col("text"), Text.fixtureMerges).as("n_bpe")),
+        stratum = col("source"), key = col("doc_id").cast("string"),
+        tokens = col("n_bpe"), budget = 1000L)
+      .orderBy(col("doc_id")),
+    Some(
+      s"""$bpeCountCtes,
+         |dd AS (SELECT d.doc_id, d.source, CAST(c.n_bpe AS INT) AS n_bpe
+         | FROM documents d JOIN bpecnt c USING (doc_id))
+         |SELECT doc_id, source, n_bpe FROM (
+         | SELECT doc_id, source, n_bpe, sum(n_bpe) OVER (
+         |  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)),
+         |  CAST(doc_id AS VARCHAR)
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         | FROM dd) WHERE c <= 1000 ORDER BY doc_id""".stripMargin
+        .replace('\n', ' '))
+  )
+
   val all: Seq[QDef] = Seq(
-    bpeRoundtrip, bpeTokens,
+    bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,

@@ -106,11 +106,17 @@ object Clusters {
   ): DataFrame = {
     val nodeSet = nodes.select(col(nodeCol).as("_node"))
     // Symmetric closure of the edge list; self-loops never change a label.
+    // Persisted PRE-PARTITIONED on _dst, the key of every round's
+    // edge×label join: the cached layout satisfies the join's
+    // distribution requirement, so each round shuffles only the (much
+    // smaller) label table — the edge list, the loop's biggest input,
+    // crosses the wire once instead of once per round.
     val sym = edges
       .select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .union(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
       .filter(col("_src") =!= col("_dst"))
       .distinct()
+      .repartition(col("_dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Iterate ONLY over nodes that touch an edge: an isolated node can

@@ -79,10 +79,15 @@ object Resample {
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         last(col("_last"), ignoreNulls = true).over(fill).as("value_locf"))
     } else {
-      // Backward fill shares the forward fill's (user_id, bucket) sort and
-      // exchange — Catalyst plans both windows over one shuffle.
-      val fillBwd = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
-        .rowsBetween(0, Window.unboundedFollowing)
+      // Backward fill as a RUNNING frame over bucket DESC: `first ignoreNulls
+      // over [current, unbounded following]` ASC is the same value, but
+      // Spark executes an unbounded-following frame by rescanning current→end
+      // for EVERY row — O(buckets²) per key. The DESC running frame is the
+      // O(n) streaming implementation; it reuses the same hash exchange and
+      // costs one extra in-partition sort.
+      val fillBwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       val occupiedAt = when(col("_last").isNotNull, col("bucket"))
       val frac =
         (unix_micros(col("bucket")) - unix_micros(col("_pb"))).cast("double") /
@@ -92,8 +97,8 @@ object Resample {
           coalesce(col("n_obs"), lit(0L)).as("n_obs"),
           last(col("_last"), ignoreNulls = true).over(fill).as("_pv"),
           last(occupiedAt, ignoreNulls = true).over(fill).as("_pb"),
-          first(col("_last"), ignoreNulls = true).over(fillBwd).as("_nv"),
-          first(occupiedAt, ignoreNulls = true).over(fillBwd).as("_nb"))
+          last(col("_last"), ignoreNulls = true).over(fillBwd).as("_nv"),
+          last(occupiedAt, ignoreNulls = true).over(fillBwd).as("_nb"))
         .select(col("user_id"), col("bucket"), col("n_obs"),
           // _nb == _pb only when the row IS that occupied bucket (0/0
           // guard); everywhere else prev < next strictly brackets.

@@ -75,6 +75,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"global windows in: $offenders")
   }
 
+  test("no query plans an unbounded-following window frame") {
+    // Spark executes [current, unbounded following] frames by rescanning
+    // current→end for EVERY row — O(partition²). Any backward fill /
+    // next-value lookup must be expressed as a RUNNING frame over the
+    // DESCENDING order instead (same exchange, one extra sort, O(n)) —
+    // the resample_interp lesson.
+    import org.apache.spark.sql.functions._
+    def hasQuadraticFrame(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.windowExpression.map(_.toString)
+            .exists(s => s.contains("unboundedfollowing$()")
+              && !s.contains("unboundedpreceding$(), unboundedfollowing$()")) => w
+      }.nonEmpty
+    // negative control: the detector must actually match the banned shape
+    // (guards against a Spark-version toString drift making it vacuous)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x"))
+    val probe = { import spark.implicits._; Seq((1, 1)).toDF("g", "x") }
+    assert(hasQuadraticFrame(probe.select(
+      first(col("x")).over(w.rowsBetween(0, Long.MaxValue)).as("nxt"))),
+      "unbounded-following detector no longer matches the banned frame")
+    assert(!hasQuadraticFrame(probe.select(
+      last(col("x")).over(w.rowsBetween(Long.MinValue, 0)).as("prv"))),
+      "unbounded-following detector misfires on a running frame")
+    val offenders = Queries.all.flatMap { q =>
+      if (hasQuadraticFrame(q.fn(spark, sf0001))) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"unbounded-following frames in: $offenders")
+  }
+
   test("no query shuffles more than 6 times") {
     // count DISTINCT exchange plan ids: persisted subtrees repeat their
     // plan text under every InMemoryRelation occurrence, but share ids.
