@@ -1709,8 +1709,79 @@ object Ext {
         .replace('\n', ' '))
   )
 
+  /** Corpus with PLANTED boilerplate for the line-removal queries: the
+    * synthetic documents are single-line with no cross-doc repeated lines
+    * (verified: max identical-text multiplicity is 2 at sf0.1), so — as
+    * with `dedup_embed`'s planted duplicates — the QDef injects the
+    * repeated header/footer lines a web corpus would carry. ~1/3 of docs
+    * get a newsletter header + copyright footer, another ~1/3 a consent
+    * header; bodies stay unique, so exactly the planted lines cross the
+    * `minDocs` threshold and the removal is fully oracle-checkable. */
+  private def plantedBoilerplate(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat_ws("\n", lit("subscribe to our newsletter"), col("text"),
+          lit("copyright 2026 example corp")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat_ws("\n", lit("cookie consent required"), col("text")))
+        .otherwise(col("text")))
+
+  private val boilerplateSrcSql: String =
+    "SELECT doc_id, lang, source, n_chars, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) " +
+      "|| text || chr(10) || 'copyright 2026 example corp' " +
+      "WHEN doc_id % 3 = 1 THEN 'cookie consent required' || chr(10) || text " +
+      "ELSE text END AS text FROM documents"
+
+  /** Cross-document line frequency report over the planted corpus —
+    * the lines the removal pass will cut, with their document counts. */
+  private val boilerplateReport = QDef(
+    "boilerplate_report",
+    (s, d) => graft.functions.Boilerplate.lineFrequencies(
+        plantedBoilerplate(s, d))
+      .filter(col("n_docs") >= 10)
+      .orderBy(col("line")),
+    Some(
+      s"""WITH src AS ($boilerplateSrcSql),
+         |dl AS (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+         | FROM src)
+         |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM dl GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+         |ORDER BY line""".stripMargin.replace('\n', ' '))
+  )
+
+  /** CCNet/RefinedWeb-style boilerplate line removal
+    * ([[graft.functions.Boilerplate.removeDupLines]]): lines in ≥ 10
+    * distinct documents are cut everywhere; per-doc removal counts ride
+    * along. The oracle mirrors line semantics on STRINGS where the engine
+    * ships 8-byte xxhash64 keys (the `dedup_substring` convention). */
+  private val boilerplateRemove = QDef(
+    "boilerplate_remove",
+    (s, d) => graft.functions.Boilerplate.removeDupLines(
+        plantedBoilerplate(s, d), minDocs = 10L)
+      .orderBy(col("doc_id")),
+    Some(
+      s"""WITH src AS ($boilerplateSrcSql),
+         |ex AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos,
+         |  unnest(ls) AS line
+         | FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src)),
+         |boiler AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex
+         |  WHERE line <> '') GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+         |kept AS (SELECT doc_id, pos, line FROM ex
+         | WHERE line = '' OR line NOT IN (SELECT line FROM boiler)),
+         |cnt AS (SELECT doc_id, count(*) AS n_all FROM ex GROUP BY 1),
+         |reb AS (SELECT doc_id, coalesce(string_agg(line, chr(10) ORDER BY pos), '')
+         |  AS text, count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT s.doc_id, coalesce(r.text, '') AS text, s.lang, s.source,
+         | s.n_chars, CAST(c.n_all - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM src s JOIN cnt c USING (doc_id) LEFT JOIN reb r USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin.replace('\n', ' '))
+  )
+
   val all: Seq[QDef] = Seq(
     bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
+    boilerplateReport, boilerplateRemove,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
