@@ -516,6 +516,34 @@ object Ext {
       "ORDER BY doc_id")
   )
 
+  /** Explicit-recipe corpus mix ([[graft.functions.Sampling
+    * .targetMixture]]): 50/30/20 across three sources, all other sources
+    * dropped. With uniform source counts the binding stratum is the
+    * largest target (src0 keeps everything); the oracle recomputes
+    * `rate = p·min(n/p)/n` with the same fixed-order IEEE arithmetic. */
+  private val targetMixQ = QDef(
+    "target_mix",
+    (s, d) => graft.functions.Sampling.targetMixture(
+        documents(s, d).select(col("doc_id"), col("source")),
+        stratum = col("source"), key = col("doc_id").cast("string"),
+        targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy(col("doc_id")),
+    Some(
+      """WITH c AS (SELECT source AS s, CAST(count(*) AS DOUBLE) AS n
+        | FROM documents GROUP BY 1),
+        |t(s, p) AS (SELECT 'src0', CAST(0.5 AS DOUBLE)
+        | UNION ALL SELECT 'src1', CAST(0.3 AS DOUBLE)
+        | UNION ALL SELECT 'src2', CAST(0.2 AS DOUBLE)),
+        |j AS (SELECT c.s, c.n, t.p, c.n / t.p AS quot FROM c JOIN t USING (s)),
+        |tm AS (SELECT min(quot) AS tt FROM j),
+        |r AS (SELECT j.s, (j.p * tm.tt) / j.n AS rate FROM j, tm)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.s
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        | CASE WHEN rate >= 1.0 THEN 'zzzzz'
+        |  ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END
+        |ORDER BY doc_id""".stripMargin.replace('\n', ' '))
+  )
+
   /** Per-label embedding centroid via the custom
     * [[graft.plans.VectorSumFixed]] aggregate: element-wise sums of
     * pre-scaled integer vectors (exact, reduction-order-invariant) plus
@@ -1781,7 +1809,7 @@ object Ext {
 
   val all: Seq[QDef] = Seq(
     bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
-    boilerplateReport, boilerplateRemove,
+    boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,

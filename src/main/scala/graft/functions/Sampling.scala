@@ -100,6 +100,56 @@ object Sampling {
       .drop("_stratum", "_n", "_maxn", "_rate")
   }
 
+  /** Target-proportion corpus mix — the "data mixture" step where the
+    * recipe is EXPLICIT (e.g. 50% web / 30% wiki / 20% books): per-stratum
+    * keep rates that hit the target proportions in expectation while
+    * keeping as much data as possible. The binding stratum (smallest
+    * `n_s / p_s`) keeps everything; every other stratum thins to match:
+    * total `T = min_s(n_s / p_s)`, `rate_s = p_s · T / n_s`. Strata
+    * absent from `targets` are dropped (rate 0); target strata absent
+    * from the data are ignored (no engine can manufacture rows — the
+    * realized mixture is then the renormalized remainder, which the
+    * caller can detect from [[graft.functions.Profile.profile]] counts).
+    *
+    * Composes [[weightedSample]] over the stratum-count table (group-
+    * cardinality-sized, broadcast by AQE) — one count pass + one
+    * codegen'd filter, zero extra shuffle of the data. Deterministic
+    * across engines: the rate arithmetic is three exactly-rounded IEEE
+    * ops in fixed order (`n/p`, global min, `(p·T)/n`) and the rate
+    * quantizes to 1/65536ths before the hash compare. */
+  def targetMixture(df: DataFrame, stratum: Column, key: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    targets.foreach { case (s, p) =>
+      require(p > 0 && p.isFinite, s"target for '$s' must be finite and positive, got $p") }
+    val reserved = Seq("_stratum", "_n", "_p", "_quot", "_t", "_rate")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"targetMixture reserves ${reserved.mkString("/")}; input has ${clash.mkString(", ")}")
+    val spark = df.sparkSession
+    val tdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        targets.toSeq.sortBy(_._1)
+          .map { case (s, p) => org.apache.spark.sql.Row(s, p) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_stratum",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_p",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val counts = df.groupBy(stratum.cast("string").as("_stratum"))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val joined = counts.join(tdf, "_stratum")
+      .withColumn("_quot", col("_n") / col("_p"))
+    val tmin = joined.agg(min(col("_quot")).as("_t"))
+    val rated = df
+      .join(joined.select(col("_stratum"), col("_n"), col("_p")),
+        stratum.cast("string") === col("_stratum"))
+      .crossJoin(broadcast(tmin))
+      .withColumn("_rate", col("_p") * col("_t") / col("_n"))
+    weightedSample(rated, key, col("_rate"))
+      .drop("_stratum", "_n", "_p", "_t", "_rate")
+  }
+
   /** Deterministic global shuffle order — the training-order permutation:
     * every row gets its rank in md5(key) order (`0..n-1`). rand() orders
     * differ per run and engine; hash order is a pure function of the key

@@ -103,6 +103,42 @@ class PackingSpec extends SparkSpec {
       twice.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("targetMixture hits target proportions, binding stratum keeps all") {
+    // 1200 a / 600 b / 300 c; targets 50/30/20 → T = min(2400, 2000, 1500)
+    // = 1500: c is binding (rate 1.0), a thins to 750, b to 450.
+    val df = (1 to 2100).map { i =>
+      (i.toLong, if (i <= 1200) "a" else if (i <= 1800) "b" else "c")
+    }.toDF("id", "g")
+    val k = col("id").cast("string")
+    val got = Sampling.targetMixture(df, col("g"), k,
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val byG = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("c") == 300L, s"binding stratum must keep all, kept ${byG("c")}")
+    assert(math.abs(byG("a") - 750L) < 90, s"stratum a kept ${byG("a")}")
+    assert(math.abs(byG("b") - 450L) < 70, s"stratum b kept ${byG("b")}")
+    // untargeted strata are dropped
+    val withD = df.union(Seq((9999L, "d")).toDF("id", "g"))
+    val gotD = Sampling.targetMixture(withD, col("g"), k,
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(gotD.filter(col("g") === "d").count() == 0)
+    // a target stratum absent from the data is ignored, not fatal
+    val gotMissing = Sampling.targetMixture(df, col("g"), k,
+      Map("a" -> 0.5, "zz" -> 0.5))
+    assert(gotMissing.filter(col("g") === "a").count() == 1200L)
+    // deterministic; invalid targets and reserved columns fail fast
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      Sampling.targetMixture(df, col("g"), k,
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+        .select("id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.targetMixture(df, col("g"), k, Map("a" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.targetMixture(df.withColumn("_rate", lit(1)), col("g"), k,
+        Map("a" -> 0.5))
+    }
+  }
+
   test("shuffleOrder is the exact md5-order permutation, bucket-distributed") {
     val df = (1L to 500L).toDF("id")
     val got = Sampling.shuffleOrder(df, col("id").cast("string"))
