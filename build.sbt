@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 12g default: the per-JVM intermediate caches (pair tables, CC labels,
   // signature stores) now persist across a full suite run
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // a full suite/bench run compiles thousands of whole-stage-codegen
+  // classes; the 240m default code cache can fill and silently drop the
+  // JIT to interpreted mode late in the run
+  "-XX:ReservedCodeCacheSize=512m",
 )

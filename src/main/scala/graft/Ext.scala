@@ -140,6 +140,154 @@ object Ext {
         "FROM dirty ORDER BY doc_id")
   )
 
+  /** BM25 sparse keyword retrieval: top-10 docs for three fixed keyword
+    * queries ([[graft.functions.Retrieval.bm25TopK]] — rational log-free
+    * idf, decimal-exact score sums, two-stage top-k). The oracle mirrors
+    * the scoring expression term-for-term in the same parenthesization;
+    * the decimal sum makes the comparison order-invariant. */
+  private val retrievalBm25 = QDef(
+    "retrieval_bm25",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (1, "table scan fast"),
+        (2, "customer order join"),
+        (3, "stream vector hash")).toDF("query_id", "qtext")
+      graft.functions.Retrieval.bm25TopK(documents(s, d), qs, k = 10)
+    },
+    Some(
+      "WITH qs AS (SELECT * FROM (VALUES (1, 'table scan fast'), " +
+        "(2, 'customer order join'), (3, 'stream vector hash')) q(query_id, qtext)), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "dl AS (SELECT doc_id, len(t) AS dl FROM tok), " +
+        "post AS (SELECT doc_id, unnest(t) AS term FROM tok), " +
+        "qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs), " +
+        "qterm AS (SELECT DISTINCT term FROM qt), " +
+        "m AS (SELECT p.doc_id, p.term FROM post p JOIN qterm USING (term)), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM m GROUP BY 1, 2), " +
+        "dft AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM m) GROUP BY 1), " +
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+        "sc AS (SELECT qt.query_id, tf.doc_id, " +
+        "sum(CAST( ((CAST(stats.n_docs - dft.df AS DOUBLE) + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5)) " +
+        "* ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf.tf AS DOUBLE) " +
+        "+ 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))) " +
+        "AS DECIMAL(28,10))) AS sdec " +
+        "FROM tf JOIN qt ON qt.term = tf.term JOIN dft ON dft.term = tf.term " +
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats GROUP BY 1, 2) " +
+        "SELECT query_id, doc_id, CAST(sdec AS DOUBLE) AS score, CAST(rank AS INT) AS rank " +
+        "FROM (SELECT query_id, doc_id, sdec, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM sc) " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")
+  )
+
+  /** Corpus snapshot diff: v2 derived from the corpus deterministically
+    * (every 7th doc dropped, every remaining 5th doc rewritten, a fresh
+    * doc per 11th) and classified by [[graft.functions.Snapshot.diff]].
+    * Status depends only on intra-engine hash equality, so both engines
+    * classify identically. */
+  private val snapshotDiffQ = QDef(
+    "snapshot_diff",
+    (s, d) => {
+      val docs = documents(s, d)
+      val v2base = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("doc_id").cast("string")).as("text"))
+      graft.functions.Snapshot.diff(docs, v2base.unionByName(added))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, 'new ' || CAST(doc_id AS VARCHAR) AS text " +
+        "FROM documents WHERE doc_id % 11 = 0), " +
+        "a AS (SELECT doc_id, md5(text) AS ha FROM documents), " +
+        "b AS (SELECT doc_id, md5(text) AS hb FROM v2) " +
+        "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM a FULL JOIN b ON a.doc_id = b.doc_id ORDER BY doc_id")
+  )
+
+  /** Intra-document repeated-line removal
+    * ([[graft.functions.Boilerplate.dedupLinesWithinDoc]]) over planted
+    * in-doc repetition: a duplicated title line and a duplicated footer
+    * around the original body; empty lines are structure and survive. */
+  private val intradocDedupQ = QDef(
+    "intradoc_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val title = concat(lit("title "), (col("doc_id") % 3).cast("string"))
+      val planted = docs.select(col("doc_id"),
+        concat_ws("\n", title, col("text"), title, lit(""),
+          lit("footer sec"), lit(""), lit("footer sec")).as("text"))
+      graft.functions.Boilerplate.dedupLinesWithinDoc(planted)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      "WITH planted AS (SELECT doc_id, 'title ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || text " +
+        "|| chr(10) || 'title ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) " +
+        "|| 'footer sec' || chr(10) || chr(10) || 'footer sec' AS text FROM documents), " +
+        "l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted), " +
+        "k AS (SELECT doc_id, ls, list_filter(ls, (x, i) -> length(x) = 0 OR list_position(ls, x) = i) AS keep FROM l) " +
+        "SELECT doc_id, array_to_string(keep, chr(10)) AS text, " +
+        "CAST(len(ls) - len(keep) AS BIGINT) AS n_removed FROM k ORDER BY doc_id")
+  )
+
+  /** Pairwise source-overlap matrix
+    * ([[graft.functions.Profile.sourceOverlap]]): exact shingle-set
+    * Jaccard between every pair of sources sharing ≥ 1 shingle. */
+  private val sourceOverlapQ = QDef(
+    "source_overlap",
+    (s, d) => graft.functions.Profile.sourceOverlap(documents(s, d), "source"),
+    Some(
+      "WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "sizes AS (SELECT source, count(*) AS n FROM ds GROUP BY 1), " +
+        "inter AS (SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_inter " +
+        "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_inter, " +
+        "CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.source = group_a " +
+        "JOIN sizes sb ON sb.source = group_b ORDER BY group_a, group_b")
+  )
+
+  /** URL extraction + domain blocklist flag
+    * ([[graft.functions.Text.urlFilter]]) over planted per-doc URLs
+    * (one https with a path, one http mirror); two domains blocked. */
+  private val urlFilterQ = QDef(
+    "url_filter",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and http://mirror"), (col("doc_id") % 4).cast("string"),
+          lit(".example.org/x")).as("text"))
+      Text.urlFilter(planted,
+          Seq("site3.example.com", "mirror1.example.org"))
+        .select(col("doc_id"), col("n_urls"),
+          array_join(col("domains"), ",").as("domains"), col("blocked"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      "WITH planted AS (SELECT doc_id, text || ' see https://site' || CAST(doc_id % 13 AS VARCHAR) " +
+        "|| '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' and http://mirror' " +
+        "|| CAST(doc_id % 4 AS VARCHAR) || '.example.org/x' AS text FROM documents), " +
+        s"u AS (SELECT doc_id, regexp_extract_all(text, '${Text.urlPattern}') AS urls FROM planted), " +
+        "d AS (SELECT doc_id, urls, list_sort(list_distinct(list_transform(urls, " +
+        s"x -> regexp_extract(x, '${Text.urlDomainPattern}', 1)))) AS domains FROM u) " +
+        "SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls, " +
+        "array_to_string(domains, ',') AS domains, " +
+        "len(list_filter(domains, x -> x IN ('site3.example.com', 'mirror1.example.org'))) > 0 AS blocked " +
+        "FROM d ORDER BY doc_id")
+  )
+
   /** Bag-of-words canonical fingerprint. */
   private val fingerprintQ = QDef(
     "fingerprint",
@@ -1811,7 +1959,8 @@ object Ext {
     bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
-    redactPii,
+    redactPii, retrievalBm25, snapshotDiffQ, intradocDedupQ, sourceOverlapQ,
+    urlFilterQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,

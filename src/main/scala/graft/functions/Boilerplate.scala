@@ -97,4 +97,38 @@ object Boilerplate {
       .withColumn(textCol, array_join(col("_keep"), sep))
     rebuilt.select(docs.columns.map(col) :+ col("n_removed"): _*)
   }
+
+  /** First-occurrence line filter WITHIN each document — the intra-doc
+    * complement of [[removeDupLines]]: a line repeated inside ONE document
+    * (pagination artifacts, re-included nav blocks, scraper stutter) keeps
+    * its first occurrence and loses the rest. Cross-document repetition is
+    * untouched here — that is [[removeDupLines]]'s job; composing the two
+    * gives the full CCNet-style line hygiene pass.
+    *
+    * Scale shape: strictly per-row — split, indexed-lambda filter, rejoin;
+    * ZERO shuffles, no state, streaming-safe. The first-occurrence test is
+    * `array_position(lines, l) == i` (position of the first equal line vs
+    * this line's own index), O(lines²) per document in the worst case —
+    * per-row work over an in-memory array, not a distributed cost.
+    *
+    * Empty lines are structure, not repetition, and always survive — the
+    * same contract as [[removeDupLines]].
+    */
+  def dedupLinesWithinDoc(
+      docs: DataFrame,
+      textCol: String = "text",
+      sep: String = "\n"
+  ): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val bound = docs.withColumn("_lines", lines)
+    // Spark HOF index is 0-based, array_position 1-based.
+    val kept = filter(col("_lines"),
+      (l, i) => length(l) === 0 || array_position(col("_lines"), l) === i + 1)
+    bound
+      .withColumn("_keep", kept)
+      .withColumn("n_removed",
+        (size(col("_lines")) - size(col("_keep"))).cast("long"))
+      .withColumn(textCol, array_join(col("_keep"), sep))
+      .select(docs.columns.map(col) :+ col("n_removed"): _*)
+  }
 }

@@ -83,4 +83,49 @@ object Profile {
           / col("expected"))
       .orderBy(col(sliceCol), col(catCol))
   }
+
+  /** Pairwise content overlap between corpus groups (sources, snapshots,
+    * providers): EXACT Jaccard of the groups' distinct w-token shingle
+    * sets. The corpus-monitoring question this answers — "how much of
+    * provider B is already in provider A" — decides mixture weights and
+    * flags license/laundering risk before a mix ships.
+    *
+    * Scale shape: one explode pass to distinct (group, shingle) — the
+    * shingle string never shuffles, only its 8-byte xxhash64 (the
+    * [[NearDup]] convention; cross-shingle collision odds ~|shingles|²/2⁶⁵,
+    * accepted and documented there) — then a self-equi-join on the hash
+    * and a pair-keyed count. Group sizes broadcast back (group cardinality
+    * is small by definition). Pairs with an EMPTY intersection are absent
+    * from the report (reading absence as zero) — emitting them would take
+    * a groups×groups cross product for rows that carry no information.
+    *
+    * @return (group_a, group_b, n_a, n_b, n_inter, jaccard) for every
+    *         group pair (a < b) sharing ≥ 1 shingle, ordered.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      groupCol: String = "source",
+      w: Int = 3
+  ): DataFrame = {
+    val gs = NearDup.docShingles(docs.select(col(groupCol).as("doc_id"),
+        col("text")), w)
+      .select(col("doc_id").as("_g"), xxhash64(col("shingle")).as("_h"))
+      .distinct()
+    val sizes = gs.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val inter = gs.as("a")
+      .join(gs.as("b"),
+        col("a._h") === col("b._h") && col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("_g").as("group_a"), col("_n").as("n_a"))),
+        Seq("group_a"))
+      .join(broadcast(sizes.select(col("_g").as("group_b"), col("_n").as("n_b"))),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
 }

@@ -258,6 +258,40 @@ object Text {
         regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
         longNumberPattern, "<NUM>").as("redacted"))
 
+  /** URL span (scheme through the last path char) and its capture-group
+    * domain form. Same engine-portable regex subset as [[emailPattern]]:
+    * literal classes and quantifiers only, hyphen last inside classes. */
+  val urlPattern = "https?://[a-zA-Z0-9./_-]+"
+  val urlDomainPattern = "https?://([a-zA-Z0-9.-]+)"
+
+  /** URL / domain extraction + domain blocklist flag — the provenance
+    * filter of a crawl pipeline: spam/SEO domains, known-contaminated
+    * mirrors, and licensing-excluded hosts are dropped by DOMAIN, not by
+    * content. Emits per-document extracted URLs, their distinct ordered
+    * domains, and whether any domain hits the blocklist; the pipeline
+    * filters on `blocked` (or quarantines instead — both need the flag,
+    * not a silent drop).
+    *
+    * Per-row codegen'd regexp work, zero shuffle; the blocklist is a
+    * literal IN-list (configuration-sized, not data-sized).
+    */
+  def urlFilter(
+      docs: DataFrame,
+      blockedDomains: Seq[String],
+      textCol: String = "text"
+  ): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit(urlPattern), lit(0))
+    docs
+      .withColumn("urls", urls)
+      .withColumn("domains",
+        array_sort(array_distinct(transform(col("urls"),
+          u => regexp_extract(u, urlDomainPattern, 1)))))
+      .withColumn("n_urls", size(col("urls")).cast("long"))
+      .withColumn("blocked",
+        if (blockedDomains.isEmpty) lit(false)
+        else exists(col("domains"), d => d.isin(blockedDomains: _*)))
+  }
+
   /** Order-canonical document fingerprint: md5 over the sorted distinct
     * token set. Two documents with permuted/duplicated tokens share a
     * fingerprint — the cheap bag-of-words near-dup key. */

@@ -75,4 +75,40 @@ class BoilerplateSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq === Seq("en", "fr", "de"))
     assert(out.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
   }
+
+  // ---- dedupLinesWithinDoc (intra-document first-occurrence filter) ----
+
+  test("intra-doc: later repeats go, first occurrence and order survive") {
+    val out = Boilerplate.dedupLinesWithinDoc(
+      corpus(1L -> "a\nb\na\nc\nb\na", 2L -> "x\ny"))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a\nb\nc", "x\ny"))
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 0L))
+  }
+
+  test("intra-doc: empty lines always survive, even repeated") {
+    val out = Boilerplate.dedupLinesWithinDoc(
+      corpus(1L -> "a\n\nb\n\na"))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a\n\nb\n"))
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L))
+  }
+
+  test("intra-doc: cross-document repetition is NOT touched") {
+    val out = Boilerplate.dedupLinesWithinDoc(
+      corpus(1L -> "same\nbody1", 2L -> "same\nbody2"))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("same\nbody1", "same\nbody2"))
+  }
+
+  test("intra-doc: composes with removeDupLines for the full hygiene pass") {
+    // "HDR" is cross-doc boilerplate; doc 1 also stutters its own body
+    val cleaned = Boilerplate.removeDupLines(
+      Boilerplate.dedupLinesWithinDoc(
+        corpus(1L -> "HDR\nbody\nbody", 2L -> "HDR\nother", 3L -> "HDR\nthird"))
+        .drop("n_removed"),
+      minDocs = 3L)
+      .orderBy(col("doc_id")).collect()
+    assert(cleaned.map(_.getString(1)).toSeq === Seq("body", "other", "third"))
+  }
 }

@@ -106,4 +106,27 @@ class PlanCacheSpec extends SparkSpec {
     assert(helper.storageLevel.useMemory)
     helper.unpersist(blocking = true)
   }
+
+  test("AutoUnpersist bounds pending listeners: overflow releases oldest") {
+    // Plans that are built but never run (audits, abandoned compositions)
+    // must not accumulate listeners forever — every live listener taxes
+    // every later action with a plan walk (the unbounded version pushed a
+    // full test-suite run from minutes to over an hour).
+    AutoUnpersist.releaseAll()
+    val first = frame(31).persist()
+    AutoUnpersist.afterFirstUse(first.select(col("id")), first)
+    first.count()
+    for (i <- 0 until 40) { // > MaxPending, none ever materialized
+      val h = frame(100 + i)
+      AutoUnpersist.afterFirstUse(h.select(col("id")), h)
+    }
+    assert(AutoUnpersist.pendingCount <= 32)
+    // the overflowed-out FIRST helper was force-released (unpersisted)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (first.storageLevel.useMemory && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(!first.storageLevel.useMemory)
+    AutoUnpersist.releaseAll()
+    assert(AutoUnpersist.pendingCount == 0)
+  }
 }

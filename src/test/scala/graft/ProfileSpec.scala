@@ -43,4 +43,31 @@ class ProfileSpec extends SparkSpec {
       .as[(String, String, Long, Double, Double)].collect().map(_._5)
     assert(terms.length == 4 && terms.forall(_ == 0.0))
   }
+
+  test("sourceOverlap: exact Jaccard on hand-built shingle sets") {
+    // A: "a b c d" → shingles {a b c, b c d}; B: "b c d e" → {b c d, c d e}
+    // A∩B = {b c d} → J = 1/3. C shares nothing with A or B.
+    val df = Seq(
+      (1L, "a b c d", "A"), (2L, "b c d e", "B"), (3L, "x y z w", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Profile.sourceOverlap(df, "source")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq(("A", "B", 2L, 2L, 1L, 1.0 / 3.0)))
+  }
+
+  test("sourceOverlap: duplicate shingles within a group count once") {
+    // both docs of A contain the same shingle set
+    val df = Seq(
+      (1L, "a b c", "A"), (2L, "a b c", "A"), (3L, "a b c d", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = Profile.sourceOverlap(df, "source")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq(("A", "B", 1L, 2L, 1L, 0.5)))
+  }
+
+  test("sourceOverlap: zero-overlap pairs are absent (read as zero)") {
+    val df = Seq((1L, "a b c", "A"), (2L, "p q r", "B"))
+      .toDF("doc_id", "text", "source")
+    assert(Profile.sourceOverlap(df, "source").isEmpty)
+  }
 }

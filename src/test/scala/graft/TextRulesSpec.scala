@@ -59,4 +59,29 @@ class TextRulesSpec extends SparkSpec {
       .as[(Long, Seq[Int])].collect().toSeq
     assert(arrs == Seq((1L, Seq(1, 0, -1, 0)), (2L, Seq(0, 1, -1))))
   }
+
+  test("urlFilter extracts urls, distinct sorted domains, blocklist flag") {
+    val df = Seq(
+      (1L, "see https://a.example.com/x and http://b.example.org/y end"),
+      (2L, "twice https://a.example.com/1 https://a.example.com/2"),
+      (3L, "no urls here"))
+      .toDF("doc_id", "text")
+    val out = Text.urlFilter(df, Seq("b.example.org"))
+      .select("doc_id", "n_urls", "domains", "blocked")
+      .as[(Long, Long, Seq[String], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 2L, Seq("a.example.com", "b.example.org"), true),
+      (2L, 2L, Seq("a.example.com"), false),
+      (3L, 0L, Seq(), false)))
+  }
+
+  test("urlFilter: empty blocklist never blocks; url spans stop at spaces") {
+    val df = Seq((1L, "x https://h.example.com/p?q=1 y")).toDF("doc_id", "text")
+    val out = Text.urlFilter(df, Seq.empty)
+      .select("urls", "blocked")
+      .as[(Seq[String], Boolean)].collect().head
+    // '?' is outside the url character class — the span stops before it
+    assert(out._1 === Seq("https://h.example.com/p") && !out._2)
+  }
 }
