@@ -288,6 +288,63 @@ object Ext {
         "FROM d ORDER BY doc_id")
   )
 
+  /** Per-document bigram novelty ([[graft.functions.Text.ngramNovelty]]):
+    * fraction of each doc's distinct bigrams appearing in no other doc. */
+  private val ngramNoveltyQ = QDef(
+    "ngram_novelty",
+    (s, d) => Text.ngramNovelty(documents(s, d)).orderBy(col("doc_id")),
+    Some(
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 2), " +
+        "dfq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
+        "FROM ds JOIN dfq USING (shingle) GROUP BY doc_id ORDER BY doc_id")
+  )
+
+  /** Bottom-k KMV estimate of the source-overlap matrix
+    * ([[graft.functions.Profile.sourceOverlapSketch]]) — the 100 TB path
+    * for `source_overlap`, gated in-query against the exact Jaccard
+    * (`within_tol`). The sketch is md5-canonical, so the ESTIMATE itself
+    * is oracle-exact, not just the gate. */
+  private val sourceOverlapSketchQ = QDef(
+    "source_overlap_sketch",
+    (s, d) => graft.functions.Profile.sourceOverlapSketch(
+      documents(s, d), "source", k = 128, tol = 0.15),
+    Some(
+      "WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "rk AS (SELECT source, shingle, row_number() OVER (PARTITION BY source ORDER BY md5(shingle)) AS rn FROM ds), " +
+        "sk AS (SELECT source, shingle FROM rk WHERE rn <= 128), " +
+        "gs AS (SELECT DISTINCT source FROM ds), " +
+        "pr AS (SELECT a.source AS ga, b.source AS gb FROM gs a JOIN gs b ON a.source < b.source), " +
+        "uni AS (SELECT pr.ga, pr.gb, s.shingle FROM pr JOIN sk s ON s.source = pr.ga " +
+        "UNION SELECT pr.ga, pr.gb, s.shingle FROM pr JOIN sk s ON s.source = pr.gb), " +
+        "ur AS (SELECT ga, gb, shingle, row_number() OVER (PARTITION BY ga, gb ORDER BY md5(shingle)) AS rn, " +
+        "count(*) OVER (PARTITION BY ga, gb) AS usz FROM uni), " +
+        "kept AS (SELECT * FROM ur WHERE rn <= 128), " +
+        "est AS (SELECT k.ga, k.gb, " +
+        "sum(CASE WHEN sa.shingle IS NOT NULL AND sb.shingle IS NOT NULL THEN 1 ELSE 0 END) AS num, " +
+        "min(k.usz) AS usz FROM kept k " +
+        "LEFT JOIN sk sa ON sa.source = k.ga AND sa.shingle = k.shingle " +
+        "LEFT JOIN sk sb ON sb.source = k.gb AND sb.shingle = k.shingle GROUP BY 1, 2), " +
+        "sizes AS (SELECT source, count(*) AS n FROM ds GROUP BY 1), " +
+        "inter AS (SELECT a.source AS ga, b.source AS gb, count(*) AS i " +
+        "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2), " +
+        "ex AS (SELECT ga, gb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.source = ga JOIN sizes sb ON sb.source = gb) " +
+        "SELECT e.ga AS group_a, e.gb AS group_b, " +
+        "CAST(num AS DOUBLE) / least(128, e.usz) AS jaccard_est, " +
+        "COALESCE(ex.jaccard, 0.0) AS jaccard_exact, " +
+        "abs(CAST(num AS DOUBLE) / least(128, e.usz) - COALESCE(ex.jaccard, 0.0)) <= 0.15 AS within_tol " +
+        "FROM est e LEFT JOIN ex ON ex.ga = e.ga AND ex.gb = e.gb ORDER BY group_a, group_b")
+  )
+
   /** Bag-of-words canonical fingerprint. */
   private val fingerprintQ = QDef(
     "fingerprint",
@@ -1960,7 +2017,7 @@ object Ext {
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, intradocDedupQ, sourceOverlapQ,
-    urlFilterQ,
+    urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,

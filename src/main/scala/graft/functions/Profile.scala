@@ -90,14 +90,20 @@ object Profile {
     * provider B is already in provider A" — decides mixture weights and
     * flags license/laundering risk before a mix ships.
     *
-    * Scale shape: one explode pass to distinct (group, shingle) — the
-    * shingle string never shuffles, only its 8-byte xxhash64 (the
+    * Scale shape: one explode pass, then ONE shingle-keyed aggregate —
+    * the shingle string never shuffles, only its 8-byte xxhash64 (the
     * [[NearDup]] convention; cross-shingle collision odds ~|shingles|²/2⁶⁵,
-    * accepted and documented there) — then a self-equi-join on the hash
-    * and a pair-keyed count. Group sizes broadcast back (group cardinality
-    * is small by definition). Pairs with an EMPTY intersection are absent
-    * from the report (reading absence as zero) — emitting them would take
-    * a groups×groups cross product for rows that carry no information.
+    * accepted and documented there) — collecting each shingle's distinct
+    * group set (bounded by group CARDINALITY, small by definition: a
+    * corpus has tens of sources, not millions). Pairs are enumerated
+    * WITHIN each set row (≤ |groups|²/2 per shingle, driver-free) and
+    * pair-counted; sizes fall out of the same aggregate by re-exploding
+    * the set. No self-join: the previous shape joined the full
+    * distinct-shingle table against itself on the hash — two extra
+    * vocabulary-sized exchanges for the same intersection counts. Pairs
+    * with an EMPTY intersection are absent from the report (reading
+    * absence as zero) — emitting them would take a groups×groups cross
+    * product for rows that carry no information.
     *
     * @return (group_a, group_b, n_a, n_b, n_inter, jaccard) for every
     *         group pair (a < b) sharing ≥ 1 shingle, ordered.
@@ -107,17 +113,30 @@ object Profile {
       groupCol: String = "source",
       w: Int = 3
   ): DataFrame = {
-    val gs = NearDup.docShingles(docs.select(col(groupCol).as("doc_id"),
+    // gsets backs THREE consumers (pair counts + both size joins) and
+    // sizes two — persisted so the corpus explode runs once and the
+    // audit-visible plan carries one exchange per logical shuffle, not
+    // one per reference (AutoUnpersist frees both after the result's
+    // first materialization).
+    val gsets = NearDup.docShingles(docs.select(col(groupCol).as("doc_id"),
         col("text")), w)
       .select(col("doc_id").as("_g"), xxhash64(col("shingle")).as("_h"))
-      .distinct()
-    val sizes = gs.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
-    val inter = gs.as("a")
-      .join(gs.as("b"),
-        col("a._h") === col("b._h") && col("a._g") < col("b._g"))
-      .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
+      .groupBy(col("_h"))
+      .agg(sort_array(collect_set(col("_g"))).as("_gs"))
+      .persist()
+    val sizes = gsets.select(explode(col("_gs")).as("_g"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+      .persist()
+    // all ordered pairs (a < b) inside each shingle's group set; the set
+    // is sorted, so pair (i, j>i) enumeration IS the a < b constraint
+    val pairExpr = flatten(transform(col("_gs"), (a, i) =>
+      transform(slice(col("_gs"), i + 2, size(col("_gs"))),
+        b => struct(a.as("group_a"), b.as("group_b")))))
+    val inter = gsets
+      .select(explode(pairExpr).as("_p"))
+      .groupBy(col("_p.group_a").as("group_a"), col("_p.group_b").as("group_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val result = inter
       .join(broadcast(sizes.select(col("_g").as("group_a"), col("_n").as("n_a"))),
         Seq("group_a"))
       .join(broadcast(sizes.select(col("_g").as("group_b"), col("_n").as("n_b"))),
@@ -127,5 +146,74 @@ object Profile {
         (col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .orderBy(col("group_a"), col("group_b"))
+    graft.AutoUnpersist.afterFirstUse(result, gsets, sizes)
+  }
+
+  /** Sketch-based [[sourceOverlap]] — the scale path. [[sourceOverlap]]
+    * joins the groups' FULL distinct-shingle sets; at 100 TB that join is
+    * corpus-vocabulary-sized. This estimates the same pairwise Jaccard
+    * from per-group bottom-k KMV sketches ([[graft.plans.BottomKByHash]]:
+    * the k distinct shingles with smallest md5 — a pure function of the
+    * shingle SET, so the sketch and therefore the estimate are exactly
+    * reproducible across runs, partitionings, and engines; this estimator
+    * is ORACLE-CHECKABLE, unlike engine-private sketch internals).
+    * Estimator (Bar-Yossef et al. 2002 / Broder): with S = the k smallest
+    * of A_k ∪ B_k, Ĵ = |S ∩ A_k ∩ B_k| / |S|; std ≈ √(J(1−J)/k).
+    *
+    * Scale shape: the corpus is touched ONCE by the mergeable sketch
+    * aggregate (each partition ships ≤ k entries per group); everything
+    * pairwise runs over the groups-sized sketch table (a broadcast
+    * nested-loop of config-cardinality rows, |pairs| · O(k log k) total
+    * driver-free work). The exact companion joins only for the
+    * `within_tol` gate — drop it at true scale, keep it wherever the
+    * exact join is still affordable (it is the accuracy tripwire the
+    * driver sees).
+    *
+    * @return (group_a, group_b, jaccard_est, jaccard_exact, within_tol)
+    *         for ALL group pairs (zero-overlap pairs included — the
+    *         sketch table makes them free), ordered.
+    */
+  def sourceOverlapSketch(
+      docs: DataFrame,
+      groupCol: String = "source",
+      k: Int = 128,
+      tol: Double = 0.15,
+      w: Int = 3
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // both sides of the pair join read the sketch table — persisted so
+    // the corpus pass runs once (the broadcast side would otherwise
+    // re-scan and re-aggregate the whole corpus).
+    val sk = NearDup.docShingles(
+        docs.select(col(groupCol).as("doc_id"), col("text")), w)
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.BottomKByHash.bottomK(col("shingle"), k).as("_sk"))
+      .persist()
+    val pairs = sk.select(col("doc_id").as("group_a"), col("_sk").as("_ska"))
+      .join(broadcast(
+          sk.select(col("doc_id").as("group_b"), col("_sk").as("_skb"))),
+        col("group_a") < col("group_b"))
+    // S = k smallest (by md5) of the sketch union; Ĵ = |S ∩ A_k ∩ B_k|/|S|
+    val unionSorted = array_sort(
+      array_distinct(concat(col("_ska"), col("_skb"))),
+      (l, r) => when(md5(l) < md5(r), lit(-1))
+        .when(md5(l) === md5(r), lit(0)).otherwise(lit(1)))
+    val est = pairs
+      .withColumn("_s", slice(unionSorted, 1, k))
+      .select(col("group_a"), col("group_b"),
+        (size(filter(col("_s"), x =>
+          array_contains(col("_ska"), x) && array_contains(col("_skb"), x)))
+          .cast(DoubleType) /
+          least(lit(k), size(array_distinct(concat(col("_ska"), col("_skb"))))))
+          .as("jaccard_est"))
+    val exact = sourceOverlap(docs, groupCol, w)
+      .select(col("group_a"), col("group_b"), col("jaccard"))
+    val result = est.join(broadcast(exact), Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"), col("jaccard_est"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard_exact"))
+      .withColumn("within_tol",
+        abs(col("jaccard_est") - col("jaccard_exact")) <= tol)
+      .orderBy(col("group_a"), col("group_b"))
+    graft.AutoUnpersist.afterFirstUse(result, sk)
   }
 }

@@ -71,20 +71,33 @@ object Retrieval {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("_t"))
     val dl = toks.select(col("doc_id"), size(col("_t")).as("dl"))
-    val post = toks.select(col("doc_id"), explode(col("_t")).as("term"))
+    // dl rides along with every posting (8 bytes/row in the pruned match
+    // set) so no separate doc-length join — that join would re-shuffle
+    // both sides on doc_id for a value already in hand at explode time.
+    val post = toks.select(col("doc_id"), size(col("_t")).as("dl"),
+      explode(col("_t")).as("term"))
 
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(split(col("qtext"), " "))).as("term"))
 
-    // Postings restricted to query terms FIRST (broadcast semi-shape):
-    // everything downstream is sized by the match set, not the corpus.
-    val matched = post.join(broadcast(qterms.select("term").distinct()), "term")
+    // Postings restricted to query terms FIRST (broadcast SEMI join: the
+    // build side needs no dedup exchange — semi-join semantics ignore
+    // build-side duplicates): everything downstream is sized by the match
+    // set, not the corpus.
+    val matched = post.join(broadcast(qterms.select("term")),
+      Seq("term"), "left_semi")
+    // tf is consumed twice (df derivation + scoring) — persisted so the
+    // corpus tokenize/explode runs ONCE and df keeps map-side partial
+    // aggregation over the cache (a window partitioned by term would be
+    // the compact alternative but piles each term's whole posting list
+    // into one task — a skew bomb the moment a query contains a stopword).
     val tf = matched.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // df MUST count over the full corpus, but only query terms' rows are
-    // ever consumed — aggregate the matched postings (already pruned).
-    val dfT = matched.select("doc_id", "term").distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist()
+    // df MUST count docs over the full corpus, and tf holds exactly one
+    // row per matched (doc, term) — so df is a count over the tf table
+    // (no second distinct+aggregate pass over the raw postings).
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
     val tfD = col("tf").cast("double")
@@ -97,7 +110,6 @@ object Retrieval {
     val scored = tf
       .join(broadcast(qterms), "term")
       .join(broadcast(dfT), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(partial.cast(DecimalType(28, 10))).as("_sdec"))
@@ -110,11 +122,12 @@ object Retrieval {
       .orderBy(col("_sdec").desc, col("doc_id"))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("_sdec").desc, col("doc_id"))
-    scored
+    val result = scored
       .withColumn("_rb", row_number().over(w1)).filter(col("_rb") <= k)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("_sdec").cast("double").as("score"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+    graft.AutoUnpersist.afterFirstUse(result, tf)
   }
 }

@@ -292,6 +292,34 @@ object Text {
         else exists(col("domains"), d => d.isin(blockedDomains: _*)))
   }
 
+  /** N-gram novelty — per-document fraction of its distinct w-grams that
+    * occur in NO other document. The memorization/contamination lens on a
+    * corpus: low-novelty documents are recombinations of corpus-common
+    * phrasing (templates, boilerplate survivors, paraphrase dups); novel
+    * documents carry unique content worth keeping. The complement of the
+    * dedup family: dedup finds pairs, novelty scores each doc against the
+    * WHOLE corpus in aggregate.
+    *
+    * Scale shape: one explode pass to per-doc distinct shingles, a
+    * shingle-keyed document-frequency aggregate (map-side combine — the
+    * shuffle is distinct-shingle-sized), and an equi-join back. Documents
+    * with fewer than `w` tokens have no w-grams and are absent.
+    *
+    * @return (doc_id, n_ngrams, n_unique, novelty) — novelty =
+    *         n_unique / n_ngrams, one IEEE divide of exact counts.
+    */
+  def ngramNovelty(docs: DataFrame, w: Int = 2): DataFrame = {
+    val ds = NearDup.docShingles(docs, w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("_h"))
+    val dfT = ds.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    ds.join(dfT, "_h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_ngrams"))
+  }
+
   /** Order-canonical document fingerprint: md5 over the sorted distinct
     * token set. Two documents with permuted/duplicated tokens share a
     * fingerprint — the cheap bag-of-words near-dup key. */

@@ -70,4 +70,46 @@ class ProfileSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     assert(Profile.sourceOverlap(df, "source").isEmpty)
   }
+
+  test("sourceOverlapSketch: k >= set sizes makes the estimate exact") {
+    // sketches hold the full sets → Ĵ must equal J exactly
+    val df = Seq(
+      (1L, "a b c d", "A"), (2L, "b c d e", "B"), (3L, "x y z w", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Profile.sourceOverlapSketch(df, "source", k = 16, tol = 0.0)
+      .as[(String, String, Double, Double, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("A", "B", 1.0 / 3.0, 1.0 / 3.0, true),
+      ("A", "C", 0.0, 0.0, true),
+      ("B", "C", 0.0, 0.0, true)))
+  }
+
+  test("sourceOverlapSketch: estimate tracks exact within tolerance at small k") {
+    // two groups with engineered overlap: 60 shared / 40+40 private shingles
+    val mk = (g: String, words: Seq[String]) =>
+      words.zipWithIndex.map { case (ws, i) => ((g + i).hashCode.toLong, ws, g) }
+    val shared = (0 until 60).map(i => s"s$i s${i}x s${i}y")
+    val privA = (0 until 40).map(i => s"pa$i pa${i}x pa${i}y")
+    val privB = (0 until 40).map(i => s"pb$i pb${i}x pb${i}y")
+    val df = (mk("A", shared ++ privA) ++ mk("B", shared ++ privB))
+      .toDF("doc_id", "text", "source")
+    // true J = 60 / 140 ≈ 0.4286
+    val got = Profile.sourceOverlapSketch(df, "source", k = 64, tol = 0.2)
+      .as[(String, String, Double, Double, Boolean)].collect()
+    assert(got.length === 1)
+    val (_, _, est, exact, ok) = got.head
+    assert(exact === 60.0 / 140.0)
+    assert(ok, s"estimate $est vs exact $exact outside 0.2")
+  }
+
+  test("sourceOverlapSketch is partition-invariant (sketch is canonical)") {
+    val df = (1L to 50L).map(i =>
+      (i, s"w${i % 17} w${i % 7} w${i % 5} w${i % 3}", s"g${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val a = Profile.sourceOverlapSketch(df.repartition(1), "source", k = 8)
+      .collect().map(_.toSeq)
+    val b = Profile.sourceOverlapSketch(df.repartition(11), "source", k = 8)
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.functions.Text
 
 /** Gopher quality rules ([[graft.functions.Text.gopherRules]]) — rule
@@ -74,6 +75,22 @@ class TextRulesSpec extends SparkSpec {
       (1L, 2L, Seq("a.example.com", "b.example.org"), true),
       (2L, 2L, Seq("a.example.com"), false),
       (3L, 0L, Seq(), false)))
+  }
+
+  test("ngramNovelty: unique-bigram fraction, distinct per doc, short docs absent") {
+    val df = Seq(
+      (1L, "a b c"),     // {a b, b c}: "a b" shared with doc 2 → 1/2
+      (2L, "a b d"),     // {a b, b d} → 1/2
+      (3L, "p q r s"),   // all 3 bigrams unique → 1.0
+      (4L, "a b a b"),   // distinct {a b, b a}; "b a" unique → 1/2
+      (5L, "solo"))      // < 2 tokens → absent
+      .toDF("doc_id", "text")
+    val got = Text.ngramNovelty(df)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 3L, 3L, 1.0), (4L, 2L, 1L, 0.5)))
   }
 
   test("urlFilter: empty blocklist never blocks; url spans stop at spaces") {
