@@ -782,6 +782,61 @@ object Ext {
       "ORDER BY s.label, pos")
   )
 
+  /** DuckDB mirror of [[graft.functions.Clustering.kmeansAssign]]:
+    * iterations unrolled as CTE pairs (assign aᵢ, centroid update cᵢ).
+    * Every arithmetic step is the same fixed-order computation the engine
+    * runs — `list_reduce` left folds for distances, exact integer sums
+    * for means, `sx/n/scale` in the same divide order — so ASSIGNMENTS
+    * hash-match, not just "cluster similarly". */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val d1 = dim + 1
+    val distFrom = (c: String) =>
+      s"list_reduce(list_transform(range(1, $d1), " +
+        s"t -> (v.e[t]-$c.c[t])*(v.e[t]-$c.c[t])), (x,y) -> x+y)"
+    val sb = new StringBuilder
+    sb ++= "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 10000000.0) AS BIGINT)) AS sv FROM embeddings), "
+    sb ++= s"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS c " +
+      s"FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k)), "
+    for (i <- 1 to iters) {
+      val p = s"c${i - 1}"
+      sb ++= s"d$i AS (SELECT v.vec_id, $p.j, ${distFrom(p)} AS dist " +
+        s"FROM v CROSS JOIN $p), "
+      sb ++= s"a$i AS (SELECT vec_id, j FROM (SELECT vec_id, j, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn " +
+        s"FROM d$i) WHERE rn = 1), "
+      sb ++= s"s$i AS (SELECT a.j, t.p AS pos, sum(v.sv[t.p]) AS sx, " +
+        s"count(*) AS n FROM a$i a JOIN v USING (vec_id), " +
+        s"unnest(range(1, $d1)) AS t(p) GROUP BY 1, 2), "
+      sb ++= s"c$i AS (SELECT cp.j, COALESCE(sn.c, cp.c) AS c FROM $p cp " +
+        s"LEFT JOIN (SELECT j, list(CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)" +
+        s"/10000000.0 ORDER BY pos) AS c FROM s$i GROUP BY j) sn " +
+        s"ON sn.j = cp.j), "
+    }
+    val cf = s"c$iters"
+    sb ++= s"df AS (SELECT v.vec_id, $cf.j, ${distFrom(cf)} AS dist " +
+      s"FROM v CROSS JOIN $cf) "
+    sb ++= "SELECT vec_id, CAST(j AS INTEGER) AS cluster, " +
+      "round(dist, 6) AS dist FROM (SELECT vec_id, j, dist, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn " +
+      "FROM df) WHERE rn = 1 ORDER BY vec_id"
+    sb.toString
+  }
+
+  /** Distributed deterministic Lloyd's k-means
+    * ([[graft.functions.Clustering.kmeansAssign]]): 8 clusters, 3
+    * iterations over the 64-dim embeddings — id-seeded init, sequential-
+    * fold distances, exact fixed-point mean updates. The one embedding
+    * operator that TRAINS on the full corpus rather than a sample, as a
+    * registered oracle query. */
+  private val embedKmeans = QDef(
+    "embed_kmeans",
+    (s, d) => graft.functions.Clustering.kmeansAssign(
+      embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3),
+    Some(kmeansOracleSql(k = 8, iters = 3, dim = 64))
+  )
+
   /** Deterministic global shuffle order ([[graft.functions.Sampling
     * .shuffleOrder]]): every doc's rank in md5 order via the two-pass
     * bucket shape — the oracle runs the sequential single-window
@@ -2021,7 +2076,7 @@ object Ext {
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
-    dedupCollapse, mixtureQ, shuffleQ, quotaQ, embedCentroid,
+    dedupCollapse, mixtureQ, shuffleQ, quotaQ, embedCentroid, embedKmeans,
     decontaminate, corpusClean,
     dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,
