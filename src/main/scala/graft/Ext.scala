@@ -837,6 +837,53 @@ object Ext {
     Some(kmeansOracleSql(k = 8, iters = 3, dim = 64))
   )
 
+  /** DuckDB mirror of [[graft.functions.BpeTrain.learnedMerges]]: merge
+    * iterations unrolled as CTE triples (pair counts pᵢ, argmax mᵢ, merge
+    * application sᵢ). Symbols ride as `chr(1) s chr(2)`-wrapped strings on
+    * BOTH sides, so one non-overlapping `replace` per iteration is the
+    * same merge-all-occurrences pass — the learned MERGES hash-match,
+    * counts included, not just "similar vocabularies". */
+  private def bpeTrainOracleSql(k: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += "w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE word <> '' GROUP BY word)"
+    ctes += "s0 AS (SELECT array_to_string(list_transform(" +
+      "range(1, length(word) + 1), i -> chr(1) || word[i:i] || chr(2)), '')" +
+      " || chr(1) || '</w>' || chr(2) AS sym, cnt FROM w)"
+    for (i <- 1 to k) {
+      val p = s"s${i - 1}"
+      ctes += s"y$i AS (SELECT list_transform(list_filter(" +
+        "string_split(sym, chr(2)), x -> x <> ''), x -> x[2:]) AS syms, " +
+        s"cnt FROM $p)"
+      ctes += s"p$i AS (SELECT pr['a'] AS a, pr['b'] AS b, " +
+        "CAST(sum(cnt) AS BIGINT) AS c FROM (SELECT unnest(list_transform(" +
+        "range(1, len(syms)), j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr, " +
+        s"cnt FROM y$i) GROUP BY 1, 2)"
+      ctes += s"m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1)"
+      ctes += s"s$i AS (SELECT replace(sym, " +
+        "chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2), " +
+        s"chr(1) || m.a || m.b || chr(2)) AS sym, cnt FROM $p, m$i AS m)"
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.result().mkString(", ") +
+      s" SELECT * FROM ($union) ORDER BY merge_rank"
+  }
+
+  /** Distributed BPE tokenizer training
+    * ([[graft.functions.BpeTrain.learnedMerges]]): 8 merges learned from
+    * the documents corpus with the vocabulary-unbounded pair-count loop —
+    * the training half of the [[graft.plans.Bpe]] encode kernel as a
+    * registered oracle query. */
+  private val bpeTrain = QDef(
+    "bpe_train",
+    (s, d) => graft.functions.BpeTrain.learnedMerges(
+      documents(s, d), col("text"), nMerges = 8),
+    Some(bpeTrainOracleSql(k = 8))
+  )
+
   /** Deterministic global shuffle order ([[graft.functions.Sampling
     * .shuffleOrder]]): every doc's rank in md5 order via the two-pass
     * bucket shape — the oracle runs the sequential single-window
@@ -2068,7 +2115,7 @@ object Ext {
   )
 
   val all: Seq[QDef] = Seq(
-    bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
+    bpeTrain, bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, intradocDedupQ, sourceOverlapQ,
