@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Graph
+
+/** Deterministic integer PageRank ([[graft.functions.Graph.pageRank]]) —
+  * hand-checked star, equivalence with an in-test driver-side reference
+  * over a larger graph, symmetry, partition invariance. Oracle parity at
+  * sf is `graph_pagerank` in CORRECTNESS. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: the same fixed-point recurrence, sequential. */
+  private def refRanks(
+      edges: Seq[(Long, Long)], iters: Int, scale: Long = 1000000L
+  ): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val base = 15L * scale / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(n => n -> (base + 85L * s.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def both(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    pairs ++ pairs.map(_.swap)
+
+  private def run(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("hand-checked star graph, one iteration") {
+    // undirected star a(1)–{2,3,4}: deg(1)=3, leaves deg 1.
+    // r1(1) = 150000 + (85·3·1000000) div 100 = 2700000
+    // r1(leaf) = 150000 + (85·(1000000 div 3)) div 100 = 433333
+    val got = run(both(Seq((1L, 2L), (1L, 3L), (1L, 4L))), iters = 1)
+    assert(got === Map(1L -> 2700000L, 2L -> 433333L, 3L -> 433333L,
+      4L -> 433333L))
+  }
+
+  test("matches the sequential reference on an irregular graph") {
+    val pairs = for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if (i * 7 + j * 13) % 11 == 0 // sparse deterministic subset
+    } yield (i, j)
+    assert(pairs.nonEmpty)
+    val e = both(pairs)
+    assert(run(e, iters = 5) === refRanks(e, iters = 5))
+  }
+
+  test("symmetric nodes get identical ranks") {
+    // path 1–2–3: endpoints 1 and 3 are automorphic
+    val got = run(both(Seq((1L, 2L), (2L, 3L))), iters = 4)
+    assert(got(1L) === got(3L))
+    assert(got(2L) > got(1L))
+  }
+
+  test("ranks are partition-invariant") {
+    val e = both((1L to 40L).map(i => (i, i % 7 + 100L)))
+    val df = e.toDF("src", "dst")
+    val a = Graph.pageRank(df.repartition(1), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(df.repartition(17), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("total rank mass is conserved up to truncation") {
+    // undirected graph: Σ ranks ≤ N·scale, shortfall only from the two
+    // integer divs (< 1 + deg per node per iteration)
+    val pairs = (1L to 20L).map(i => (i, i % 5 + 50L))
+    val e = both(pairs)
+    val got = run(e, iters = 5)
+    val n = got.size
+    val total = got.values.sum
+    assert(total <= n * 1000000L)
+    assert(total > (n * 1000000L * 99L) / 100L)
+  }
+}

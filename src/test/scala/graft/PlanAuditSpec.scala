@@ -126,7 +126,10 @@ class PlanAuditSpec extends SparkSpec {
       if (name.endsWith("_recall") || name.endsWith("_bounds")
         || name == "corpus_clean" || name == "dedup_incremental"
         || name == "dedup_incremental_store") 16
-      else if (name == "dedup_clusters" || name == "dedup_collapse") 40
+      // graph_pagerank is likewise ITERATIVE (power iteration): 2 bounded
+      // shuffles per unrolled iteration × 5 iterations + pair generation.
+      else if (name == "dedup_clusters" || name == "dedup_collapse"
+        || name == "graph_pagerank") 40
       else 6
     val offenders = Queries.all.flatMap { q =>
       val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
