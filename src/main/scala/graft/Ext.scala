@@ -180,6 +180,60 @@ object Ext {
         "WHERE rank <= 10 ORDER BY query_id, rank")
   )
 
+  /** CDC MERGE into a snapshot ([[graft.operators.Cdc.applyChanges]]):
+    * the events stream replayed as a change feed over the customer table —
+    * each event carries a full replacement row for its user's customer
+    * record, `error` events are tombstones; the latest event per user wins.
+    * Customers outside the event user range pass through untouched (the
+    * anti-join no-op path the operator guarantees never rewrites). */
+  private val cdcUpsert = QDef(
+    "cdc_upsert",
+    (s, d) => {
+      val snap = customer(s, d)
+      val ch = events(s, d).select(
+        col("user_id").as("c_custkey"),
+        concat(lit("cdc_"), col("user_id")).as("c_name"),
+        (col("user_id") % 25).cast("int").as("c_nationkey"),
+        col("value").as("c_acctbal"),
+        col("event_type").as("c_mktsegment"),
+        col("ts"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      graft.operators.Cdc.applyChanges(snap, ch, "c_custkey", "ts", "op")
+        .orderBy(col("c_custkey"))
+    },
+    Some("WITH ch AS (SELECT user_id AS c_custkey, " +
+      "'cdc_' || CAST(user_id AS VARCHAR) AS c_name, " +
+      "CAST(user_id % 25 AS INT) AS c_nationkey, value AS c_acctbal, " +
+      "event_type AS c_mktsegment, ts, " +
+      "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM events), " +
+      "l AS (SELECT *, row_number() OVER (PARTITION BY c_custkey " +
+      "ORDER BY ts DESC) AS rn FROM ch) " +
+      "SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment " +
+      "FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM l WHERE rn = 1) " +
+      "UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment " +
+      "FROM l WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey")
+  )
+
+  /** SCD type-2 interval history ([[graft.operators.Cdc.scd2History]]) of
+    * the events feed: per user, each event's validity window
+    * [valid_from, valid_to) with version numbers and the open current
+    * interval — the auditable face of the same feed `cdc_upsert` merges. */
+  private val scd2Q = QDef(
+    "scd2_intervals",
+    (s, d) => graft.operators.Cdc.scd2History(
+        events(s, d).select(col("user_id"), col("ts"), col("event_type"),
+          col("value")),
+        "user_id", "ts")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from"), col("valid_to"), col("version"), col("is_current"))
+      .orderBy(col("user_id"), col("version")),
+    Some("SELECT user_id, event_type, value, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to, " +
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS version, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current " +
+      "FROM events ORDER BY user_id, version")
+  )
+
   /** Corpus snapshot diff: v2 derived from the corpus deterministically
     * (every 7th doc dropped, every remaining 5th doc rewritten, a fresh
     * doc per 11th) and classified by [[graft.functions.Snapshot.diff]].
@@ -663,6 +717,67 @@ object Ext {
       "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t) " +
       "SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk " +
       "GROUP BY node ORDER BY doc_id")
+  )
+
+  /** The near-dup pair graph as directed-both-ways edge CTEs — the shared
+    * prefix of the [[pageRankQ]] oracle (same pair semantics as the
+    * `dedup_clusters` closure oracle). */
+  private val dupEdgesSqlPrefix: String =
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)"
+
+  /** DuckDB mirror of [[graft.functions.Graph.pageRank]]: the fixed-point
+    * integer recurrence unrolled as (contribution-sum sᵢ, rank rᵢ) CTE
+    * pairs. Both engines compute `rank div deg` and `(85·Σ) div 100` in
+    * pure positive integer arithmetic, so the ranks hash-match exactly —
+    * float PageRank would differ by summation order. */
+  private def pageRankOracleSql(iters: Int, scale: Long): String = {
+    val base = 15L * scale / 100L
+    val ctes = Seq.newBuilder[String]
+    ctes += dupEdgesSqlPrefix
+    ctes += "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)"
+    ctes += "n AS (SELECT DISTINCT src AS node FROM e)"
+    ctes += s"r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM n)"
+    for (i <- 1 to iters) {
+      ctes += s"s$i AS (SELECT e.dst AS node, " +
+        "CAST(sum(r.rank // d.deg) AS BIGINT) AS s " +
+        s"FROM e JOIN r${i - 1} r ON r.node = e.src " +
+        "JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+      ctes += s"r$i AS (SELECT n.node, " +
+        s"CAST($base + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank " +
+        s"FROM n LEFT JOIN s$i s ON s.node = n.node)"
+    }
+    "WITH " + ctes.result().mkString(", ") +
+      s" SELECT node AS doc_id, rank AS rank_scaled FROM r$iters ORDER BY doc_id"
+  }
+
+  /** PageRank over the near-dup graph ([[graft.functions.Graph.pageRank]]):
+    * which documents sit at the CENTER of duplication clusters — high-rank
+    * docs are the canonical representatives boilerplate/mirror detection
+    * should keep, the graph-analytics complement of the
+    * `dedup_clusters` closure (same pair set, shared intermediate). */
+  private val pageRankQ = QDef(
+    "graph_pagerank",
+    (s, d) => {
+      val pairs = NearDup.ngramJaccardPairsShared(documents(s, d), threshold = 0.5)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node").as("doc_id"), col("rank").as("rank_scaled"))
+        .orderBy(col("doc_id"))
+    },
+    Some(pageRankOracleSql(iters = 5, scale = 1000000L))
   )
 
   /** Keep-one-per-cluster dedup: the corpus with every near-dup cluster
@@ -2118,12 +2233,13 @@ object Ext {
     bpeTrain, bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
-    redactPii, retrievalBm25, snapshotDiffQ, intradocDedupQ, sourceOverlapQ,
+    redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q,
+    intradocDedupQ, sourceOverlapQ,
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
-    dedupCollapse, mixtureQ, shuffleQ, quotaQ, embedCentroid, embedKmeans,
+    dedupCollapse, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid, embedKmeans,
     decontaminate, corpusClean,
     dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,
