@@ -180,6 +180,24 @@ object Ext {
         "WHERE rank <= 10 ORDER BY query_id, rank")
   )
 
+  /** Entity-resolution fuzzy matching ([[graft.functions.Fuzzy
+    * .fuzzyPairs]]): all customer-name pairs within Levenshtein distance 1
+    * — one-digit-typo identities — found via the deletion-neighborhood
+    * equi-join, verified exact. The oracle IS the naive O(n²) levenshtein
+    * cross join the operator exists to avoid, feasible only because the
+    * oracle runs at sf0.01. */
+  private val fuzzyPairsQ = QDef(
+    "fuzzy_pairs",
+    (s, d) => graft.functions.Fuzzy.fuzzyPairs(customer(s, d), "c_name",
+        maxDist = 1)
+      .orderBy(col("term_a"), col("term_b")),
+    Some("WITH v AS (SELECT DISTINCT c_name FROM customer) " +
+      "SELECT a.c_name AS term_a, b.c_name AS term_b, " +
+      "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist " +
+      "FROM v a JOIN v b ON a.c_name < b.c_name " +
+      "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY term_a, term_b")
+  )
+
   /** CDC MERGE into a snapshot ([[graft.operators.Cdc.applyChanges]]):
     * the events stream replayed as a change feed over the customer table —
     * each event carries a full replacement row for its user's customer
@@ -2233,7 +2251,7 @@ object Ext {
     bpeTrain, bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
-    redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q,
+    redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
     intradocDedupQ, sourceOverlapQ,
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching by deletion neighborhoods (the SymSpell candidate
+  * scheme, Garbe 2012 — public algorithm): two strings within Levenshtein
+  * distance d always share a member of their ≤d-deletion neighborhoods
+  * (delete the edited positions from each side), so candidate generation
+  * is an EQUALITY join on short string keys instead of the all-pairs
+  * cross product a distance predicate would force. Candidates are then
+  * verified with the exact `levenshtein` built-in (codegen'd) — the key
+  * join over-generates (e.g. transpositions share keys at distance 2),
+  * never under-generates, so the verified result is exact.
+  *
+  * Scale shape: keys per term = O(len^d); the join shuffles (key, term)
+  * rows hashed on the key — Σ len per term for d=1, the same order as
+  * tokenizing the vocabulary — and the verify filter runs on the
+  * candidate-pair set only. The entity-resolution / spell-candidate
+  * primitive for vocab- or entity-sized tables (typo unification,
+  * near-identical URL/author/title matching) where an O(n²) levenshtein
+  * cross join is the naive plan that dies first at scale.
+  */
+object Fuzzy {
+
+  /** Every string obtained by deleting exactly one character. */
+  private def del1(w: Column): Column =
+    transform(sequence(lit(1), length(w)),
+      i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))
+
+  /** The ≤`maxDist`-deletion neighborhood of `w`, including `w` itself. */
+  private def delKeys(w: Column, maxDist: Int): Column = {
+    var frontier = array(w)
+    var all = frontier
+    for (_ <- 1 to maxDist) {
+      frontier = array_distinct(flatten(transform(frontier, del1(_))))
+      all = array_union(all, frontier)
+    }
+    all
+  }
+
+  /** (term, key) rows for the distinct terms of `df(termCol)`. */
+  private def keyed(
+      df: DataFrame, termCol: String, out: String, maxDist: Int): DataFrame =
+    df.select(col(termCol).cast("string").as(out)).filter(col(out).isNotNull)
+      .distinct()
+      .select(col(out), explode(delKeys(col(out), maxDist)).as("_k"))
+
+  /** All cross-table term pairs within Levenshtein distance `maxDist`:
+    * (term_a from `left`, term_b from `right`, dist). Equal terms pair at
+    * distance 0. Terms are deduplicated per side first, so this is a
+    * vocabulary-level operator — join the result back to carrier rows by
+    * term. */
+  def fuzzyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (deletion-key blowup is O(len^d)), got $maxDist")
+    keyed(left, leftCol, "term_a", maxDist)
+      .join(keyed(right, rightCol, "term_b", maxDist), "_k")
+      .select(col("term_a"), col("term_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("term_a"), col("term_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Within-one-set near-duplicate term pairs: each unordered pair once
+    * (`term_a < term_b`), verified distance in [1, maxDist]. */
+  def fuzzyPairs(
+      terms: DataFrame, termCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (deletion-key blowup is O(len^d)), got $maxDist")
+    val k = keyed(terms, termCol, "term_a", maxDist)
+    k.join(k.withColumnRenamed("term_a", "term_b"), "_k")
+      .filter(col("term_a") < col("term_b"))
+      .select(col("term_a"), col("term_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("term_a"), col("term_b")))
+      .filter(col("dist") <= maxDist)
+  }
+}
