@@ -198,6 +198,28 @@ object Ext {
       "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY term_a, term_b")
   )
 
+  /** Entity resolution ([[graft.functions.Fuzzy.resolveEntities]]):
+    * every customer name labeled with the canonical (minimum) name of its
+    * ≤1-edit transitive-closure cluster — fuzzy pairs chained into
+    * entities by distributed min-label propagation. The oracle replays
+    * the same definition: naive levenshtein pairs + a recursive-CTE
+    * closure (the `dedup_clusters` walk pattern over string nodes). */
+  private val entityResolveQ = QDef(
+    "entity_resolve",
+    (s, d) => graft.functions.Fuzzy.resolveEntities(
+        customer(s, d), "c_name", maxDist = 1)
+      .orderBy(col("term")),
+    Some("WITH RECURSIVE v AS (SELECT DISTINCT c_name AS term FROM customer " +
+      "WHERE c_name IS NOT NULL), " +
+      "p AS (SELECT a.term AS ta, b.term AS tb FROM v a JOIN v b " +
+      "ON a.term < b.term WHERE levenshtein(a.term, b.term) <= 1), " +
+      "e AS (SELECT ta AS s, tb AS t FROM p UNION SELECT tb AS s, ta AS t FROM p), " +
+      "walk AS (SELECT term AS node, term AS lbl FROM v " +
+      "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t) " +
+      "SELECT node AS term, min(lbl) AS entity_id FROM walk " +
+      "GROUP BY node ORDER BY term")
+  )
+
   /** CDC MERGE into a snapshot ([[graft.operators.Cdc.applyChanges]]):
     * the events stream replayed as a change feed over the customer table —
     * each event carries a full replacement row for its user's customer
@@ -2252,6 +2274,7 @@ object Ext {
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
+    entityResolveQ,
     intradocDedupQ, sourceOverlapQ,
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,

@@ -81,4 +81,28 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("term_a"), col("term_b")))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Entity resolution: every distinct term labeled with a canonical
+    * entity id — the lexicographically smallest term reachable through a
+    * chain of ≤`maxDist` edits. Fuzzy matching gives PAIRS; unifying
+    * records needs the transitive closure of those pairs (a~b, b~c ⇒ one
+    * entity even when dist(a,c) > maxDist — that chaining IS the point:
+    * every typo variant of a name lands on one id). Composition of
+    * [[fuzzyPairs]] with distributed min-label propagation
+    * ([[Clusters.connectedComponents]]); all joins are equality joins on
+    * deletion keys / term labels, so the whole pipeline is
+    * shuffle-on-key — no cross product at any stage.
+    *
+    * @return (term, entity_id) — one row per distinct non-null term;
+    *         singleton terms are their own entity.
+    */
+  def resolveEntities(
+      terms: DataFrame, termCol: String, maxDist: Int = 1): DataFrame = {
+    val t = terms.select(col(termCol).cast("string").as("term"))
+      .filter(col("term").isNotNull).distinct()
+    Clusters.connectedComponents(
+        t, fuzzyPairs(terms, termCol, maxDist),
+        nodeCol = "term", srcCol = "term_a", dstCol = "term_b")
+      .withColumnRenamed("cluster_id", "entity_id")
+  }
 }

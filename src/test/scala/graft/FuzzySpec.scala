@@ -69,4 +69,36 @@ class FuzzySpec extends SparkSpec {
     val df = Seq("aaa", "aaa", "aab", "aab", "aab").toDF("w")
     assert(Fuzzy.fuzzyPairs(df, "w", 1).count() === 1)
   }
+
+  test("entity resolution chains typo variants onto one canonical id") {
+    // acme ~ acmee ~ acmees is a CHAIN: dist(acme, acmees)=2 > maxDist=1,
+    // yet all three must unify. zed is a singleton entity.
+    val df = Seq("acmee", "acme", "acmees", "bolt", "bolts", "zed").toDF("w")
+    val got = Fuzzy.resolveEntities(df, "w", maxDist = 1)
+      .as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("acme", "acme"), ("acmee", "acme"), ("acmees", "acme"),
+      ("bolt", "bolt"), ("bolts", "bolt"), ("zed", "zed")))
+  }
+
+  test("entity ids equal brute-force closure on a random-ish vocab") {
+    val ws = (Seq("grafting", "graftlng", "rafting", "craft", "crafts",
+      "crufty", "crusty", "trusty", "ab", "ba", "abc") ++
+      (1 to 40).map(i => s"w${i % 13}x${i % 5}")).distinct
+    // driver-side union-find over the brute-force pair set
+    val parent = scala.collection.mutable.Map(ws.map(w => w -> w): _*)
+    def find(w: String): String =
+      if (parent(w) == w) w else { val r = find(parent(w)); parent(w) = r; r }
+    for ((a, b, _) <- bruteForce(ws, 1)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    // canonical = min member of each class
+    val cls = ws.groupBy(find).flatMap { case (_, ms) =>
+      val m = ms.min; ms.map(_ -> m)
+    }
+    val got = Fuzzy.resolveEntities(ws.toDF("w"), "w", 1)
+      .as[(String, String)].collect().toMap
+    assert(got === cls)
+  }
 }
