@@ -140,6 +140,33 @@ object Ext {
         "FROM dirty ORDER BY doc_id")
   )
 
+  /** The three fixed keyword queries shared by every retrieval oracle. */
+  private val retrievalQsSql: String =
+    "qs AS (SELECT * FROM (VALUES (1, 'table scan fast'), " +
+      "(2, 'customer order join'), (3, 'stream vector hash')) q(query_id, qtext))"
+
+  /** BM25 scoring CTE chain ending in `sc(query_id, doc_id, sdec)` —
+    * shared by the `retrieval_bm25` oracle and the sparse leg of the
+    * `retrieval_hybrid` oracle (same corpus statistics, same decimal
+    * score sums). */
+  private val bm25ScoreCtesSql: String =
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "dl AS (SELECT doc_id, len(t) AS dl FROM tok), " +
+      "post AS (SELECT doc_id, unnest(t) AS term FROM tok), " +
+      "qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs), " +
+      "qterm AS (SELECT DISTINCT term FROM qt), " +
+      "m AS (SELECT p.doc_id, p.term FROM post p JOIN qterm USING (term)), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM m GROUP BY 1, 2), " +
+      "dft AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM m) GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+      "sc AS (SELECT qt.query_id, tf.doc_id, " +
+      "sum(CAST( ((CAST(stats.n_docs - dft.df AS DOUBLE) + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5)) " +
+      "* ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf.tf AS DOUBLE) " +
+      "+ 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))) " +
+      "AS DECIMAL(28,10))) AS sdec " +
+      "FROM tf JOIN qt ON qt.term = tf.term JOIN dft ON dft.term = tf.term " +
+      "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats GROUP BY 1, 2)"
+
   /** BM25 sparse keyword retrieval: top-10 docs for three fixed keyword
     * queries ([[graft.functions.Retrieval.bm25TopK]] — rational log-free
     * idf, decimal-exact score sums, two-stage top-k). The oracle mirrors
@@ -156,27 +183,59 @@ object Ext {
       graft.functions.Retrieval.bm25TopK(documents(s, d), qs, k = 10)
     },
     Some(
-      "WITH qs AS (SELECT * FROM (VALUES (1, 'table scan fast'), " +
-        "(2, 'customer order join'), (3, 'stream vector hash')) q(query_id, qtext)), " +
-        "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "dl AS (SELECT doc_id, len(t) AS dl FROM tok), " +
-        "post AS (SELECT doc_id, unnest(t) AS term FROM tok), " +
-        "qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs), " +
-        "qterm AS (SELECT DISTINCT term FROM qt), " +
-        "m AS (SELECT p.doc_id, p.term FROM post p JOIN qterm USING (term)), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM m GROUP BY 1, 2), " +
-        "dft AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM m) GROUP BY 1), " +
-        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
-        "sc AS (SELECT qt.query_id, tf.doc_id, " +
-        "sum(CAST( ((CAST(stats.n_docs - dft.df AS DOUBLE) + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5)) " +
-        "* ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf.tf AS DOUBLE) " +
-        "+ 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))) " +
-        "AS DECIMAL(28,10))) AS sdec " +
-        "FROM tf JOIN qt ON qt.term = tf.term JOIN dft ON dft.term = tf.term " +
-        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats GROUP BY 1, 2) " +
+      s"WITH $retrievalQsSql, $bm25ScoreCtesSql " +
         "SELECT query_id, doc_id, CAST(sdec AS DOUBLE) AS score, CAST(rank AS INT) AS rank " +
         "FROM (SELECT query_id, doc_id, sdec, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM sc) " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")
+  )
+
+  /** Hybrid retrieval ([[graft.functions.Retrieval.hybridTopK]]): BM25
+    * and hashed-feature-cosine legs (top-20 each) fused by reciprocal
+    * rank fusion to the final top-10 per query. The oracle mirrors both
+    * legs (the shared BM25 CTE chain + an md5-bucket cosine chain with
+    * exact integer dot products) and the fusion arithmetic — each RRF
+    * contribution is one exactly-rounded IEEE divide, summed in fixed
+    * (dense, sparse) order, so fused scores hash-match bit-for-bit. */
+  private val retrievalHybridQ = QDef(
+    "retrieval_hybrid",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (1, "table scan fast"),
+        (2, "customer order join"),
+        (3, "stream vector hash")).toDF("query_id", "qtext")
+      graft.functions.Retrieval.hybridTopK(documents(s, d), qs, k = 10)
+    },
+    Some(
+      s"WITH $retrievalQsSql, $bm25ScoreCtesSql, " +
+        "s20 AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM sc) " +
+        "WHERE rank <= 20), " +
+        "dvec AS (SELECT doc_id, substring(md5(term), 1, 2) AS f, count(*) AS dc " +
+        "FROM post GROUP BY 1, 2), " +
+        "dnorm AS (SELECT doc_id, sum(dc * dc) AS nd2 FROM dvec GROUP BY 1), " +
+        "qvec AS (SELECT query_id, substring(md5(term), 1, 2) AS f, count(*) AS qc " +
+        "FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM qs) GROUP BY 1, 2), " +
+        "qnorm AS (SELECT query_id, sum(qc * qc) AS nq2 FROM qvec GROUP BY 1), " +
+        "dotc AS (SELECT query_id, doc_id, sum(dc * qc) AS dot " +
+        "FROM dvec JOIN qvec USING (f) GROUP BY 1, 2), " +
+        "dsim AS (SELECT query_id, doc_id, CAST(dot AS DOUBLE) / " +
+        "(sqrt(CAST(nd2 AS DOUBLE)) * sqrt(CAST(nq2 AS DOUBLE))) AS sim " +
+        "FROM dotc JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)), " +
+        "d20 AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank FROM dsim) " +
+        "WHERE rank <= 20), " +
+        "fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id, " +
+        "coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+        "coalesce(CAST(1 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE), CAST(0 AS DOUBLE)) " +
+        "+ coalesce(CAST(1 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf, " +
+        "a.rank AS rank_a, b.rank AS rank_b " +
+        "FROM d20 a FULL OUTER JOIN s20 b ON a.query_id = b.query_id AND a.doc_id = b.doc_id) " +
+        "SELECT query_id, doc_id, rrf, CAST(rank_a AS INT) AS rank_a, " +
+        "CAST(rank_b AS INT) AS rank_b, CAST(rank AS INT) AS rank " +
+        "FROM (SELECT query_id, doc_id, rrf, rank_a, rank_b, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused) " +
         "WHERE rank <= 10 ORDER BY query_id, rank")
   )
 
@@ -196,6 +255,37 @@ object Ext {
       "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist " +
       "FROM v a JOIN v b ON a.c_name < b.c_name " +
       "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY term_a, term_b")
+  )
+
+  /** Unicode NFC normalization ([[graft.plans.UnicodeNormalize]]): the
+    * canonicalization pass that makes byte equality mean text equality
+    * before any hash-keyed operator (exact/line/shingle dedup, vocab).
+    * The corpus is ASCII, so decomposed sequences (combining acute /
+    * diaeresis / ring, built with `chr()` on the oracle side and \u
+    * escapes on the engine side — no raw non-ASCII in either source) are
+    * appended deterministically; NFC must compose them and leave the
+    * ASCII prefix byte-identical. Char counts before/after pin the
+    * composition. Oracle: DuckDB's `nfc_normalize`. */
+  private val normalizeTextQ = QDef(
+    "normalize_text",
+    (s, d) => {
+      val dirty = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" caf"), lit("e\u0301"),
+          lit(" u\u0308ber A\u030angstro\u0308m")).as("text"))
+      dirty.select(col("doc_id"),
+        graft.plans.UnicodeNormalize.nfc(col("text")).as("nfc_text"),
+        length(col("text")).as("n_raw"),
+        length(graft.plans.UnicodeNormalize.nfc(col("text"))).as("n_nfc"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH dirty AS (SELECT doc_id, text || ' caf' || chr(101) || chr(769) || " +
+      "' u' || chr(776) || 'ber A' || chr(778) || 'ngstro' || chr(776) || 'm' AS text " +
+      "FROM documents) " +
+      "SELECT doc_id, nfc_normalize(text) AS nfc_text, " +
+      "CAST(length(text) AS INT) AS n_raw, " +
+      "CAST(length(nfc_normalize(text)) AS INT) AS n_nfc " +
+      "FROM dirty ORDER BY doc_id")
   )
 
   /** Entity resolution ([[graft.functions.Fuzzy.resolveEntities]]):
@@ -2274,7 +2364,7 @@ object Ext {
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
-    entityResolveQ,
+    entityResolveQ, normalizeTextQ, retrievalHybridQ,
     intradocDedupQ, sourceOverlapQ,
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,

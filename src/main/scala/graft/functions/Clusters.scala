@@ -44,10 +44,12 @@ object Clusters {
       nodeCol: String,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      shortcut: Boolean = false
   ): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    val labels = edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter)
+    val labels =
+      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter, shortcut)
     // uncached entry point: the persisted label table is released after the
     // caller first materializes the closure
     graft.AutoUnpersist.afterFirstUse(
@@ -102,7 +104,8 @@ object Clusters {
       nodeCol: String,
       srcCol: String,
       dstCol: String,
-      maxIter: Int
+      maxIter: Int,
+      shortcut: Boolean = false
   ): DataFrame = {
     val nodeSet = nodes.select(col(nodeCol).as("_node"))
     // Symmetric closure of the edge list; self-loops never change a label.
@@ -143,14 +146,47 @@ object Clusters {
         .join(labels, col("_dst") === col("_node"))
         .groupBy(col("_src"))
         .agg(min(col("_label")).as("_nbr_min"))
-      val next = labels
+      val prop = labels
         .join(minNbr, col("_node") === col("_src"), "left")
         .select(col("_node"),
           least(col("_label"), coalesce(col("_nbr_min"), col("_label")))
             .as("_label"),
           (coalesce(col("_nbr_min"), col("_label")) < col("_label"))
             .as("_changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Pointer jumping (shortcut mode): additionally hop to the LABEL's
+      // own previous-round label — l'(v) = lab_t(min(lab_t(v), nbr-min)).
+      // Both reads are against the persisted round-t table (classic
+      // synchronous pointer jumping), so the extra lookup is one more
+      // equi-join per round, and label distances collapse exponentially:
+      // rounds drop from O(diameter) to O(log diameter). Worth the extra
+      // join on chain-shaped graphs (entity-resolution typo chains);
+      // pure overhead on near-clique dedup graphs (diameter ≤ ~3), hence
+      // opt-in. Labels stay within the component (every label is a
+      // component node's id), so the fixpoint is unchanged.
+      val stepped =
+        if (!shortcut) prop
+        else {
+          val lookup = labels
+            .select(col("_node").as("_ln"), col("_label").as("_ll"))
+          prop.join(lookup, col("_label") === col("_ln"), "left")
+            .select(col("_node"),
+              least(col("_label"), coalesce(col("_ll"), col("_label")))
+                .as("_label"),
+              (col("_changed") ||
+                (coalesce(col("_ll"), col("_label")) < col("_label")))
+                .as("_changed"))
+        }
+      // Shortcut mode references `labels` TWICE per round (neighbor pass
+      // + jump lookup), so persisted lineage would DOUBLE every round —
+      // an exponential logical plan that OOMs plan rendering long before
+      // data is the problem. An eager localCheckpoint truncates lineage
+      // to a leaf each round (plan stays O(1) per round); the handful of
+      // checkpointed round RDDs are reclaimed by the ContextCleaner once
+      // unreferenced. Plain mode keeps the lighter persist: single
+      // reference, linear lineage, explicit unpersist.
+      val next =
+        if (shortcut) stepped.localCheckpoint(true)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("_changed")).isEmpty
       labels.unpersist()
       labels = next

@@ -100,9 +100,13 @@ object Fuzzy {
       terms: DataFrame, termCol: String, maxDist: Int = 1): DataFrame = {
     val t = terms.select(col(termCol).cast("string").as("term"))
       .filter(col("term").isNotNull).distinct()
+    // shortcut (pointer jumping): typo graphs are CHAINS, not the
+    // near-cliques dedup produces — propagation depth is the chain
+    // length, so the O(log diameter) mode pays for its extra join here.
     Clusters.connectedComponents(
         t, fuzzyPairs(terms, termCol, maxDist),
-        nodeCol = "term", srcCol = "term_a", dstCol = "term_b")
+        nodeCol = "term", srcCol = "term_a", dstCol = "term_b",
+        shortcut = true)
       .withColumnRenamed("cluster_id", "entity_id")
   }
 }

@@ -130,4 +130,123 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
     graft.AutoUnpersist.afterFirstUse(result, tf)
   }
+
+  /** Hashed-feature cosine retrieval — the "dense" leg of hybrid search
+    * when no learned embeddings exist for the corpus: documents and
+    * queries become 256-dimensional count vectors by feature hashing
+    * (Weinberger et al. 2009) each whitespace token to its 2-hex-char
+    * md5 prefix, and similarity is the cosine between those vectors.
+    * Unlike BM25's per-term idf weighting this is a pure
+    * vector-space model — the two legs genuinely rank differently,
+    * which is what makes fusing them worthwhile.
+    *
+    * Bit-reproducibility: feature counts, dot products, and squared
+    * norms are exact integer aggregates (md5 is engine-independent);
+    * the only floating-point is the final
+    * `dot / (sqrt(nd2) * sqrt(nq2))` — exactly-rounded IEEE ops in a
+    * fixed parenthesization, so scores are bit-identical in any engine.
+    *
+    * Scale shape: the corpus side reduces to ≤256 (doc, feature) rows
+    * per doc before any join; the query side is broadcast; dot products
+    * shuffle O(docs · queries) rows; top-k is the same two-stage window
+    * as [[bm25TopK]] (no whole-corpus window partition).
+    *
+    * @return (query_id, doc_id, sim, rank) — rank 1..k per query by
+    *         (sim desc, doc_id asc); only docs sharing ≥1 feature appear.
+    */
+  def hashedCosineTopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 32
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dvec = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_t"))
+      .groupBy(col("doc_id"), substring(md5(col("_t")), 1, 2).as("_f"))
+      .agg(count(lit(1)).as("dc"))
+      .persist() // consumed twice: norms + dot products (tokenize once)
+    val dnorm = dvec.groupBy(col("doc_id"))
+      .agg(sum(col("dc") * col("dc")).as("nd2"))
+    val qvec = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("_t"))
+      .groupBy(col("query_id"), substring(md5(col("_t")), 1, 2).as("_f"))
+      .agg(count(lit(1)).as("qc"))
+    val qnorm = qvec.groupBy(col("query_id"))
+      .agg(sum(col("qc") * col("qc")).as("nq2"))
+    val dot = dvec.join(broadcast(qvec), "_f")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("dc") * col("qc")).as("dot"))
+    val sim = dot
+      .join(dnorm, "doc_id")
+      .join(broadcast(qnorm), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("nd2").cast("double")) * sqrt(col("nq2").cast("double"))))
+          .as("sim"))
+    val w1 = Window
+      .partitionBy(col("query_id"), pmod(col("doc_id"), lit(buckets.toLong)))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val result = sim
+      .withColumn("_rb", row_number().over(w1)).filter(col("_rb") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    graft.AutoUnpersist.afterFirstUse(result, dvec)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * rankings: `rrf = 1/(kRrf + rank_a) + 1/(kRrf + rank_b)`, with a
+    * missing leg contributing 0. RRF is the standard hybrid-search
+    * combiner precisely because it needs NO score calibration — only
+    * ranks cross the fusion boundary, so a BM25 leg and a cosine leg
+    * (incomparable score scales) fuse cleanly.
+    *
+    * Each contribution is one exactly-rounded IEEE division and the
+    * fusion is one addition in fixed (a, b) order, so fused scores are
+    * bit-reproducible given the input ranks. The candidate set per query
+    * is ≤ the two legs' k's combined — fusion cost is negligible next to
+    * the legs.
+    *
+    * @param a,b (query_id, doc_id, rank) rankings (extra columns ignored)
+    * @return (query_id, doc_id, rrf, rank_a, rank_b, rank) — top `k` per
+    *         query by (rrf desc, doc_id asc); absent-leg ranks are null.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val fa = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+    val fb = b.select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(kRrf) + r).cast("double"), lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fa.join(fb, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (contrib(col("rank_a")) + contrib(col("rank_b"))).as("rrf"),
+        col("rank_a"), col("rank_b"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval: BM25 and hashed-cosine legs (top `kLeg` each)
+    * fused by RRF to the final top `k` — the standard two-retriever
+    * hybrid-search pipeline over one corpus. */
+  def hybridTopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      kLeg: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    rrfFuse(
+      hashedCosineTopK(docs, queries, kLeg, textCol, idCol),
+      bm25TopK(docs, queries, kLeg, textCol = textCol, idCol = idCol),
+      k)
 }

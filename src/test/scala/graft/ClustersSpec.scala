@@ -10,9 +10,11 @@ import graft.functions.Clusters
 class ClustersSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 25) =
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 25,
+      shortcut: Boolean = false) =
     Clusters.connectedComponents(
-        nodes.toDF("id"), edges.toDF("a", "b"), "id", "a", "b", maxIter)
+        nodes.toDF("id"), edges.toDF("a", "b"), "id", "a", "b", maxIter,
+        shortcut)
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
 
   test("chain merges to one cluster labeled by its minimum") {
@@ -46,6 +48,23 @@ class ClustersSpec extends SparkSpec {
     val chain = (1L until 8L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException](cc(1L to 8L, chain, maxIter = 2))
     assert(e.getMessage.contains("converge"))
+  }
+
+  test("shortcut mode: same closure on every shape, O(log d) rounds") {
+    // identical fixpoints on chain / cycle / star / bridge / singletons
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (20L, 22L), (30L, 31L))
+    val nodes = Seq(10L, 11L, 12L, 20L, 21L, 22L, 30L, 31L, 40L)
+    assert(cc(nodes, edges, shortcut = true) === cc(nodes, edges))
+    val chain = (1L until 33L).map(i => (i, i + 1))
+    assert(cc(1L to 33L, chain, shortcut = true) === (1L to 33L).map(_ -> 1L))
+    // the logarithmic bound is the point: a 32-hop chain must converge
+    // within ~log2(32)+2 rounds where plain propagation needs 32
+    val e = intercept[IllegalStateException](
+      cc(1L to 33L, chain, maxIter = 8))
+    assert(e.getMessage.contains("converge"))
+    assert(cc(1L to 33L, chain, maxIter = 8, shortcut = true) ===
+      (1L to 33L).map(_ -> 1L))
   }
 
   test("near-dup pairs at sf0.001 match a driver-side union-find closure") {

@@ -130,8 +130,26 @@ class PlanAuditSpec extends SparkSpec {
       // shuffles per unrolled iteration × 5 iterations + pair generation.
       else if (name == "dedup_clusters" || name == "dedup_collapse"
         || name == "graph_pagerank") 40
+      // entity_resolve = fuzzy pair generation + a pointer-jumping
+      // closure (3 bounded shuffles × O(log diameter) rounds, all nested
+      // in the final plan's persisted-lineage text).
+      else if (name == "entity_resolve") 40
+      // four-aggregate single pipelines: postings + tf + df + corpus
+      // stats + two-stage top-k (bm25), or per-group shingle sets +
+      // pairwise enumeration + sizes joined back (source overlap).
+      else if (name == "retrieval_bm25" || name == "source_overlap") 8
+      else if (name == "source_overlap_sketch") 10
+      // hybrid = BOTH retrieval legs (bm25 + hashed cosine) + the RRF
+      // fusion join/window — three pipelines in one query by contract.
+      else if (name == "retrieval_hybrid") 20
       else 6
     val offenders = Queries.all.flatMap { q =>
+      // cold caches per query (the Bench convention): a shared
+      // intermediate warmed by an earlier query would collapse a later
+      // query's pipeline into an InMemoryRelation and make the audited
+      // shuffle count depend on sweep order.
+      PlanCache.clearShared()
+      spark.catalog.clearCache()
       val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString()
       val n = exchangeId.findAllMatchIn(p).map(_.group(1)).toSet.size
       if (n > cap(q.name)) Some(s"${q.name}($n)") else None
