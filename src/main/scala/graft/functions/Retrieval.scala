@@ -154,6 +154,14 @@ object Retrieval {
     * @return (query_id, doc_id, sim, rank) — rank 1..k per query by
     *         (sim desc, doc_id asc); only docs sharing ≥1 feature appear.
     */
+  /** (id, _f, dc) hashed-feature count vectors: one row per (row id,
+    * 2-hex-char md5 token prefix) with the token count. */
+  private def featureVectors(
+      df: DataFrame, idCol: String, idOut: String, textCol: String): DataFrame =
+    df.select(col(idCol).as(idOut), explode(split(col(textCol), " ")).as("_t"))
+      .groupBy(col(idOut), substring(md5(col("_t")), 1, 2).as("_f"))
+      .agg(count(lit(1)).as("dc"))
+
   def hashedCosineTopK(
       docs: DataFrame,
       queries: DataFrame,
@@ -163,17 +171,12 @@ object Retrieval {
       buckets: Int = 32
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val dvec = docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_t"))
-      .groupBy(col("doc_id"), substring(md5(col("_t")), 1, 2).as("_f"))
-      .agg(count(lit(1)).as("dc"))
+    val dvec = featureVectors(docs, idCol, "doc_id", textCol)
       .persist() // consumed twice: norms + dot products (tokenize once)
     val dnorm = dvec.groupBy(col("doc_id"))
       .agg(sum(col("dc") * col("dc")).as("nd2"))
-    val qvec = queries
-      .select(col("query_id"), explode(split(col("qtext"), " ")).as("_t"))
-      .groupBy(col("query_id"), substring(md5(col("_t")), 1, 2).as("_f"))
-      .agg(count(lit(1)).as("qc"))
+    val qvec = featureVectors(queries, "query_id", "query_id", "qtext")
+      .withColumnRenamed("dc", "qc")
     val qnorm = qvec.groupBy(col("query_id"))
       .agg(sum(col("qc") * col("qc")).as("nq2"))
     val dot = dvec.join(broadcast(qvec), "_f")
@@ -249,4 +252,119 @@ object Retrieval {
       hashedCosineTopK(docs, queries, kLeg, textCol, idCol),
       bm25TopK(docs, queries, kLeg, textCol = textCol, idCol = idCol),
       k)
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * from each query's candidate shortlist, greedily pick `k` items
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the
+    * diversity-aware re-rank that keeps a result list (or a training-data
+    * subset) from filling up with near-duplicates of the top hit.
+    *
+    * The greedy loop is UNROLLED as `k` declarative steps — each step is
+    * one (remaining × selected) max-sim aggregate plus one per-query
+    * top-1 window — rather than a per-group imperative fold, so the
+    * whole selection stays in Catalyst, scales across queries, and can
+    * be mirrored step-for-step by a SQL oracle. Shortlists are
+    * contractually small (≤ tens of rows per query), so k·3 bounded
+    * shuffles over shortlist-sized tables is noise next to candidate
+    * generation.
+    *
+    * Arithmetic is bit-reproducible: `rel` and `sim` arrive
+    * bit-identical (exact integer dots, fixed-form IEEE), a missing
+    * pair row means a zero dot product and contributes sim 0, and the
+    * score is `(λ·rel) − (λ'·maxsim)` in fixed parenthesization with
+    * dyadic-rational λ.
+    *
+    * @param candidates (query_id, doc_id, rel) shortlist per query
+    * @param pairSims   (query_id, id_a, id_b, sim) pairwise similarities
+    *                   within each query's shortlist, BOTH orientations;
+    *                   zero-similarity pairs may be absent
+    * @return (query_id, doc_id, mmr, rank) — rank 1..k in selection order
+    */
+  def mmrSelect(
+      candidates: DataFrame,
+      pairSims: DataFrame,
+      k: Int,
+      lambda: Double = 0.5
+  ): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1, 16] (unrolled plan), got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val cand = candidates.select(col("query_id"), col("doc_id"), col("rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("doc_id"))
+    // step 1: empty selected set, max-sim term is 0 — argmax of λ·rel
+    var selected = cand
+      .select(col("query_id"), col("doc_id"),
+        (lit(lambda) * col("rel") - lit(1 - lambda) * lit(0.0)).as("mmr"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("query_id"), col("doc_id"), col("mmr"), lit(1).as("rank"))
+    var remaining = cand.join(selected.select("query_id", "doc_id"),
+      Seq("query_id", "doc_id"), "left_anti")
+    for (step <- 2 to k) {
+      val ms = remaining
+        .join(selected.select(col("query_id"), col("doc_id").as("_s")),
+          Seq("query_id"))
+        .join(pairSims.select(col("query_id"), col("id_a").as("doc_id"),
+            col("id_b").as("_s"), col("sim")),
+          Seq("query_id", "doc_id", "_s"), "left")
+        .groupBy(col("query_id"), col("doc_id"), col("rel"))
+        .agg(max(col("sim")).as("_ms")) // all-null group -> null -> 0
+      val pick = ms
+        .select(col("query_id"), col("doc_id"),
+          (lit(lambda) * col("rel") -
+            lit(1 - lambda) * coalesce(col("_ms"), lit(0.0))).as("mmr"))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("mmr"),
+          lit(step).as("rank"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+    }
+    selected.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MMR-diversified retrieval over the hashed-cosine shortlist: top
+    * `kShortlist` candidates per query, pairwise shortlist similarities
+    * from the same feature vectors, greedy MMR down to `k`. */
+  def mmrTopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      kShortlist: Int = 20,
+      lambda: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val cand = hashedCosineTopK(docs, queries, kShortlist, textCol, idCol)
+      .select(col("query_id"), col("doc_id"), col("sim").as("rel"))
+      .persist() // consumed 3×: selection + both sides of the pair join
+    // pairwise sims among SHORTLISTED docs only (≤ queries·kShortlist
+    // distinct docs): vectors rebuilt for that sliver of the corpus,
+    // dots via the feature-keyed self-join, then scoped to each query's
+    // own shortlist pairs.
+    val ids = cand.select(col("doc_id").as(idCol)).distinct()
+    val dv = featureVectors(
+        docs.join(ids, Seq(idCol), "left_semi"), idCol, "doc_id", textCol)
+      .persist()
+    val norms = dv.groupBy(col("doc_id")).agg(sum(col("dc") * col("dc")).as("n2"))
+    val dots = dv.select(col("doc_id").as("id_a"), col("_f"), col("dc").as("_ca"))
+      .join(dv.select(col("doc_id").as("id_b"), col("_f"), col("dc").as("_cb")),
+        Seq("_f"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_ca") * col("_cb")).as("dot"))
+    val psimAll = dots
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("_na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))))
+          .as("sim"))
+    // restrict to pairs inside one query's shortlist
+    val psim = psimAll
+      .join(cand.select(col("query_id"), col("doc_id").as("id_a")), "id_a")
+      .join(cand.select(col("query_id"), col("doc_id").as("id_b")),
+        Seq("query_id", "id_b"))
+    val result = mmrSelect(cand, psim, k, lambda)
+    graft.AutoUnpersist.afterFirstUse(result, cand, dv)
+  }
 }
