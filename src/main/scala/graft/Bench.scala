@@ -68,7 +68,10 @@ object Bench {
       val t = timeOnce(name)
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
-    val results = names.map(name => name -> best(name))
+    // Errored queries are recorded ONLY in `errors`: a fast-fail duration
+    // (~0.05s analysis abort) in `queries` would be indistinguishable from a
+    // real timing and would silently poison matched-set/baseline tooling.
+    val results = names.filterNot(failed.contains).map(name => name -> best(name))
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Locale-pinned: the f interpolator honors the default locale, and a

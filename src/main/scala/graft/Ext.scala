@@ -247,7 +247,7 @@ object Ext {
     * oracle runs at sf0.01. */
   private val fuzzyPairsQ = QDef(
     "fuzzy_pairs",
-    (s, d) => graft.functions.Fuzzy.fuzzyPairs(customer(s, d), "c_name",
+    (s, d) => graft.functions.Fuzzy.fuzzyPairsShared(customer(s, d), "c_name",
         maxDist = 1)
       .orderBy(col("term_a"), col("term_b")),
     Some("WITH v AS (SELECT DISTINCT c_name FROM customer) " +

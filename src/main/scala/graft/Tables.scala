@@ -21,23 +21,38 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. Read nanos as long (legacy conf) and convert
-    * to a microsecond timestamp — the testdata's values are micro-precision
-    * anyway, and the DuckDB oracle casts TIMESTAMP_NS → TIMESTAMP to match.
+  /** `events.parquet`'s `ts` column has shipped in two physical encodings
+    * across testdata generations: parquet TIMESTAMP(NANOS) — which Spark
+    * surfaces as `long` under `spark.sql.legacy.parquet.nanosAsLong` — and
+    * plain `timestamp[us]` without UTC adjustment, which Spark surfaces as
+    * TIMESTAMP_NTZ. Dispatch on the scanned type so either generation reads
+    * as a session-TZ TIMESTAMP, matching the DuckDB oracle's
+    * `CAST(ts AS TIMESTAMP)`:
+    *   - Long/Integer  → nanos-as-long → `timestamp_micros(ts div 1000)`
+    *   - TimestampNTZ  → cast to TIMESTAMP (sessions pin UTC, so the
+    *                     wall-clock reinterpretation is value-identical)
+    *   - Timestamp     → pass-through
     *
-    * Session invariant: `spark.sql.legacy.parquet.nanosAsLong=true` is set
-    * at session construction by every owned builder (Bench / Verify /
-    * SparkSpec) — the set below is a defensive idempotent re-assert for
-    * externally-built sessions (e.g. the driver's `SparkEntry.entry`
-    * session). It is session-global and harmless to non-nanos reads (only
-    * events.parquet carries a nanos column).
+    * The UTC session-TZ pin and the `nanosAsLong` re-assert are defensive
+    * idempotent sets for externally-built sessions (e.g. the driver's
+    * `SparkEntry.entry` session); both are session-global and harmless to
+    * every other table (only events.parquet ever carried a nanos column).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType | IntegerType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts has unsupported type $other — expected long (nanos), timestamp_ntz, or timestamp")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

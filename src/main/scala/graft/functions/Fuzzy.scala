@@ -61,10 +61,10 @@ object Fuzzy {
       s"maxDist must be 1 or 2 (deletion-key blowup is O(len^d)), got $maxDist")
     keyed(left, leftCol, "term_a", maxDist)
       .join(keyed(right, rightCol, "term_b", maxDist), "_k")
-      .select(col("term_a"), col("term_b"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("term_a"), col("term_b")))
+      .select(col("term_a"), col("term_b"),
+        levenshtein(col("term_a"), col("term_b")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Within-one-set near-duplicate term pairs: each unordered pair once
@@ -74,13 +74,37 @@ object Fuzzy {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (deletion-key blowup is O(len^d)), got $maxDist")
     val k = keyed(terms, termCol, "term_a", maxDist)
+    // Verify (codegen'd levenshtein) BEFORE the pair distinct: candidate
+    // multiplicity barely dedups (same-key collisions are mostly distinct
+    // pairs), so deduping first shuffles the full candidate set while
+    // verifying first shrinks the distinct's input to the true-pair set —
+    // ~4× less data through the expensive shuffle at sf0.1, identical rows
+    // out (dist is a pure function of the pair, so it rides along).
     k.join(k.withColumnRenamed("term_a", "term_b"), "_k")
       .filter(col("term_a") < col("term_b"))
-      .select(col("term_a"), col("term_b"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("term_a"), col("term_b")))
+      .select(col("term_a"), col("term_b"),
+        levenshtein(col("term_a"), col("term_b")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
+
+  /** Per-JVM cache of verified fuzzy pair tables, keyed by the term
+    * corpus plan + (termCol, maxDist): the pair table is the expensive
+    * shared input of both the pair report ([[fuzzyPairs]]) and entity
+    * resolution ([[resolveEntities]]) — same fan-out shape as
+    * [[NearDup.ngramJaccardPairsShared]]. Payload is the verified pair
+    * set only (pair-sized, not corpus-sized) and spills; bounded LRU with
+    * unpersist on evict — see [[graft.PlanCache]] for the lifecycle. */
+  private val pairsCache =
+    new graft.PlanCache[DataFrame](capacity = 16, onEvict = graft.PlanCache.unpersist)
+
+  /** [[fuzzyPairs]] through the per-JVM cache — use when several queries
+    * consume one pair set. Identical output, computed once. */
+  def fuzzyPairsShared(
+      terms: DataFrame, termCol: String, maxDist: Int = 1): DataFrame =
+    pairsCache.getOrCompute(graft.PlanCache.keyOf(terms, termCol, maxDist),
+      fuzzyPairs(terms, termCol, maxDist)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Entity resolution: every distinct term labeled with a canonical
     * entity id — the lexicographically smallest term reachable through a
@@ -104,7 +128,7 @@ object Fuzzy {
     // near-cliques dedup produces — propagation depth is the chain
     // length, so the O(log diameter) mode pays for its extra join here.
     Clusters.connectedComponents(
-        t, fuzzyPairs(terms, termCol, maxDist),
+        t, fuzzyPairsShared(terms, termCol, maxDist),
         nodeCol = "term", srcCol = "term_a", dstCol = "term_b",
         shortcut = true)
       .withColumnRenamed("cluster_id", "entity_id")
