@@ -741,11 +741,120 @@ object Rel {
       "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
   )
 
+  /** Correlation / least-squares regression per group, computed from
+    * EXACT decimal moment sums (Σx, Σy, Σxy, Σx², Σy² — one map-side-
+    * combined aggregate, one exchange) with the final corr/slope/
+    * intercept arithmetic done in doubles using the IDENTICAL expression
+    * tree the oracle SQL spells out: every IEEE op (+,-,*,/ and sqrt) is
+    * correctly rounded, so exact-decimal inputs + a fixed evaluation
+    * order give bit-identical doubles across engines — the same
+    * determinism recipe as `unigram_quality`. (Built-in `corr`/`regr_*`
+    * stream doubles in engine-specific order and cannot hash-match.)
+    * At 100 TB swap DECIMAL(18,2) inputs for wider precision before the
+    * (38,4) sum bound binds; the plan shape is unchanged. */
+  private val statsCorr = QDef(
+    "stats_corr",
+    (s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val moments = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("_sx"), sum(y).as("_sy"), sum(x * y).as("_sxy"),
+          sum(x * x).as("_sxx"), sum(y * y).as("_syy"))
+      val nd = col("n").cast(DoubleType)
+      val sx = col("_sx").cast(DoubleType)
+      val sy = col("_sy").cast(DoubleType)
+      val sxy = col("_sxy").cast(DoubleType)
+      val sxx = col("_sxx").cast(DoubleType)
+      val syy = col("_syy").cast(DoubleType)
+      val covn = nd * sxy - sx * sy
+      val varx = nd * sxx - sx * sx
+      val vary = nd * syy - sy * sy
+      moments.select(
+        col("l_returnflag"), col("n"),
+        (covn / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
+        (covn / varx).as("slope"),
+        ((sy - (covn / varx) * sx) / nd).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+      "CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx, " +
+      "CAST(sum(y*y) AS DOUBLE) AS syy FROM (SELECT l_returnflag, " +
+      "CAST(l_quantity AS DECIMAL(18,2)) AS x, " +
+      "CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem) GROUP BY 1) " +
+      "SELECT l_returnflag, n, " +
+      "(CAST(n AS DOUBLE)*sxy - sx*sy) / " +
+      "(sqrt(CAST(n AS DOUBLE)*sxx - sx*sx) * sqrt(CAST(n AS DOUBLE)*syy - sy*sy)) " +
+      "AS corr_qty_price, " +
+      "(CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) AS slope, " +
+      "(sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx) " +
+      "/ CAST(n AS DOUBLE) AS intercept " +
+      "FROM m ORDER BY l_returnflag")
+  )
+
+  /** Exact cumulative distinct users per day ([[graft.functions
+    * .EventStats.cumulativeDistinctUsers]]): first-occurrence trick (one
+    * user-key shuffle) + two-pass bucketed running sum — never a
+    * partition-less window, never a per-day distinct recount. Oracle
+    * replays the same first-day definition with a window cumsum, fine at
+    * oracle scale. */
+  private val dauCumulative = QDef(
+    "dau_cumulative",
+    (s, d) => graft.functions.EventStats
+      .cumulativeDistinctUsers(events(s, d), "user_id", "ts")
+      .orderBy(col("day")),
+    Some("WITH fd AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day " +
+      "FROM events GROUP BY 1), " +
+      "nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fd GROUP BY 1), " +
+      "days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events) " +
+      "SELECT days.day, COALESCE(nu.new_users, 0) AS new_users, " +
+      "CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY days.day) AS BIGINT) AS cum_users " +
+      "FROM days LEFT JOIN nu USING (day) ORDER BY day")
+  )
+
+  /** Rolling 7-day distinct active users ([[graft.functions.EventStats
+    * .rollingActiveUsers]]): contribute-then-dedup (distinct user-days →
+    * ×7 replication → two-phase countDistinct) — rolling COUNT(DISTINCT)
+    * does not decompose as a running sum, and the naive per-day recount
+    * re-scans history O(days) times. Oracle: interval self-join recount,
+    * fine at oracle scale. */
+  private val wauRolling = QDef(
+    "wau_rolling",
+    (s, d) => graft.functions.EventStats
+      .rollingActiveUsers(events(s, d), "user_id", "ts", windowDays = 7)
+      .orderBy(col("day")),
+    Some("WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
+      "FROM events), " +
+      "days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events) " +
+      "SELECT days.day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_users " +
+      "FROM days JOIN ud ON ud.day BETWEEN days.day - 6 AND days.day " +
+      "GROUP BY 1 ORDER BY 1")
+  )
+
+  /** Next-event transition matrix ([[graft.functions.EventStats
+    * .transitionCounts]]): per-user lead window (one user-key exchange,
+    * event_id tie-break for total order) → |types|²-sized count table. */
+  private val eventTransitions = QDef(
+    "event_transitions",
+    (s, d) => graft.functions.EventStats
+      .transitionCounts(events(s, d), "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("from_type"), col("to_type")),
+    Some("WITH t AS (SELECT user_id, event_type AS from_type, " +
+      "lead(event_type) OVER (PARTITION BY user_id " +
+      "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type FROM events) " +
+      "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions " +
+      "FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2")
+  )
+
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
     windowTopK, joinAsof, joinAsofTol, joinRange, rollupAgg, distinctCountAgg,
     pivotAgg, windowMoving,
     quantileAgg, quantileDist, approxAgg, approxAggBounds, cubeAgg,
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
-    joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode)
+    joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode,
+    statsCorr, dauCumulative, eventTransitions, wauRolling)
 }

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-log analytics beyond windows-and-groupbys (EXT tier — the
+  * reference has no event surface at all): exact cumulative distinct
+  * counting and next-event transition counts, the two product-analytics
+  * primitives that are easy to write wrong at scale (a naive cumulative
+  * DISTINCT recounts the full history per day — O(days × users) — and a
+  * global-window cumsum funnels everything through one task).
+  */
+object EventStats {
+
+  /** Exact cumulative distinct users per day: one row per distinct event
+    * date with that day's NEW user count and the running total of
+    * distinct users seen so far (the "cumulative DAU/registered-users"
+    * curve).
+    *
+    * Scale shape — the first-occurrence trick: a user contributes to the
+    * cumulative count exactly once, on their FIRST event day, so
+    * cumulative-distinct = running SUM of first-appearance counts:
+    *   1. min(event day) per user — one shuffle on the user key, the
+    *      only corpus-sized exchange;
+    *   2. new-user count per first-day — day-sized aggregate;
+    *   3. running sum over the tiny day table via the same two-pass
+    *      bucketed cumsum as [[Packing.packSequences]] (per-bucket totals
+    *      → bounded driver prefix sums → in-bucket window) — no
+    *      partition-less window even when "tiny" becomes a decade of
+    *      days.
+    * Days with events but no new users still appear (new_users = 0).
+    */
+  def cumulativeDistinctUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      nBuckets: Int = 256
+  ): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val allDays = events.select(to_date(col(tsCol)).as("day")).distinct()
+    val perDay = allDays.join(firstDay, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+    runningSum(perDay, datediff(col("day"), lit("1970-01-01")).cast(LongType),
+      col("new_users"), "cum_users", nBuckets)
+      .select(col("day"), col("new_users"), col("cum_users"))
+  }
+
+  /** Next-event transition counts: for each user's event stream ordered
+    * by (ts, tieBreak), count every adjacent (from_type → to_type) pair —
+    * the Markov transition matrix behind "what do users do after X"
+    * analyses and session-path mining.
+    *
+    * One exchange on the user key (the lead window), then a
+    * transition-matrix-sized aggregate (≤ |types|² rows). `tieBreak`
+    * must make the per-user order total (an event id), or equal-ts
+    * adjacency would be nondeterministic. */
+  def transitionCounts(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieBreak: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        col(tsCol), col(tieBreak))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Rolling distinct active users: for each distinct event day, the
+    * number of distinct users active in the trailing `windowDays`-day
+    * window (inclusive) — the WAU/MAU curve.
+    *
+    * Rolling COUNT(DISTINCT) does not decompose as a running sum (a user
+    * active twice in the window counts once), so the scale shape is
+    * contribute-then-dedup: dedup to distinct (user, day) pairs first
+    * (the only corpus-sized exchange), replicate each pair to the
+    * `windowDays` window-end days it supports (bounded ×window blowup of
+    * the already-deduped day table), keep real event days, then a
+    * two-phase `countDistinct` per end day. No per-day re-scan of
+    * history, no global window. */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int = 7
+  ): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events
+      .select(col(userCol).as("_user"), to_date(col(tsCol)).as("_day"))
+      .distinct()
+    val contrib = ud.select(col("_user"),
+      explode(sequence(col("_day"),
+        date_add(col("_day"), windowDays - 1))).as("day"))
+    val realDays = events.select(to_date(col(tsCol)).as("day")).distinct()
+    contrib.join(realDays, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_user")).as("active_users"))
+  }
+
+  /** Distributed running (inclusive) sum of `valueCol` in `orderKey`
+    * order, emitted as `outCol` — the generic two-pass bucketed cumsum of
+    * [[Packing.packSequences]] (divide-first bucketing, per-bucket totals
+    * to bounded driver prefix sums, in-bucket window): exact integer
+    * arithmetic, no partition-less window at any size. `orderKey` must be
+    * unique per row and integral. */
+  def runningSum(
+      df: DataFrame,
+      orderKey: Column,
+      valueCol: Column,
+      outCol: String,
+      nBuckets: Int = 256
+  ): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val reserved = Seq("_rs_key", "_rs_val", "_rs_bucket")
+    require(df.columns.intersect(reserved).isEmpty,
+      s"runningSum reserves ${reserved.mkString("/")}; rename first")
+    val keyed = df
+      .withColumn("_rs_key", orderKey.cast(LongType))
+      .withColumn("_rs_val", valueCol.cast(LongType))
+    val bounds = keyed.agg(min(col("_rs_key")), max(col("_rs_key"))).collect().head
+    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(null).cast(LongType))
+    val (minKey, maxKey) = (bounds.getLong(0), bounds.getLong(1))
+    val span =
+      try Math.addExact(Math.subtractExact(maxKey, minKey), 1L)
+      catch { case _: ArithmeticException => throw new IllegalArgumentException(
+        s"order-key span [$minKey, $maxKey] exceeds Long range; rescale the key") }
+    val width = math.max(1L, (span - 1L) / nBuckets + 1L)
+    val bucketed = keyed.withColumn("_rs_bucket",
+      expr(s"(_rs_key - ${minKey}L) div ${width}L"))
+    val totals = bucketed.groupBy(col("_rs_bucket"))
+      .agg(sum(col("_rs_val")).as("_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefixes = {
+      var acc = 0L
+      (0L until nBuckets.toLong).map { b =>
+        val p = b -> acc; acc += totals.getOrElse(b, 0L); p
+      }.toMap
+    }
+    val prefixCol = {
+      val entries = prefixes.toSeq.sortBy(_._1)
+        .flatMap { case (b, p) => Seq(lit(b), lit(p)) }
+      element_at(map(entries: _*), col("_rs_bucket"))
+    }
+    val w = Window.partitionBy(col("_rs_bucket")).orderBy(col("_rs_key"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn(outCol, sum(col("_rs_val")).over(w) + prefixCol)
+      .drop("_rs_key", "_rs_val", "_rs_bucket")
+  }
+}

@@ -146,6 +146,54 @@ object StreamOps {
   ): DataFrame =
     stream.join(ingestedKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
 
+  /** Streaming face of the as-of join ([[graft.operators.Joins
+    * .asofJoinWithin]]): each stream row gets the greatest static-side
+    * `tsCol` with the same key and static.ts <= stream.ts (inclusive,
+    * same tie rule as the batch operator), nulled when older than
+    * `toleranceSec` if set.
+    *
+    * The batch operator's union+window plan is unavailable on a stream
+    * (no unbounded windows), and a stream-static inequality join would
+    * buffer unmatched rows forever. Instead the STATIC side is compacted
+    * once per micro-batch plan into one row per key holding its sorted
+    * timestamp array (dimension-sized — the signup/feature snapshot, not
+    * the fact stream), equi-joined to the stream (broadcastable), and the
+    * match is `array_max(filter(arr, _ <= ts))` — codegen'd, no stream
+    * state at all. Keys absent from the snapshot and rows with no prior
+    * event yield null, exactly like the batch left join. Watermark
+    * semantics: none needed — the operator is stateless on the stream
+    * side, so late rows still resolve correctly against the snapshot at
+    * their processing micro-batch (the snapshot is re-read per batch, so
+    * a refreshed snapshot path is picked up like any stream-static join).
+    * Works identically on a batch frame (pure composition). */
+  def asofAgainstStatic(
+      stream: DataFrame,
+      staticRight: DataFrame,
+      key: String,
+      tsCol: String,
+      asofCol: String,
+      toleranceSec: Option[Long] = None
+  ): DataFrame = {
+    toleranceSec.foreach(t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t"))
+    val arrCol = "_asof_ts_arr"
+    require(!stream.columns.contains(arrCol),
+      s"asofAgainstStatic reserves the internal column $arrCol; rename it first")
+    val compacted = staticRight
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col(tsCol))).as(arrCol))
+    val matched = array_max(filter(col(arrCol), _ <= col(tsCol)))
+    val bounded = toleranceSec match {
+      case Some(t) =>
+        when(matched >= col(tsCol) - expr(s"INTERVAL $t SECONDS"), matched)
+      case None => matched
+    }
+    stream.join(compacted, Seq(key), "left")
+      .withColumn(asofCol, bounded)
+      .drop(arrCol)
+      .select((stream.columns.map(col) :+ col(asofCol)).toIndexedSeq: _*)
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key from the trailing `windowMinutes`.
     * Both sides are watermarked so the join state (buffered unmatched

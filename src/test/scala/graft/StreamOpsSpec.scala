@@ -343,4 +343,53 @@ class StreamOpsSpec extends SparkSpec {
       assert(batchRules.nonEmpty)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("asofAgainstStatic == batch asofJoinWithin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // Static signup snapshot: per-user signup timestamps (user 3 has none;
+    // user 1 has several — only the latest prior one may attach).
+    val signups = Seq(
+      (1L, ts(0)), (1L, ts(4)), (1L, ts(20)),
+      (2L, ts(2))).toDF("user_id", "ts")
+    // Purchases, including an equal-timestamp tie (inclusive match), a
+    // pre-signup purchase (null), an unknown user (null), and a late
+    // arrival in a second micro-batch.
+    val batch1 = Seq(
+      Ev(0, ts(5), 1, 1.0),   // matches signup ts(4)
+      Ev(1, ts(4), 1, 1.0),   // tie: inclusive -> ts(4)
+      Ev(2, ts(1), 2, 1.0),   // before user 2's signup -> null
+      Ev(3, ts(9), 3, 1.0))   // unknown user -> null
+    val batch2 = Seq(
+      Ev(4, ts(30), 1, 1.0),  // matches ts(20), but > tolerance -> null
+      Ev(5, ts(3), 2, 1.0))   // late arrival: still resolves to ts(2)
+    val tolSec = 6L * 60L
+
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.asofAgainstStatic(
+        mem.toDF(), signups, "user_id", "ts", "signup_ts", Some(tolSec))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("asof_out")
+        .select("event_id", "signup_ts")
+        .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+      val batchResult = graft.operators.Joins.asofJoinWithin(
+          (batch1 ++ batch2).toDF().select("user_id", "ts", "event_id", "value"),
+          signups, "user_id", "ts", "signup_ts", tolSec)
+        .select("event_id", "signup_ts")
+        .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+      assert(streamed == batchResult, s"streamed=$streamed batch=$batchResult")
+      // and the hand-derivable rows behave as documented
+      assert(streamed(0L) == Some(ts(4)))
+      assert(streamed(1L) == Some(ts(4)))
+      assert(streamed(2L).isEmpty)
+      assert(streamed(3L).isEmpty)
+      assert(streamed(4L).isEmpty)   // tolerance null-out
+      assert(streamed(5L) == Some(ts(2)))
+    } finally q.stop()
+  }
 }
