@@ -1934,6 +1934,45 @@ object Ext {
     )
   )
 
+  /** Funnel conversion-lag stats ([[graft.operators.Funnel.funnelLag]]):
+    * per adjacent stage pair, converter count + avg/max lag seconds from
+    * one global aggregate over the funnel table. Exact microsecond sums;
+    * the two final divides are written as the identical expression tree
+    * in both engines. */
+  private val funnelLagQ = QDef(
+    "funnel_lag",
+    (s, d) => graft.operators.Funnel.funnelLag(
+        events(s, d), Seq("view", "click", "purchase"))
+      .orderBy(col("stage_from"), col("stage_to")),
+    Some(
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), " +
+        "s0 AS (SELECT user_id, min(ts) AS ts_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "s1 AS (SELECT s0.user_id, ts_view, " +
+        "min(CASE WHEN e.ts > ts_view THEN e.ts END) AS ts_click " +
+        "FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type = 'click' " +
+        "GROUP BY 1, 2), " +
+        "s2 AS (SELECT s1.user_id, ts_view, ts_click, " +
+        "min(CASE WHEN e.ts > ts_click THEN e.ts END) AS ts_purchase " +
+        "FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'purchase' " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT * FROM (" +
+        "SELECT 'view' AS stage_from, 'click' AS stage_to, " +
+        "CAST(count(CASE WHEN ts_click IS NOT NULL THEN 1 END) AS BIGINT) AS n_converted, " +
+        "CAST(sum(CASE WHEN ts_click IS NOT NULL THEN epoch_us(ts_click) - epoch_us(ts_view) END) AS DOUBLE) " +
+        "/ CAST(count(CASE WHEN ts_click IS NOT NULL THEN 1 END) AS DOUBLE) / 1000000.0 AS avg_lag_sec, " +
+        "CAST(max(CASE WHEN ts_click IS NOT NULL THEN epoch_us(ts_click) - epoch_us(ts_view) END) AS DOUBLE) " +
+        "/ 1000000.0 AS max_lag_sec FROM s2 " +
+        "UNION ALL " +
+        "SELECT 'click' AS stage_from, 'purchase' AS stage_to, " +
+        "CAST(count(CASE WHEN ts_purchase IS NOT NULL THEN 1 END) AS BIGINT) AS n_converted, " +
+        "CAST(sum(CASE WHEN ts_purchase IS NOT NULL THEN epoch_us(ts_purchase) - epoch_us(ts_click) END) AS DOUBLE) " +
+        "/ CAST(count(CASE WHEN ts_purchase IS NOT NULL THEN 1 END) AS DOUBLE) / 1000000.0 AS avg_lag_sec, " +
+        "CAST(max(CASE WHEN ts_purchase IS NOT NULL THEN epoch_us(ts_purchase) - epoch_us(ts_click) END) AS DOUBLE) " +
+        "/ 1000000.0 AS max_lag_sec FROM s2" +
+        ") ORDER BY stage_from, stage_to")
+    )
+  )
+
   /** Retention cohorts ([[graft.operators.Funnel.retentionCohorts]]):
     * first-seen week × week offset × distinct active users — integer
     * epoch-week arithmetic in both engines. */
@@ -2382,7 +2421,7 @@ object Ext {
     gopherRulesQ,
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
     profileQ, driftQ,
-    tokenIdsQ, funnelQ, retentionQ, temperatureMixQ,
+    tokenIdsQ, funnelQ, funnelLagQ, retentionQ, temperatureMixQ,
     mediaDecode, videoFrames, audioDecode
   )
 }

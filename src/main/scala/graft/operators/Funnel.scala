@@ -39,6 +39,41 @@ object Funnel {
     acc.orderBy(col("user_id"))
   }
 
+  /** Conversion-lag stats per adjacent funnel stage pair: among users who
+    * reached stage k, the count and the average / maximum seconds from
+    * stage k-1 to stage k. ONE pass over the [[funnel]] table (a single
+    * global aggregate computes every pair's moments; rows are then
+    * unpacked from a literal array — no per-pair re-aggregation, no
+    * second funnel computation), with lags summed EXACTLY in long
+    * microseconds and the only IEEE ops being the final two divides —
+    * deterministic across engines, same recipe as the moment-sum stats.
+    *
+    * @return (stage_from, stage_to, n_converted, avg_lag_sec,
+    *         max_lag_sec), one row per adjacent pair; null lag stats when
+    *         nobody converted. */
+  def funnelLag(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val f = funnel(events, stages)
+    val pairs = stages.sliding(2).map(p => (p.head, p.last)).toSeq
+    val moments = pairs.flatMap { case (a, b) =>
+      val reached = col(s"ts_$b").isNotNull
+      val lag = unix_micros(col(s"ts_$b")) - unix_micros(col(s"ts_$a"))
+      Seq(
+        count(when(reached, 1)).as(s"_n_$b"),
+        sum(when(reached, lag)).as(s"_s_$b"),
+        max(when(reached, lag)).as(s"_m_$b"))
+    }
+    val aggd = f.agg(moments.head, moments.tail: _*)
+    aggd.select(explode(array(pairs.map { case (a, b) =>
+      struct(
+        lit(a).as("stage_from"), lit(b).as("stage_to"),
+        col(s"_n_$b").as("n_converted"),
+        (col(s"_s_$b").cast("double") / col(s"_n_$b").cast("double")
+          / lit(1000000.0)).as("avg_lag_sec"),
+        (col(s"_m_$b").cast("double") / lit(1000000.0)).as("max_lag_sec"))
+    }: _*)).as("_r"))
+      .select(col("_r.*"))
+  }
+
   /** Retention cohorts: users grouped by their FIRST-seen week (epoch-
     * aligned 7-day buckets, integer arithmetic), counted in every later
     * week they were active, keyed by the week offset. Output:

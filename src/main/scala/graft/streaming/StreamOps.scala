@@ -146,6 +146,73 @@ object StreamOps {
   ): DataFrame =
     stream.join(ingestedKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
 
+  /** Streaming face of the CDC MERGE ([[graft.operators.Cdc
+    * .applyChanges]]): per key, track the LATEST change by `orderCol`
+    * across micro-batches and emit the key's current state on every
+    * update. Output schema = the change feed's columns plus
+    * `_cdc_order` (the winning change's order value) and `_cdc_deleted`
+    * (true when the latest change is a `deleteOp` tombstone) — a
+    * consumer maintaining a table keeps the last update per key and
+    * drops deleted ones; the tombstone is emitted, not swallowed, so
+    * downstream deletes propagate.
+    *
+    * State per key is one (order, op, row-as-json) triple — bounded by
+    * the live key count, not the feed; rows travel through state as JSON
+    * so the operator stays schema-generic (the same trick a binary
+    * encoder would need, minus a custom codec). Order collisions at a
+    * key's latest value throw, mirroring the batch operator's
+    * `assert_true` (silent tie-breaking is how replicas diverge) — note
+    * an at-least-once source that REDELIVERS a change verbatim trips
+    * this too, by design: dedup upstream ([[dedupWithinWatermark]]). */
+  def applyChangesStream(
+      changes: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      opCol: String,
+      deleteOp: String = "D"
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val schema = changes.schema
+    implicit val encIn: Encoder[(String, Long, String, String)] =
+      Encoders.product[(String, Long, String, String)]
+    implicit val encKey: Encoder[String] = Encoders.STRING
+    implicit val encSt: Encoder[(Long, String, String)] =
+      Encoders.product[(Long, String, String)]
+    val updated = changes
+      .select(
+        col(keyCol).cast("string").as("_k"),
+        col(orderCol).cast("long").as("_ord"),
+        col(opCol).cast("string").as("_op"),
+        to_json(struct(changes.columns.map(col).toIndexedSeq: _*)).as("_js"))
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[(String, Long, String, String)],
+         state: GroupState[(Long, String, String)]) =>
+          var (bestOrd, bestOp, bestJs) =
+            state.getOption.getOrElse((Long.MinValue, "", ""))
+          var seeded = state.exists
+          for ((_, ord, op, js) <- rows) {
+            if (seeded && ord == bestOrd)
+              throw new IllegalStateException(
+                s"CDC order collision: two changes tied at $orderCol=$ord " +
+                  s"for $keyCol=$k — $orderCol must be unique per key")
+            if (ord > bestOrd || !seeded) {
+              bestOrd = ord; bestOp = op; bestJs = js; seeded = true
+            }
+          }
+          state.update((bestOrd, bestOp, bestJs))
+          (k, bestOrd, bestOp, bestJs)
+      }
+    updated.toDF("_k", "_ord", "_op", "_js")
+      .select(from_json(col("_js"), schema).as("_r"),
+        col("_ord").as("_cdc_order"),
+        (col("_op") === deleteOp).as("_cdc_deleted"))
+      .select((schema.fieldNames.map(f => col(s"_r.$f")).toIndexedSeq
+        :+ col("_cdc_order") :+ col("_cdc_deleted")): _*)
+  }
+
   /** Streaming face of the as-of join ([[graft.operators.Joins
     * .asofJoinWithin]]): each stream row gets the greatest static-side
     * `tsCol` with the same key and static.ts <= stream.ts (inclusive,

@@ -96,6 +96,32 @@ class ResampleSpec extends SparkSpec {
     assert(got(3L) == ((ts(10), ts(30), null))) // click at 30, no purchase after
   }
 
+  test("funnelLag: per-pair converter counts and exact avg/max lag seconds") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // user 1 converts fully: view@10 -> click@20 (600s) -> purchase@30 (600s)
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: view@10 -> click@40 (1800s), no purchase
+      (2L, ts(10), "view"), (2L, ts(40), "click"),
+      // user 3: view only
+      (3L, ts(10), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelLag(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_from")
+      .as[(String, String, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("click", "purchase", 1L, Some(600.0), Some(600.0)),
+      ("view", "click", 2L, Some(1200.0), Some(1800.0))))
+    // nobody past stage 1: lag stats are null, count is zero
+    val none = Funnel.funnelLag(
+        Seq((1L, ts(1), "view")).toDF("user_id", "ts", "event_type"),
+        Seq("view", "click"))
+      .as[(String, String, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(none == Seq(("view", "click", 0L, None, None)))
+  }
+
   test("retention cohorts: offsets count distinct-week activity per cohort") {
     import graft.operators.Funnel
     def week(w: Long, m: Long = 0) = new java.sql.Timestamp(w * 604800000L + m * 60000L)

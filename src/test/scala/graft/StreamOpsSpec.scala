@@ -344,6 +344,71 @@ class StreamOpsSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("applyChangesStream: latest state per key == batch applyChanges") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamOps.applyChangesStream(
+        mem.toDF().toDF("id", "seq", "op", "val"),
+        keyCol = "id", orderCol = "seq", opCol = "op")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_out").start()
+    val batch1 = Seq(
+      (1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0), (3L, 1L, "I", 30.0))
+    val batch2 = Seq(
+      (1L, 3L, "U", 11.0),  // update wins over insert
+      (2L, 2L, "D", 0.0),   // tombstone
+      (3L, 0L, "U", 99.0),  // LATE change with older seq: must lose
+      (4L, 1L, "I", 40.0))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val emissions = spark.table("cdc_out")
+        .select("id", "seq", "op", "val", "_cdc_order", "_cdc_deleted")
+        .collect()
+      // consumer contract: keep the last update per key (max _cdc_order),
+      // drop tombstones
+      val current = emissions.groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.maxBy(_.getLong(4))
+      }.filter(!_.getBoolean(5))
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+
+      val all = (batch1 ++ batch2).toDF("id", "seq", "op", "val")
+      val expected = graft.operators.Cdc.applyChanges(
+          all.filter(org.apache.spark.sql.functions.lit(false)), all,
+          keyCol = "id", orderCol = "seq", opCol = "op")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(current == expected, s"stream=$current batch=$expected")
+      assert(current == Set(
+        (1L, 3L, "U", 11.0), (3L, 1L, "I", 30.0), (4L, 1L, "I", 40.0)))
+      // the emitted state carries the WINNING change's order, late loser ignored
+      val k3 = emissions.filter(_.getLong(0) == 3L).map(_.getLong(4)).max
+      assert(k3 == 1L)
+    } finally q.stop()
+  }
+
+  test("applyChangesStream throws on an order collision at the latest value") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamOps.applyChangesStream(
+        mem.toDF().toDF("id", "seq", "op", "val"),
+        keyCol = "id", orderCol = "seq", opCol = "op")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_collide_out").start()
+    try {
+      mem.addData((1L, 5L, "I", 1.0)); q.processAllAvailable()
+      mem.addData((1L, 5L, "U", 2.0))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("order collision")),
+        messages(e).mkString(" | "))
+    } finally q.stop()
+  }
+
   test("asofAgainstStatic == batch asofJoinWithin across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // Static signup snapshot: per-user signup timestamps (user 3 has none;
