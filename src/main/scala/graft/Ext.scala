@@ -42,6 +42,42 @@ object Ext {
     )
   )
 
+  /** Session distribution summary ([[graft.operators.Sessions
+    * .sessionStats]]): one-row reduce over the session table — counts
+    * exact, averages from exact long sums with engine-identical final
+    * divides. */
+  private val sessionStatsQ = QDef(
+    "session_stats",
+    (s, d) => Sessions.sessionStats(events(s, d)),
+    Some(
+      """WITH sess AS (SELECT user_id, session_id,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        | SELECT user_id, ts, event_id,
+        |  sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          + INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS _new
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |        FROM events)) )
+        |GROUP BY user_id, session_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_single_event,
+        | CAST(sum(n_events) AS BIGINT) AS total_events,
+        | CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_events,
+        | CAST(sum(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_duration_sec,
+        | CAST(max(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE)
+        |  / 1000000.0 AS max_duration_sec
+        |FROM sess""".stripMargin.replace('\n', ' ')
+    )
+  )
+
   /** Per-document text statistics. */
   private val textStats = QDef(
     "text_stats",
@@ -2401,7 +2437,7 @@ object Ext {
   val all: Seq[QDef] = Seq(
     bpeTrain, bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     boilerplateReport, boilerplateRemove, targetMixQ,
-    sessionize, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
+    sessionize, sessionStatsQ, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
     entityResolveQ, normalizeTextQ, retrievalHybridQ,
     intradocDedupQ, sourceOverlapQ,

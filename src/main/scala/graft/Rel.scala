@@ -144,6 +144,31 @@ object Rel {
       "FROM events e WHERE e.event_type = 'purchase' ORDER BY event_id")
   )
 
+  /** Forward as-of join ([[graft.operators.Joins.asofJoinForwardWithin]]):
+    * each signup gets the EARLIEST following purchase of the same user
+    * within 24 h (time-to-conversion attribution) — the mirror direction
+    * of `join_asof`, same one-exchange running-extreme plan over
+    * descending order. */
+  private val joinAsofFwd = QDef(
+    "join_asof_fwd",
+    (s, d) => {
+      val ev = events(s, d)
+      graft.operators.Joins.asofJoinForwardWithin(
+        left = ev.filter(col("event_type") === "signup"),
+        right = ev.filter(col("event_type") === "purchase"),
+        key = "user_id", tsCol = "ts", asofCol = "next_purchase_ts",
+        toleranceSec = 86400L)
+        .orderBy(col("event_id"))
+    },
+    Some("SELECT event_id, CAST(e.ts AS TIMESTAMP) AS ts, user_id, event_type, value, props, " +
+      "(SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p " +
+      " WHERE p.user_id = e.user_id AND p.event_type = 'purchase' " +
+      " AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) " +
+      " AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 86400 SECOND" +
+      ") AS next_purchase_ts " +
+      "FROM events e WHERE e.event_type = 'signup' ORDER BY event_id")
+  )
+
   /** Point-in-interval join via banding ([[graft.operators.Joins
     * .rangeJoin]]): count lineitems whose (floored) price falls within
     * ±500 of each sampled part's retail price. A plain inequality join
@@ -856,5 +881,5 @@ object Rel {
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
     joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode,
-    statsCorr, dauCumulative, eventTransitions, wauRolling)
+    statsCorr, dauCumulative, eventTransitions, wauRolling, joinAsofFwd)
 }

@@ -75,6 +75,58 @@ object Joins {
           col(tsCol) - expr(s"INTERVAL $toleranceSec SECONDS"), col(asofCol)))
   }
 
+  /** FORWARD as-of join: for each left row, the SMALLEST right `tsCol`
+    * with the same key and right.ts >= left.ts — the "next following
+    * event" direction of merge_asof (time-to-next-purchase, next
+    * maintenance window). Mirror image of [[asofJoin]]: same single
+    * shuffle on the key, with the running extreme taken over DESCENDING
+    * (ts, side) order — right rows sort before left rows at equal
+    * timestamps, so the match is inclusive. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      asofCol: String
+  ): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val payload = leftCols.filter(c => c != key && c != tsCol)
+    val taggedLeft = left.select(
+      (Seq(col(key), col(tsCol).as("_ts"), lit(1).as("_side")) ++
+        payload.map(col)): _*)
+    val taggedRight = right.select(
+      (Seq(col(key), col(tsCol).as("_ts"), lit(0).as("_side")) ++
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    taggedLeft.union(taggedRight)
+      .withColumn(asofCol, min(when(col("_side") === 0, col("_ts"))).over(w))
+      .filter(col("_side") === 1)
+      .select((leftCols.map {
+        case c if c == tsCol => col("_ts").as(tsCol)
+        case c               => col(c)
+      } :+ col(asofCol)): _*)
+  }
+
+  /** [[asofJoinForward]] with a horizon bound: a following right-side
+    * event further than `toleranceSec` seconds AHEAD is no match. Same
+    * single-shuffle plan; the bound is a post-window null-out. */
+  def asofJoinForwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      asofCol: String,
+      toleranceSec: Long
+  ): DataFrame = {
+    require(toleranceSec >= 0, s"tolerance must be non-negative, got $toleranceSec")
+    asofJoinForward(left, right, key, tsCol, asofCol)
+      .withColumn(asofCol,
+        when(col(asofCol) <=
+          col(tsCol) + expr(s"INTERVAL $toleranceSec SECONDS"), col(asofCol)))
+  }
+
   /** Bloom-pruned equi-join: build a Bloom filter over the small side's
     * join keys (one tiny aggregate job — the sketch is KBs against
     * `expectedItems` keys), then pre-filter the LARGE side with the native

@@ -49,4 +49,28 @@ object Sessions {
         sumValue.as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Corpus-level session distribution summary over [[sessionize]]
+    * output: one row with session count, single-event-session count, and
+    * exact-sum-derived averages (events per session; duration seconds —
+    * durations summed in long microseconds, the only IEEE ops the final
+    * divides, written identically in the oracle SQL). The aggregate adds
+    * NO exchange beyond sessionize's own: a global one-row reduce over
+    * the session table. */
+  def sessionStats(
+      events: DataFrame,
+      gapMinutes: Int = 30
+  ): DataFrame = {
+    val sess = sessionize(events, gapMinutes)
+    val durUs = unix_micros(col("session_end")) - unix_micros(col("session_start"))
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      count(when(col("n_events") === 1, 1)).as("n_single_event"),
+      sum(col("n_events")).as("total_events"),
+      (sum(col("n_events")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("avg_events"),
+      (sum(durUs).cast(DoubleType) / count(lit(1)).cast(DoubleType)
+        / lit(1000000.0)).as("avg_duration_sec"),
+      (max(durUs).cast(DoubleType) / lit(1000000.0)).as("max_duration_sec"))
+  }
 }

@@ -81,6 +81,32 @@ class EventOpsPropertySpec extends SparkSpec {
     assert(matches(120L) == unbounded)
   }
 
+  test("asofJoinForwardWithin == naive earliest-following-within-horizon oracle") {
+    for (seed <- 11 to 16) {
+      val (l, r, tol) = asofGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
+        .toDF("k", "sec", "v")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+        .select("k", "ts", "v")
+      val right = r.toDF("k", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+
+      val got = Joins.asofJoinForwardWithin(left, right, "k", "ts", "next", tol)
+        .select(col("v"), unix_timestamp(col("next")).as("n"), unix_timestamp(col("ts")).as("t"))
+        .collect().map { row =>
+          if (!row.isNullAt(1))
+            assert(row.getLong(1) >= row.getLong(2), "forward match must be >= left ts")
+          row.getInt(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1)))
+        }.toMap
+
+      val expected = l.zipWithIndex.map { case ((k, t), i) =>
+        val cands = r.collect { case (rk, rt) if rk == k && rt >= t && rt <= t + tol => rt }
+        i -> cands.sorted.headOption
+      }.toMap
+      assert(got == expected, s"seed=$seed tol=$tol")
+    }
+  }
+
   // ---- SCD2 interval history ----------------------------------------
 
   private val feedGen: Gen[List[(String, Long, String)]] = for {
