@@ -766,6 +766,75 @@ object Rel {
       "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
   )
 
+  /** Exact per-group discrete quantiles ([[graft.functions.Quantiles
+    * .groupQuantilesDisc]]): percentile_disc semantics (rank ceil(q·n) —
+    * an actual data value), one group-partitioned window + one aggregate.
+    * The oracle spells out the same rank definition rather than trusting
+    * engine-specific quantile_disc conventions. */
+  private val quantileGroup = QDef(
+    "quantile_group",
+    (s, d) => graft.functions.Quantiles.groupQuantilesDisc(
+        lineitem(s, d), "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      .orderBy(col("l_returnflag")),
+    Some("WITH r AS (SELECT l_returnflag, l_extendedprice AS v, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, " +
+      "count(*) OVER (PARTITION BY l_returnflag) AS n " +
+      "FROM lineitem WHERE l_extendedprice IS NOT NULL) " +
+      "SELECT l_returnflag, " +
+      "min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50, " +
+      "min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90 " +
+      "FROM r GROUP BY 1 ORDER BY 1")
+  )
+
+  /** Robust MAD outlier summary ([[graft.functions.Quantiles
+    * .madOutliers]]): per event type, discrete median, MAD, and the
+    * count beyond 3·MAD — two group-partitioned windows, everything
+    * else exact data values and single IEEE ops. */
+  private val outlierMad = QDef(
+    "outlier_mad",
+    (s, d) => graft.functions.Quantiles.madOutliers(
+        events(s, d), "event_type", "value", cutoff = 3.0)
+      .orderBy(col("event_type")),
+    Some("WITH base AS (SELECT event_type, value AS v FROM events WHERE value IS NOT NULL), " +
+      "r1 AS (SELECT event_type, v, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS n FROM base), " +
+      "med AS (SELECT event_type, " +
+      "min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS median " +
+      "FROM r1 GROUP BY 1), " +
+      "d AS (SELECT base.event_type, v, median, abs(v - median) AS dev " +
+      "FROM base JOIN med USING (event_type)), " +
+      "r2 AS (SELECT event_type, dev, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS n FROM d), " +
+      "madt AS (SELECT event_type, " +
+      "min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END) AS mad_val " +
+      "FROM r2 GROUP BY 1) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "min(median) AS median, min(mad_val) AS mad, " +
+      "CAST(count(CASE WHEN dev > 3.0 * mad_val THEN 1 END) AS BIGINT) AS n_outliers " +
+      "FROM d JOIN madt USING (event_type) GROUP BY 1 ORDER BY 1")
+  )
+
+  /** Top length-3 event paths ([[graft.functions.EventStats.topPaths]]):
+    * most frequent consecutive event-type trigrams across users; ties
+    * broken by path string so the top-k cut is deterministic in both
+    * engines. */
+  private val topPathsQ = QDef(
+    "top_paths",
+    (s, d) => graft.functions.EventStats.topPaths(
+      events(s, d), "user_id", "event_type", "ts", "event_id",
+      len = 3, k = 10),
+    Some("WITH t AS (SELECT event_type, " +
+      "lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2 " +
+      "FROM events WINDOW w AS (PARTITION BY user_id " +
+      "ORDER BY CAST(ts AS TIMESTAMP), event_id)), " +
+      "p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path FROM t " +
+      "WHERE t2 IS NOT NULL) " +
+      "SELECT path, CAST(count(*) AS BIGINT) AS n_paths FROM p GROUP BY 1 " +
+      "ORDER BY n_paths DESC, path LIMIT 10")
+  )
+
   /** Correlation / least-squares regression per group, computed from
     * EXACT decimal moment sums (Σx, Σy, Σxy, Σx², Σy² — one map-side-
     * combined aggregate, one exchange) with the final corr/slope/
@@ -881,5 +950,6 @@ object Rel {
     setIntersect, setExcept, jsonExtract, q3Shipping, q5LocalSupplier,
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
     joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode,
-    statsCorr, dauCumulative, eventTransitions, wauRolling, joinAsofFwd)
+    statsCorr, dauCumulative, eventTransitions, wauRolling, joinAsofFwd,
+    quantileGroup, outlierMad, topPathsQ)
 }

@@ -110,6 +110,40 @@ object EventStats {
       .agg(countDistinct(col("_user")).as("active_users"))
   }
 
+  /** Top event paths: the most frequent length-`len` consecutive
+    * event-type sequences across users (the n-gram generalization of
+    * [[transitionCounts]] — session-path mining). One user-key exchange
+    * for the lead windows; the path table is ≤ |types|^len rows, so the
+    * final top-k sort is metadata-sized. Ties broken by path string for
+    * determinism. */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieBreak: String,
+      len: Int = 3,
+      k: Int = 10
+  ): DataFrame = {
+    require(len >= 2, s"path length must be >= 2, got $len")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    val steps = (0 until len).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieBreak))
+      .withColumn("path", when(steps.last.isNotNull,
+        concat_ws(">", steps: _*)))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
   /** Distributed running (inclusive) sum of `valueCol` in `orderKey`
     * order, emitted as `outCol` — the generic two-pass bucketed cumsum of
     * [[Packing.packSequences]] (divide-first bucketing, per-bucket totals

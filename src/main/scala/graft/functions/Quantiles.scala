@@ -113,6 +113,67 @@ object Quantiles {
     * an executor OOM. Exact interpolated `percentile` matches DuckDB's
     * `quantile_cont` bit-for-bit (the `quantile_agg` contract); the clamp
     * itself is order comparisons — no new arithmetic. */
+  /** Exact per-group DISCRETE quantiles (percentile_disc semantics: the
+    * smallest group value whose cumulative fraction reaches q — rank
+    * ceil(q·n), an actual data value, never interpolated). One window
+    * partitioned by the group (per-group state bounded by group size) +
+    * one aggregate; the global operator above is for the low-cardinality
+    * case where a group would swallow the corpus. Emits one column per
+    * requested fraction, named `p<100q>`. */
+  def groupQuantilesDisc(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"fractions must be in (0, 1], got $qs")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val aggs = qs.map { q =>
+      min(when(col("_rn") ===
+        ceil(lit(q) * col("_n")).cast(LongType), col(valueCol)))
+        .as(s"p${math.round(q * 100)}")
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Robust outlier summary per group via MAD (median absolute
+    * deviation): per group, the discrete median m, mad = discrete median
+    * of |v − m|, and the count of rows with |v − m| > cutoff·mad. Two
+    * group-partitioned windows (median, then deviation median) and two
+    * small joins back — deterministic end to end: medians are data
+    * values, |v − m| and cutoff·mad are single correctly-rounded IEEE
+    * ops. A mad of 0 (over half the group identical) flags every
+    * deviating row, the standard MAD degeneracy. */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      cutoff: Double = 3.0
+  ): DataFrame = {
+    require(cutoff > 0, s"cutoff must be positive, got $cutoff")
+    val med = groupQuantilesDisc(df, groupCol, valueCol, Seq(0.5))
+      .withColumnRenamed("p50", "median")
+    val dev = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .join(med, Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol) - col("median")))
+    val mad = groupQuantilesDisc(dev, groupCol, "_dev", Seq(0.5))
+      .withColumnRenamed("p50", "mad")
+    dev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("median")).as("median"),
+        min(col("mad")).as("mad"),
+        count(when(col("_dev") > lit(cutoff) * col("mad"), 1)).as("n_outliers"))
+  }
+
   def winsorize(
       df: DataFrame, keyCol: String, valCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {

@@ -82,6 +82,72 @@ class EventStatsSpec extends SparkSpec {
     }
   }
 
+  test("topPaths == brute-force sliding trigram counts with tie-break") {
+    for (seed <- 1 to 5) {
+      val evs = evGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex
+        .map { case ((u, day, min, t), i) => (i.toLong, u, ts(day, min), t) }
+      val df = evs.toDF("event_id", "user_id", "ts", "event_type")
+      val got = EventStats
+        .topPaths(df, "user_id", "event_type", "ts", "event_id", len = 3, k = 5)
+        .as[(String, Long)].collect().toSeq
+
+      val counts = evs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3.getTime, r._1)).map(_._4).sliding(3)
+          .filter(_.size == 3).map(_.mkString(">"))
+      }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+      val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(5)
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("groupQuantilesDisc == rank-ceil(q*n) brute force") {
+    import graft.functions.Quantiles
+    for (seed <- 1 to 5) {
+      val data = Gen.listOfN(80,
+        Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.choose(-100.0, 100.0)))
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = data.toDF("g", "v")
+      val qs = Seq(0.25, 0.5, 0.9, 1.0)
+      val got = Quantiles.groupQuantilesDisc(df, "g", "v", qs)
+        .orderBy("g")
+        .as[(String, Double, Double, Double, Double)].collect().toSeq
+      val expected = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        def disc(q: Double) = sorted(math.ceil(q * sorted.size).toInt - 1)
+        (g, disc(0.25), disc(0.5), disc(0.9), disc(1.0))
+      }
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("madOutliers == brute-force disc-median / MAD / cutoff count") {
+    import graft.functions.Quantiles
+    for (seed <- 1 to 5) {
+      val data = Gen.listOfN(70,
+        Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-50.0, 50.0)))
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      // plant an extreme outlier per group so the cutoff bites
+      val planted = data ++ Seq(("g1", 1e6), ("g2", -1e6))
+      val df = planted.toDF("g", "v")
+      val got = Quantiles.madOutliers(df, "g", "v", cutoff = 3.0)
+        .orderBy("g")
+        .as[(String, Long, Double, Double, Long)].collect().toSeq
+      val expected = planted.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+        val vs = rows.map(_._2)
+        def disc(xs: Seq[Double]) = {
+          val s = xs.sorted; s(math.ceil(0.5 * s.size).toInt - 1)
+        }
+        val m = disc(vs)
+        val devs = vs.map(v => math.abs(v - m))
+        val mad = disc(devs)
+        (g, vs.size.toLong, m, mad, devs.count(_ > 3.0 * mad).toLong)
+      }
+      assert(got == expected, s"seed=$seed")
+      got.foreach { case (_, _, _, _, nOut) => assert(nOut >= 1L) }
+    }
+  }
+
   test("transitionCounts == brute-force adjacent pairs per user") {
     for (seed <- 1 to 6) {
       val evs = evGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
