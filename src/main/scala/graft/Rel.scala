@@ -766,6 +766,58 @@ object Rel {
       "ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
   )
 
+  /** Interval-overlap join ([[graft.operators.Joins.intervalOverlapJoin]]):
+    * per user, count the ±30 min incident windows around error events
+    * that overlap each of the user's sessions — banded to an equi-join on
+    * (user, hour-band) with responsibility-band dedup; the oracle runs
+    * the naive overlap join. */
+  private val joinInterval = QDef(
+    "join_interval",
+    (s, d) => {
+      val ev = events(s, d)
+      val sess = graft.operators.Sessions.sessionize(ev)
+        .select(col("user_id"), col("session_id"),
+          unix_micros(col("session_start")).as("s_lo"),
+          unix_micros(col("session_end")).as("s_hi"))
+      val inc = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("incident_id"),
+          (unix_micros(col("ts")) - lit(1800000000L)).as("i_lo"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("i_hi"))
+      graft.operators.Joins.intervalOverlapJoin(
+          sess, inc, "s_lo", "s_hi", "i_lo", "i_hi",
+          bandWidth = 3600000000L, keys = Seq("user_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_incidents"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(
+      """WITH sess AS (SELECT user_id, session_id,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM (
+        | SELECT user_id, ts, event_id,
+        |  sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          + INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS _new
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |        FROM events)) )
+        |GROUP BY user_id, session_id),
+        |inc AS (SELECT user_id,
+        | epoch_us(CAST(ts AS TIMESTAMP)) - 1800000000 AS i_lo,
+        | epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS i_hi
+        |FROM events WHERE event_type = 'error')
+        |SELECT sess.user_id, CAST(session_id AS BIGINT) AS session_id,
+        | CAST(count(*) AS BIGINT) AS n_incidents
+        |FROM sess JOIN inc ON sess.user_id = inc.user_id
+        | AND epoch_us(session_start) <= i_hi AND i_lo <= epoch_us(session_end)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+    )
+  )
+
   /** Exact per-group discrete quantiles ([[graft.functions.Quantiles
     * .groupQuantilesDisc]]): percentile_disc semantics (rank ceil(q·n) —
     * an actual data value), one group-partitioned window + one aggregate.
@@ -951,5 +1003,5 @@ object Rel {
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
     joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode,
     statsCorr, dauCumulative, eventTransitions, wauRolling, joinAsofFwd,
-    quantileGroup, outlierMad, topPathsQ)
+    quantileGroup, outlierMad, topPathsQ, joinInterval)
 }

@@ -215,6 +215,56 @@ object Joins {
       .drop("_band")
   }
 
+  /** Interval-overlap join: pair every left interval with every right
+    * interval it OVERLAPS (`lStart <= rEnd && rStart <= lEnd`,
+    * inclusive), optionally also matching on equality keys. The naive
+    * plan is a BroadcastNestedLoopJoin (two inequality predicates —
+    * O(left × right)); like [[rangeJoin]] this bands both sides into
+    * `bandWidth`-sized buckets of the number line and hash-joins on
+    * (keys, band), turning it into an ordinary shuffle join.
+    *
+    * Unlike the point case, an overlapping interval PAIR shares every
+    * band their spans both touch — so matches would duplicate. The
+    * RESPONSIBILITY-BAND rule dedups exactly: every overlapping pair
+    * both contains the overlap's start `max(lStart, rStart)`, and band()
+    * is monotone, so both sides explode to band(max(lStart, rStart)) =
+    * `greatest(band(lStart), band(rStart))` — keep the match ONLY in
+    * that band and each pair survives exactly once, no `distinct`
+    * needed.
+    *
+    * Cost: replication is span/W + 1 rows per interval — pick
+    * `bandWidth` near the typical interval length. Bounds must be
+    * integral (cast timestamps to epoch units); `start > end` rows are
+    * dropped as empty. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bandWidth: Long,
+      keys: Seq[String] = Nil
+  ): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val clash = (left.columns ++ right.columns).contains("_band")
+    require(!clash, "intervalOverlapJoin reserves the internal column _band; rename it first")
+    val overlapCols = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
+    require(overlapCols.isEmpty,
+      s"non-key columns must be disjoint across sides; shared: ${overlapCols.mkString(", ")}")
+    val l = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("_band", explode(sequence(
+        expr(s"$lStart div ${bandWidth}L"), expr(s"$lEnd div ${bandWidth}L"))))
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .withColumn("_band", explode(sequence(
+        expr(s"$rStart div ${bandWidth}L"), expr(s"$rEnd div ${bandWidth}L"))))
+    l.join(r, (keys :+ "_band").toIndexedSeq)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_band") === greatest(
+        expr(s"$lStart div ${bandWidth}L"), expr(s"$rStart div ${bandWidth}L")))
+      .drop("_band")
+  }
+
   /** Salted equi-join for skewed keys: replicate the small side
     * `saltBuckets` times, split each skewed large-side key across buckets
     * by a deterministic row hash. AQE's skew-join handles moderate skew at

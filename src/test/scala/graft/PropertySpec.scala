@@ -81,6 +81,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin == naive overlap join, keyed and unkeyed") {
+    import org.apache.spark.sql.functions._
+    val ivGen = Gen.listOfN(25,
+      Gen.zip(Gen.oneOf(1L, 2L), Gen.choose(-500L, 500L), Gen.choose(0L, 200L)))
+    for (i <- 1 to 5) {
+      val a = ivGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .zipWithIndex.map { case ((k, lo, len), j) => (j.toLong, k, lo, lo + len) }
+        .toDF("aid", "k", "a_lo", "a_hi")
+      val b = ivGen.pureApply(Gen.Parameters.default, Seed(200L + i))
+        .zipWithIndex.map { case ((k, lo, len), j) => (j.toLong, k, lo, lo + len) }
+        .toDF("bid", "k", "b_lo", "b_hi")
+      val naiveKeyed = rows(a.join(b.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") &&
+            col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("aid", "bid").orderBy("aid", "bid"))
+      val naiveGlobal = rows(a.drop("k").join(b.drop("k"),
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("aid", "bid").orderBy("aid", "bid"))
+      for (w <- Seq(13L, 100L, 4000L)) {
+        val keyed = rows(graft.operators.Joins.intervalOverlapJoin(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", w, keys = Seq("k"))
+          .select("aid", "bid").orderBy("aid", "bid"))
+        assert(keyed == naiveKeyed, s"seed=$i width=$w keyed")
+        val global = rows(graft.operators.Joins.intervalOverlapJoin(
+            a.drop("k"), b.drop("k"), "a_lo", "a_hi", "b_lo", "b_hi", w)
+          .select("aid", "bid").orderBy("aid", "bid"))
+        assert(global == naiveGlobal, s"seed=$i width=$w global")
+      }
+    }
+  }
+
   test("packSequences == sequential cumsum over random docs") {
     import org.apache.spark.sql.functions._
     val gen = Gen.listOfN(50, Gen.choose(0L, 500L))
