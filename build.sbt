@@ -26,9 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 12g default: the per-JVM intermediate caches (pair tables, CC labels,
-  // signature stores) now persist across a full suite run
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 16g default: the per-JVM intermediate caches (pair tables, CC labels,
+  // signature stores) persist across a full suite run, and a 12g heap
+  // has OOM'd late in a 47-suite run even with per-suite cleanup
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // a full suite/bench run compiles thousands of whole-stage-codegen
   // classes; the 240m default code cache can fill and silently drop the
   // JIT to interpreted mode late in the run

@@ -3,13 +3,28 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session: one local SparkSession per suite (lazy, reused). */
-trait SparkSpec extends AnyFunSuite {
+/** Shared session: one local SparkSession per suite (lazy, reused).
+  *
+  * Suite-boundary hygiene: the ONE forked JVM runs every suite, so
+  * per-JVM state (PlanCache persisted intermediates, session dataset
+  * cache, pending AutoUnpersist listeners) accumulates across ~47
+  * suites and has OOM'd a 12g heap late in a full run. Each suite
+  * releases the shared state it may have created. */
+trait SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
 
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
+
+  override protected def afterAll(): Unit = {
+    try {
+      graft.PlanCache.clearAll()
+      graft.AutoUnpersist.releaseAll()
+      SparkSpec.session.catalog.clearCache()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    super.afterAll()
+  }
 }
 
 object SparkSpec {
