@@ -950,6 +950,53 @@ object Ext {
     * collapsed to its canonical (minimum-id) document — the end-to-end
     * use of [[graft.functions.Clusters.connectedComponents]]. A doc
     * survives iff it IS its cluster's label. */
+  /** Quality-priority collapse ([[graft.functions.Clusters
+    * .keepBestPerCluster]]): same near-dup clusters as `dedup_collapse`,
+    * but the survivor is the cluster's LONGEST doc (max n_chars, ties to
+    * min doc_id) — the keep-best policy production dedup ships. Shares
+    * both the pair table and the closure with its siblings via the
+    * per-JVM caches. */
+  private val dedupKeepBest = QDef(
+    "dedup_keep_best",
+    (s, d) => {
+      val docs = documents(s, d)
+      val labels = graft.functions.Clusters.connectedComponentsShared(
+        docs.select(col("doc_id")),
+        NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+      val survivors = graft.functions.Clusters.keepBestPerCluster(
+        docs.select(col("doc_id"), col("n_chars")).join(labels, "doc_id"),
+        idCol = "doc_id", scoreCol = "n_chars")
+      docs.join(survivors, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "e AS (SELECT id_a AS s, id_b AS t FROM pairs " +
+      "UNION SELECT id_b AS s, id_a AS t FROM pairs), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS lbl FROM documents " +
+      "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t), " +
+      "cl AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node), " +
+      "j AS (SELECT d.doc_id, d.n_chars, cl.cluster_id FROM documents d " +
+      "JOIN cl ON d.doc_id = cl.node), " +
+      "surv AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+      "(PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn FROM j) " +
+      "WHERE rn = 1) " +
+      "SELECT d.doc_id, lang, source, n_chars FROM documents d " +
+      "JOIN surv USING (doc_id) ORDER BY doc_id")
+  )
+
   private val dedupCollapse = QDef(
     "dedup_collapse",
     (s, d) => {
@@ -2445,7 +2492,7 @@ object Ext {
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
-    dedupCollapse, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid, embedKmeans,
+    dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid, embedKmeans,
     decontaminate, corpusClean,
     dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,

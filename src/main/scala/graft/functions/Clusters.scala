@@ -199,4 +199,24 @@ object Clusters {
           "component diameter exceeds maxIter; raise it")
     labels
   }
+
+  /** Quality-priority survivor selection: given labeled rows (idCol +
+    * cluster_id, e.g. a [[connectedComponents]] join), keep ONE id per
+    * cluster — the row with the maximal `scoreCol`, ties to the SMALLEST
+    * id (deterministic, partition-invariant). This is what production
+    * dedup actually ships: min-id collapse ([[graft.Ext]]
+    * `dedup_collapse`) keeps an arbitrary representative; keep-best
+    * keeps the longest/cleanest duplicate. One `max_by` aggregate over a
+    * (score, -id) struct — cluster-sized state is one struct, never the
+    * member list. */
+  def keepBestPerCluster(
+      labeled: DataFrame,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame =
+    labeled
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (-col(idCol)).as("_neg_id"))).as(idCol))
+      .select(col(idCol))
 }

@@ -61,9 +61,12 @@ object Fuzzy {
       s"maxDist must be 1 or 2 (deletion-key blowup is O(len^d)), got $maxDist")
     keyed(left, leftCol, "term_a", maxDist)
       .join(keyed(right, rightCol, "term_b", maxDist), "_k")
+      // threshold variant: O(maxDist·len) banded DP with early exit
+      // (returns -1 past the bound) instead of the O(len²) full matrix —
+      // the verify step's cost on long terms
       .select(col("term_a"), col("term_b"),
-        levenshtein(col("term_a"), col("term_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("term_a"), col("term_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
       .distinct()
   }
 
@@ -80,11 +83,13 @@ object Fuzzy {
     // verifying first shrinks the distinct's input to the true-pair set —
     // ~4× less data through the expensive shuffle at sf0.1, identical rows
     // out (dist is a pure function of the pair, so it rides along).
+    // threshold variant: banded DP, O(maxDist·len) with early exit
+    // (returns -1 past the bound) — kept rows carry the exact distance.
     k.join(k.withColumnRenamed("term_a", "term_b"), "_k")
       .filter(col("term_a") < col("term_b"))
       .select(col("term_a"), col("term_b"),
-        levenshtein(col("term_a"), col("term_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("term_a"), col("term_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
       .distinct()
   }
 

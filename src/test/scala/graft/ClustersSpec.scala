@@ -102,4 +102,23 @@ class ClustersSpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("keepBestPerCluster: max score survives, score ties to smallest id") {
+    import org.apache.spark.sql.functions.col
+    // clusters {1,2,3} (scores 5,9,9), {4} (singleton), {5,6} (tie 7,7)
+    val labeled = Seq(
+      (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L),
+      (4L, 4L, 2L),
+      (5L, 5L, 7L), (6L, 5L, 7L)
+    ).toDF("doc_id", "cluster_id", "score")
+    val got = Clusters.keepBestPerCluster(labeled, "doc_id", "score")
+      .as[Long].collect().sorted.toSeq
+    // cluster 1: score tie 9 between ids 2,3 -> id 2; cluster {5,6} -> id 5
+    assert(got == Seq(2L, 4L, 5L))
+    // partition invariance
+    val repart = Clusters.keepBestPerCluster(
+        labeled.repartition(7, col("doc_id")), "doc_id", "score")
+      .as[Long].collect().sorted.toSeq
+    assert(repart == got)
+  }
 }

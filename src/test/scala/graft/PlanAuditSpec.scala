@@ -129,7 +129,7 @@ class PlanAuditSpec extends SparkSpec {
       // graph_pagerank is likewise ITERATIVE (power iteration): 2 bounded
       // shuffles per unrolled iteration × 5 iterations + pair generation.
       else if (name == "dedup_clusters" || name == "dedup_collapse"
-        || name == "graph_pagerank") 40
+        || name == "dedup_keep_best" || name == "graph_pagerank") 40
       // entity_resolve = fuzzy pair generation + a pointer-jumping
       // closure (3 bounded shuffles × O(log diameter) rounds, all nested
       // in the final plan's persisted-lineage text).
