@@ -120,4 +120,41 @@ class EmptyInputSpec extends SparkSpec {
     assert(Joins.rangeJoin(Seq((1L, 5L)).toDF("pid", "p"), noIv,
       "p", "lo", "hi", 8L).count() == 0)
   }
+
+  test("round-10 event analytics on empty event frames") {
+    import graft.functions.EventStats
+    import graft.operators.{Funnel, Joins}
+    val ev = noEvents.toDF().withColumn("event_type", lit("view"))
+    assert(EventStats.cumulativeDistinctUsers(ev, "user_id", "ts").count() == 0)
+    assert(EventStats.rollingActiveUsers(ev, "user_id", "ts").count() == 0)
+    assert(EventStats.transitionCounts(
+      ev, "user_id", "event_type", "ts", "event_id").count() == 0)
+    assert(EventStats.topPaths(
+      ev, "user_id", "event_type", "ts", "event_id").count() == 0)
+    // global aggregates still emit their single summary row, with zero
+    // counts and null lag/duration stats
+    val lag = Funnel.funnelLag(
+      ev.withColumn("event_type", lit("view")), Seq("view", "click")).collect()
+    assert(lag.length == 1 && lag(0).getLong(2) == 0L && lag(0).isNullAt(3))
+    val stats = Sessions.sessionStats(
+      ev.withColumn("value", lit(0.0))).collect()
+    assert(stats.length == 1 && stats(0).getLong(0) == 0L)
+    // as-of variants: empty right side leaves every left row unmatched
+    val left = Seq((1L, new java.sql.Timestamp(1000L), 1L))
+      .toDF("k", "ts", "v").select("k", "ts", "v")
+    val noRight = Seq.empty[(Long, java.sql.Timestamp)].toDF("k", "ts")
+    val fwd = Joins.asofJoinForwardWithin(left, noRight, "k", "ts", "nxt", 60L)
+      .collect()
+    assert(fwd.length == 1 && fwd(0).isNullAt(3))
+    // interval overlap: either side empty -> empty result
+    val noIv2 = Seq.empty[(Long, Long, Long)].toDF("bid", "b_lo", "b_hi")
+    val oneIv = Seq((1L, 0L, 10L)).toDF("aid", "a_lo", "a_hi")
+    assert(Joins.intervalOverlapJoin(
+      oneIv, noIv2, "a_lo", "a_hi", "b_lo", "b_hi", 8L).count() == 0)
+    // per-group quantiles / MAD on empty input -> empty result
+    val noKd = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(graft.functions.Quantiles
+      .groupQuantilesDisc(noKd, "g", "v", Seq(0.5)).count() == 0)
+    assert(graft.functions.Quantiles.madOutliers(noKd, "g", "v").count() == 0)
+  }
 }
