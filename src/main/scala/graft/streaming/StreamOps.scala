@@ -365,6 +365,30 @@ object StreamOps {
       }
   }
 
+  /** Tumbling-window heavy hitters: per event-time window, the
+    * Misra–Gries frequent-items summary of `valueCol`
+    * ([[graft.plans.HeavyHittersMG]] — the same capacity-bounded
+    * mergeable TypedImperativeAggregate the batch `vocab_sketch` uses;
+    * its serialize/merge contract is exactly what incremental streaming
+    * state needs, so one sketch implementation serves both faces).
+    * State per open window is ≤ capacity entries regardless of stream
+    * volume. Runs identically in batch mode. */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      valueCol: String,
+      windowMinutes: Int = 5,
+      capacity: Int = 16,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"))
+      .agg(graft.plans.HeavyHittersMG
+        .heavyHitters(col(valueCol).cast("string"), capacity).as("top_items"))
+      .select(col("window.start").as("window_start"), col("top_items"))
+  }
+
   /** Tumbling-window event aggregation: counts + exact decimal sums per
     * (window, event_type). Runs identically in batch mode. */
   def windowedEventCounts(

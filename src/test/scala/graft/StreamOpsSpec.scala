@@ -344,6 +344,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("windowedHeavyHitters: streaming sketch == batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // window 00:00 — 'a'×3, 'b'×1; window 00:05 — 'b'×2 (typed via value)
+    val evs = Seq(
+      Ev(0, ts(1), 1, 0), Ev(1, ts(2), 1, 0), Ev(2, ts(3), 1, 0),
+      Ev(3, ts(4), 2, 0), Ev(4, ts(6), 2, 0), Ev(5, ts(8), 2, 0))
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.windowedHeavyHitters(
+        df.withColumn("item",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("u"),
+            org.apache.spark.sql.functions.col("user_id"))),
+        "item", windowMinutes = 5, capacity = 8)
+    val q = shaped(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out").start()
+    try {
+      mem.addData(evs.take(3): _*); q.processAllAvailable()
+      mem.addData(evs.drop(3): _*); q.processAllAvailable()
+      val streamed = spark.table("hh_out").orderBy("window_start")
+        .collect().map(r => r.getTimestamp(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getString(0), x.getLong(1))).toSet)
+      val batch = shaped(evs.toDF()).orderBy("window_start")
+        .collect().map(r => r.getTimestamp(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getString(0), x.getLong(1))).toSet)
+      assert(streamed.toSeq == batch.toSeq)
+      // exact regime (capacity > distinct items): counts are exact
+      assert(streamed(0)._2 == Set(("u1", 3L), ("u2", 1L)))
+      assert(streamed(1)._2 == Set(("u2", 2L)))
+    } finally q.stop()
+  }
+
   test("applyChangesStream: latest state per key == batch applyChanges") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String, Double)]
