@@ -887,6 +887,64 @@ object Rel {
       "ORDER BY n_paths DESC, path LIMIT 10")
   )
 
+  /** Corpus language mix per source: counts and exact-ratio fractions
+    * (one grouped aggregate + a source-partitioned window; the only IEEE
+    * op is the final divide of exact longs). The per-source language
+    * drift monitor a multilingual ingest pipeline watches. */
+  private val langMix = QDef(
+    "lang_mix",
+    (s, d) => {
+      val counts = documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      counts
+        .withColumn("frac",
+          col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w).cast(DoubleType))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM documents GROUP BY 1, 2) " +
+      "SELECT source, lang, n_docs, " +
+      "CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS frac " +
+      "FROM c ORDER BY source, lang")
+  )
+
+  /** Per-user activity histogram: how many users produced k events — the
+    * engagement-distribution / bot-detection monitor. Two integer
+    * aggregates, both key-hashed; the histogram is |distinct counts|
+    * rows (bounded metadata). */
+  private val userActivityHist = QDef(
+    "user_activity_hist",
+    (s, d) => events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_events")),
+    Some("WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events " +
+      "FROM events GROUP BY 1) " +
+      "SELECT n_events, CAST(count(*) AS BIGINT) AS n_users FROM u " +
+      "GROUP BY 1 ORDER BY 1")
+  )
+
+  /** Hour-of-day × event-type profile with exact decimal value sums —
+    * the seasonality fingerprint behind anomaly alerts. One grouped
+    * aggregate; UTC session TZ keeps `hour()` identical across engines. */
+  private val hourlyProfile = QDef(
+    "hourly_profile",
+    (s, d) => events(s, d)
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("hour_of_day"), col("event_type")),
+    Some("SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day, event_type, " +
+      "CAST(count(*) AS BIGINT) AS n_events, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+  )
+
   /** Correlation / least-squares regression per group, computed from
     * EXACT decimal moment sums (Σx, Σy, Σxy, Σx², Σy² — one map-side-
     * combined aggregate, one exchange) with the final corr/slope/
@@ -1003,5 +1061,6 @@ object Rel {
     q17SmallQty, q2MinPrice, q18BigOrders, q20QtySuppliers, joinBloom,
     joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode,
     statsCorr, dauCumulative, eventTransitions, wauRolling, joinAsofFwd,
-    quantileGroup, outlierMad, topPathsQ, joinInterval)
+    quantileGroup, outlierMad, topPathsQ, joinInterval,
+    langMix, userActivityHist, hourlyProfile)
 }
