@@ -945,6 +945,53 @@ object Rel {
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2")
   )
 
+  /** Day-over-day volume anomaly monitor: per event type, the daily
+    * count series' sample mean/std (from exact integer moment sums,
+    * double finishing arithmetic written identically in the oracle) and
+    * the number of days beyond 2σ — the "did ingest volume spike or
+    * die" alert. Daily counts are one grouped aggregate; the per-type
+    * stats table is |types| rows (broadcast back for the flag count). */
+  private val dailyAnomaly = QDef(
+    "daily_anomaly",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val moments = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("_s"), sum(col("c") * col("c")).as("_ss"))
+      val nd = col("n_days").cast(DoubleType)
+      val sd = col("_s").cast(DoubleType)
+      val ssd = col("_ss").cast(DoubleType)
+      val stats = moments.select(
+        col("event_type"), col("n_days"),
+        (sd / nd).as("mean_daily"),
+        sqrt((nd * ssd - sd * sd) / (nd * (nd - lit(1.0)))).as("std_daily"))
+      daily.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("n_days")).as("n_days"),
+          min(col("mean_daily")).as("mean_daily"),
+          min(col("std_daily")).as("std_daily"),
+          count(when(abs(col("c").cast(DoubleType) - col("mean_daily"))
+            > lit(2.0) * col("std_daily"), 1)).as("n_anomalous_days"))
+        .orderBy(col("event_type"))
+    },
+    Some("WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
+      "CAST(sum(c) AS DOUBLE) AS sd, CAST(sum(c*c) AS DOUBLE) AS ssd " +
+      "FROM daily GROUP BY 1), " +
+      "st AS (SELECT event_type, n_days, sd / CAST(n_days AS DOUBLE) AS mean_daily, " +
+      "sqrt((CAST(n_days AS DOUBLE) * ssd - sd * sd) / " +
+      "(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))) AS std_daily FROM m) " +
+      "SELECT daily.event_type, min(n_days) AS n_days, " +
+      "min(mean_daily) AS mean_daily, min(std_daily) AS std_daily, " +
+      "CAST(count(CASE WHEN abs(CAST(c AS DOUBLE) - mean_daily) > 2.0 * std_daily " +
+      "THEN 1 END) AS BIGINT) AS n_anomalous_days " +
+      "FROM daily JOIN st USING (event_type) GROUP BY 1 ORDER BY 1")
+  )
+
   /** Correlation / least-squares regression per group, computed from
     * EXACT decimal moment sums (Σx, Σy, Σxy, Σx², Σy² — one map-side-
     * combined aggregate, one exchange) with the final corr/slope/
@@ -1062,5 +1109,5 @@ object Rel {
     joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode,
     statsCorr, dauCumulative, eventTransitions, wauRolling, joinAsofFwd,
     quantileGroup, outlierMad, topPathsQ, joinInterval,
-    langMix, userActivityHist, hourlyProfile)
+    langMix, userActivityHist, hourlyProfile, dailyAnomaly)
 }
