@@ -1565,6 +1565,28 @@ object Ext {
     )
   )
 
+  /** Collocation mining ([[graft.functions.Text.collocationsPmi]]):
+    * top adjacent bigrams by ratio-PMI `N·c(xy)/(c(x)·c(y))` (log-free
+    * so the score is bit-reproducible across engines), noise-pruned at
+    * c(xy) ≥ 5. */
+  private val collocPmi = QDef(
+    "colloc_pmi",
+    (s, d) => Text.collocationsPmi(documents(s, d), minCount = 5L, k = 20),
+    Some("WITH dl AS (SELECT string_split(text, ' ') AS l FROM documents), " +
+      "bgl AS (SELECT unnest(list_transform(range(1, len(l)), " +
+      "i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS b FROM dl), " +
+      "bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy " +
+      "FROM bgl GROUP BY 1, 2), " +
+      "ul AS (SELECT unnest(l) AS w FROM dl), " +
+      "uc AS (SELECT w, count(*) AS c FROM ul GROUP BY 1), " +
+      "n AS (SELECT CAST(sum(len(l)) AS BIGINT) AS n_tokens FROM dl) " +
+      "SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pair, " +
+      "CAST(c_xy * n_tokens AS DOUBLE) / (u1.c * u2.c) AS pmi_ratio " +
+      "FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w " +
+      "CROSS JOIN n WHERE c_xy >= 5 " +
+      "ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20")
+  )
+
   /** Heavy-hitters vocabulary via the Misra–Gries sketch
     * ([[graft.plans.HeavyHittersMG]]): capacity-bounded per-partition
     * state instead of a vocab-wide shuffle. Registered with capacity 64 >
@@ -1869,6 +1891,21 @@ object Ext {
       .toDF().orderBy(col("asset_id")),
     Some("SELECT i AS asset_id, CAST(32 + i % 64 AS INT) AS width, " +
       "CAST(32 + i % 48 AS INT) AS height, TRUE AS decoded " +
+      "FROM range(0, 64) t(i) ORDER BY asset_id")
+  )
+
+  /** REAL resize through the full codec path: synthetic PNGs → bilinear
+    * rescale to 16×16 → PNG re-encode → re-decode. The oracle pins the
+    * closed-form post-resize dimensions; pixel-level resize fidelity is
+    * covered in `MultimodalSpec` (not SQL-expressible). */
+  private val mediaResize = QDef(
+    "media_resize",
+    (s, d) => graft.functions.Multimodal.decodeInfo(
+      graft.functions.Multimodal.resize(
+        graft.functions.Multimodal.syntheticMedia(s, 64), 16, 16))
+      .toDF().orderBy(col("asset_id")),
+    Some("SELECT i AS asset_id, CAST(16 AS INT) AS width, " +
+      "CAST(16 AS INT) AS height, TRUE AS decoded " +
       "FROM range(0, 64) t(i) ORDER BY asset_id")
   )
 
@@ -2497,7 +2534,7 @@ object Ext {
     dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, vocabSketch, sampleDet, sampleBottomK, histogramQ,
+    tfidfTop, unigramQ, vocabSketch, collocPmi, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     dedupSubstring, dedupSpansQ,
@@ -2505,6 +2542,6 @@ object Ext {
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
     profileQ, driftQ,
     tokenIdsQ, funnelQ, funnelLagQ, retentionQ, temperatureMixQ,
-    mediaDecode, videoFrames, audioDecode
+    mediaDecode, mediaResize, videoFrames, audioDecode
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1046,6 +1047,58 @@ object Rel {
       "FROM m ORDER BY l_returnflag")
   )
 
+  /** Per-group higher-moment statistics (mean, population sd, skewness,
+    * non-excess kurtosis) from EXACT integer power sums — the
+    * one-pass-decomposable formulation (raw moments commute with
+    * partial aggregation, so map-side combine applies; a Welford-style
+    * streaming pass would not be reduction-order-stable). l_quantity is
+    * integral (SchemaContract-checked at read via the BIGINT cast), so
+    * q..q⁴ sums in DECIMAL(38,0) are exact at any scale and the double
+    * finishing arithmetic bit-matches the oracle's identical tree. */
+  private val statsMoments = QDef(
+    "stats_moments",
+    (s, d) => {
+      val q = col("l_quantity").cast(LongType)
+      def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+      val sums = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(q)).as("_s1"), sum(dec(q * q)).as("_s2"),
+          sum(dec(q * q * q)).as("_s3"), sum(dec(q * q * q * q)).as("_s4"))
+      val n = col("n")
+      val mean = col("_s1").cast(DoubleType) / n
+      val ex2 = col("_s2").cast(DoubleType) / n
+      val ex3 = col("_s3").cast(DoubleType) / n
+      val ex4 = col("_s4").cast(DoubleType) / n
+      val vr = ex2 - mean * mean
+      sums.select(
+        col("l_returnflag"), n,
+        mean.as("mean"), sqrt(vr).as("sd"),
+        ((ex3 - lit(3.0) * mean * ex2 + lit(2.0) * mean * mean * mean) /
+          (vr * sqrt(vr))).as("skewness"),
+        ((ex4 - lit(4.0) * mean * ex3 + lit(6.0) * mean * mean * ex2 -
+          lit(3.0) * mean * mean * mean * mean) / (vr * vr)).as("kurtosis"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s1, " +
+      "CAST(sum(CAST(q*q AS DECIMAL(38,0))) AS DOUBLE) AS s2, " +
+      "CAST(sum(CAST(q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS s3, " +
+      "CAST(sum(CAST(q*q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS s4 " +
+      "FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem) " +
+      "GROUP BY 1), " +
+      "m AS (SELECT l_returnflag, n, s1 / n AS mean, s2 / n AS ex2, " +
+      "s3 / n AS ex3, s4 / n AS ex4 FROM s), " +
+      "v AS (SELECT *, ex2 - mean * mean AS var FROM m) " +
+      "SELECT l_returnflag, n, mean, sqrt(var) AS sd, " +
+      "(ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean) / " +
+      "(var * sqrt(var)) AS skewness, " +
+      "(ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2 - " +
+      "3.0 * mean * mean * mean * mean) / (var * var) AS kurtosis " +
+      "FROM v ORDER BY l_returnflag")
+  )
+
   /** Exact cumulative distinct users per day ([[graft.functions
     * .EventStats.cumulativeDistinctUsers]]): first-occurrence trick (one
     * user-key shuffle) + two-pass bucketed running sum — never a
@@ -1100,6 +1153,102 @@ object Rel {
       "FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2")
   )
 
+  /** Activity streaks ([[graft.functions.EventStats.activityStreaks]]):
+    * gaps-and-islands per user — active days, streak count, longest
+    * consecutive-day run. */
+  private val userStreaks = QDef(
+    "user_streaks",
+    (s, d) => graft.functions.EventStats
+      .activityStreaks(events(s, d), "user_id", "ts")
+      .orderBy(col("user_id")),
+    Some("WITH dd AS (SELECT DISTINCT user_id, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+      "i AS (SELECT user_id, day, (day - DATE '1970-01-01') - " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY day) AS island FROM dd), " +
+      "s AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days, " +
+      "CAST(count(*) AS BIGINT) AS n_streaks, " +
+      "CAST(max(len) AS BIGINT) AS longest_streak " +
+      "FROM s GROUP BY user_id ORDER BY user_id")
+  )
+
+  /** Inter-arrival cadence ([[graft.functions.EventStats
+    * .interArrivalStats]]): per-type same-user gap stats in seconds;
+    * exact long micro sums, one final divide in both engines. */
+  private val interarrivalStats = QDef(
+    "interarrival_stats",
+    (s, d) => graft.functions.EventStats
+      .interArrivalStats(events(s, d), "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("event_type")),
+    Some("WITH g AS (SELECT event_type, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) " +
+      "OVER (PARTITION BY user_id, event_type " +
+      "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap FROM events) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+      "(CAST(sum(gap) AS DOUBLE) / count(*)) / 1000000.0 AS mean_gap_s, " +
+      "CAST(min(gap) AS DOUBLE) / 1000000.0 AS min_gap_s, " +
+      "CAST(max(gap) AS DOUBLE) / 1000000.0 AS max_gap_s " +
+      "FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type")
+  )
+
+  /** Two-proportion A/B z-test ([[graft.functions.EventStats.abTestZ]]):
+    * arms by user_id parity, conversion = any purchase with value > 150
+    * (≈45% at the testdata scales — non-degenerate by construction). */
+  private val abtestZ = QDef(
+    "abtest_z",
+    (s, d) => graft.functions.EventStats
+      .abTestZ(events(s, d), "user_id", "event_type", "value", "purchase", 150.0),
+    Some("WITH u AS (SELECT user_id, " +
+      "max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS conv " +
+      "FROM events GROUP BY 1), " +
+      "a AS (SELECT " +
+      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv0, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv1 FROM u) " +
+      "SELECT n0, n1, conv0, conv1, " +
+      "CAST(conv0 AS DOUBLE) / n0 AS p0, CAST(conv1 AS DOUBLE) / n1 AS p1, " +
+      "((CAST(conv1 AS DOUBLE) / n1) - (CAST(conv0 AS DOUBLE) / n0)) / " +
+      "sqrt((CAST(conv0 + conv1 AS DOUBLE) / (n0 + n1)) * " +
+      "(CAST(1 AS DOUBLE) - CAST(conv0 + conv1 AS DOUBLE) / (n0 + n1)) * " +
+      "(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) AS z " +
+      "FROM a")
+  )
+
+  /** Day-over-day churn ([[graft.functions.EventStats.dailyChurn]]):
+    * active-on-d users who did not return on d+1, per day. */
+  private val churnDaily = QDef(
+    "churn_daily",
+    (s, d) => graft.functions.EventStats
+      .dailyChurn(events(s, d), "user_id", "ts")
+      .orderBy(col("day")),
+    Some("WITH ud AS (SELECT DISTINCT user_id, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+      "w AS (SELECT day, count(*) AS actives FROM ud GROUP BY 1), " +
+      "ret AS (SELECT a.day, count(*) AS retained FROM ud a JOIN ud b " +
+      "ON a.user_id = b.user_id AND b.day = a.day + 1 GROUP BY 1) " +
+      "SELECT w.day AS day, CAST(actives AS BIGINT) AS actives, " +
+      "CAST(coalesce(retained, 0) AS BIGINT) AS retained, " +
+      "CAST(actives - coalesce(retained, 0) AS BIGINT) AS churned, " +
+      "CAST(actives - coalesce(retained, 0) AS DOUBLE) / actives AS churn_rate " +
+      "FROM w LEFT JOIN ret ON w.day = ret.day " +
+      "WHERE EXISTS (SELECT 1 FROM w w2 WHERE w2.day = w.day + 1) " +
+      "ORDER BY day")
+  )
+
+  /** Join-key skew diagnostic ([[graft.functions.Profile.keySkew]]) over
+    * the lineitem part key. */
+  private val keySkewQ = QDef(
+    "key_skew",
+    (s, d) => graft.functions.Profile
+      .keySkew(lineitem(s, d), "l_partkey", k = 20),
+    Some("WITH t AS (SELECT l_partkey AS key, count(*) AS n " +
+      "FROM lineitem GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM t) " +
+      "SELECT key, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) / total AS share " +
+      "FROM t CROSS JOIN tot ORDER BY n DESC, key LIMIT 20")
+  )
+
   val all: Seq[QDef] = Seq(joinBroadcast, joinLarge, joinAnti, joinSemi,
     windowTopK, joinAsof, joinAsofTol, joinRange, rollupAgg, distinctCountAgg,
     pivotAgg, windowMoving,
@@ -1109,5 +1258,7 @@ object Rel {
     joinSalted, groupingSets, q6Forecast, q4Priority, q14Promo, groupbyMode,
     statsCorr, dauCumulative, eventTransitions, wauRolling, joinAsofFwd,
     quantileGroup, outlierMad, topPathsQ, joinInterval,
-    langMix, userActivityHist, hourlyProfile, dailyAnomaly)
+    langMix, userActivityHist, hourlyProfile, dailyAnomaly,
+    userStreaks, interarrivalStats, abtestZ, churnDaily, keySkewQ,
+    statsMoments)
 }

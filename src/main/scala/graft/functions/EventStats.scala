@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Event-log analytics beyond windows-and-groupbys (EXT tier — the
   * reference has no event surface at all): exact cumulative distinct
@@ -142,6 +142,154 @@ object EventStats {
       .agg(count(lit(1)).as("n_paths"))
       .orderBy(col("n_paths").desc, col("path"))
       .limit(k)
+  }
+
+  /** Activity streaks (gaps-and-islands): per user, the count of active
+    * days, the number of maximal consecutive-day runs, and the longest
+    * run — the "current streak / longest streak" engagement metric.
+    *
+    * Classic island trick, shaped for scale: dedup to distinct
+    * (user, day) pairs (the only corpus-sized exchange), then
+    * `epochDay − row_number` inside the per-user window is constant
+    * exactly within a consecutive run. Both windows partition by the
+    * user key — no global window, and the post-dedup table is at most
+    * users × days. */
+  def activityStreaks(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val dd = events
+      .select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+    dd
+      .withColumn("_island",
+        datediff(col("day"), lit("1970-01-01")).cast(LongType) -
+          row_number().over(w))
+      .groupBy(col(userCol), col("_island"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(userCol))
+      .agg(
+        sum(col("_len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("_len")).as("longest_streak"))
+  }
+
+  /** Inter-arrival time statistics per event type: for each user's
+    * per-type event stream, the gap to the previous same-type event,
+    * aggregated to count / mean / min / max seconds — the "how often do
+    * users do X" cadence profile.
+    *
+    * One (user, type)-key exchange for the lag window; gaps are summed
+    * as exact long microseconds and divided once at the end (the same
+    * finishing arithmetic as the DuckDB oracle, so doubles bit-match).
+    * `tieBreak` must totalize the per-key order. */
+  def interArrivalStats(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieBreak: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieBreak))
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        ((sum(col("_gap")).cast(DoubleType) / count(lit(1))) / lit(1000000.0))
+          .as("mean_gap_s"),
+        (min(col("_gap")).cast(DoubleType) / lit(1000000.0)).as("min_gap_s"),
+        (max(col("_gap")).cast(DoubleType) / lit(1000000.0)).as("max_gap_s"))
+  }
+
+  /** Two-proportion A/B z-test over an event log: users are split into
+    * arms by `userCol % 2` (a deterministic stand-in for an assignment
+    * column), a user converts if they have ≥1 `convType` event with
+    * `valueCol > threshold`, and the output is one row of arm sizes,
+    * conversion counts/rates, and the pooled two-proportion z-score.
+    *
+    * One user-key aggregate (the only corpus-sized exchange) reduces the
+    * log to per-user conversion flags; everything after is a single
+    * 4-long global aggregate and driver-free scalar arithmetic. The z
+    * expression tree mirrors the oracle exactly (pooled p̂, left-to-right
+    * products, IEEE sqrt), so the double bit-matches. */
+  def abTestZ(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      valueCol: String,
+      convType: String,
+      threshold: Double
+  ): DataFrame = {
+    val u = events
+      .groupBy(col(userCol))
+      .agg(max(
+        when(col(typeCol) === convType && col(valueCol) > threshold, 1)
+          .otherwise(0)).as("_conv"))
+      .withColumn("_arm", col(userCol) % 2)
+    val a = u.agg(
+      sum(when(col("_arm") === 0, 1).otherwise(0)).as("n0"),
+      sum(when(col("_arm") === 1, 1).otherwise(0)).as("n1"),
+      sum(when(col("_arm") === 0, col("_conv")).otherwise(0)).as("conv0"),
+      sum(when(col("_arm") === 1, col("_conv")).otherwise(0)).as("conv1"))
+    val p0 = col("conv0").cast(DoubleType) / col("n0")
+    val p1 = col("conv1").cast(DoubleType) / col("n1")
+    val pooled = (col("conv0") + col("conv1")).cast(DoubleType) /
+      (col("n0") + col("n1"))
+    val z = (p1 - p0) /
+      sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    a.select(col("n0"), col("n1"), col("conv0"), col("conv1"),
+      p0.as("p0"), p1.as("p1"), z.as("z"))
+  }
+
+  /** Day-over-day churn: for each event day d (except days with no
+    * following event day), the count of users active on d, how many of
+    * them returned on d+1, and the churn rate — the complement of
+    * next-day retention.
+    *
+    * ONE corpus-sized exchange: `collect_set` per user both dedups
+    * (user, day) and builds the day set (bounded by the calendar — a
+    * decade is ~3.7k entries); next-day retention reads straight off
+    * the set with `array_contains` — no corpus-sized self-join. The
+    * "has a following event day" filter uses the distinct-day list
+    * collected to the driver (calendar-bounded metadata, the same
+    * contract as the centroid/vocab-head collects) — a literal
+    * membership test instead of a day-table self-join. */
+  def dailyChurn(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val perDay = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("_u")).agg(collect_set(col("day")).as("_days"))
+      .select(col("_days"), explode(col("_days")).as("day"))
+      .select(col("day"),
+        array_contains(col("_days"), date_add(col("day"), 1))
+          .cast(LongType).as("_ret"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("actives"), sum(col("_ret")).as("retained"))
+    val allDays = events.select(to_date(col(tsCol)).as("day")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    if (allDays.isEmpty) return perDay.select(
+      col("day"), col("actives"), col("retained"),
+      col("actives").as("churned"), lit(0.0).as("churn_rate"))
+    perDay
+      .filter(date_add(col("day"), 1).isInCollection(allDays))
+      .select(
+        col("day"),
+        col("actives"),
+        col("retained"),
+        (col("actives") - col("retained")).as("churned"),
+        ((col("actives") - col("retained"))
+          .cast(DoubleType) / col("actives")).as("churn_rate"))
   }
 
   /** Distributed running (inclusive) sum of `valueCol` in `orderKey`

@@ -108,6 +108,25 @@ object Profile {
     * @return (group_a, group_b, n_a, n_b, n_inter, jaccard) for every
     *         group pair (a < b) sharing ≥ 1 shingle, ordered.
     */
+  /** Join-key skew diagnostic: the `k` heaviest values of `keyCol` with
+    * their counts and share of all rows — the first thing to check before
+    * shuffling 100 TB on a key (a 5% single-key share means one reducer
+    * gets 5% of the table; see the salted-join operator for the cure).
+    *
+    * One key-cardinality-sized shuffle for the counts; the total rides a
+    * broadcast 1-row cross join; the top-k sort runs over the (already
+    * aggregated) key table, not rows. Ties break by key for determinism. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val tot = t.select(sum(col("n")).as("_total"))
+    t.crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        (col("n").cast(DoubleType) / col("_total")).as("share"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+  }
+
   def sourceOverlap(
       docs: DataFrame,
       groupCol: String = "source",

@@ -449,6 +449,49 @@ object Text {
       .orderBy(col("doc_id"), col("token"))
   }
 
+  /** Collocation mining: corpus-wide adjacent-bigram counts scored by the
+    * ratio form of pointwise mutual information,
+    * `N·c(xy) / (c(x)·c(y))` — the log-free PMI monotone transform
+    * (log() may differ in the last ulp across engines; the ratio is exact
+    * integer arithmetic into one IEEE divide, bit-reproducible). Bigrams
+    * below `minCount` are noise-pruned, top `k` returned.
+    *
+    * Scale shape: bigrams via a per-row `zip_with` of two slices (no
+    * window, no self-join), one vocabulary-sized shuffle each for bigram
+    * and unigram counts, equality joins bigram→unigram (AQE picks the
+    * strategy — the unigram table is vocabulary-sized, not corpus-sized),
+    * and the corpus token total rides a broadcast 1-row cross join.
+    * Counts stay < 2^53 so the double conversion is exact up to ~9e15
+    * tokens — beyond 100 TB of text. */
+  def collocationsPmi(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dl = docs.select(tokens(col("text")).as("l"))
+    val bigrams = dl.select(explode(
+      zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+    val bc = bigrams
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uc = dl.select(explode(col("l")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = dl.select(sum(size(col("l")).cast("long")).as("n_tokens"))
+    bc
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(
+        col("w1"), col("w2"), col("c_xy").as("n_pair"),
+        ((col("c_xy") * col("n_tokens")).cast("double") /
+          (col("c1") * col("c2"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   // ---- Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) ----
   // Tokenizer-FAITHFUL token counts: packing/quota decisions in a real
   // training pipeline follow the actual tokenizer's counts, not whitespace

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.functions.{EventStats, Profile, Text}
+
+/** Round-10 analytics additions: activity streaks (gaps-and-islands),
+  * inter-arrival cadence, A/B z-test, day-over-day churn, key-skew
+  * diagnostic, and PMI collocations — each against a brute-force or
+  * hand-computed oracle on tiny frames (the sf oracle rows are the
+  * driver's DuckDB gate; these pin semantics and edge cases).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, sec: Int = 0): Timestamp =
+    new Timestamp(java.time.LocalDateTime
+      .of(2024, 1, day, 0, 0, 0).plusSeconds(sec)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+
+  test("activityStreaks: islands split exactly at day gaps") {
+    // user 1: days 1,2,3, 5,6, 9  -> 6 active, 3 streaks, longest 3
+    // user 2: day 4               -> 1 active, 1 streak, longest 1
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(2, 60)), (1L, ts(3)),
+      (1L, ts(5)), (1L, ts(6)), (1L, ts(9)),
+      (2L, ts(4))
+    ).toDF("user_id", "ts")
+    val got = EventStats.activityStreaks(ev, "user_id", "ts")
+      .orderBy("user_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 6L, 3L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("activityStreaks matches brute force on random activity sets") {
+    val rnd = new scala.util.Random(7)
+    val pairs = for {
+      u <- 1 to 20
+      d <- 1 to 28 if rnd.nextDouble() < 0.35
+    } yield (u.toLong, ts(d, rnd.nextInt(3600)))
+    val got = EventStats.activityStreaks(pairs.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = pairs.groupBy(_._1).map { case (u, es) =>
+      val days = es.map(_._2.toLocalDateTime.getDayOfMonth).distinct.sorted
+      val runs = days.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), d) if h.head == d - 1 => (d :: h) :: t
+        case (acc, d)                               => List(d) :: acc
+      }
+      u -> ((days.size.toLong, runs.size.toLong, runs.map(_.size).max.toLong))
+    }
+    assert(got == expected)
+  }
+
+  test("interArrivalStats: gaps are same-user same-type, tie-broken") {
+    val ev = Seq(
+      (1L, "a", ts(1, 0), 1L), (1L, "a", ts(1, 10), 2L), (1L, "a", ts(1, 40), 3L),
+      (1L, "b", ts(1, 5), 4L),
+      (2L, "a", ts(1, 100), 5L) // single event, no gap
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventStats
+      .interArrivalStats(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("event_type").collect()
+    assert(got.length == 1) // only type a has gaps
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 20.0) // mean of 10s, 30s
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 30.0)
+  }
+
+  test("abTestZ: counts, rates, and z against hand arithmetic") {
+    // arm0 = even users {2,4}, arm1 = odd {1,3}; conversion value > 10
+    val ev = Seq(
+      (1L, "buy", 20.0), (1L, "buy", 5.0), // converts
+      (3L, "buy", 3.0),                    // no
+      (2L, "buy", 50.0),                   // converts
+      (4L, "view", 99.0)                   // wrong type -> no
+    ).toDF("user_id", "event_type", "value")
+    val r = EventStats.abTestZ(ev, "user_id", "event_type", "value", "buy", 10.0)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 1L, 1L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    assert(r.getDouble(6) == 0.0) // identical rates -> z = 0
+  }
+
+  test("abTestZ matches the textbook formula on an uneven split") {
+    val ev = (1L to 10L).map { u =>
+      val conv = u % 2 == 1 && u <= 5 // odd arm: users 1,3,5 convert of 1,3,5,7,9
+      (u, "buy", if (conv) 100.0 else 1.0)
+    }.toDF("user_id", "event_type", "value")
+    val r = EventStats.abTestZ(ev, "user_id", "event_type", "value", "buy", 10.0)
+      .collect().head
+    val (n0, n1, c0, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((n0, n1, c0, c1) == ((5L, 5L, 0L, 3L)))
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val p = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1))
+    assert(r.getDouble(6) == z)
+  }
+
+  test("dailyChurn: last day excluded, zero-return day is 100% churn") {
+    // day1: users 1,2 ; day2: user 1 ; day3: user 3 ; day4: nobody from day3... no day5
+    val ev = Seq(
+      (1L, ts(1)), (2L, ts(1)),
+      (1L, ts(2)),
+      (3L, ts(3)), (3L, ts(4))
+    ).toDF("user_id", "ts")
+    val got = EventStats.dailyChurn(ev, "user_id", "ts")
+      .orderBy("day").collect().map(r =>
+        (r.getDate(0).toLocalDate.getDayOfMonth, r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // day1: 2 active, 1 retained (user1) -> churn 0.5
+    // day2: 1 active, 0 retained on day3 -> churn 1.0
+    // day3: 1 active, 1 retained          -> churn 0.0
+    // day4 has no day5 -> excluded
+    assert(got.toSeq == Seq(
+      (1, 2L, 1L, 1L, 0.5), (2, 1L, 0L, 1L, 1.0), (3, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("keySkew: counts, shares, ties broken by key, top-k truncation") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
+      .toDF("k")
+    val got = Profile.keySkew(df, "k", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("a", 6L, 6.0 / 13), ("b", 3L, 3.0 / 13), ("c", 3L, 3.0 / 13)))
+  }
+
+  test("collocationsPmi: scores match brute force; minCount prunes") {
+    val docs = Seq(
+      (1L, "x y x y z"),
+      (2L, "x y q"),
+      (3L, "z q")
+    ).toDF("doc_id", "text")
+    // tokens: doc1 [x y x y z], doc2 [x y q], doc3 [z q]; N = 10
+    // bigrams: (x,y)x3 (y,x)x1 (y,z)x1 (y,q)x1 (z,q)x1
+    // counts: x3 y3 z2 q2
+    val got = Text.collocationsPmi(docs, minCount = 2L, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("x", "y", 3L, 3.0 * 10 / (3 * 3))))
+    // minCount 1 keeps all five bigrams, ordered by score desc then words
+    val all = Text.collocationsPmi(docs, minCount = 1L, k = 10).collect()
+    assert(all.length == 5)
+    val scores = all.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("stats_moments: power-sum formulas match brute force on sf0.001") {
+    val got = Queries.all.find(_.name == "stats_moments").get
+      .fn(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val qs = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    qs.foreach { case (flag, vals) =>
+      val n = vals.size.toDouble
+      val mean = vals.map(BigDecimal(_)).sum.toDouble / vals.size
+      val ex2 = vals.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble / vals.size
+      val vr = ex2 - mean * mean
+      val (gn, gmean, gsd, gskew, gkurt) = got(flag)
+      assert(gn == vals.size)
+      assert(gmean == mean, s"$flag mean")
+      assert(math.abs(gsd - math.sqrt(vr)) < 1e-12, s"$flag sd")
+      // skew/kurt: recompute from exact sums, same tree
+      val ex3 = vals.map(v => BigDecimal(v).pow(3)).sum.toDouble / vals.size
+      val ex4 = vals.map(v => BigDecimal(v).pow(4)).sum.toDouble / vals.size
+      val skew = (ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean) / (vr * math.sqrt(vr))
+      val kurt = (ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2 -
+        3.0 * mean * mean * mean * mean) / (vr * vr)
+      assert(gskew == skew, s"$flag skew")
+      assert(gkurt == kurt, s"$flag kurt")
+      val _ = gn
+    }
+  }
+
+  test("collocationsPmi: single-token docs contribute no bigrams") {
+    val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Text.collocationsPmi(docs, 1L, 10).collect()
+    assert(got.length == 1)
+    // N counts the solo token too: N=3, c(a,b)=1, c(a)=1, c(b)=1 -> 3.0
+    assert(got.head.getDouble(3) == 3.0)
+  }
+}
