@@ -1565,6 +1565,28 @@ object Ext {
     )
   )
 
+  /** Corpus-adaptive stopword filtering ([[graft.functions.Text
+    * .stopwordFilter]]): drop tokens whose corpus share exceeds 3.4%
+    * (the df-ratio criterion; the synthetic vocab's share range makes
+    * this split non-degenerate — some tokens stopped, most kept). */
+  private val stopwordFilterQ = QDef(
+    "stopword_filter",
+    (s, d) => Text.stopwordFilter(documents(s, d), maxShare = 0.034)
+      .orderBy(col("doc_id")),
+    Some("WITH dl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+      "tok AS (SELECT unnest(l) AS w FROM dl), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok), " +
+      "stats AS (SELECT w, count(*) AS c FROM tok GROUP BY 1), " +
+      "stopl AS (SELECT coalesce(list(w ORDER BY w), []) AS stops " +
+      "FROM stats CROSS JOIN tot WHERE CAST(c AS DOUBLE) / n_tok > 0.034) " +
+      "SELECT doc_id, " +
+      "coalesce(array_to_string(list_filter(l, t -> NOT list_contains(stops, t)), ' '), '') " +
+      "AS filtered_text, " +
+      "CAST(len(l) - len(list_filter(l, t -> NOT list_contains(stops, t))) AS BIGINT) " +
+      "AS n_removed " +
+      "FROM dl CROSS JOIN stopl ORDER BY doc_id")
+  )
+
   /** Collocation mining ([[graft.functions.Text.collocationsPmi]]):
     * top adjacent bigrams by ratio-PMI `N·c(xy)/(c(x)·c(y))` (log-free
     * so the score is bit-reproducible across engines), noise-pruned at
@@ -2534,7 +2556,7 @@ object Ext {
     dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, vocabSketch, collocPmi, sampleDet, sampleBottomK, histogramQ,
+    tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     dedupSubstring, dedupSpansQ,

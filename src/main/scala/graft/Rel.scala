@@ -1099,6 +1099,26 @@ object Rel {
       "FROM v ORDER BY l_returnflag")
   )
 
+  /** Per-group z-score normalization ([[graft.functions.Normalize
+    * .zscore]]) of event values by event type: exact decimal moment
+    * sums, broadcast stats join-back, bit-matching IEEE finishing. */
+  private val zscoreNorm = QDef(
+    "zscore_norm",
+    (s, d) => graft.functions.Normalize
+      .zscore(events(s, d), "event_type", "value", Seq("event_id"))
+      .orderBy(col("event_id")),
+    Some("WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 " +
+      "FROM events GROUP BY 1), " +
+      "m AS (SELECT event_type, s1 / n AS mean, " +
+      "sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM s) " +
+      "SELECT event_id, e.event_type AS event_type, " +
+      "(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / NULLIF(sd, 0) AS z " +
+      "FROM events e JOIN m ON e.event_type = m.event_type " +
+      "ORDER BY event_id")
+  )
+
   /** Exact cumulative distinct users per day ([[graft.functions
     * .EventStats.cumulativeDistinctUsers]]): first-occurrence trick (one
     * user-key shuffle) + two-pass bucketed running sum — never a
@@ -1260,5 +1280,5 @@ object Rel {
     quantileGroup, outlierMad, topPathsQ, joinInterval,
     langMix, userActivityHist, hourlyProfile, dailyAnomaly,
     userStreaks, interarrivalStats, abtestZ, churnDaily, keySkewQ,
-    statsMoments)
+    statsMoments, zscoreNorm)
 }

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-group feature normalization — the scaling pass before numeric
+  * features feed a model (EXT tier; the reference has no normalization
+  * surface).
+  *
+  * Moments come from EXACT decimal sums (2-decimal inputs are exact in
+  * DECIMAL(18,2); the sums commute with partial aggregation, so
+  * map-side combine applies and the result is reduction-order-stable),
+  * and the per-row finishing arithmetic is one IEEE subtract + divide
+  * with the same expression tree as the DuckDB oracle — doubles
+  * bit-match. The group-stats table is group-cardinality-sized and
+  * joins back broadcast-small; the input is scanned twice (once for
+  * moments, once for rows) rather than cached — at 100 TB a re-scan
+  * beats pinning the corpus in memory.
+  */
+object Normalize {
+
+  /** Z-score per group: `z = (x − mean_g) / sd_g` (population sd).
+    * Output: `idCols…, groupCol, z` one row per input row. Groups with
+    * zero variance emit NULL z (ANSI sessions make a raw 0-divide an
+    * error, so the degenerate case is gated explicitly) — NULL is the
+    * detectable "constant feature" signal, and `NULLIF(sd, 0)` gives
+    * the identical semantics in the SQL oracle. */
+  def zscore(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCols: Seq[String]
+  ): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val stats = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).as("_s1"),
+        sum(v * v).as("_s2"))
+    val mean = col("_s1").cast(DoubleType) / col("n")
+    val dims = stats.select(
+      col(groupCol),
+      mean.as("_mean"),
+      sqrt(col("_s2").cast(DoubleType) / col("n") - mean * mean).as("_sd"))
+    df.join(broadcast(dims), groupCol)
+      .select((idCols.map(col) :+ col(groupCol) :+
+        when(col("_sd") =!= 0d,
+          (v.cast(DoubleType) - col("_mean")) / col("_sd")).as("z")): _*)
+  }
+}

@@ -492,6 +492,35 @@ object Text {
       .limit(k)
   }
 
+  /** Corpus-adaptive stopword filtering: tokens whose corpus share
+    * exceeds `maxShare` are dropped from every document (the df-ratio
+    * stopword criterion — no hand-curated list, works for any
+    * language). Output: doc_id, the filtered text (token order
+    * preserved), and the removed-token count.
+    *
+    * Scale shape: the stop SET is provably bounded — share > s admits
+    * at most ⌊1/s⌋ tokens — so it rides a broadcast 1-row cross join
+    * (same contract as the vocab-head collects); the corpus pays one
+    * vocabulary-sized count shuffle plus a per-row `filter` lambda,
+    * no join on the token stream. */
+  def stopwordFilter(docs: DataFrame, maxShare: Double): DataFrame = {
+    require(maxShare > 0.0 && maxShare < 1.0,
+      s"maxShare must be in (0,1), got $maxShare")
+    val dl = docs.select(col("doc_id"), tokens(col("text")).as("l"))
+    val tok = dl.select(explode(col("l")).as("w"))
+    val tot = tok.agg(count(lit(1)).as("n_tok"))
+    val stops = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(tot))
+      .filter(col("c").cast("double") / col("n_tok") > maxShare)
+      .agg(sort_array(collect_list(col("w"))).as("_stops"))
+    val kept = filter(col("l"), t => !array_contains(col("_stops"), t))
+    dl.crossJoin(broadcast(stops))
+      .select(
+        col("doc_id"),
+        array_join(kept, " ").as("filtered_text"),
+        (size(col("l")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   // ---- Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) ----
   // Tokenizer-FAITHFUL token counts: packing/quota decisions in a real
   // training pipeline follow the actual tokenizer's counts, not whitespace

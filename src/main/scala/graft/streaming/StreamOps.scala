@@ -261,6 +261,69 @@ object StreamOps {
       .select((stream.columns.map(col) :+ col(asofCol)).toIndexedSeq: _*)
   }
 
+  /** Per-(user, type) inter-arrival accumulator held in GroupState:
+    * last-seen epoch micros + running gap count/sum/min/max. Constant
+    * size per key — state scales with distinct (user, type) pairs,
+    * never events. */
+  final case class CadenceAcc(
+      lastUs: Long, nGaps: Long, sumUs: Long, minUs: Long, maxUs: Long)
+
+  /** Running inter-arrival stats per (user, type) — streaming twin of
+    * the batch [[graft.functions.EventStats.interArrivalStats]] (which
+    * then aggregates per type; the per-key rows here roll up the same
+    * way). */
+  final case class CadenceStats(
+      user_id: Long, event_type: String, n_gaps: Long,
+      sum_gap_us: Long, min_gap_s: Double, max_gap_s: Double)
+
+  /** Streaming inter-arrival cadence: per (user, event_type), the gap
+    * to the previous same-key event accumulated across micro-batches
+    * via `mapGroupsWithState` — emits each key's running
+    * (n_gaps, exact micro sum, min s, max s) every batch.
+    *
+    * Within a micro-batch rows are sorted by (ts, event_id) — the same
+    * total order as the batch operator's lag window; ACROSS batches
+    * events must arrive per-key in order (the [[runningUserTotals]] /
+    * [[streamingFunnel]] contract: a gap already folded into the sums
+    * can't be unfolded). The sum stays an exact long so a downstream
+    * per-type rollup `(Σ sums / Σ counts) / 1e6` reproduces the batch
+    * operator's mean bit-for-bit. */
+  def interArrivalStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]
+  ): org.apache.spark.sql.Dataset[CadenceStats] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val encKey: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    implicit val encRow: Encoder[(Long, String, Long, Long)] =
+      Encoders.product[(Long, String, Long, Long)]
+    implicit val encOut: Encoder[CadenceStats] = Encoders.product[CadenceStats]
+    implicit val encAcc: Encoder[CadenceAcc] = Encoders.product[CadenceAcc]
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[CadenceAcc]) =>
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._4))
+          var acc = state.getOption.getOrElse(
+            CadenceAcc(Long.MinValue, 0L, 0L, Long.MaxValue, Long.MinValue))
+          sorted.foreach { r =>
+            acc =
+              if (acc.lastUs == Long.MinValue) acc.copy(lastUs = r._3)
+              else {
+                val gap = r._3 - acc.lastUs
+                CadenceAcc(r._3, acc.nGaps + 1, acc.sumUs + gap,
+                  math.min(acc.minUs, gap), math.max(acc.maxUs, gap))
+              }
+          }
+          state.update(acc)
+          CadenceStats(key._1, key._2, acc.nGaps, acc.sumUs,
+            if (acc.nGaps == 0) Double.NaN else acc.minUs.toDouble / 1000000.0,
+            if (acc.nGaps == 0) Double.NaN else acc.maxUs.toDouble / 1000000.0)
+      }
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key from the trailing `windowMinutes`.
     * Both sides are watermarked so the join state (buffered unmatched

@@ -174,6 +174,54 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("zscore: per-group normalization matches hand arithmetic") {
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 3.0),      // mean 2, sd 1
+      (3L, "b", 10.0), (4L, "b", 20.0), (5L, "b", 30.0) // mean 20, pop sd sqrt(200/3)
+    ).toDF("event_id", "event_type", "value")
+    val got = graft.functions.Normalize
+      .zscore(df, "event_type", "value", Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == -1.0 && got(2L) == 1.0)
+    val sdB = math.sqrt(1400.0 / 3 - 400.0)
+    assert(got(4L) == 0.0)
+    assert(math.abs(got(3L) - (-10.0 / sdB)) < 1e-12)
+    assert(math.abs(got(5L) - (10.0 / sdB)) < 1e-12)
+  }
+
+  test("zscore: constant group surfaces NULL z, not silence") {
+    val df = Seq((1L, "c", 5.0), (2L, "c", 5.0)).toDF("event_id", "event_type", "value")
+    val got = graft.functions.Normalize
+      .zscore(df, "event_type", "value", Seq("event_id"))
+      .collect().map(_.isNullAt(2))
+    assert(got.length == 2 && got.forall(identity))
+  }
+
+  test("stopwordFilter: drops only above-share tokens, keeps order") {
+    // 10 tokens: "the" x5 (share .5), "cat" x2, "sat" x2, "mat" x1
+    val docs = Seq(
+      (1L, "the cat sat the mat"),
+      (2L, "the the the cat sat")
+    ).toDF("doc_id", "text")
+    val got = Text.stopwordFilter(docs, maxShare = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "cat sat mat", 2L), (2L, "cat sat", 3L)))
+    // threshold above every share: nothing removed, text unchanged
+    val none = Text.stopwordFilter(docs, maxShare = 0.9)
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(none.toSeq == Seq(("the cat sat the mat", 0L), ("the the the cat sat", 0L)))
+  }
+
+  test("stopwordFilter: fully-stopped doc yields empty text") {
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    // x share = 4/5 > 0.5 -> stopped; y kept
+    val got = Text.stopwordFilter(docs, maxShare = 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("", 3L), ("y", 1L)))
+  }
+
   test("collocationsPmi: single-token docs contribute no bigrams") {
     val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
     val got = Text.collocationsPmi(docs, 1L, 10).collect()

@@ -490,4 +490,52 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed(5L) == Some(ts(2)))
     } finally q.stop()
   }
+
+  test("interArrivalStream: running gap stats == batch lag-window gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CadEv]
+    val q = StreamOps.interArrivalStream(mem.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cadence_out").start()
+    // user 1 "a": minutes 1, 3, 10 (gaps 120s, 420s); user 1 "b": minute 2
+    // (no gap); user 2 "a": minutes 5, 6 split ACROSS batches (gap 60s).
+    val batch1 = Seq(CadEv(0, ts(1), 1, "a"), CadEv(1, ts(3), 1, "a"),
+      CadEv(2, ts(2), 1, "b"), CadEv(3, ts(5), 2, "a"))
+    val batch2 = Seq(CadEv(4, ts(10), 1, "a"), CadEv(5, ts(6), 2, "a"))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // latest update per key is the accumulated state
+      val got = spark.table("cadence_out")
+        .groupBy("user_id", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_gaps").as("n"),
+          org.apache.spark.sql.functions.max("sum_gap_us").as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got((1L, "a")) == ((2L, (120L + 420L) * 1000000L)))
+      assert(got((1L, "b")) == ((0L, 0L)))
+      assert(got((2L, "a")) == ((1L, 60L * 1000000L)))
+      // per-type rollup of streaming sums == batch operator's exact stats
+      val batchStats = graft.functions.EventStats.interArrivalStats(
+          (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts", "event_id")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val rolled = spark.table("cadence_out")
+        .groupBy("user_id", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_gaps").as("n"),
+          org.apache.spark.sql.functions.max("sum_gap_us").as("s"))
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.sum("n").as("n"),
+          org.apache.spark.sql.functions.sum("s").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      batchStats.foreach { case (tpe, (n, mean)) =>
+        val (sn, ss) = rolled(tpe)
+        assert(sn == n, s"$tpe gap count")
+        assert((ss.toDouble / sn) / 1000000.0 == mean, s"$tpe mean")
+      }
+    } finally q.stop()
+  }
 }
+
+final case class CadEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
