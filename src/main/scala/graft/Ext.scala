@@ -1609,6 +1609,65 @@ object Ext {
       "ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20")
   )
 
+  /** Vocabulary coverage diagnostic ([[graft.functions.Text.oovRate]]):
+    * per-doc out-of-vocabulary rate against the corpus's own top-100
+    * token head — the pre-tokenizer coverage check. */
+  private val oovRateQ = QDef(
+    "oov_rate",
+    (s, d) => Text.oovRate(documents(s, d), vocabSize = 100)
+      .orderBy(col("doc_id")),
+    Some("WITH dl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+      "tok AS (SELECT unnest(l) AS w FROM dl), " +
+      "v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1) " +
+      "ORDER BY c DESC, w LIMIT 100), " +
+      "vl AS (SELECT list(w ORDER BY w) AS vocab FROM v) " +
+      "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, " +
+      "CAST(len(l) - len(list_filter(l, t -> list_contains(vocab, t))) AS BIGINT) AS n_oov, " +
+      "CAST(len(l) - len(list_filter(l, t -> list_contains(vocab, t))) AS DOUBLE) / len(l) " +
+      "AS oov_rate " +
+      "FROM dl CROSS JOIN vl ORDER BY doc_id")
+  )
+
+  /** Word co-occurrence graph topology ([[graft.functions.Graph
+    * .triangleCounts]]): per-token degree, triangle count, and local
+    * clustering coefficient over the undirected adjacent-bigram graph —
+    * high-clustering tokens sit inside tight phrase communities
+    * (template/boilerplate signal), low-clustering high-degree tokens
+    * are connectives. Degree-ordered compact-forward enumeration — the
+    * wedge set is O(m^1.5)-bounded, never hub-quadratic. */
+  private val graphTrianglesQ = QDef(
+    "graph_triangles",
+    (s, d) => {
+      val dl = documents(s, d).select(Text.tokens(col("text")).as("l"))
+      val edges = dl.select(explode(
+        zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      graft.functions.Graph.triangleCounts(edges, "w1", "w2")
+        .select(col("node").as("token"), col("degree"),
+          col("n_triangles"), col("clustering"))
+        .orderBy(col("token"))
+    },
+    Some("WITH dl AS (SELECT string_split(text, ' ') AS l FROM documents), " +
+      "bgl AS (SELECT unnest(list_transform(range(1, len(l)), " +
+      "i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS p FROM dl), " +
+      "e AS (SELECT DISTINCT least(p.w1, p.w2) AS a, greatest(p.w1, p.w2) AS b " +
+      "FROM bgl WHERE p.w1 <> p.w2), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM " +
+      "(SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1), " +
+      "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+      "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+      "tc AS (SELECT v, count(*) AS c FROM (SELECT x AS v FROM tri " +
+      "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) " +
+      "SELECT deg.v AS token, deg.d AS degree, " +
+      "CAST(coalesce(tc.c, 0) AS BIGINT) AS n_triangles, " +
+      "CASE WHEN deg.d >= 2 THEN CAST(2 * coalesce(tc.c, 0) AS DOUBLE) / " +
+      "CAST(deg.d * (deg.d - 1) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS clustering " +
+      "FROM deg LEFT JOIN tc ON tc.v = deg.v ORDER BY token")
+  )
+
   /** Heavy-hitters vocabulary via the Misra–Gries sketch
     * ([[graft.plans.HeavyHittersMG]]): capacity-bounded per-partition
     * state instead of a vocab-wide shuffle. Registered with capacity 64 >
@@ -2556,7 +2615,8 @@ object Ext {
     dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, sampleDet, sampleBottomK, histogramQ,
+    tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
+    graphTrianglesQ, sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     dedupSubstring, dedupSpansQ,

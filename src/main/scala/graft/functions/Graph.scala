@@ -71,4 +71,72 @@ object Graph {
     }
     graft.AutoUnpersist.afterFirstUse(ranks, ed, nodes)
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * UNDIRECTED edge list (duplicates / reversed duplicates / self-loops
+    * tolerated — edges are canonicalized and deduped first).
+    *
+    * Algorithm: the degree-ordered node-iterator (compact-forward).
+    * Every edge is oriented from its lower endpoint to its higher in
+    * the total order (degree, id); a triangle {x,y,z} is then found
+    * EXACTLY once — as the wedge at its order-minimal vertex closed by
+    * the oriented edge between the other two. Orienting by degree
+    * bounds the wedge set by O(m^1.5) regardless of skew: a hub of
+    * degree d contributes wedges only toward HIGHER-degree neighbours,
+    * so the classic star-graph d² blowup cannot happen — this is the
+    * standard scalable formulation (vs naive wedge enumeration, which
+    * dies on the first power-law hub at 100 TB).
+    *
+    * Plan shape: degree count (1 shuffle), two broadcast-or-hash
+    * equality joins to annotate endpoints, the wedge self-join on the
+    * apex key, and the closing-edge equality join — no cross product
+    * anywhere; counts are exact integers and the coefficient
+    * `2T / (d(d-1))` is a single IEEE division, so results hash-match
+    * the SQL oracle.
+    *
+    * @return (node, degree, n_triangles, clustering) — clustering is 0
+    *         for degree-1 nodes (no wedge to close).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .persist()
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val lt = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented low→high in (degree, id); dw = the head's degree, carried
+    // so wedge legs can be ordered without another join
+    val o = ed.select(
+      when(lt, col("a")).otherwise(col("b")).as("u"),
+      when(lt, col("b")).otherwise(col("a")).as("w"),
+      when(lt, col("db")).otherwise(col("da")).as("dw"))
+      .persist()
+    val wedges = o.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
+      .join(o.select(col("u"), col("w").as("w2"), col("dw").as("d2")), "u")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+    val tri = wedges
+      .join(o.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"))
+      .select(col("u"), col("w1"), col("w2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val out = deg.join(perNode, Seq("v"), "left")
+      .select(
+        col("v").as("node"),
+        col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          (coalesce(col("t"), lit(0L)) * 2L).cast("double") /
+            (col("d") * (col("d") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+    graft.AutoUnpersist.afterFirstUse(out, deg, o)
+  }
 }

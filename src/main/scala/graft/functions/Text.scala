@@ -521,6 +521,34 @@ object Text {
         (size(col("l")) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` token head — the coverage diagnostic run before
+    * committing to a tokenizer vocabulary (a doc whose tokens mostly
+    * miss the head is noise, another script, or markup). Output:
+    * doc_id, n_tokens, n_oov, and `oov_rate = n_oov / n_tokens`.
+    *
+    * Scale shape: the vocab head is a distributed TakeOrdered of a
+    * configured-constant `vocabSize` rows (the bounded-metadata
+    * contract shared with [[vocabWithIds]]), broadcast back as ONE
+    * sorted array; the corpus pays the vocabulary count shuffle plus a
+    * per-row membership lambda — no join on the token stream. The
+    * single division per row is IEEE-deterministic, so the rate
+    * hash-matches the SQL oracle. */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val vocab = vocabTopK(docs, vocabSize)
+      .agg(sort_array(collect_list(col("token"))).as("_vocab"))
+    val dl = docs.select(col("doc_id"), tokens(col("text")).as("_l"))
+    val inVocab = filter(col("_l"), t => array_contains(col("_vocab"), t))
+    val nOov = size(col("_l")) - size(inVocab)
+    dl.crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        size(col("_l")).cast("long").as("n_tokens"),
+        nOov.cast("long").as("n_oov"),
+        (nOov.cast("double") / size(col("_l"))).as("oov_rate"))
+  }
+
   // ---- Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) ----
   // Tokenizer-FAITHFUL token counts: packing/quota decisions in a real
   // training pipeline follow the actual tokenizer's counts, not whitespace

@@ -80,4 +80,53 @@ class GraphSpec extends SparkSpec {
     assert(total <= n * 1000000L)
     assert(total > (n * 1000000L * 99L) / 100L)
   }
+
+  private def tri(edges: Seq[(Long, Long)]) =
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .select(col("node"), col("degree"), col("n_triangles"), col("clustering"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("triangleCounts: hand-checked K4 minus one edge") {
+    // 1-2, 1-3, 1-4, 2-3, 2-4 (missing 3-4): triangles {1,2,3}, {1,2,4}
+    val got = tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+    assert(got(1L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(got(2L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((2L, 1L, 1.0)))
+  }
+
+  test("triangleCounts: dedups reversed/duplicate edges, drops self-loops") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+    val got = tri(noisy)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall { case (d, t, c) => d == 2L && t == 1L && c == 1.0 })
+  }
+
+  test("triangleCounts: triangle-free graph and degree-1 nodes") {
+    // path 1-2-3-4: zero triangles, clustering 0 everywhere
+    val got = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got.values.forall { case (_, t, c) => t == 0L && c == 0.0 })
+    assert(got(1L)._1 == 1L && got(2L)._1 == 2L)
+  }
+
+  test("triangleCounts: matches naive count on a skewed hub graph") {
+    // hub 0 connected to 1..12, plus ring edges among leaves — the shape
+    // where degree ordering matters; compare against a driver-side naive
+    // all-triple count.
+    val hub = (1L to 12L).map(0L -> _)
+    val ring = (1L to 12L).map(i => (i, if (i == 12L) 1L else i + 1))
+    val edges = hub ++ ring
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val naive = nodes.map { v =>
+      val nbrs = nodes.filter(u => canon(math.min(u, v) -> math.max(u, v)))
+      v -> (for {
+        x <- nbrs; y <- nbrs if x < y
+        if canon(math.min(x, y) -> math.max(x, y))
+      } yield 1).size.toLong
+    }.toMap
+    val got = tri(edges)
+    nodes.foreach { v => assert(got(v)._2 == naive(v), s"node $v") }
+  }
 }

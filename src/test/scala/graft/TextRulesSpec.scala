@@ -101,4 +101,23 @@ class TextRulesSpec extends SparkSpec {
     // '?' is outside the url character class — the span stops before it
     assert(out._1 === Seq("https://h.example.com/p") && !out._2)
   }
+
+  test("oovRate: rate against top-K head, count-desc/token-asc tie-break") {
+    // counts: a=3, b=2, c=2, z=1 → top-2 head = {a, b} (b beats c on the
+    // token tie-break)
+    val docs = Seq(
+      (1L, "a a b c"), (2L, "a b c z")
+    ).toDF("doc_id", "text")
+    val got = Text.oovRate(docs, vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 4L, 1L, 0.25), (2L, 4L, 2L, 0.5)))
+  }
+
+  test("oovRate: vocab >= distinct tokens means zero OOV everywhere") {
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = Text.oovRate(docs, vocabSize = 100)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.forall(r => r._3 == 0L && r._4 == 0.0))
+  }
 }
