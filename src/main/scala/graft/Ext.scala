@@ -1845,6 +1845,50 @@ object Ext {
     )
   )
 
+  /** Categorical concentration monitor ([[graft.functions.Profile
+    * .giniProfile]]): per-column Gini impurity (the log-free entropy
+    * stand-in — exact decimal power sums, one IEEE division) for the
+    * corpus's categorical axes. */
+  private val giniProfileQ = QDef(
+    "gini_profile",
+    (s, d) => graft.functions.Profile
+      .giniProfile(documents(s, d), Seq("lang", "source"))
+      .orderBy(col("column_name")),
+    Some(Seq("lang", "source").map { c =>
+      s"SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_distinct, " +
+        s"CAST(sum(c) AS BIGINT) AS n_rows, " +
+        s"CAST(1 AS DOUBLE) - CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) / " +
+        s"CAST(CAST(sum(c) AS HUGEINT) * sum(c) AS DOUBLE) AS gini " +
+        s"FROM (SELECT $c AS v, count(*) AS c FROM documents GROUP BY 1)"
+    }.mkString("", " UNION ALL ", " ORDER BY column_name"))
+  )
+
+  /** Int8 embedding quantization ([[graft.functions.Normalize
+    * .quantizeInt8]]): symmetric per-vector scale, round-half-up via
+    * floor(+0.5) so both engines agree bit-for-bit; zero shuffle. */
+  private val embedQuantizeQ = QDef(
+    "embed_quantize",
+    // registered exploded (vec_id, pos, q_elem, scale): the oracle compare
+    // sorts rows by every column, so array-valued outputs are unsortable —
+    // the library op keeps the array shape.
+    (s, d) => graft.functions.Normalize
+      .quantizeInt8(embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("q")), col("scale"))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        col("col").as("q_elem"), col("scale"))
+      .orderBy(col("vec_id"), col("pos")),
+    Some("WITH m AS (SELECT vec_id, embedding, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma " +
+      "FROM embeddings), " +
+      "sc AS (SELECT vec_id, embedding, " +
+      "CASE WHEN ma > 0 THEN CAST(127 AS DOUBLE) / ma ELSE CAST(0 AS DOUBLE) END AS scale " +
+      "FROM m) " +
+      "SELECT vec_id, CAST(unnest(range(1, len(embedding)+1)) AS INT) AS pos, " +
+      "unnest(list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER))) AS q_elem, " +
+      "scale FROM sc ORDER BY vec_id, pos")
+  )
+
   /** Per-column table profile ([[graft.functions.Profile.profile]]):
     * nulls / exact distinct / min / max per column in one pass, reshaped
     * from a single aggregate row (bounded driver state: n_cols·4). */
@@ -2622,7 +2666,7 @@ object Ext {
     dedupSubstring, dedupSpansQ,
     gopherRulesQ,
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
-    profileQ, driftQ,
+    profileQ, giniProfileQ, embedQuantizeQ, driftQ,
     tokenIdsQ, funnelQ, funnelLagQ, retentionQ, temperatureMixQ,
     mediaDecode, mediaResize, videoFrames, audioDecode
   )

@@ -1119,6 +1119,33 @@ object Rel {
       "ORDER BY event_id")
   )
 
+  /** Last-touch attribution ([[graft.functions.EventStats
+    * .lastTouchAttribution]]): purchases credited to the user's most
+    * recent prior click/view — the as-of lookup as ONE per-user window
+    * pass, no self-join; organic purchases (no prior touch) keep NULL
+    * attribution. */
+  private val attributionQ = QDef(
+    "attribution",
+    (s, d) => graft.functions.EventStats.lastTouchAttribution(
+      events(s, d), "user_id", "event_type", "ts", "event_id",
+      convType = "purchase", touchTypes = Seq("click", "view"))
+      .orderBy(col("conv_id")),
+    Some("WITH a AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+      "last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS) " +
+      "OVER w AS touch_id, " +
+      "last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS) " +
+      "OVER w AS touch_type, " +
+      "last_value(CASE WHEN event_type IN ('click', 'view') THEN CAST(ts AS TIMESTAMP) END " +
+      "IGNORE NULLS) OVER w AS touch_ts " +
+      "FROM events WINDOW w AS (PARTITION BY user_id " +
+      "ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT user_id, event_id AS conv_id, ts AS conv_ts, " +
+      "touch_id, touch_type, touch_ts, " +
+      "CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS lag_us " +
+      "FROM a WHERE event_type = 'purchase' ORDER BY conv_id")
+  )
+
   /** Exact cumulative distinct users per day ([[graft.functions
     * .EventStats.cumulativeDistinctUsers]]): first-occurrence trick (one
     * user-key shuffle) + two-pass bucketed running sum — never a
@@ -1280,5 +1307,5 @@ object Rel {
     quantileGroup, outlierMad, topPathsQ, joinInterval,
     langMix, userActivityHist, hourlyProfile, dailyAnomaly,
     userStreaks, interarrivalStats, abtestZ, churnDaily, keySkewQ,
-    statsMoments, zscoreNorm)
+    statsMoments, zscoreNorm, attributionQ)
 }

@@ -342,4 +342,54 @@ object EventStats {
       .withColumn(outCol, sum(col("_rs_val")).over(w) + prefixCol)
       .drop("_rs_key", "_rs_val", "_rs_bucket")
   }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * MOST RECENT strictly-earlier event of an attributable type by the
+    * same user — the marketing-analytics join that is NOT a join here:
+    * one per-user window pass carries the last-seen touch forward
+    * (`last(..., ignoreNulls)` over rows-between unbounded-preceding to
+    * -1), so there is exactly one user-key exchange and no as-of
+    * self-join. Conversions with no prior touch surface with NULL
+    * attribution (organic), not dropped.
+    *
+    * The per-column `last` calls share one predicate, so all attributed
+    * fields come from the SAME touch row. Lag is exact long
+    * microseconds. `tieBreak` must totalize the per-user order (the
+    * [[interArrivalStats]] contract).
+    *
+    * @return one row per conversion: user, conversion id/ts, attributed
+    *         touch id/type/ts, `lag_us`.
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      convType: String,
+      touchTypes: Seq[String]
+  ): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must not be empty")
+    require(!touchTypes.contains(convType),
+      s"convType $convType cannot also be a touch type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    def lastTouch(c: Column) = last(when(isTouch, c), ignoreNulls = true).over(w)
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("_touch_id", lastTouch(col(idCol)))
+      .withColumn("_touch_type", lastTouch(col(typeCol)))
+      .withColumn("_touch_ts", lastTouch(col(tsCol)))
+      .filter(col(typeCol) === convType)
+      .select(
+        col(userCol),
+        col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ts"),
+        col("_touch_id").as("touch_id"),
+        col("_touch_type").as("touch_type"),
+        col("_touch_ts").as("touch_ts"),
+        (unix_micros(col(tsCol)) - unix_micros(col("_touch_ts"))).as("lag_us"))
+  }
 }

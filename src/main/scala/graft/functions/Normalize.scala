@@ -49,4 +49,29 @@ object Normalize {
         when(col("_sd") =!= 0d,
           (v.cast(DoubleType) - col("_mean")) / col("_sd")).as("z")): _*)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * shrink applied before embeddings are shipped to an ANN index or
+    * checkpointed: per-vector `scale = 127 / max|v_i|`, each element
+    * `q_i = floor(v_i·scale + 0.5)` (round-half-up spelled as
+    * floor(+0.5) because the two engines' `round` half-rules differ;
+    * floor is IEEE-identical everywhere). All-zero vectors quantize to
+    * zeros with scale 0 — flagged by `scale = 0`, not an error.
+    *
+    * Purely per-row expression work: zero shuffle, codegen'd higher-
+    * order functions, output `q` in [-127, 127] so the downstream
+    * byte cast can never overflow.
+    *
+    * @return (idCol, q array<int>, scale double) */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol),
+      x => abs(x.cast(DoubleType))))
+    val scale = when(maxAbs > 0d, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    df.withColumn("_scale", scale)
+      .select(
+        col(idCol),
+        transform(col(vecCol),
+          x => floor(x.cast(DoubleType) * col("_scale") + 0.5).cast("int")).as("q"),
+        col("_scale").as("scale"))
+  }
 }

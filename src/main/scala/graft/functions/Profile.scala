@@ -235,4 +235,35 @@ object Profile {
       .orderBy(col("group_a"), col("group_b"))
     graft.AutoUnpersist.afterFirstUse(result, sk)
   }
+
+  /** Per-column categorical concentration profile: for each listed
+    * column, its distinct-count, row count, and Gini impurity
+    * `1 − Σ (c_i/N)²` — the "is this column degenerate / skewed /
+    * healthy" monitor a corpus pipeline runs per ingest batch (impurity
+    * 0 = constant column, → 1 = uniform high-cardinality).
+    *
+    * Entropy needs a log — whose last bit differs across engines — so
+    * the impurity form is used instead: Σc² and N are EXACT
+    * (DECIMAL(38,0) sums survive c up to ~10^19 rows per value), and
+    * the single double division + subtract at the end is IEEE-identical
+    * to the SQL oracle. One count shuffle per column, each output ONE
+    * row — a k-column profile is k bounded aggregates unioned. */
+  def giniProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must not be empty")
+    val dec = DecimalType(38, 0)
+    cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("_c"))
+        .agg(
+          lit(c).as("column_name"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("_c")).as("_n"),
+          sum(col("_c").cast(dec) * col("_c")).as("_s2"))
+        .select(
+          col("column_name"),
+          col("n_distinct"),
+          col("_n").as("n_rows"),
+          (lit(1.0) - col("_s2").cast(DoubleType) /
+            (col("_n").cast(dec) * col("_n")).cast(DoubleType)).as("gini"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -197,6 +197,43 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.length == 2 && got.forall(identity))
   }
 
+  test("quantizeInt8: scale from max-abs, round-half-up, zero vector flagged") {
+    val df = Seq(
+      (1L, Seq(2.0f, -4.0f, 1.0f)),   // maxabs 4 → scale 31.75
+      (2L, Seq(0.0f, 0.0f))            // zero vector → scale 0, q zeros
+    ).toDF("vec_id", "embedding")
+    val got = graft.functions.Normalize.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Seq[Int], Double)].collect()
+    // q = floor(v*31.75 + 0.5): 2→floor(64.0)=64, -4→-127, 1→floor(32.25)=32
+    assert(got(0) == ((1L, Seq(64, -127, 32), 31.75)))
+    assert(got(1) == ((2L, Seq(0, 0), 0.0)))
+    // extremes stay in int8 range
+    assert(got.flatMap(_._2).forall(q => q >= -127 && q <= 127))
+  }
+
+  test("lastTouchAttribution: latest prior touch, organic NULL, conv excluded as touch") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "click", 0.0),
+      (2L, ts(5), 10L, "view", 0.0),
+      (3L, ts(9), 10L, "purchase", 1.0),  // → view@5, lag 4 min
+      (4L, ts(12), 10L, "purchase", 1.0), // → still view@5 (purchase is no touch)
+      (5L, ts(1), 20L, "purchase", 1.0),  // organic: no prior touch
+      (6L, ts(2), 20L, "click", 0.0)      // later touch must NOT attribute back
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.functions.EventStats.lastTouchAttribution(
+      ev, "user_id", "event_type", "ts", "event_id", "purchase", Seq("click", "view"))
+      .orderBy("conv_id")
+      .select("conv_id", "touch_id", "touch_type", "lag_us").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    assert(got(0).getLong(1) == 2L && got(0).getString(2) == "view"
+      && got(0).getLong(3) == 4L * 60000000L)
+    assert(got(1).getLong(1) == 2L && got(1).getLong(3) == 7L * 60000000L)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3))
+  }
+
   test("stopwordFilter: drops only above-share tokens, keeps order") {
     // 10 tokens: "the" x5 (share .5), "cat" x2, "sat" x2, "mat" x1
     val docs = Seq(

@@ -112,4 +112,17 @@ class ProfileSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("giniProfile: constant column 0, uniform 2-value 0.5, skew in between") {
+    val df = Seq(
+      ("x", "a", "p"), ("x", "a", "p"), ("x", "b", "p"), ("x", "b", "q")
+    ).toDF("const", "uniform", "skewed")
+    val got = Profile.giniProfile(df, Seq("const", "uniform", "skewed"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("const") == ((1L, 4L, 0.0)))
+    assert(got("uniform") == ((2L, 4L, 0.5)))
+    // skewed 3:1 → 1 - (9+1)/16 = 0.375
+    assert(got("skewed") == ((2L, 4L, 0.375)))
+  }
 }
