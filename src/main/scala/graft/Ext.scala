@@ -110,24 +110,55 @@ object Ext {
     s"len(list_filter(string_split(text, ' '), t -> t IN (" +
       markers.map(m => s"'$m'").mkString(", ") + s"))) AS $name"
 
+  /** The marker-argmax prediction as a bare SELECT (doc_id, lang,
+    * lang_pred) — shared between the [[langIdQ]] oracle and the
+    * [[langIdEvalQ]] confusion rollup. */
+  private lazy val langPredSqlCore: String =
+    "WITH m AS (SELECT doc_id, lang, " +
+      markerSql("mk_en", Text.langMarkers(0)._2) + ", " +
+      markerSql("mk_de", Text.langMarkers(1)._2) + ", " +
+      markerSql("mk_es", Text.langMarkers(2)._2) + ", " +
+      markerSql("mk_fr", Text.langMarkers(3)._2) +
+      " FROM documents) " +
+      "SELECT doc_id, lang, " +
+      "CASE WHEN mk_en >= mk_de AND mk_en >= mk_es AND mk_en >= mk_fr AND mk_en > 0 THEN 'en' " +
+      "WHEN mk_de >= mk_es AND mk_de >= mk_fr AND mk_de > 0 THEN 'de' " +
+      "WHEN mk_es >= mk_fr AND mk_es > 0 THEN 'es' " +
+      "WHEN mk_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM m"
+
   /** Marker-token language ID (argmax, fixed tie order en>de>es>fr). */
   private val langIdQ = QDef(
     "lang_id",
     (s, d) => Text.langId(documents(s, d)).orderBy(col("doc_id")),
-    Some(
-      ("WITH m AS (SELECT doc_id, lang, " +
-        markerSql("mk_en", Text.langMarkers(0)._2) + ", " +
-        markerSql("mk_de", Text.langMarkers(1)._2) + ", " +
-        markerSql("mk_es", Text.langMarkers(2)._2) + ", " +
-        markerSql("mk_fr", Text.langMarkers(3)._2) +
-        " FROM documents) " +
-        "SELECT doc_id, lang, " +
-        "CASE WHEN mk_en >= mk_de AND mk_en >= mk_es AND mk_en >= mk_fr AND mk_en > 0 THEN 'en' " +
-        "WHEN mk_de >= mk_es AND mk_de >= mk_fr AND mk_de > 0 THEN 'de' " +
-        "WHEN mk_es >= mk_fr AND mk_es > 0 THEN 'es' " +
-        "WHEN mk_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred " +
-        "FROM m ORDER BY doc_id")
-    )
+    Some(langPredSqlCore + " ORDER BY doc_id")
+  )
+
+  /** Classifier evaluation for the language-ID heuristic: the confusion
+    * matrix of predicted vs declared language with per-cell share of the
+    * truth row — the accuracy monitor a pipeline runs before trusting a
+    * classifier to route 100 TB. Reuses [[Text.langId]]'s prediction;
+    * the rollup is one (truth, pred)-key aggregate plus a truth-key
+    * total joined back (both lang-cardinality-sized). */
+  private val langIdEvalQ = QDef(
+    "langid_eval",
+    (s, d) => {
+      val pred = Text.langId(documents(s, d))
+      val cells = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("_t"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("_t")).as("share_of_truth"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+    Some("WITH p AS (" + langPredSqlCore + "), " +
+      "cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n " +
+      "FROM p GROUP BY 1, 2), " +
+      "tot AS (SELECT lang, sum(n) AS t FROM cells GROUP BY 1) " +
+      "SELECT cells.lang AS lang, lang_pred, n, " +
+      "CAST(n AS DOUBLE) / t AS share_of_truth " +
+      "FROM cells JOIN tot ON cells.lang = tot.lang " +
+      "ORDER BY lang, lang_pred")
   )
 
   /** Heuristic quality score. */
@@ -2646,7 +2677,8 @@ object Ext {
   val all: Seq[QDef] = Seq(
     bpeTrain, bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     boilerplateReport, boilerplateRemove, targetMixQ,
-    sessionize, sessionStatsQ, textStats, tokenCount, langIdQ, qualityScore, fingerprintQ,
+    sessionize, sessionStatsQ, textStats, tokenCount, langIdQ, langIdEvalQ,
+    qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
     entityResolveQ, normalizeTextQ, retrievalHybridQ,
     intradocDedupQ, sourceOverlapQ,

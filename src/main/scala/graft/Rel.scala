@@ -1119,6 +1119,50 @@ object Rel {
       "ORDER BY event_id")
   )
 
+  /** Robust per-group scaling ([[graft.functions.Normalize
+    * .robustScale]]): (x − median) / IQR with discrete quartiles —
+    * the outlier-immune sibling of `zscore_norm`, same broadcast
+    * join-back shape. */
+  private val robustScaleQ = QDef(
+    "robust_scale",
+    (s, d) => graft.functions.Normalize
+      .robustScale(events(s, d), "event_type", "value", Seq("event_id"))
+      .orderBy(col("event_id")),
+    Some("WITH r AS (SELECT event_type, value AS v, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS n " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "s AS (SELECT event_type, " +
+      "min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25, " +
+      "min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50, " +
+      "min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75 " +
+      "FROM r GROUP BY 1) " +
+      "SELECT event_id, e.event_type AS event_type, " +
+      "CASE WHEN p75 <> p25 THEN (value - p50) / (p75 - p25) END AS robust_z " +
+      "FROM events e JOIN s ON e.event_type = s.event_type " +
+      "ORDER BY event_id")
+  )
+
+  /** Activity quartile segmentation ([[graft.functions.EventStats
+    * .activityQuartiles]]): users bucketed 1–4 against the exact global
+    * quartiles of the per-user event-count distribution. */
+  private val userQuartilesQ = QDef(
+    "user_quartiles",
+    (s, d) => graft.functions.EventStats
+      .activityQuartiles(events(s, d), "user_id")
+      .orderBy(col("user_id")),
+    Some("WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events " +
+      "FROM events GROUP BY 1), " +
+      "b AS (SELECT quantile_cont(n_events, 0.25) AS p25, " +
+      "quantile_cont(n_events, 0.5) AS p50, " +
+      "quantile_cont(n_events, 0.75) AS p75 FROM uc) " +
+      "SELECT user_id, n_events, " +
+      "CAST(1 + CASE WHEN n_events > p25 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN n_events > p50 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN n_events > p75 THEN 1 ELSE 0 END AS INT) AS quartile " +
+      "FROM uc CROSS JOIN b ORDER BY user_id")
+  )
+
   /** Last-touch attribution ([[graft.functions.EventStats
     * .lastTouchAttribution]]): purchases credited to the user's most
     * recent prior click/view — the as-of lookup as ONE per-user window
@@ -1307,5 +1351,5 @@ object Rel {
     quantileGroup, outlierMad, topPathsQ, joinInterval,
     langMix, userActivityHist, hourlyProfile, dailyAnomaly,
     userStreaks, interarrivalStats, abtestZ, churnDaily, keySkewQ,
-    statsMoments, zscoreNorm, attributionQ)
+    statsMoments, zscoreNorm, attributionQ, robustScaleQ, userQuartilesQ)
 }

@@ -343,6 +343,34 @@ object EventStats {
       .drop("_rs_key", "_rs_val", "_rs_bucket")
   }
 
+  /** Per-user activity quartile assignment: users bucketed 1–4 by how
+    * their event count sits against the EXACT global p25/p50/p75 of the
+    * per-user count distribution — the "power user vs lurker" segmentation
+    * feeding sampling weights and cohort definitions.
+    *
+    * One user-key aggregate reduces the log to per-user counts; the three
+    * boundaries come from [[Quantiles.exactQuantilesGlobal]] (two-pass
+    * range shuffle + order statistics — never a value-concentrating
+    * sort) and ride back as three literals (bounded driver metadata, the
+    * centroid/codebook contract). Bucketing is pure comparisons against
+    * interpolated boundaries — `quantile_cont` semantics, bit-matching
+    * DuckDB. */
+  def activityQuartiles(
+      events: DataFrame,
+      userCol: String
+  ): DataFrame = {
+    val uc = events.groupBy(col(userCol)).agg(count(lit(1)).as("n_events"))
+    val qs = Quantiles.exactQuantilesGlobal(uc, "n_events", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    uc.select(
+      col(userCol),
+      col("n_events"),
+      (lit(1) +
+        (col("n_events") > qs(0.25)).cast("int") +
+        (col("n_events") > qs(0.5)).cast("int") +
+        (col("n_events") > qs(0.75)).cast("int")).as("quartile"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * MOST RECENT strictly-earlier event of an attributable type by the
     * same user — the marketing-analytics join that is NOT a join here:

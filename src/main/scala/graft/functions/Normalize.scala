@@ -50,6 +50,32 @@ object Normalize {
           (v.cast(DoubleType) - col("_mean")) / col("_sd")).as("z")): _*)
   }
 
+  /** Robust per-group scaling: `(x − median_g) / IQR_g` with the
+    * DISCRETE p25/p50/p75 (actual data values via
+    * [[Quantiles.groupQuantilesDisc]] — rank ceil(q·n), never
+    * interpolated, so every intermediate is an input value and the two
+    * finishing IEEE ops bit-match the SQL oracle). The outlier-immune
+    * sibling of [[zscore]]: heavy tails move the mean/sd but not the
+    * quartiles. Zero-IQR groups (over half the group identical) emit
+    * NULL — same loud-NULL contract as zscore's zero-sd.
+    *
+    * Plan shape: one group-partitioned window for the quartile table
+    * (group-cardinality-sized), broadcast join-back, per-row finishing. */
+  def robustScale(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCols: Seq[String]
+  ): DataFrame = {
+    val stats = Quantiles.groupQuantilesDisc(
+      df, groupCol, valueCol, Seq(0.25, 0.5, 0.75))
+    df.join(broadcast(stats), groupCol)
+      .select((idCols.map(col) :+ col(groupCol) :+
+        when(col("p75") =!= col("p25"),
+          (col(valueCol) - col("p50")) / (col("p75") - col("p25")))
+          .as("robust_z")): _*)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * shrink applied before embeddings are shipped to an ANN index or
     * checkpointed: per-vector `scale = 127 / max|v_i|`, each element

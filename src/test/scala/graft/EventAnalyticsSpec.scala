@@ -197,6 +197,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.length == 2 && got.forall(identity))
   }
 
+  test("robustScale: discrete quartiles, hand arithmetic, zero-IQR NULL") {
+    // group a: values 1..4 → p25=1, p50=2, p75=3 (rank ceil(q·4)), IQR=2
+    // group b: constant → IQR 0 → NULL
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "b", 7.0), (6L, "b", 7.0)
+    ).toDF("event_id", "event_type", "value")
+    val got = graft.functions.Normalize
+      .robustScale(df, "event_type", "value", Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == Some((1.0 - 2.0) / 2.0))
+    assert(got(2L) == Some(0.0))
+    assert(got(3L) == Some(0.5))
+    assert(got(4L) == Some(1.0))
+    assert(got(5L).isEmpty && got(6L).isEmpty)
+  }
+
+  test("activityQuartiles: buckets against exact interpolated boundaries") {
+    // users with counts 1,2,3,4 → boundaries p25=1.75, p50=2.5, p75=3.25
+    val rows = (1 to 1).map(_ => 10L) ++ (1 to 2).map(_ => 20L) ++
+      (1 to 3).map(_ => 30L) ++ (1 to 4).map(_ => 40L)
+    val df = rows.zipWithIndex
+      .map { case (u, i) => (i.toLong, u, "x") }
+      .toDF("event_id", "user_id", "event_type")
+    val got = graft.functions.EventStats.activityQuartiles(df, "user_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(10L) == ((1L, 1)))
+    assert(got(20L) == ((2L, 2)))
+    assert(got(30L) == ((3L, 3)))
+    assert(got(40L) == ((4L, 4)))
+  }
+
   test("quantizeInt8: scale from max-abs, round-half-up, zero vector flagged") {
     val df = Seq(
       (1L, Seq(2.0f, -4.0f, 1.0f)),   // maxabs 4 → scale 31.75
