@@ -1143,6 +1143,20 @@ object Rel {
       "ORDER BY event_id")
   )
 
+  /** Global percent-rank normalization ([[graft.functions.Normalize
+    * .rankTransform]]): distribution-free [0,1] mapping with SQL
+    * percent_rank tie semantics — range-shuffle two-pass over the
+    * distinct-value table, never a single-partition global window. */
+  private val rankTransformQ = QDef(
+    "rank_transform",
+    (s, d) => graft.functions.Normalize
+      .rankTransform(events(s, d), "value", Seq("event_id"))
+      .orderBy(col("event_id")),
+    Some("SELECT event_id, value, " +
+      "percent_rank() OVER (ORDER BY value) AS pct_rank " +
+      "FROM events WHERE value IS NOT NULL ORDER BY event_id")
+  )
+
   /** Activity quartile segmentation ([[graft.functions.EventStats
     * .activityQuartiles]]): users bucketed 1–4 against the exact global
     * quartiles of the per-user event-count distribution. */
@@ -1351,5 +1365,6 @@ object Rel {
     quantileGroup, outlierMad, topPathsQ, joinInterval,
     langMix, userActivityHist, hourlyProfile, dailyAnomaly,
     userStreaks, interarrivalStats, abtestZ, churnDaily, keySkewQ,
-    statsMoments, zscoreNorm, attributionQ, robustScaleQ, userQuartilesQ)
+    statsMoments, zscoreNorm, attributionQ, robustScaleQ, userQuartilesQ,
+    rankTransformQ)
 }

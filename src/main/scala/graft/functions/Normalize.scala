@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -74,6 +75,59 @@ object Normalize {
         when(col("p75") =!= col("p25"),
           (col(valueCol) - col("p50")) / (col("p75") - col("p25")))
           .as("robust_z")): _*)
+  }
+
+  /** Global percent-rank transform: each row's `valueCol` mapped to
+    * `(rank − 1) / (N − 1)` with SQL `percent_rank` tie semantics
+    * (rank = 1 + count of strictly smaller values) — the
+    * distribution-free [0,1] normalization that survives any value
+    * distribution, where z-scores assume rough normality.
+    *
+    * NO single-partition global window: ranks come from the
+    * range-shuffle two-pass of `Quantiles.exactQuantilesGlobal` applied
+    * to the DISTINCT-value count table — per-partition multiplicity
+    * sums to bounded driver offsets (one long per partition), then an
+    * in-partition running sum; the corpus pays one distinct-count
+    * shuffle and one value-equality join back. All rank arithmetic is
+    * exact longs; the one division bit-matches the oracle.
+    *
+    * @return (idCols…, valueCol, pct_rank) — pct_rank 0.0 when all
+    *         values are identical (N−1 guard, DuckDB's convention). */
+  def rankTransform(
+      df: DataFrame,
+      valueCol: String,
+      idCols: Seq[String]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("_cnt"))
+    val ranged = vc.repartitionByRange(parts, col(valueCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // pass 1: per-partition multiplicity totals → driver prefix offsets
+    val totals = ranged.groupBy(col("_pid")).agg(sum(col("_cnt")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    val offsets = totals.zip(totals.scanLeft(0L)(_ + _._2))
+      .map { case ((pid, _), off) => pid -> off }.toMap
+    val offCol = {
+      val entries = offsets.toSeq.sortBy(_._1)
+        .flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+      element_at(map(entries: _*), col("_pid"))
+    }
+    // pass 2: rows strictly below = offset + in-partition exclusive cumsum
+    val w = Window.partitionBy(col("_pid")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranks = ranged
+      .withColumn("_below", offCol + sum(col("_cnt")).over(w) - col("_cnt"))
+      .select(col(valueCol),
+        (when(lit(n) > 1L,
+          col("_below").cast(DoubleType) / lit(n - 1L).cast(DoubleType))
+          .otherwise(lit(0.0))).as("pct_rank"))
+    val out = df.join(ranks, valueCol)
+      .select((idCols.map(col) :+ col(valueCol) :+ col("pct_rank")): _*)
+    graft.AutoUnpersist.afterFirstUse(out, ranged)
   }
 
   /** Symmetric int8 quantization of an embedding column — the 4×

@@ -324,6 +324,62 @@ object StreamOps {
       }
   }
 
+  /** Last-seen touch per user, carried across micro-batches. */
+  final case class TouchState(touchId: Long, touchType: String, touchUs: Long)
+
+  /** One attributed conversion (None fields = organic, no prior touch). */
+  final case class AttributedConv(
+      user_id: Long, conv_id: Long, conv_us: Long,
+      touch_id: Option[Long], touch_type: Option[String], lag_us: Option[Long])
+
+  /** Streaming last-touch attribution — the streaming twin of
+    * [[graft.functions.EventStats.lastTouchAttribution]]: per user, the
+    * latest touch event is held in `GroupState` (ONE small case class
+    * per user — state scales with distinct users, never events) and
+    * every conversion emits immediately with that touch attached.
+    *
+    * Within a micro-batch rows are sorted by (ts, event_id) — the batch
+    * operator's window order; across batches events must arrive per-key
+    * in order (the [[runningUserTotals]] contract: an attribution
+    * already emitted can't be recalled). Organic conversions emit with
+    * None attribution, exactly like the batch NULLs. */
+  def attributionStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      convType: String,
+      touchTypes: Seq[String]
+  ): org.apache.spark.sql.Dataset[AttributedConv] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(touchTypes.nonEmpty, "touchTypes must not be empty")
+    require(!touchTypes.contains(convType),
+      s"convType $convType cannot also be a touch type")
+    implicit val encLong: Encoder[Long] = Encoders.scalaLong
+    implicit val encRow: Encoder[(Long, String, Long, Long)] =
+      Encoders.product[(Long, String, Long, Long)]
+    implicit val encSt: Encoder[TouchState] = Encoders.product[TouchState]
+    implicit val encOut: Encoder[AttributedConv] = Encoders.product[AttributedConv]
+    val touches = touchTypes.toSet
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[TouchState]) =>
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._4))
+          var st = state.getOption
+          val out = Vector.newBuilder[AttributedConv]
+          sorted.foreach { case (_, tpe, us, id) =>
+            if (touches(tpe)) st = Some(TouchState(id, tpe, us))
+            else if (tpe == convType) out += AttributedConv(
+              user, id, us,
+              st.map(_.touchId), st.map(_.touchType), st.map(us - _.touchUs))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key from the trailing `windowMinutes`.
     * Both sides are watermarked so the join state (buffered unmatched

@@ -230,6 +230,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(40L) == ((4L, 4)))
   }
 
+  test("rankTransform: percent_rank tie semantics, join-back preserves rows") {
+    // values 10,20,20,30 → below-counts 0,1,1,3 → pct 0, 1/3, 1/3, 1
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0))
+      .toDF("event_id", "value")
+    val got = graft.functions.Normalize
+      .rankTransform(df, "value", Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0 / 3, 3L -> 1.0 / 3, 4L -> 1.0))
+  }
+
+  test("rankTransform: all-identical values rank 0; partition-invariant") {
+    val same = Seq((1L, 5.0), (2L, 5.0)).toDF("event_id", "value")
+    val g1 = graft.functions.Normalize.rankTransform(same, "value", Seq("event_id"))
+      .collect().map(_.getDouble(2))
+    assert(g1.toSeq == Seq(0.0, 0.0))
+    val df = (1L to 100L).map(i => (i, (i % 13).toDouble)).toDF("event_id", "value")
+    val a = graft.functions.Normalize.rankTransform(df.repartition(1), "value", Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = graft.functions.Normalize.rankTransform(df.repartition(17), "value", Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
   test("quantizeInt8: scale from max-abs, round-half-up, zero vector flagged") {
     val df = Seq(
       (1L, Seq(2.0f, -4.0f, 1.0f)),   // maxabs 4 → scale 31.75

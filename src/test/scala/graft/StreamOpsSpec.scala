@@ -491,6 +491,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: emitted conversions == batch lastTouchAttribution") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CadEv]
+    val q = StreamOps.attributionStream(mem.toDF(), "purchase", Seq("click", "view"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("attr_out").start()
+    // user 1: click@1, purchase@3 (→click), view@5 | batch 2: purchase@9 (→view@5)
+    // user 2: purchase@2 organic, then click@4 (must not attribute back)
+    val batch1 = Seq(
+      CadEv(0, ts(1), 1, "click"), CadEv(1, ts(3), 1, "purchase"),
+      CadEv(2, ts(5), 1, "view"), CadEv(3, ts(2), 2, "purchase"))
+    val batch2 = Seq(CadEv(4, ts(9), 1, "purchase"), CadEv(5, ts(4), 2, "click"))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("conv_id", "touch_id", "touch_type", "lag_us")
+        .collect().map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      val batch = graft.functions.EventStats.lastTouchAttribution(
+          (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts", "event_id",
+          "purchase", Seq("click", "view"))
+        .select("conv_id", "touch_id", "touch_type", "lag_us")
+        .collect().map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(streamed == batch)
+      assert(streamed(3L) == ((None, None, None))) // organic stays organic
+      assert(streamed(4L)._2 == Some("view"))      // cross-batch state carried
+    } finally q.stop()
+  }
+
   test("interArrivalStream: running gap stats == batch lag-window gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CadEv]
