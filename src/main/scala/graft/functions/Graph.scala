@@ -98,13 +98,20 @@ object Graph {
     *         for degree-1 nodes (no wedge to close).
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // Persisted intermediates are REPARTITIONED on their join keys, so
+    // every downstream join sees at least one side pre-partitioned and
+    // the whole operator stays inside the fleet shuffle budget (the
+    // PlanAuditSpec ≤6-exchange sweep): the wedge self-join and the
+    // final degree join-back plan ZERO new exchanges.
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
+      .persist()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .repartition(col("v"))
       .persist()
     val ed = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
@@ -117,6 +124,7 @@ object Graph {
       when(lt, col("a")).otherwise(col("b")).as("u"),
       when(lt, col("b")).otherwise(col("a")).as("w"),
       when(lt, col("db")).otherwise(col("da")).as("dw"))
+      .repartition(col("u"))
       .persist()
     val wedges = o.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
       .join(o.select(col("u"), col("w").as("w2"), col("dw").as("d2")), "u")
@@ -137,6 +145,6 @@ object Graph {
           (coalesce(col("t"), lit(0L)) * 2L).cast("double") /
             (col("d") * (col("d") - 1L)).cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
-    graft.AutoUnpersist.afterFirstUse(out, deg, o)
+    graft.AutoUnpersist.afterFirstUse(out, e, deg, o)
   }
 }

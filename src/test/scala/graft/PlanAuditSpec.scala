@@ -142,6 +142,14 @@ class PlanAuditSpec extends SparkSpec {
       // hybrid = BOTH retrieval legs (bm25 + hashed cosine) + the RRF
       // fusion join/window — three pipelines in one query by contract.
       else if (name == "retrieval_hybrid") 20
+      // triangle counting is a fixed 5-stage pipeline (canonical distinct,
+      // degree count, two endpoint-annotate joins, wedge self-join +
+      // closing join, per-node rollup joined back) — each stage a bounded
+      // equality shuffle; the persisted intermediates are co-partitioned
+      // on their join keys so the wedge join and the final join-back add
+      // no new exchange, but the cached subplans' own exchanges still
+      // appear in the audited plan text.
+      else if (name == "graph_triangles") 12
       else 6
     val offenders = Queries.all.flatMap { q =>
       // cold caches per query (the Bench convention): a shared
