@@ -1640,6 +1640,63 @@ object Ext {
       "ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20")
   )
 
+  /** DuckDB mirror of [[graft.functions.Winnow]]'s k-gram hash +
+    * window-min pipeline as a CTE chain ending in `f(doc_id, n_grams,
+    * fps)` — same pre-reduced power literals, same exact long
+    * arithmetic, same value-min winnowing. */
+  private def winnowSqlPrefix(k: Int, w: Int): String = {
+    val pows = {
+      var p = 1L
+      val ps = Array.fill(k)(0L)
+      for (j <- (k - 1) to 0 by -1) { ps(j) = p; p = p * graft.functions.Winnow.B % graft.functions.Winnow.M }
+      ps
+    }
+    val hashTerms = (0 until k).map { j =>
+      s"CAST(ascii(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}"
+    }.mkString(" + ")
+    s"g AS (SELECT doc_id, text, greatest(len(text) - ${k - 1}, 0) AS cnt FROM documents), " +
+      s"h AS (SELECT doc_id, cnt AS n_grams, list_transform(range(1, cnt + 1), " +
+      s"i -> ($hashTerms) % ${graft.functions.Winnow.M}) AS hs FROM g), " +
+      s"f AS (SELECT doc_id, n_grams, list_sort(list_distinct(list_transform(" +
+      s"range(1, CASE WHEN len(hs) = 0 THEN 1 WHEN len(hs) < $w THEN 2 " +
+      s"ELSE len(hs) - ${w - 1} + 1 END), " +
+      s"i -> list_min(list_slice(hs, CAST(i AS INT), CAST(least(i + ${w - 1}, len(hs)) AS INT)))))) AS fps " +
+      s"FROM h)"
+  }
+
+  /** Winnowing fingerprint summary ([[graft.functions.Winnow
+    * .fingerprintSummary]], Schleimer et al. SIGMOD 2003): per-doc
+    * rolling-hash k-gram fingerprints with guaranteed window density —
+    * the character-level dedup signature; zero shuffle. */
+  private val winnowFingerprintQ = QDef(
+    "winnow_fingerprint",
+    (s, d) => graft.functions.Winnow
+      .fingerprintSummary(documents(s, d), k = 24, w = 12)
+      .orderBy(col("doc_id")),
+    Some("WITH " + winnowSqlPrefix(24, 12) +
+      " SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, " +
+      "CAST(len(fps) AS BIGINT) AS n_fingerprints, " +
+      "CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum, " +
+      "list_min(fps) AS fp_min, list_max(fps) AS fp_max " +
+      "FROM f ORDER BY doc_id")
+  )
+
+  /** Winnowing overlap pairs ([[graft.functions.Winnow.overlapPairs]]):
+    * docs sharing ≥ 4 winnowed fingerprints (k=24 chars ≈ a 4-word span, so shared fingerprints mean real copied text, not a common bigram) — the plagiarism/mirror
+    * detector; fingerprint EQUALITY join, never doc². */
+  private val winnowOverlapQ = QDef(
+    "winnow_overlap",
+    (s, d) => graft.functions.Winnow
+      .overlapPairs(documents(s, d), k = 24, w = 12, minShared = 4L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("WITH " + winnowSqlPrefix(24, 12) +
+      ", e AS (SELECT doc_id, unnest(fps) AS fp FROM f) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 4 ORDER BY id_a, id_b")
+  )
+
   /** Vocabulary coverage diagnostic ([[graft.functions.Text.oovRate]]):
     * per-doc out-of-vocabulary rate against the corpus's own top-100
     * token head — the pre-tokenizer coverage check. */
@@ -2692,7 +2749,8 @@ object Ext {
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
-    graphTrianglesQ, sampleDet, sampleBottomK, histogramQ,
+    graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ,
+    sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     dedupSubstring, dedupSpansQ,
