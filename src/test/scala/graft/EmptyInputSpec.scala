@@ -157,4 +157,33 @@ class EmptyInputSpec extends SparkSpec {
       .groupQuantilesDisc(noKd, "g", "v", Seq(0.5)).count() == 0)
     assert(graft.functions.Quantiles.madOutliers(noKd, "g", "v").count() == 0)
   }
+
+  test("normalization / fingerprint / graph operators on empty frames") {
+    import graft.functions.{EventStats, Graph, Normalize, Profile, Text, Winnow}
+    val noVal = Seq.empty[(Long, String, Double)].toDF("event_id", "event_type", "value")
+    assert(Normalize.zscore(noVal, "event_type", "value", Seq("event_id")).count() == 0)
+    assert(Normalize.robustScale(noVal, "event_type", "value", Seq("event_id")).count() == 0)
+    assert(Normalize.rankTransform(noVal, "value", Seq("event_id")).count() == 0)
+    val noVec = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Normalize.quantizeInt8(noVec, "vec_id", "embedding").count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Text.stopwordFilter(noDocs, 0.1).count() == 0)
+    assert(Text.oovRate(noDocs, 10).count() == 0)
+    assert(Winnow.fingerprintSummary(noDocs, 8, 4).count() == 0)
+    assert(Winnow.overlapPairs(noDocs, 8, 4, 1L).count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.triangleCounts(noEdges, "src", "dst").count() == 0)
+    val noEv = noEvents.toDF().withColumn("event_type", lit("view"))
+    assert(EventStats.lastTouchAttribution(noEv, "user_id", "event_type",
+      "ts", "event_id", "purchase", Seq("view")).count() == 0)
+    // activityQuartiles needs ≥1 row to place boundaries: empty fails LOUD
+    // (the exactQuantilesGlobal contract), never silently emits garbage
+    val thrown = intercept[Exception] {
+      EventStats.activityQuartiles(noEv, "user_id").count()
+    }
+    assert(thrown.getMessage.contains("no non-null values"))
+    // giniProfile: per-column summary row survives with empty-marker values
+    val gp = Profile.giniProfile(noDocs, Seq("text")).collect()
+    assert(gp.length == 1 && gp(0).getLong(1) == 0L)
+  }
 }
