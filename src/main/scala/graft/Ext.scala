@@ -1640,6 +1640,34 @@ object Ext {
       "ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20")
   )
 
+  /** Per-source dedup health report ([[graft.functions.Dedup
+    * .sourceReport]]): exact-copy and near-dup-flag counts per source —
+    * the ingest dashboard; the pair table rides the shared near-dup
+    * cache, so the report itself is two bounded aggregates. */
+  private val dedupReportQ = QDef(
+    "dedup_report",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.functions.Dedup.sourceReport(
+        docs, NearDup.ngramJaccardPairsShared(docs, threshold = 0.5))
+        .orderBy(col("source"))
+    },
+    Some("WITH " + dupEdgesSqlPrefix + ", " +
+      "k AS (SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents), " +
+      "keep AS (SELECT h, min(doc_id) AS keep_id FROM k GROUP BY 1), " +
+      "nearf AS (SELECT DISTINCT doc_id FROM " +
+      "(SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN k.doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_exact_copies, " +
+      "CAST(sum(CASE WHEN nearf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_near_flagged, " +
+      "CAST(sum(CASE WHEN k.doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) " +
+      "AS exact_rate " +
+      "FROM k JOIN keep ON k.h = keep.h LEFT JOIN nearf ON nearf.doc_id = k.doc_id " +
+      "GROUP BY source ORDER BY source")
+  )
+
   /** DuckDB mirror of [[graft.functions.Winnow]]'s k-gram hash +
     * window-min pipeline as a CTE chain ending in `f(doc_id, n_grams,
     * fps)` — same pre-reduced power literals, same exact long
@@ -2749,7 +2777,7 @@ object Ext {
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
-    graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ,
+    graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, dedupReportQ,
     sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,

@@ -43,4 +43,35 @@ object Dedup {
       .agg(cols.head, cols.tail.toIndexedSeq: _*)
       .drop("_h")
   }
+
+  /** Per-source dedup health report — the ingest dashboard a corpus
+    * pipeline publishes per batch: for every `source`, the doc count,
+    * how many docs are exact COPIES (same content key as a smaller
+    * doc_id — the rows `dropExactDups` would drop), how many are
+    * flagged by the near-dup pair table, and the exact-copy rate.
+    *
+    * `nearPairs` is caller-supplied (id_a, id_b) so the expensive pair
+    * generation can come from the shared [[NearDup]] cache — this
+    * report adds only a content-key aggregate, a key join-back, and a
+    * doc-id semi-join: nothing here exceeds the cost of `dedup_exact`
+    * itself. One IEEE division per source row. */
+  def sourceReport(docs: DataFrame, nearPairs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      contentKey(col("text")).as("_h"))
+    val keepers = keyed.groupBy(col("_h")).agg(min(col("doc_id")).as("_keep"))
+    val near = nearPairs.select(col("id_a").as("doc_id"))
+      .union(nearPairs.select(col("id_b").as("doc_id")))
+      .distinct().withColumn("_near", lit(1))
+    keyed.join(keepers, "_h")
+      .join(near, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("_keep"), 1L).otherwise(0L))
+          .as("n_exact_copies"),
+        sum(when(col("_near").isNotNull, 1L).otherwise(0L))
+          .as("n_near_flagged"))
+      .withColumn("exact_rate",
+        col("n_exact_copies").cast("double") / col("n_docs"))
+  }
 }

@@ -211,4 +211,21 @@ class NearDupSpec extends SparkSpec {
     assert(Similarity.autoPlanes(1000000) == 14)
     assert(Similarity.autoPlanes(Long.MaxValue) == 30)
   }
+
+  test("sourceReport: exact copies per source, near flags, keeper not counted") {
+    // srcA: doc 1 original, doc 2 exact copy (modulo case/trim), doc 3 unique
+    // srcB: doc 4 copy of doc 1's text (copy counted in ITS OWN source)
+    val docs = Seq(
+      (1L, "the same text", "srcA"),
+      (2L, "  THE SAME TEXT ", "srcA"),
+      (3L, "something else", "srcA"),
+      (4L, "the same text", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((3L, 4L)).toDF("id_a", "id_b") // near-flag docs 3 and 4
+    val got = graft.functions.Dedup.sourceReport(docs, pairs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("srcA") == ((3L, 1L, 1L, 1.0 / 3)))
+    assert(got("srcB") == ((1L, 1L, 1L, 1.0)))
+  }
 }
