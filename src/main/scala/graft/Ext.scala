@@ -1141,6 +1141,32 @@ object Ext {
       "ORDER BY s.label, pos")
   )
 
+  /** Per-label embedding outliers ([[graft.functions.Clustering
+    * .centroidOutliers]]): the 3 vectors farthest from their label's
+    * centroid, ranked by the EXACT n-scaled integer distance
+    * `Σ(x·n − sx)²` — no float accumulation anywhere in the ranking. */
+  private val embedOutliersQ = QDef(
+    "embed_outliers",
+    (s, d) => graft.functions.Clustering.centroidOutliers(
+      embeddings(s, d), "vec_id", "embedding", "label", dim = 64, topK = 3)
+      .orderBy(col("label"), col("rank")),
+    Some("WITH u AS (SELECT vec_id, label, i AS ord, " +
+      "CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) AS xs " +
+      "FROM embeddings, unnest(range(1, 65)) AS t(i)), " +
+      "sx AS (SELECT label, ord, CAST(sum(xs) AS BIGINT) AS sx FROM u GROUP BY 1, 2), " +
+      "nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1), " +
+      "dd AS (SELECT u.vec_id, u.label, " +
+      "sum(CAST(u.xs * nn.n - sx.sx AS HUGEINT) * (u.xs * nn.n - sx.sx)) AS d " +
+      "FROM u JOIN sx ON sx.label = u.label AND sx.ord = u.ord " +
+      "JOIN nn ON nn.label = u.label GROUP BY 1, 2), " +
+      "r AS (SELECT label, vec_id, " +
+      "row_number() OVER (PARTITION BY label ORDER BY d DESC, vec_id) AS rank, d " +
+      "FROM dd) " +
+      "SELECT label, vec_id, CAST(rank AS INT) AS rank, " +
+      "CAST(d AS DOUBLE) AS dist_scaled " +
+      "FROM r WHERE rank <= 3 ORDER BY label, rank")
+  )
+
   /** DuckDB mirror of [[graft.functions.Clustering.kmeansAssign]]:
     * iterations unrolled as CTE pairs (assign aᵢ, centroid update cᵢ).
     * Every arithmetic step is the same fixed-order computation the engine
@@ -2771,7 +2797,8 @@ object Ext {
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
-    dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid, embedKmeans,
+    dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid,
+    embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,
     dedupIncremental, dedupIncrementalStore,
     repetitionQ, dedupMinhash,

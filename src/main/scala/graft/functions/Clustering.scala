@@ -125,4 +125,55 @@ object Clustering {
       .orderBy(col(idCol))
     graft.AutoUnpersist.afterFirstUse(result, v)
   }
+
+  /** Per-group embedding outliers: the `topK` vectors FARTHEST from
+    * their group's mean embedding — the anomaly sweep run before
+    * trusting a labeled embedding batch (mislabeled / corrupted vectors
+    * sit far from their class centroid).
+    *
+    * EXACT integer ranking, no float accumulation: coordinates are
+    * fixed-point scaled (×10^7, the [[graft.plans.VectorSumFixed]]
+    * contract), and instead of dividing the centroid sum by n (an
+    * inexact step both engines would have to round identically), the
+    * squared distance is computed in the n-scaled space —
+    * `d = Σ_j (x_j·n − sx_j)²` as DECIMAL(38,0), which ranks exactly
+    * like the true distance (positive scale factor n²) and is
+    * bit-identical across engines and partitionings. Overflow headroom:
+    * |x·n − sx| ≤ 2n·10^8, so d ≤ dim·4n²·10^16 — safe in 38 digits to
+    * n ≈ 10^9 rows per group; beyond that re-scale.
+    *
+    * Plan: one group aggregate (custom exact vector-sum), a
+    * group-cardinality join back, a per-group top-k window. The emitted
+    * `dist_scaled` is the exact integer cast to double (deterministic
+    * nearest-rounding in both engines). */
+  def centroidOutliers(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      dim: Int,
+      topK: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sv = transform(col(vecCol),
+      x => floor(x.cast(DoubleType) * 10000000.0d).cast("long"))
+    val cent = emb
+      .select(col(groupCol), sv.as("_sv"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        graft.plans.VectorSumFixed.vectorSum(col("_sv"), dim).as("_sx"))
+    val diffs = zip_with(sv, col("_sx"), (x, s) => x * col("_n") - s)
+    val d = aggregate(diffs, lit(0).cast(dec),
+      (acc, v) => acc + v.cast(dec) * v.cast(dec))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_d").desc, col(idCol))
+    emb.join(cent, groupCol)
+      .withColumn("_d", d)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col(groupCol), col(idCol), col("_rn").as("rank"),
+        col("_d").cast(DoubleType).as("dist_scaled"))
+  }
 }

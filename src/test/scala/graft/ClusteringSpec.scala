@@ -64,4 +64,26 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("need at least"))
   }
+
+  test("centroidOutliers: planted outlier ranks first, exact scaled distance") {
+    // label 0: three vectors near (1,0), one far at (9,9) — the outlier;
+    // label 1: two identical vectors — both distance 0, rank by vec_id
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.2f), 0),
+      (3L, Seq(0.8f, 0.0f), 0), (4L, Seq(9.0f, 9.0f), 0),
+      (5L, Seq(2.0f, 2.0f), 1), (6L, Seq(2.0f, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Clustering.centroidOutliers(df, "vec_id", "embedding", "label",
+        dim = 2, topK = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(2)) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(got((0, 1))._1 == 4L)
+    // exact distance: xs scaled 1e7, n=4, sx=(118e6, 92e6);
+    // diff for vec 4 = (9e7*4-118e6, 9e7*4-92e6) = (242e6, 268e6);
+    // expected = the EXACT integer cast to double ONCE (the engine's
+    // single-rounding contract — a stepwise double product would drift)
+    val exact = (BigDecimal(242000000L).pow(2) + BigDecimal(268000000L).pow(2)).toDouble
+    assert(got((0, 1))._2 == exact)
+    assert(got((1, 1)) == ((5L, 0.0)) && got((1, 2)) == ((6L, 0.0)))
+  }
 }
