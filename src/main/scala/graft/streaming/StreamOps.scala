@@ -380,6 +380,64 @@ object StreamOps {
       }
   }
 
+  /** Per-window category counts, carried across micro-batches (bounded
+    * by category cardinality × open windows). */
+  final case class DriftState(counts: Map[String, Long])
+
+  /** One drift cell: a window's observed vs baseline-expected count. */
+  final case class DriftCell(
+      window_start_us: Long, category: String, n_obs: Long,
+      n_window: Long, expected: Double, chi2_term: Double)
+
+  /** Streaming category-drift monitor — the streaming face of
+    * [[graft.functions.Profile.categoryDrift]]: per event-time tumbling
+    * window, each category's observed count against a STATIC baseline
+    * share (the last trusted corpus profile), emitted as chi-square
+    * terms that update every micro-batch as the window fills.
+    *
+    * State per window is one category→count map — bounded by category
+    * CARDINALITY (a profile axis has tens of values), never by events;
+    * windows key the state, so late events revise their own window's
+    * cells exactly as a batch recount would. A category absent from the
+    * baseline has expected 0 and surfaces `chi2_term = +Infinity` —
+    * a NEW category is the loudest possible drift, not a silent skip.
+    * The chi term `(n−e)²/e` is the same IEEE tree as the batch
+    * operator and the unit suite's driver reference. */
+  def categoryDriftStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      windowMinutes: Int,
+      baseline: Map[String, Double]
+  ): org.apache.spark.sql.Dataset[DriftCell] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowMinutes > 0, s"windowMinutes must be positive, got $windowMinutes")
+    require(baseline.nonEmpty, "baseline must not be empty")
+    require(baseline.values.forall(p => p >= 0.0 && p <= 1.0),
+      "baseline shares must be in [0, 1]")
+    implicit val encLong: Encoder[Long] = Encoders.scalaLong
+    implicit val encRow: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    implicit val encSt: Encoder[DriftState] = Encoders.product[DriftState]
+    implicit val encOut: Encoder[DriftCell] = Encoders.product[DriftCell]
+    val winUs = windowMinutes * 60L * 1000000L
+    events
+      .selectExpr("unix_micros(ts) AS us", "event_type")
+      .as[(Long, String)]
+      .groupByKey(r => r._1 - Math.floorMod(r._1, winUs))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (win: Long, rows: Iterator[(Long, String)], state: GroupState[DriftState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          rows.foreach { case (_, c) => m = m.updated(c, m.getOrElse(c, 0L) + 1L) }
+          state.update(DriftState(m))
+          val total = m.values.sum
+          m.toSeq.sortBy(_._1).map { case (c, n) =>
+            val e = baseline.getOrElse(c, 0.0) * total
+            val chi =
+              if (e > 0) (n - e) * (n - e) / e else Double.PositiveInfinity
+            DriftCell(win, c, n, total, e, chi)
+          }.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key from the trailing `windowMinutes`.
     * Both sides are watermarked so the join state (buffered unmatched

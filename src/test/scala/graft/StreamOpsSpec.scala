@@ -491,6 +491,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("categoryDriftStream: windowed counts vs baseline, late revision, new-category Infinity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CadEv]
+    val baseline = Map("view" -> 0.5, "click" -> 0.5)
+    val q = StreamOps.categoryDriftStream(mem.toDF(), windowMinutes = 10, baseline)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("drift_out").start()
+    // window [0,10): 3 view + 1 click across two batches; batch 2 also
+    // brings a category the baseline has never seen
+    val batch1 = Seq(CadEv(0, ts(1), 1, "view"), CadEv(1, ts(2), 1, "view"),
+      CadEv(2, ts(3), 2, "click"))
+    val batch2 = Seq(CadEv(3, ts(4), 2, "view"), CadEv(4, ts(5), 1, "weird"))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // last update per (window, category) = the final cell state
+      val rows = spark.table("drift_out")
+        .groupBy("window_start_us", "category")
+        .agg(org.apache.spark.sql.functions.max("n_obs").as("n"),
+          org.apache.spark.sql.functions.max("n_window").as("t"),
+          org.apache.spark.sql.functions
+            .max_by(org.apache.spark.sql.functions.col("chi2_term"),
+              org.apache.spark.sql.functions.col("n_window")).as("chi"))
+        .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      // final window: 5 events — view 3, click 1, weird 1
+      assert(rows("view")._1 == 3L && rows("view")._2 == 5L)
+      assert(rows("view")._3 == (3.0 - 2.5) * (3.0 - 2.5) / 2.5)
+      assert(rows("click")._3 == (1.0 - 2.5) * (1.0 - 2.5) / 2.5)
+      assert(rows("weird")._3.isPosInfinity)
+    } finally q.stop()
+  }
+
   test("attributionStream: emitted conversions == batch lastTouchAttribution") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CadEv]
