@@ -150,6 +150,10 @@ class PlanAuditSpec extends SparkSpec {
       // no new exchange, but the cached subplans' own exchanges still
       // appear in the audited plan text.
       else if (name == "graph_triangles") 12
+      // the dedup health report embeds the full near-dup pair pipeline
+      // (cold-cache rule: the shared pair cache is cleared per query)
+      // PLUS its own content-key aggregate + join-back + pair semi-join.
+      else if (name == "dedup_report") 12
       else 6
     val offenders = Queries.all.flatMap { q =>
       // cold caches per query (the Bench convention): a shared
