@@ -67,6 +67,16 @@ object Winnow {
     * `w`-window over the k-gram hash array, sorted ascending. Texts
     * shorter than k yield an empty set. */
   def fingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    graft.plans.WinnowFingerprints.winnowNative(text, k, w)
+  }
+
+  /** Interpreted HOF reference of [[fingerprints]] — kept as the
+    * cross-check for the native kernel (WinnowSpec asserts equality);
+    * NOT the hot path: higher-order functions don't codegen, and the
+    * shifted-slice walk is ~1000× the native kernel at corpus scale. */
+  def fingerprintsHof(text: Column, k: Int, w: Int): Column = {
     require(w >= 1, s"w must be >= 1, got $w")
     val h = kgramHashes(text, k)
     val nh = size(h)

@@ -41,6 +41,20 @@ class WinnowSpec extends SparkSpec {
     texts.foreach { t => assert(got(t) == refHashes(t, 8), s"text '$t'") }
   }
 
+  test("native kernel == interpreted HOF pipeline on varied texts") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away",
+      "aaaaaaaaaaaaaaaaaaaa", "abcdefgh", "abcdefghi", "abc", "",
+      "x y z " * 20)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select(col("doc_id"), Winnow.fingerprints(col("text"), 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = df.select(col("doc_id"), Winnow.fingerprintsHof(col("text"), 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof)
+  }
+
   test("fingerprints match the reference incl. short-text degenerates") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
