@@ -1751,6 +1751,36 @@ object Ext {
       "GROUP BY 1, 2 HAVING count(*) >= 4 ORDER BY id_a, id_b")
   )
 
+  /** Character-level duplicate clusters: winnow overlap pairs chained
+    * into min-label connected components — the end-to-end
+    * fingerprint→pairs→clusters pass, the character-level complement of
+    * `dedup_clusters` (which clusters on token shingles). Shares the
+    * closure machinery ([[graft.functions.Clusters
+    * .connectedComponentsShared]]). */
+  private val winnowClustersQ = QDef(
+    "winnow_clusters",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = graft.functions.Winnow
+        .overlapPairs(docs, k = 24, w = 12, minShared = 4L)
+      graft.functions.Clusters.connectedComponentsShared(
+        docs.select(col("doc_id")), pairs,
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " + winnowSqlPrefix(24, 12) +
+      ", fe AS (SELECT doc_id, unnest(fps) AS fp FROM f), " +
+      "wp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+      "FROM fe a JOIN fe b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 4), " +
+      "we AS (SELECT id_a AS s, id_b AS t FROM wp " +
+      "UNION SELECT id_b AS s, id_a AS t FROM wp), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS lbl FROM documents " +
+      "UNION SELECT we.s AS node, wk.lbl FROM we JOIN walk wk ON wk.node = we.t) " +
+      "SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk " +
+      "GROUP BY node ORDER BY doc_id")
+  )
+
   /** Vocabulary coverage diagnostic ([[graft.functions.Text.oovRate]]):
     * per-doc out-of-vocabulary rate against the corpus's own top-100
     * token head — the pre-tokenizer coverage check. */
@@ -2804,7 +2834,7 @@ object Ext {
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
-    graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, dedupReportQ,
+    graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, winnowClustersQ, dedupReportQ,
     sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,

@@ -154,6 +154,9 @@ class PlanAuditSpec extends SparkSpec {
       // (cold-cache rule: the shared pair cache is cleared per query)
       // PLUS its own content-key aggregate + join-back + pair semi-join.
       else if (name == "dedup_report") 12
+      // winnow_clusters = fingerprint pair generation + the iterative
+      // min-label closure (same class as dedup_clusters, capped 40).
+      else if (name == "winnow_clusters") 40
       else 6
     val offenders = Queries.all.flatMap { q =>
       // cold caches per query (the Bench convention): a shared
