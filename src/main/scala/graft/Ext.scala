@@ -161,6 +161,22 @@ object Ext {
       "ORDER BY lang, lang_pred")
   )
 
+  /** Sentence-shape statistics ([[graft.functions.Text.sentenceStats]]):
+    * run-on / fragment structure signal; zero shuffle. */
+  private val sentenceStatsQ = QDef(
+    "sentence_stats",
+    (s, d) => Text.sentenceStats(documents(s, d)).orderBy(col("doc_id")),
+    Some("WITH sl AS (SELECT doc_id, string_split(text, '. ') AS sl FROM documents), " +
+      "ll AS (SELECT doc_id, sl, list_transform(sl, s -> " +
+      "CASE WHEN len(s) = 0 THEN 0 ELSE len(string_split(s, ' ')) END) AS ll FROM sl) " +
+      "SELECT doc_id, CAST(len(sl) AS BIGINT) AS n_sentences, " +
+      "CAST(list_sum(ll) AS BIGINT) AS n_sent_tokens, " +
+      "CAST(list_sum(ll) AS DOUBLE) / len(sl) AS mean_sent_tokens, " +
+      "CAST(list_min(ll) AS BIGINT) AS min_sent_tokens, " +
+      "CAST(list_max(ll) AS BIGINT) AS max_sent_tokens " +
+      "FROM ll ORDER BY doc_id")
+  )
+
   /** Heuristic quality score. */
   private val qualityScore = QDef(
     "quality_score",
@@ -2818,7 +2834,7 @@ object Ext {
   val all: Seq[QDef] = Seq(
     bpeTrain, bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
     boilerplateReport, boilerplateRemove, targetMixQ,
-    sessionize, sessionStatsQ, textStats, tokenCount, langIdQ, langIdEvalQ,
+    sessionize, sessionStatsQ, sentenceStatsQ, textStats, tokenCount, langIdQ, langIdEvalQ,
     qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
     entityResolveQ, normalizeTextQ, retrievalHybridQ,

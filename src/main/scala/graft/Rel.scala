@@ -1177,6 +1177,45 @@ object Rel {
       "FROM uc CROSS JOIN b ORDER BY user_id")
   )
 
+  /** Conversion rate by activity segment: [[graft.functions.EventStats
+    * .activityQuartiles]] composed with a purchase semi-flag — the
+    * "do heavy users convert more" analyst query; quartile table is
+    * user-sized, output 4 rows. */
+  private val segmentConversionQ = QDef(
+    "segment_conversion",
+    (s, d) => {
+      val ev = events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("_c", lit(1))
+      graft.functions.EventStats.activityQuartiles(ev, "user_id")
+        .join(conv, Seq("user_id"), "left")
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("_c").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("conv_rate",
+          col("n_converted").cast("double") / col("n_users"))
+        .orderBy(col("quartile"))
+    },
+    Some("WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events " +
+      "FROM events GROUP BY 1), " +
+      "b AS (SELECT quantile_cont(n_events, 0.25) AS p25, " +
+      "quantile_cont(n_events, 0.5) AS p50, " +
+      "quantile_cont(n_events, 0.75) AS p75 FROM uc), " +
+      "qa AS (SELECT user_id, " +
+      "CAST(1 + CASE WHEN n_events > p25 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN n_events > p50 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN n_events > p75 THEN 1 ELSE 0 END AS INT) AS quartile " +
+      "FROM uc CROSS JOIN b), " +
+      "cv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') " +
+      "SELECT quartile, CAST(count(*) AS BIGINT) AS n_users, " +
+      "CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_converted, " +
+      "CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ count(*) AS conv_rate " +
+      "FROM qa LEFT JOIN cv ON qa.user_id = cv.user_id " +
+      "GROUP BY 1 ORDER BY 1")
+  )
+
   /** Last-touch attribution ([[graft.functions.EventStats
     * .lastTouchAttribution]]): purchases credited to the user's most
     * recent prior click/view — the as-of lookup as ONE per-user window
@@ -1366,5 +1405,5 @@ object Rel {
     langMix, userActivityHist, hourlyProfile, dailyAnomaly,
     userStreaks, interarrivalStats, abtestZ, churnDaily, keySkewQ,
     statsMoments, zscoreNorm, attributionQ, robustScaleQ, userQuartilesQ,
-    rankTransformQ)
+    rankTransformQ, segmentConversionQ)
 }

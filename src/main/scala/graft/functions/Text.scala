@@ -521,6 +521,28 @@ object Text {
         (size(col("l")) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** Per-document sentence-shape statistics: sentence count (split on
+    * ". " — the same literal-split convention as [[tokens]]), mean
+    * sentence length in whitespace tokens, and the longest/shortest
+    * sentence token counts. Degenerate sentence structure (one endless
+    * run-on, or staccato fragments) is a strong quality signal the
+    * Gopher-style rules don't capture. Pure per-row expressions, zero
+    * shuffle; the one mean division is a single IEEE op over exact
+    * integer counts. */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val sents = split(col("text"), "\\. ")
+    val lens = transform(sents, s =>
+      when(length(s) === 0, lit(0)).otherwise(size(split(s, " "))))
+    docs.select(
+      col("doc_id"),
+      size(sents).cast("long").as("n_sentences"),
+      aggregate(lens, lit(0L), (a, x) => a + x).as("n_sent_tokens"),
+      (aggregate(lens, lit(0L), (a, x) => a + x).cast("double") /
+        size(sents)).as("mean_sent_tokens"),
+      array_min(lens).cast("long").as("min_sent_tokens"),
+      array_max(lens).cast("long").as("max_sent_tokens"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabSize` token head — the coverage diagnostic run before
     * committing to a tokenizer vocabulary (a doc whose tokens mostly

@@ -102,6 +102,19 @@ class TextRulesSpec extends SparkSpec {
     assert(out._1 === Seq("https://h.example.com/p") && !out._2)
   }
 
+  test("sentenceStats: split on '. ', token lengths, trailing-period empty") {
+    val docs = Seq(
+      (1L, "one two. three four five. six"),   // 3 sentences: 2, 3, 1 tokens
+      (2L, "no breaks here"),                  // 1 sentence, 3 tokens
+      (3L, "ends with dot. ")                  // 2: "ends with dot" + "" (0)
+    ).toDF("doc_id", "text")
+    val got = Text.sentenceStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got(0) == ((1L, 3L, 6L, 2.0, 1L, 3L)))
+    assert(got(1) == ((2L, 1L, 3L, 3.0, 3L, 3L)))
+    assert(got(2) == ((3L, 2L, 3L, 1.5, 0L, 3L)))
+  }
+
   test("oovRate: rate against top-K head, count-desc/token-asc tie-break") {
     // counts: a=3, b=2, c=2, z=1 → top-2 head = {a, b} (b beats c on the
     // token tie-break)
