@@ -88,6 +88,27 @@ class WinnowSpec extends SparkSpec {
     assert(row.getLong(4) == fps.min && row.getLong(5) == fps.max)
   }
 
+  test("property: random texts — kernel == reference; planted shared span always detected") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alpha = Gen.listOfN(60, Gen.oneOf(('a' to 'f') :+ ' ')).map(_.mkString)
+    val (k, w) = (8, 4)
+    val texts = (1 to 40).map(i => alpha.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    // 1) engine == driver reference on arbitrary text (small alphabet →
+    //    dense hash ties, the hardest case for min-selection parity)
+    val got = engineFps(texts.distinct, k, w)
+    texts.distinct.foreach { t => assert(got(t) == refFps(t, k, w), s"'$t'") }
+    // 2) density/containment guarantee on every pair sharing a planted
+    //    span of length k + w - 1 = 11
+    (1 to 20).foreach { i =>
+      val span = alpha.pureApply(Gen.Parameters.default, Seed(1000L + i)).take(k + w - 1)
+      val a = texts(i % texts.size) + span + texts((i + 7) % texts.size)
+      val b = texts((i + 3) % texts.size) + span + texts((i + 11) % texts.size)
+      val fps = engineFps(Seq(a, b).distinct, k, w)
+      assert(fps(a).toSet.intersect(fps(b).toSet).nonEmpty, s"span '$span' lost")
+    }
+  }
+
   test("overlapPairs: planted copy found, unrelated docs absent") {
     val core = "zqxwvuty plagiarized span jkmnbpoi shared across documents"
     val docs = Seq(
