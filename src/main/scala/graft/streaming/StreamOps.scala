@@ -438,6 +438,73 @@ object StreamOps {
       }
   }
 
+  /** Current-bucket accumulator for the streaming LOCF resample. */
+  final case class LocfState(bucketUs: Long, nObs: Long, value: Double)
+
+  /** One grid row: a (key, bucket) cell with its event count and the
+    * last-observation-carried-forward value. */
+  final case class LocfRow(
+      user_id: Long, bucket_us: Long, n_obs: Long, value_locf: Double)
+
+  /** Streaming LOCF resample — the streaming twin of
+    * [[graft.operators.Resample.resampleLocf]]: per user, events fold
+    * into epoch-aligned buckets; when a NEW bucket opens, the previous
+    * bucket finalizes and every empty bucket between them emits with
+    * `n_obs = 0` and the carried value — the gap-free grid, grown
+    * incrementally. The open bucket re-emits its running
+    * (n_obs, bucket-last value) every micro-batch (update mode: the
+    * latest emission per (user, bucket) is the answer, and its n_obs is
+    * strictly increasing, so `max_by` reads the final state).
+    *
+    * State per user is ONE 3-field accumulator — the open bucket only;
+    * finalized grid rows leave the state the moment they emit. Within a
+    * batch rows sort by (ts, event_id) — the batch operator's
+    * bucket-last order; across batches events must arrive per-key in
+    * order (the [[runningUserTotals]] contract: an emitted gap row
+    * can't be recalled). */
+  def resampleLocfStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      bucketMinutes: Int
+  ): org.apache.spark.sql.Dataset[LocfRow] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bucketMinutes > 0, s"bucketMinutes must be positive, got $bucketMinutes")
+    implicit val encLong: Encoder[Long] = Encoders.scalaLong
+    implicit val encRow: Encoder[(Long, Long, Long, Double)] =
+      Encoders.product[(Long, Long, Long, Double)]
+    implicit val encSt: Encoder[LocfState] = Encoders.product[LocfState]
+    implicit val encOut: Encoder[LocfRow] = Encoders.product[LocfRow]
+    val us = bucketMinutes.toLong * 60L * 1000000L
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[LocfState]) =>
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
+          val out = Vector.newBuilder[LocfRow]
+          var st = state.getOption.orNull
+          sorted.foreach { case (_, evUs, _, v) =>
+            val b = evUs - Math.floorMod(evUs, us)
+            if (st == null) st = LocfState(b, 1L, v)
+            else if (b == st.bucketUs) st = LocfState(b, st.nObs + 1L, v)
+            else {
+              // finalize the closed bucket, then the gap grid with carry
+              out += LocfRow(user, st.bucketUs, st.nObs, st.value)
+              var g = st.bucketUs + us
+              while (g < b) { out += LocfRow(user, g, 0L, st.value); g += us }
+              st = LocfState(b, 1L, v)
+            }
+          }
+          if (st != null) {
+            state.update(st)
+            out += LocfRow(user, st.bucketUs, st.nObs, st.value)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key from the trailing `windowMinutes`.
     * Both sides are watermarked so the join state (buffered unmatched

@@ -491,6 +491,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("resampleLocfStream: accumulated grid == batch resampleLocf") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LocfEv]
+    val q = StreamOps.resampleLocfStream(mem.toDF(), bucketMinutes = 10)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("locf_out").start()
+    // user 1: events at minutes 5 (v=1), 7 (v=2, same bucket), 35 (v=9) —
+    // buckets 0 (2 obs, last 2.0), 10 (gap→2.0), 20 (gap→2.0), 30 (1 obs)
+    // user 2: single event (bucket 0 only); batch split mid-gap
+    val batch1 = Seq(LocfEv(0, ts(5), 1, 1.0), LocfEv(1, ts(7), 1, 2.0),
+      LocfEv(2, ts(3), 2, 7.0))
+    val batch2 = Seq(LocfEv(3, ts(35), 1, 9.0))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("locf_out")
+        .groupBy("user_id", "bucket_us")
+        .agg(org.apache.spark.sql.functions.max("n_obs").as("n"),
+          org.apache.spark.sql.functions
+            .max_by(org.apache.spark.sql.functions.col("value_locf"),
+              org.apache.spark.sql.functions.col("n_obs")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      val batch = graft.operators.Resample.resampleLocf(
+          (batch1 ++ batch2).toDF().withColumn("event_type",
+            org.apache.spark.sql.functions.lit("x")), bucketMinutes = 10)
+        .selectExpr("user_id", "unix_micros(bucket) AS b", "n_obs", "value_locf")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(streamed == batch)
+      assert(batch.size == 5) // 4 buckets for user 1, 1 for user 2
+    } finally q.stop()
+  }
+
   test("categoryDriftStream: windowed counts vs baseline, late revision, new-category Infinity") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CadEv]
@@ -611,3 +647,5 @@ class StreamOpsSpec extends SparkSpec {
 }
 
 final case class CadEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+final case class LocfEv(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
