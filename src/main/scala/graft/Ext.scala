@@ -1682,6 +1682,29 @@ object Ext {
       "ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20")
   )
 
+  /** Per-source document-length profile ([[graft.functions.Quantiles
+    * .groupQuantilesDisc]] on n_chars): the ingest-shape monitor — a
+    * source whose length quartiles collapse or explode between batches
+    * changed its extraction, not its content. Source-cardinality
+    * output; one group-partitioned window. */
+  private val lengthProfileQ = QDef(
+    "length_profile",
+    (s, d) => graft.functions.Quantiles
+      .groupQuantilesDisc(documents(s, d), "source", "n_chars",
+        Seq(0.25, 0.5, 0.75, 1.0))
+      .orderBy(col("source")),
+    Some("WITH r AS (SELECT source, n_chars AS v, " +
+      "row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn, " +
+      "count(*) OVER (PARTITION BY source) AS n " +
+      "FROM documents WHERE n_chars IS NOT NULL) " +
+      "SELECT source, " +
+      "min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25, " +
+      "min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50, " +
+      "min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75, " +
+      "min(CASE WHEN rn = CAST(ceil(1.0 * n) AS BIGINT) THEN v END) AS p100 " +
+      "FROM r GROUP BY 1 ORDER BY 1")
+  )
+
   /** Per-source dedup health report ([[graft.functions.Dedup
     * .sourceReport]]): exact-copy and near-dup-flag counts per source —
     * the ingest dashboard; the pair table rides the shared near-dup
@@ -2851,6 +2874,7 @@ object Ext {
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
     graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, winnowClustersQ, dedupReportQ,
+    lengthProfileQ,
     sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
