@@ -1107,7 +1107,7 @@ object Rel {
     (s, d) => graft.functions.Normalize
       .zscore(events(s, d), "event_type", "value", Seq("event_id"))
       .orderBy(col("event_id")),
-    Some("WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+    Some("WITH s AS (SELECT event_type, CAST(count(value) AS BIGINT) AS n, " +
       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, " +
       "CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 " +
       "FROM events GROUP BY 1), " +

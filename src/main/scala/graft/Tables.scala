@@ -33,17 +33,42 @@ object Tables {
     *                     wall-clock reinterpretation is value-identical)
     *   - Timestamp     → pass-through
     *
-    * The UTC session-TZ pin and the `nanosAsLong` re-assert are defensive
-    * idempotent sets for externally-built sessions (e.g. the driver's
-    * `SparkEntry.entry` session); both are session-global and harmless to
-    * every other table (only events.parquet ever carried a nanos column).
+    * Session-conf contract (no silent overwrites — an accessor must not
+    * mutate semantics a caller chose):
+    *   - session time zone must already resolve to UTC (the entire event
+    *     tier — oracle SQL, NTZ reinterpretation, date_trunc buckets — is
+    *     defined against UTC wall clocks). A conflicting zone THROWS with
+    *     the required setting named, instead of being overwritten mid-
+    *     session (which would silently re-time every earlier read).
+    *   - `spark.sql.legacy.parquet.nanosAsLong` is enabled ONLY if the
+    *     scan actually fails on a TIMESTAMP(NANOS) column (the pre-2026
+    *     testdata encoding). The flag is read-path-only and no other table
+    *     ever carried nanos, so the lazy one-way enable is side-effect-free
+    *     for every other read; current NTZ-encoded data triggers no
+    *     mutation at all.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    // normalized() collapses every fixed-offset-zero spelling (UTC,
+    // Etc/UTC, GMT, +00:00, Z) onto ZoneOffset.UTC
+    val utc = try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    if (!utc)
+      throw new IllegalStateException(
+        s"Tables.events requires spark.sql.session.timeZone=UTC (event-tier " +
+          s"timestamps are defined against UTC wall clocks) but the session " +
+          s"has '$tz' — set it on the SparkSession builder before reading events")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = table(spark, sfDir, "events")
+    val raw =
+      try table(spark, sfDir, "events")
+      catch {
+        case e: Exception
+            if Option(e.getMessage).exists(_.contains("NANOS")) &&
+              spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(spark, sfDir, "events")
+      }
     raw.schema("ts").dataType match {
       case LongType | IntegerType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -39,12 +39,35 @@ object Fuzzy {
     all
   }
 
-  /** (term, key) rows for the distinct terms of `df(termCol)`. */
+  /** Longest term the deletion-key scheme accepts, by distance. Keys per
+    * term are O(len) at d=1 but O(len²) at d=2 — a single multi-KB "term"
+    * (a mis-fed document body, a concatenated record) at d=2 would emit
+    * millions of keys and quietly dominate the whole join. These caps make
+    * the documented vocabulary-level contract (short entity-ish strings)
+    * ENFORCED: an over-long term fails the job loudly via a codegen'd
+    * `raise_error` (zero extra passes — the guard rides the key
+    * projection) instead of silently exploding the shuffle. Truncate or
+    * hash degenerate terms upstream if they are expected. */
+  val MaxTermLenDist1 = 4096
+  val MaxTermLenDist2 = 256
+
+  /** (term, key) rows for the distinct terms of `df(termCol)`, with the
+    * [[MaxTermLenDist1]]/[[MaxTermLenDist2]] length guard inlined. */
   private def keyed(
-      df: DataFrame, termCol: String, out: String, maxDist: Int): DataFrame =
+      df: DataFrame, termCol: String, out: String, maxDist: Int): DataFrame = {
+    val cap = if (maxDist >= 2) MaxTermLenDist2 else MaxTermLenDist1
     df.select(col(termCol).cast("string").as(out)).filter(col(out).isNotNull)
       .distinct()
+      .select(
+        when(length(col(out)) > cap,
+          raise_error(concat(
+            lit(s"Fuzzy: term exceeds $cap chars (deletion keys are " +
+              s"O(len^$maxDist) at maxDist=$maxDist); truncate or hash " +
+              "degenerate terms upstream. Term prefix: "),
+            col(out).substr(1, 64))))
+          .otherwise(col(out)).as(out))
       .select(col(out), explode(delKeys(col(out), maxDist)).as("_k"))
+  }
 
   /** All cross-table term pairs within Levenshtein distance `maxDist`:
     * (term_a from `left`, term_b from `right`, dist). Equal terms pair at

@@ -26,7 +26,10 @@ object Normalize {
     * zero variance emit NULL z (ANSI sessions make a raw 0-divide an
     * error, so the degenerate case is gated explicitly) — NULL is the
     * detectable "constant feature" signal, and `NULLIF(sd, 0)` gives
-    * the identical semantics in the SQL oracle. */
+    * the identical semantics in the SQL oracle. NULL values are excluded
+    * from the moments (`count(v)` pairs with SQL `count(valueCol)`, and
+    * `sum` skips NULL on both engines), matching [[robustScale]] /
+    * [[rankTransform]]; NULL-value rows still pass through with NULL z. */
   def zscore(
       df: DataFrame,
       groupCol: String,
@@ -37,7 +40,7 @@ object Normalize {
     val stats = df
       .groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n"),
+        count(v).as("n"),
         sum(v).as("_s1"),
         sum(v * v).as("_s2"))
     val mean = col("_s1").cast(DoubleType) / col("n")

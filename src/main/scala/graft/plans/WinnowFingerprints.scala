@@ -23,9 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * cross-checkable reference: WinnowSpec asserts kernel ≡ reference,
   * and the DuckDB oracle mirrors the same arithmetic.
   *
-  * Character model: UTF-16 code units (`charAt`) — identical to the
-  * reference implementation and to `ascii()` for every BMP character;
-  * the driver corpus is ASCII. */
+  * Character model: Unicode CODE POINTS — `split(text, '')` / `ascii()`
+  * (the HOF reference) and DuckDB `substring`/`ascii` (the oracle) both
+  * step by code point, so the kernel decodes the UTF-16 buffer to a code
+  * point array first; supplementary-plane characters (emoji, rare CJK)
+  * hash as one symbol with value ≤ 0x10FFFF, identical across all three
+  * implementations. Arithmetic bound: each term ≤ M·2^21 and the k-term
+  * polynomial sum ≤ k·M·2^21 < 2^57 for k ≤ 64 — exact long math. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
@@ -50,8 +54,18 @@ object WinnowFingerprints {
     val B = graft.functions.Winnow.B
     val M = graft.functions.Winnow.M
     val s = text.toString
-    val n = s.length
+    // decode to code points once: the HOF reference and the SQL oracle
+    // both index by code point, so the kernel must too (a surrogate pair
+    // is ONE symbol, not two)
+    val n = s.codePointCount(0, s.length)
     if (n < k) return new GenericArrayData(Array.empty[Long])
+    val cp = new Array[Int](n)
+    var ci = 0
+    var cj = 0
+    while (ci < s.length) {
+      val c = s.codePointAt(ci)
+      cp(cj) = c; cj += 1; ci += Character.charCount(c)
+    }
     val m = n - k + 1
     // B^(k-1) mod M for the roll-out term
     var bk1 = 1L
@@ -61,12 +75,12 @@ object WinnowFingerprints {
     val hs = new Array[Long](m)
     var h = 0L
     var i = 0
-    while (i < k) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
+    while (i < k) { h = (h * B + cp(i).toLong) % M; i += 1 }
     hs(0) = h
     i = 1
     while (i < m) {
-      val out = s.charAt(i - 1).toLong * bk1 % M
-      h = ((h - out + M) % M * B + s.charAt(i + k - 1).toLong) % M
+      val out = cp(i - 1).toLong * bk1 % M
+      h = ((h - out + M) % M * B + cp(i + k - 1).toLong) % M
       hs(i) = h
       i += 1
     }

@@ -381,7 +381,7 @@ object StreamOps {
   }
 
   /** Per-window category counts, carried across micro-batches (bounded
-    * by category cardinality × open windows). */
+    * by category cardinality × windows inside the watermark horizon). */
   final case class DriftState(counts: Map[String, Long])
 
   /** One drift cell: a window's observed vs baseline-expected count. */
@@ -402,11 +402,24 @@ object StreamOps {
     * baseline has expected 0 and surfaces `chi2_term = +Infinity` —
     * a NEW category is the loudest possible drift, not a silent skip.
     * The chi term `(n−e)²/e` is the same IEEE tree as the batch
-    * operator and the unit suite's driver reference. */
+    * operator and the unit suite's driver reference.
+    *
+    * State lifetime: windows are event-time-keyed, so on an unbounded
+    * stream the key domain grows with elapsed time — unlike the
+    * user-keyed ops, whose domain is bounded. Each window therefore
+    * arms an EventTimeTimeout at its own END: once the watermark
+    * (`watermark` behind max event time) passes the window end, no
+    * in-horizon event can target the window again (older rows are
+    * dropped by the stateful operator's late-data filter), its state is
+    * removed, and total state is bounded by windows-inside-horizon —
+    * not elapsed windows. Every update already emitted the window's
+    * current cells, so eviction loses nothing; events later than the
+    * horizon are dropped, the same contract every watermarked op has. */
   def categoryDriftStream(
       events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       windowMinutes: Int,
-      baseline: Map[String, Double]
+      baseline: Map[String, Double],
+      watermark: String = "30 minutes"
   ): org.apache.spark.sql.Dataset[DriftCell] = {
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -415,26 +428,44 @@ object StreamOps {
     require(baseline.values.forall(p => p >= 0.0 && p <= 1.0),
       "baseline shares must be in [0, 1]")
     implicit val encLong: Encoder[Long] = Encoders.scalaLong
-    implicit val encRow: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    implicit val encRow: Encoder[(java.sql.Timestamp, Long, String)] =
+      Encoders.product[(java.sql.Timestamp, Long, String)]
     implicit val encSt: Encoder[DriftState] = Encoders.product[DriftState]
     implicit val encOut: Encoder[DriftCell] = Encoders.product[DriftCell]
     val winUs = windowMinutes * 60L * 1000000L
     events
-      .selectExpr("unix_micros(ts) AS us", "event_type")
-      .as[(Long, String)]
-      .groupByKey(r => r._1 - Math.floorMod(r._1, winUs))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (win: Long, rows: Iterator[(Long, String)], state: GroupState[DriftState]) =>
-          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
-          rows.foreach { case (_, c) => m = m.updated(c, m.getOrElse(c, 0L) + 1L) }
-          state.update(DriftState(m))
-          val total = m.values.sum
-          m.toSeq.sortBy(_._1).map { case (c, n) =>
-            val e = baseline.getOrElse(c, 0.0) * total
-            val chi =
-              if (e > 0) (n - e) * (n - e) / e else Double.PositiveInfinity
-            DriftCell(win, c, n, total, e, chi)
-          }.iterator
+      .withWatermark("ts", watermark)
+      // ts rides along un-transformed: the watermark tag lives on the ts
+      // ATTRIBUTE, and the event-time-timeout checker requires the
+      // watermarked column to survive into the stateful operator's input
+      .selectExpr("ts", "unix_micros(ts) AS us", "event_type")
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey(r => r._2 - Math.floorMod(r._2, winUs))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, rows: Iterator[(java.sql.Timestamp, Long, String)],
+         state: GroupState[DriftState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: the cells emitted on the
+            // last data update ARE final (late-data filtering guarantees
+            // no further row can reach this key) — drop the state.
+            state.remove()
+            Iterator.empty
+          } else {
+            var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            rows.foreach { case (_, _, c) => m = m.updated(c, m.getOrElse(c, 0L) + 1L) }
+            state.update(DriftState(m))
+            // timeout at window END: any surviving input row has
+            // ts ≥ watermark and its window end > ts, so the timestamp is
+            // always strictly ahead of the current watermark.
+            state.setTimeoutTimestamp((win + winUs) / 1000L)
+            val total = m.values.sum
+            m.toSeq.sortBy(_._1).map { case (c, n) =>
+              val e = baseline.getOrElse(c, 0.0) * total
+              val chi =
+                if (e > 0) (n - e) * (n - e) / e else Double.PositiveInfinity
+              DriftCell(win, c, n, total, e, chi)
+            }.iterator
+          }
       }
   }
 

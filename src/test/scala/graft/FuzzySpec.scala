@@ -81,6 +81,25 @@ class FuzzySpec extends SparkSpec {
       ("bolt", "bolt"), ("bolts", "bolt"), ("zed", "zed")))
   }
 
+  test("degenerate multi-KB term fails loudly instead of exploding keys") {
+    // a mis-fed document body as a "term": at maxDist=2 its deletion
+    // neighborhood would be O(len²) ≈ 12M keys — the guard must abort the
+    // job with the documented message, not let the shuffle balloon.
+    val long = "x" * 5000
+    val df = Seq("alpha", long, "beta").toDF("w")
+    val e = intercept[Exception] {
+      Fuzzy.fuzzyPairs(df, "w", maxDist = 2).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds 256 chars")))
+    // terms at the cap still work at d=2; d=1 allows much longer terms
+    val okLong = "y" * 4096
+    assert(Fuzzy.fuzzyPairs(Seq("aaa", "aab", okLong).toDF("w"), "w", 1)
+      .count() === 1)
+  }
+
   test("entity ids equal brute-force closure on a random-ish vocab") {
     val ws = (Seq("grafting", "graftlng", "rafting", "craft", "crafts",
       "crufty", "crusty", "trusty", "ab", "ba", "abc") ++

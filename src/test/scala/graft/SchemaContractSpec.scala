@@ -75,6 +75,24 @@ class SchemaContractSpec extends SparkSpec {
     assert(ts == TimestampType, s"Tables.events exposes ts as $ts, expected TimestampType")
   }
 
+  test("Tables.events refuses a conflicting session time zone loudly") {
+    // The accessor must not silently overwrite a caller-chosen TZ (it
+    // would re-time every earlier read in the session); it throws naming
+    // the required setting instead.
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val e = intercept[IllegalStateException] { Tables.events(spark, sf0001) }
+      assert(e.getMessage.contains("spark.sql.session.timeZone=UTC"))
+      // every fixed-offset-zero spelling is accepted
+      for (tz <- Seq("UTC", "Etc/UTC", "GMT", "+00:00")) {
+        spark.conf.set(key, tz)
+        assert(Tables.events(spark, sf0001).schema("ts").dataType == TimestampType)
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("Tables.events dispatches on both historical ts encodings") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events_fixture").toString

@@ -559,6 +559,21 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows("view")._3 == (3.0 - 2.5) * (3.0 - 2.5) / 2.5)
       assert(rows("click")._3 == (1.0 - 2.5) * (1.0 - 2.5) / 2.5)
       assert(rows("weird")._3.isPosInfinity)
+
+      // Eviction: advance the watermark far past window [0,10)'s end
+      // (default lag 30m → watermark ts(60)-30m = ts(30) > ts(10)), then
+      // send a straggler into the dead window. Its state is gone and the
+      // row is older than the watermark, so NO revision may appear — the
+      // bounded-state contract (and the late-drop contract) in one.
+      mem.addData(CadEv(5, new Timestamp(ts(0).getTime + 3600000L), 3, "view"))
+      q.processAllAvailable()
+      mem.addData(CadEv(6, ts(6), 1, "view"))
+      q.processAllAvailable()
+      val win0us = ts(0).getTime * 1000L
+      val win0 = spark.table("drift_out")
+        .filter(org.apache.spark.sql.functions.col("window_start_us") === win0us)
+        .agg(org.apache.spark.sql.functions.max("n_window")).collect()(0).getLong(0)
+      assert(win0 == 5L, s"evicted window revised: n_window grew to $win0")
     } finally q.stop()
   }
 

@@ -11,12 +11,14 @@ import graft.functions.Winnow
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Driver-side reference of the same pipeline. */
+  /** Driver-side reference of the same pipeline — CODE POINT indexed,
+    * like `split(text,'')`/`ascii()` and the DuckDB oracle. */
   private def refHashes(s: String, k: Int): Seq[Long] = {
-    if (s.length < k) Seq.empty
-    else (0 to s.length - k).map { i =>
+    val cps = s.codePoints().toArray
+    if (cps.length < k) Seq.empty
+    else (0 to cps.length - k).map { i =>
       var h = 0L
-      for (j <- 0 until k) h = (h * Winnow.B + s.charAt(i + j).toLong) % Winnow.M
+      for (j <- 0 until k) h = (h * Winnow.B + cps(i + j).toLong) % Winnow.M
       h
     }
   }
@@ -53,6 +55,28 @@ class WinnowSpec extends SparkSpec {
     val hof = df.select(col("doc_id"), Winnow.fingerprintsHof(col("text"), 8, 4).as("f"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(native == hof)
+  }
+
+  test("supplementary-plane code points: kernel == HOF == driver reference") {
+    // 😀 (U+1F600) is TWO UTF-16 units but ONE code point — a code-unit
+    // kernel would both shift the gram grid and hash surrogate halves.
+    val emoji = new String(Character.toChars(0x1F600))
+    val gclef = new String(Character.toChars(0x1D11E)) // U+1D11E, also supplementary
+    val texts = Seq(
+      s"abc${emoji}def${emoji}ghi jkl",
+      (s"x$emoji" * 8) + "tail of text",
+      s"$gclef$emoji" * 6,
+      emoji * 3) // shorter than k in code points though not in chars
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select(col("doc_id"), Winnow.fingerprints(col("text"), 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = df.select(col("doc_id"), Winnow.fingerprintsHof(col("text"), 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(native(i.toLong) == refFps(t, 8, 4), s"text #$i")
+    }
   }
 
   test("fingerprints match the reference incl. short-text degenerates") {
