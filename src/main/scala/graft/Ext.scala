@@ -1080,6 +1080,115 @@ object Ext {
       "ORDER BY d.doc_id")
   )
 
+  /** Per-JVM durable cache of [[graft.functions.PairStore]] directories,
+    * keyed by the input-corpus plan + finder parameters: the store is an
+    * offline build-once-serve-many artifact (the near-dup analog of the
+    * IVF index / signature store), so the parquet build runs once per
+    * corpus and every `_store` query serves from disk. Durable = survives
+    * the bench's between-query cache clears, exactly like
+    * [[sigStoreDirs]]. */
+  private val pairStoreDirs =
+    new graft.PlanCache[String](capacity = 8, durable = true)
+
+  /** Build-or-reuse the document near-dup pair/cluster store (3-gram
+    * Jaccard ≥ 0.5 verified pairs + CC labels over doc_id). */
+  private def docPairStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val docs = documents(s, d)
+    pairStoreDirs.getOrCompute(
+      graft.PlanCache.keyOf(docs, "ngram-jaccard", 0.5, 3), {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_pairstore").toString
+        graft.functions.PairStore.build(
+          docs.select(col("doc_id")),
+          NearDup.ngramJaccardPairs(docs, threshold = 0.5),
+          tmp, "doc_id", "id_a", "id_b")
+        tmp
+      })
+  }
+
+  /** Build-or-reuse the customer-name entity store (≤1-edit verified
+    * fuzzy pairs + pointer-jumping CC labels over the name vocab). */
+  private def nameEntityStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val cust = customer(s, d)
+    pairStoreDirs.getOrCompute(
+      graft.PlanCache.keyOf(cust, "fuzzy-c_name", 1), {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_pairstore").toString
+        graft.functions.PairStore.build(
+          cust.select(col("c_name").cast("string").as("term"))
+            .filter(col("term").isNotNull).distinct(),
+          graft.functions.Fuzzy.fuzzyPairs(cust, "c_name", maxDist = 1),
+          tmp, "term", "term_a", "term_b", shortcut = true)
+        tmp
+      })
+  }
+
+  /** Store-served near-dup pair table: identical rows to `dedup_ngram`
+    * (same oracle pins the round-trip), served from the persisted
+    * artifact instead of re-shingling the corpus. */
+  private val dedupPairsStore = QDef(
+    "dedup_pairs_store",
+    (s, d) => graft.functions.PairStore.pairs(s, docPairStore(s, d))
+      .orderBy(col("id_a"), col("id_b")),
+    Some(ngramJaccardSql(0.5))
+  )
+
+  /** Store-served duplicate-cluster labels: identical rows to
+    * `dedup_clusters` (same recursive-CTE oracle), read from the
+    * persisted label parquet — the closure is computed once at build. */
+  private val dedupClustersStore = QDef(
+    "dedup_clusters_store",
+    (s, d) => graft.functions.PairStore.labels(s, docPairStore(s, d))
+      .orderBy(col("doc_id")),
+    dedupClusters.oracle
+  )
+
+  /** Store-served min-id collapse: `dedup_collapse` semantics with the
+    * labels read from the persisted store. */
+  private val dedupCollapseStore = QDef(
+    "dedup_collapse_store",
+    (s, d) => {
+      val labels = graft.functions.PairStore.labels(s, docPairStore(s, d))
+      documents(s, d).join(
+          labels.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    dedupCollapse.oracle
+  )
+
+  /** Store-served keep-best survivor selection: `dedup_keep_best`
+    * semantics with the cluster labels read from the persisted store —
+    * only the one `max_by` aggregate runs per query. */
+  private val dedupKeepBestStore = QDef(
+    "dedup_keep_best_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      val labels = graft.functions.PairStore.labels(s, docPairStore(s, d))
+      val survivors = graft.functions.Clusters.keepBestPerCluster(
+        docs.select(col("doc_id"), col("n_chars")).join(labels, "doc_id"),
+        idCol = "doc_id", scoreCol = "n_chars")
+      docs.join(survivors, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    dedupKeepBest.oracle
+  )
+
+  /** Store-served entity resolution: `entity_resolve` semantics with the
+    * typo-chain closure read from the persisted store (built with
+    * pointer jumping, like the live operator). */
+  private val entityResolveStore = QDef(
+    "entity_resolve_store",
+    (s, d) => graft.functions.PairStore.labels(s, nameEntityStore(s, d))
+      .select(col("term"), col("cluster_id").as("entity_id"))
+      .orderBy(col("term")),
+    entityResolveQ.oracle
+  )
+
   /** Mixture-weighted corpus sample ([[graft.functions.Sampling
     * .mixtureSample]]): keep ~75% of English, ~50% of Chinese, ~25% of
     * everything else, deterministically by row-key hash. */
@@ -1731,6 +1840,20 @@ object Ext {
       "AS exact_rate " +
       "FROM k JOIN keep ON k.h = keep.h LEFT JOIN nearf ON nearf.doc_id = k.doc_id " +
       "GROUP BY source ORDER BY source")
+  )
+
+  /** Store-served dedup health report: `dedup_report` semantics with the
+    * pair table read from the persisted store — the report is two
+    * bounded aggregates over store parquet. */
+  private val dedupReportStore = QDef(
+    "dedup_report_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.functions.Dedup.sourceReport(
+        docs, graft.functions.PairStore.pairs(s, docPairStore(s, d)))
+        .orderBy(col("source"))
+    },
+    dedupReportQ.oracle
   )
 
   /** DuckDB mirror of [[graft.functions.Winnow]]'s k-gram hash +
@@ -2870,6 +2993,8 @@ object Ext {
     embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,
     dedupIncremental, dedupIncrementalStore,
+    dedupPairsStore, dedupClustersStore, dedupCollapseStore,
+    dedupKeepBestStore, dedupReportStore, entityResolveStore,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,

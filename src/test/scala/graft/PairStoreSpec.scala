@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Clusters, Fuzzy, NearDup, PairStore}
+
+/** Durable pair/cluster store ([[graft.functions.PairStore]]): the
+  * persisted pairs and labels must equal a live recompute exactly (the
+  * build-once-serve-many contract), singletons must label themselves,
+  * and a rebuild must overwrite cleanly. Oracle parity at sf is the
+  * `dedup_*_store` / `entity_resolve_store` family in CORRECTNESS. */
+class PairStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_pairstore_spec").toString
+
+  // Two 3-gram near-dup clusters ({1,2}, {3,4}) + singletons 5, 6.
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "spark catalyst optimizer rewrites logical plans fast"),
+    (4L, "spark catalyst optimizer rewrites logical plans slow"),
+    (5L, "completely unrelated content lives here alone"),
+    (6L, "short")).toDF("doc_id", "text")
+
+  test("stored pairs and labels equal the live recompute") {
+    val dir = tmpDir()
+    val livePairs = NearDup.ngramJaccardPairs(docs, threshold = 0.5)
+    PairStore.build(docs.select(col("doc_id")), livePairs, dir,
+      "doc_id", "id_a", "id_b")
+
+    val storedPairs = PairStore.pairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(storedPairs == livePairs.as[(Long, Long, Double)].collect().toSet)
+    assert(storedPairs.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+
+    val storedLabels = PairStore.labels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val liveLabels = Clusters.connectedComponents(
+        docs.select(col("doc_id")), livePairs, "doc_id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(storedLabels == liveLabels)
+    // every node present, singletons label themselves
+    assert(storedLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 6L))
+  }
+
+  test("rebuild overwrites; label files are node-sorted and 2-column") {
+    val dir = tmpDir()
+    val pairs = NearDup.ngramJaccardPairs(docs, threshold = 0.5)
+    PairStore.build(docs.select(col("doc_id")), pairs, dir,
+      "doc_id", "id_a", "id_b")
+    // second build on a SHRUNK corpus must fully replace the first
+    val less = docs.filter(col("doc_id") <= 2L)
+    PairStore.build(less.select(col("doc_id")),
+      NearDup.ngramJaccardPairs(less, threshold = 0.5), dir,
+      "doc_id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L))
+    assert(PairStore.labels(spark, dir).columns.toSeq
+      == Seq("doc_id", "cluster_id"))
+  }
+
+  test("entity store round-trip: fuzzy chain closure with pointer jumping") {
+    val dir = tmpDir()
+    val terms = Seq("acmee", "acme", "acmees", "bolt", "bolts", "zed")
+      .toDF("term")
+    PairStore.build(terms, Fuzzy.fuzzyPairs(terms, "term", 1), dir,
+      "term", "term_a", "term_b", shortcut = true)
+    assert(PairStore.labels(spark, dir).as[(String, String)].collect().toMap
+      == Map("acme" -> "acme", "acmee" -> "acme", "acmees" -> "acme",
+        "bolt" -> "bolt", "bolts" -> "bolt", "zed" -> "zed"))
+  }
+}
