@@ -63,36 +63,51 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to 3; name <- names) {
       val t = timeOnce(name)
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      samples(name) = t :: samples.getOrElse(name, Nil)
     }
     // Errored queries are recorded ONLY in `errors`: a fast-fail duration
     // (~0.05s analysis abort) in `queries` would be indistinguishable from a
     // real timing and would silently poison matched-set/baseline tooling.
-    val results = names.filterNot(failed.contains).map(name => name -> best(name))
+    val ok = names.filterNot(failed.contains)
+    val results = ok.map(name => name -> samples(name).min)
+    // min/med/max of the interleaved rounds: this container swings ±30-50%
+    // from CPU contention, so a single number per query makes round-over-
+    // round deltas unreadable — the matched-set rule reads MEDIANS
+    // (BASELINE.md), and the min/max spread is the per-query noise band.
+    val medians = ok.map { name =>
+      name -> samples(name).sorted.apply(samples(name).size / 2)
+    }
+    val maxima = ok.map(name => name -> samples(name).max)
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Locale-pinned: the f interpolator honors the default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def line(entries: Seq[(String, Double)], omitted: Int): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+    def line(entries: Seq[(String, Double)], omitted: Int, extra: String = ""): String = {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_caches":true,"queries":$qs$omit,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_caches":true,"queries":${qmap(entries)}$omit$extra,"errors":$errs,"sf":"$sfDir"}"""
     }
     // Full per-query detail always lands in bench_full.json (the repo copy
     // the judge can read); stdout gets ONE line guaranteed to fit the
     // driver's 2000-char tail capture. Every prior round's full-precision
     // 89-entry line overflowed that window and parsed as nothing, so the
     // stdout line is budgeted: slowest queries first, truncated to fit.
+    // bench_full.json additionally carries the per-query median/max of the
+    // three interleaved rounds as parallel maps ("queries" stays min —
+    // the stdout schema the driver parses is unchanged).
     val bySlowest = results.sortBy(-_._2)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      line(bySlowest, 0).getBytes("UTF-8"))
+      line(bySlowest, 0,
+        s""","queries_med":${qmap(medians)},"queries_max":${qmap(maxima)}""")
+        .getBytes("UTF-8"))
     val budget = 1600
     val fit =
       if (line(bySlowest, 0).length <= budget) bySlowest

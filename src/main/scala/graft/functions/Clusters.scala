@@ -22,12 +22,25 @@ import org.apache.spark.storage.StorageLevel
   * pay its constant factors for nothing.
   *
   * Scale notes: the label table is persisted per round and the previous
-  * round is unpersisted, so lineage stays one round deep (on a cluster,
-  * swap persist for checkpoint past ~20 rounds). Hitting `maxIter`
-  * without a fixpoint throws — a truncated closure would silently
-  * under-merge clusters and let duplicates through.
+  * round is unpersisted, so cached DATA stays one round deep; the logical
+  * plan still doubles per round (labels is referenced twice), so past
+  * [[PlainCheckpointDepth]] rounds the loop flips to per-round eager
+  * `localCheckpoint`, which truncates lineage to a leaf — deep chain
+  * graphs converge instead of OOM-ing plan rendering (exercised to
+  * depth 33 in ClustersSpec). Hitting `maxIter` without a fixpoint
+  * throws — a truncated closure would silently under-merge clusters and
+  * let duplicates through.
   */
 object Clusters {
+
+  /** Round at which plain-mode propagation switches from persist to
+    * per-round `localCheckpoint`: the label plan references the previous
+    * round twice, so the logical plan doubles per round: by depth d the
+    * tree holds 2^d copies of the base relation, and AQE re-renders the
+    * plan string on every stage update — measured OOM at depth ~12 on a
+    * 33-chain in ClustersSpec. 2^6 copies renders in microseconds, and
+    * dup near-cliques (≤ ~4 rounds) never pay the checkpoint. */
+  private val PlainCheckpointDepth = 6
 
   /** Connected components over `nodes` with undirected `edges`.
     *
@@ -46,14 +59,31 @@ object Clusters {
       dstCol: String,
       maxIter: Int = 25,
       shortcut: Boolean = false
-  ): DataFrame = {
+  ): DataFrame =
+    connectedComponentsWithRounds(
+      nodes, edges, nodeCol, srcCol, dstCol, maxIter, shortcut)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * fixpoint took — the convergence observable (a monitoring hook in
+    * production, and the testable claim behind shortcut mode: pointer
+    * jumping must close a diameter-D chain in O(log D) rounds where
+    * plain propagation needs D). */
+  def connectedComponentsWithRounds(
+      nodes: DataFrame,
+      edges: DataFrame,
+      nodeCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25,
+      shortcut: Boolean = false
+  ): (DataFrame, Int) = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    val labels =
+    val (labels, rounds) =
       edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter, shortcut)
     // uncached entry point: the persisted label table is released after the
     // caller first materializes the closure
-    graft.AutoUnpersist.afterFirstUse(
-      finishLabels(nodes, nodeCol, labels), labels)
+    (graft.AutoUnpersist.afterFirstUse(
+      finishLabels(nodes, nodeCol, labels), labels), rounds)
   }
 
   /** Per-JVM cache of EDGE-TOUCHED label tables, keyed by the node/edge
@@ -82,7 +112,7 @@ object Clusters {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val key = graft.PlanCache.keyOf2(nodes, edges, nodeCol, srcCol, dstCol)
     val labels = ccCache.getOrCompute(key,
-      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter))
+      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter)._1)
     finishLabels(nodes, nodeCol, labels)
   }
 
@@ -95,9 +125,10 @@ object Clusters {
       .select(col("_node").as(nodeCol),
         coalesce(col("_label"), col("_node")).as("cluster_id"))
 
-  /** The label-propagation fixpoint over the edge-touched subgraph; the
-    * returned frame stays persisted (callers either unpersist it or cache
-    * it for reuse — see [[connectedComponentsShared]]). */
+  /** The label-propagation fixpoint over the edge-touched subgraph plus
+    * the round count it took; the returned frame stays persisted
+    * (callers either unpersist it or cache it for reuse — see
+    * [[connectedComponentsShared]]). */
   private def edgeTouchedLabels(
       nodes: DataFrame,
       edges: DataFrame,
@@ -106,7 +137,7 @@ object Clusters {
       dstCol: String,
       maxIter: Int,
       shortcut: Boolean = false
-  ): DataFrame = {
+  ): (DataFrame, Int) = {
     val nodeSet = nodes.select(col(nodeCol).as("_node"))
     // Symmetric closure of the edge list; self-loops never change a label.
     // Persisted PRE-PARTITIONED on _dst, the key of every round's
@@ -176,16 +207,19 @@ object Clusters {
                 (coalesce(col("_ll"), col("_label")) < col("_label")))
                 .as("_changed"))
         }
-      // Shortcut mode references `labels` TWICE per round (neighbor pass
-      // + jump lookup), so persisted lineage would DOUBLE every round —
-      // an exponential logical plan that OOMs plan rendering long before
-      // data is the problem. An eager localCheckpoint truncates lineage
-      // to a leaf each round (plan stays O(1) per round); the handful of
+      // EVERY round references `labels` twice (the neighbor-min join and
+      // the propagation join; shortcut adds a third via the jump lookup),
+      // so persisted lineage DOUBLES per round — an exponential logical
+      // plan that OOMs plan rendering long before data is the problem
+      // (reproduced at depth 33 in ClustersSpec). An eager
+      // localCheckpoint truncates lineage to a leaf each round; the
       // checkpointed round RDDs are reclaimed by the ContextCleaner once
-      // unreferenced. Plain mode keeps the lighter persist: single
-      // reference, linear lineage, explicit unpersist.
+      // unreferenced. Shortcut mode always checkpoints; plain mode keeps
+      // the cheaper persist through the rounds dup near-cliques actually
+      // need (diameter ≤ ~3) and flips to checkpointing automatically at
+      // depth — deep chains converge instead of blowing up the plan.
       val next =
-        if (shortcut) stepped.localCheckpoint(true)
+        if (shortcut || iter >= PlainCheckpointDepth) stepped.localCheckpoint(true)
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("_changed")).isEmpty
       labels.unpersist()
@@ -197,7 +231,7 @@ object Clusters {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise it")
-    labels
+    (labels, iter)
   }
 
   /** Quality-priority survivor selection: given labeled rows (idCol +

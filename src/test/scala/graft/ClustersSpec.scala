@@ -67,6 +67,32 @@ class ClustersSpec extends SparkSpec {
       (1L to 33L).map(_ -> 1L))
   }
 
+  test("deep chain to fixpoint in BOTH modes: plain needs diameter rounds, shortcut O(log d)") {
+    // 33-node chain, diameter 32 — past the ~20-round horizon where the
+    // scaladoc tells cluster deployments to swap persist for checkpoint;
+    // this drives the localCheckpoint-per-round shortcut path AND the
+    // plain persist/unpersist loop all the way to their fixpoints.
+    val chain = (1L until 33L).map(i => (i, i + 1))
+    def run(shortcut: Boolean, maxIter: Int) = {
+      val (df, rounds) = Clusters.connectedComponentsWithRounds(
+        (1L to 33L).toDF("id"), chain.toDF("a", "b"), "id", "a", "b",
+        maxIter, shortcut)
+      (df.as[(Long, Long)].collect().sortBy(_._1).toSeq, rounds)
+    }
+    val (plainLabels, plainRounds) = run(shortcut = false, maxIter = 64)
+    val (jumpLabels, jumpRounds) = run(shortcut = true, maxIter = 16)
+    val expected = (1L to 33L).map(_ -> 1L)
+    assert(plainLabels == expected)
+    assert(jumpLabels == expected)
+    // plain propagation moves the min label one hop per round: exactly
+    // diameter rounds of change + the convergence-confirming round
+    assert(plainRounds == 33, s"plain took $plainRounds rounds")
+    // pointer jumping halves label distances per round: log2(32)=5, plus
+    // the neighbor hop and the confirm round — single digits, not 33
+    assert(jumpRounds <= 9, s"shortcut took $jumpRounds rounds")
+    assert(jumpRounds * 3 < plainRounds)
+  }
+
   test("near-dup pairs at sf0.001 match a driver-side union-find closure") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = graft.functions.NearDup.ngramJaccardPairs(docs, threshold = 0.5)
