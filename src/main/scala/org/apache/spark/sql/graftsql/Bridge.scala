@@ -21,6 +21,13 @@ object Bridge {
   def toAnalyzableExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Block until the listener bus has delivered every queued event —
+    * observability hook for SparkListener-based metrics collection
+    * (`listenerBus` is `private[spark]`; without the drain, shuffle
+    * metrics read racy partial sums). */
+  def waitForListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a session-scoped SQL function backed by an Expression
     * builder (`sessionState.functionRegistry` is `private[sql]`; this is
     * the session-level counterpart of `SparkSessionExtensions

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Clusters, NearDup, Winnow}
+
+/** Empirical scale-growth gate: the 100 TB arguments for the dedup /
+  * connected-components / winnowing paths are plan-shape arguments
+  * (bucketed equality joins, bounded driver state); this spec CONVERTS
+  * them into a regression test by inflating the sf0.001 corpus 8× and
+  * 64× and asserting the pipelines grow near-LINEARLY in shuffle bytes
+  * (a superlinear blowup — an accidental cross product, a candidate
+  * explosion, a broadcast gone wrong — multiplies the 8×→64× growth
+  * ratio far past the input ratio and fails here).
+  *
+  * Inflation renames every token per copy (`w` → `w_cK`), which is a
+  * per-copy bijection: intra-copy Jaccard pairs are IDENTICAL to the
+  * base corpus (shingle Jaccard is invariant under injective token
+  * maps) while cross-copy shingle matches are impossible — so pair and
+  * label counts must grow EXACTLY linearly, and any shuffle-byte
+  * superlinearity is pipeline overhead, not output growth. Shuffle
+  * bytes, not wall time, is the gate: bytes are deterministic where
+  * this container's timings swing ±50%.
+  */
+class ScalingSpec extends SparkSpec {
+
+  /** f salted copies of the sf0.001 documents (distinct doc_id ranges,
+    * per-copy token renaming). */
+  private def inflated(f: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    (0 until f).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1_c" + i).as("text"))
+    }.reduce(_ union _)
+  }
+
+  /** Total shuffle write bytes + rows produced by `pipeline` on the
+    * f-times corpus, measured via a stage-completion listener. */
+  private def measure(f: Int)(pipeline: DataFrame => DataFrame): (Long, Long) = {
+    val sc = spark.sparkContext
+    var bytes = 0L
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        bytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    sc.addSparkListener(listener)
+    try {
+      val rows = pipeline(inflated(f)).count()
+      org.apache.spark.sql.graftsql.Bridge.waitForListeners(spark)
+      (bytes, rows)
+    } finally sc.removeSparkListener(listener)
+  }
+
+  /** Assert bytes grow ≤ slack × the 8× input ratio between f=1 and f=8
+    * (and that the measurement saw real shuffles). */
+  private def assertNearLinear(
+      name: String, one: (Long, Long), eight: (Long, Long)): Unit = {
+    val (b1, _) = one
+    val (b8, _) = eight
+    assert(b1 > 0, s"$name: no shuffle bytes measured at 1x — listener broken?")
+    val ratio = b8.toDouble / b1
+    assert(ratio < 8.0 * 2.0,
+      s"$name: shuffle bytes grew ${ratio}x on an 8x input — superlinear blowup")
+  }
+
+  test("n-gram Jaccard pairs: linear rows, near-linear shuffle bytes at 8x") {
+    val one = measure(1)(d => NearDup.ngramJaccardPairs(d, threshold = 0.5))
+    val eight = measure(8)(d => NearDup.ngramJaccardPairs(d, threshold = 0.5))
+    assert(eight._2 == 8 * one._2,
+      s"pair rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assertNearLinear("ngramJaccardPairs", one, eight)
+  }
+
+  test("pairs + connected components: linear labels, near-linear shuffle bytes at 8x") {
+    def cc(d: DataFrame): DataFrame = {
+      val pairs = NearDup.ngramJaccardPairs(d, threshold = 0.5)
+      Clusters.connectedComponents(
+        d.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+    }
+    val one = measure(1)(cc)
+    val eight = measure(8)(cc)
+    assert(eight._2 == 8 * one._2,
+      s"label rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assertNearLinear("pairs+CC", one, eight)
+  }
+
+  test("winnow overlap pairs: near-linear shuffle bytes at 8x") {
+    val one = measure(1)(d =>
+      Winnow.overlapPairs(d, k = 24, w = 12, minShared = 4L))
+    val eight = measure(8)(d =>
+      Winnow.overlapPairs(d, k = 24, w = 12, minShared = 4L))
+    // token renaming keeps 24-char windows distinct across copies, but
+    // the renamed hashes select DIFFERENT window minima, so pairs at the
+    // minShared edge flicker per copy — rows are ~linear (not exact);
+    // the byte gate is the contract here
+    assert(eight._2 >= 6 * one._2 && eight._2 <= 10 * one._2,
+      s"overlap rows left the ~linear band: ${one._2} -> ${eight._2}")
+    assertNearLinear("winnowOverlap", one, eight)
+  }
+}
