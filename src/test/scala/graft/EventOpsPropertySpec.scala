@@ -107,6 +107,35 @@ class EventOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("forward-horizon widening is monotone and converges to unbounded") {
+    val (l, r, _) = asofGen.pureApply(Gen.Parameters.default, Seed(77L))
+    val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
+      .toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select("k", "ts", "v")
+    val right = r.toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def matches(tol: Long): Map[Int, Option[Long]] =
+      Joins.asofJoinForwardWithin(left, right, "k", "ts", "next", tol)
+        .select(col("v"), unix_timestamp(col("next")).as("n"))
+        .collect().map(row => row.getInt(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    val tols = Seq(0L, 5L, 20L, 60L, 120L).map(t => t -> matches(t))
+    for (Seq((t1, m1), (t2, m2)) <- tols.sliding(2)) {
+      m1.foreach { case (v, a1) =>
+        (a1, m2(v)) match {
+          case (Some(x), y) => assert(y == Some(x), s"horizon $t1->$t2 changed match for $v")
+          case (None, _)    => ()
+        }
+      }
+    }
+    val unbounded = Joins.asofJoinForward(left, right, "k", "ts", "next")
+      .select(col("v"), unix_timestamp(col("next")).as("n"))
+      .collect().map(row => row.getInt(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(matches(120L) == unbounded)
+  }
+
   // ---- SCD2 interval history ----------------------------------------
 
   private val feedGen: Gen[List[(String, Long, String)]] = for {
