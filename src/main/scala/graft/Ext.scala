@@ -1189,6 +1189,40 @@ object Ext {
     entityResolveQ.oracle
   )
 
+  /** Incrementally-grown cluster labels ([[graft.functions.PairStore
+    * .append]]): the store is built from the already-ingested slice
+    * (doc_id < 250) only, then the new batch's pairs (batch-internal +
+    * batch-vs-corpus) fold in via quotient-graph connected components —
+    * O(batch pairs), never a full-closure rebuild. The oracle is the
+    * SAME full-corpus recursive-CTE closure as `dedup_clusters`, so
+    * hash equality proves the incremental path is row-identical to
+    * recomputing from scratch. */
+  private val dedupClustersIncr = QDef(
+    "dedup_clusters_incr",
+    (s, d) => {
+      val docs = documents(s, d)
+      val dir = pairStoreDirs.getOrCompute(
+        graft.PlanCache.keyOf(docs, "ngram-incr", 0.5, 3), {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_pairstore").toString
+          val ingested = docs.filter(col("doc_id") < 250)
+          val batch = docs.filter(col("doc_id") >= 250)
+          graft.functions.PairStore.build(
+            ingested.select(col("doc_id")),
+            NearDup.ngramJaccardPairs(ingested, threshold = 0.5),
+            tmp, "doc_id", "id_a", "id_b")
+          graft.functions.PairStore.append(
+            batch.select(col("doc_id")),
+            NearDup.ngramJaccardAcross(batch, ingested, threshold = 0.5)
+              .unionByName(NearDup.ngramJaccardPairs(batch, threshold = 0.5)),
+            tmp, "doc_id", "id_a", "id_b")
+          tmp
+        })
+      graft.functions.PairStore.labels(s, dir).orderBy(col("doc_id"))
+    },
+    dedupClusters.oracle
+  )
+
   /** Mixture-weighted corpus sample ([[graft.functions.Sampling
     * .mixtureSample]]): keep ~75% of English, ~50% of Chinese, ~25% of
     * everything else, deterministically by row-key hash. */
@@ -2995,6 +3029,7 @@ object Ext {
     dedupIncremental, dedupIncrementalStore,
     dedupPairsStore, dedupClustersStore, dedupCollapseStore,
     dedupKeepBestStore, dedupReportStore, entityResolveStore,
+    dedupClustersIncr,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,

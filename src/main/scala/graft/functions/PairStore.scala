@@ -61,6 +61,75 @@ object PairStore {
       .write.mode("overwrite").parquet(s"$dir/labels")
   }
 
+  /** Incrementally extend the store with a batch: append the batch's
+    * verified pairs and update the labels WITHOUT recomputing the
+    * closure over the full corpus. Existing clusters collapse to
+    * SUPER-NODES: each new pair (a, b) becomes an edge between the
+    * CURRENT labels of a and b (new nodes label themselves), so the
+    * quotient graph has one node per touched cluster or new doc and one
+    * edge per new pair — connected components over it costs O(batch
+    * pairs), not O(corpus pairs). Because every label is its cluster's
+    * MINIMUM member id, the min label of a merged super-node set is the
+    * merged cluster's true minimum member — the canonical-id invariant
+    * survives, and the result is row-identical to a full rebuild
+    * (pinned by PairStoreSpec and the `dedup_clusters_incr` oracle).
+    *
+    * The label table is rewritten in full — O(corpus) rows of two ids,
+    * a sliver of corpus bytes; at extreme scale, bucketing labels by a
+    * cluster-id residue turns this into a touched-partition rewrite.
+    *
+    * @param newNodes one row per NEW node (ids unseen by the store)
+    * @param newPairs verified pairs touching the batch (batch-internal
+    *                 and batch-vs-corpus, e.g. from
+    *                 [[NearDup.ngramJaccardAcross]] or a
+    *                 [[SignatureStore]] screen); old-old pairs are
+    *                 also legal and merge their clusters
+    */
+  def append(
+      newNodes: DataFrame,
+      newPairs: DataFrame,
+      dir: String,
+      nodeCol: String,
+      srcCol: String,
+      dstCol: String,
+      shortcut: Boolean = false): Unit = {
+    val spark = newNodes.sparkSession
+    newPairs.write.mode("append").parquet(s"$dir/pairs")
+    val old = labels(spark, dir)
+    val base = old
+      .union(newNodes.select(col(nodeCol), col(nodeCol).as("cluster_id")))
+      .persist()
+    // lift each new pair onto current labels — the quotient edge list
+    val lab = base.select(col(nodeCol).as("_n"), col("cluster_id").as("_l"))
+    val qEdges = newPairs
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .join(lab.withColumnRenamed("_n", "_s").withColumnRenamed("_l", "_ls"), "_s")
+      .join(lab.withColumnRenamed("_n", "_d").withColumnRenamed("_l", "_ld"), "_d")
+      .select(col("_ls"), col("_ld"))
+      .filter(col("_ls") =!= col("_ld"))
+    val qNodes = qEdges.select(col("_ls").as("_q"))
+      .union(qEdges.select(col("_ld").as("_q"))).distinct()
+    // CC over the touched super-nodes only: (old label -> merged label)
+    val merged = Clusters
+      .connectedComponents(qNodes, qEdges, "_q", "_ls", "_ld",
+        shortcut = shortcut)
+      .select(col("_q"), col("cluster_id").as("_merged"))
+    val next = base
+      .join(merged, base("cluster_id") === merged("_q"), "left")
+      .select(col(nodeCol),
+        coalesce(col("_merged"), col("cluster_id")).as("cluster_id"))
+      .repartition(col(nodeCol))
+      .sortWithinPartitions(nodeCol)
+    // labels/ is both input and output of this pass: stage through a
+    // temp dir, then swap — never overwrite a parquet dir mid-read
+    next.write.mode("overwrite").parquet(s"$dir/labels_next")
+    base.unpersist()
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/labels")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(cur, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/labels_next"), cur)
+  }
+
   /** The stored verified pair table. */
   def pairs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/pairs")

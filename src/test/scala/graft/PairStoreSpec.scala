@@ -61,6 +61,37 @@ class PairStoreSpec extends SparkSpec {
       == Seq("doc_id", "cluster_id"))
   }
 
+  test("append == full rebuild, including a batch edge that MERGES old clusters") {
+    val dir = tmpDir()
+    // old corpus: clusters {1,2} and {3,4}, singleton 5
+    val oldNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    PairStore.build(oldNodes, oldPairs, dir, "id", "id_a", "id_b")
+    // batch: 6 joins {3,4}; 7 is a singleton; and pair (2,3) MERGES the
+    // two old clusters through the quotient graph — the hard case
+    val newNodes = Seq(6L, 7L).toDF("id")
+    val newPairs = Seq((6L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    PairStore.append(newNodes, newPairs, dir, "id", "id_a", "id_b")
+
+    val incr = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    assert(incr == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      6L -> 1L, 7L -> 7L))
+    // row-identical to a from-scratch closure over the union
+    val full = graft.functions.Clusters.connectedComponents(
+        oldNodes.union(newNodes), oldPairs.union(newPairs),
+        "id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(incr == full)
+    // stored pairs accumulated both generations
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((1L, 2L), (3L, 4L), (6L, 4L), (2L, 3L)))
+    // a second append with NO merging edges (pure growth) also matches
+    PairStore.append(Seq(8L, 9L).toDF("id"),
+      Seq((8L, 9L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == incr ++ Map(8L -> 8L, 9L -> 8L))
+  }
+
   test("entity store round-trip: fuzzy chain closure with pointer jumping") {
     val dir = tmpDir()
     val terms = Seq("acmee", "acme", "acmees", "bolt", "bolts", "zed")
