@@ -52,12 +52,18 @@ object Fuzzy {
   val MaxTermLenDist2 = 256
 
   /** (term, key) rows for the distinct terms of `df(termCol)`, with the
-    * [[MaxTermLenDist1]]/[[MaxTermLenDist2]] length guard inlined. */
+    * [[MaxTermLenDist1]]/[[MaxTermLenDist2]] length guard inlined.
+    *
+    * The guard sits BELOW the distinct: the Aggregate is a projection-
+    * collapse barrier, so `delKeys` above it references a plain
+    * attribute. Guarding above the distinct let CollapseProject inline
+    * the when/raise_error tree into every `delKeys` reference, which
+    * cost 2.7× on the sf0.1 bench (4.4 s vs 1.6 s) for a check that is
+    * one length compare per row down here. */
   private def keyed(
       df: DataFrame, termCol: String, out: String, maxDist: Int): DataFrame = {
     val cap = if (maxDist >= 2) MaxTermLenDist2 else MaxTermLenDist1
     df.select(col(termCol).cast("string").as(out)).filter(col(out).isNotNull)
-      .distinct()
       .select(
         when(length(col(out)) > cap,
           raise_error(concat(
@@ -66,6 +72,7 @@ object Fuzzy {
               "degenerate terms upstream. Term prefix: "),
             col(out).substr(1, 64))))
           .otherwise(col(out)).as(out))
+      .distinct()
       .select(col(out), explode(delKeys(col(out), maxDist)).as("_k"))
   }
 

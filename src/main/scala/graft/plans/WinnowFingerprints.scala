@@ -54,18 +54,14 @@ object WinnowFingerprints {
     val B = graft.functions.Winnow.B
     val M = graft.functions.Winnow.M
     val s = text.toString
-    // decode to code points once: the HOF reference and the SQL oracle
-    // both index by code point, so the kernel must too (a surrogate pair
-    // is ONE symbol, not two)
+    // Code-point indexed: the HOF reference and the SQL oracle both step
+    // by code point, so the kernel must too (a surrogate pair is ONE
+    // symbol, not two). n == s.length means no surrogate pairs — then
+    // charAt IS the code point and the hot path skips the decode array
+    // (corpus text is overwhelmingly BMP; the allocation cost was ~15%
+    // on the winnow bench queries).
     val n = s.codePointCount(0, s.length)
     if (n < k) return new GenericArrayData(Array.empty[Long])
-    val cp = new Array[Int](n)
-    var ci = 0
-    var cj = 0
-    while (ci < s.length) {
-      val c = s.codePointAt(ci)
-      cp(cj) = c; cj += 1; ci += Character.charCount(c)
-    }
     val m = n - k + 1
     // B^(k-1) mod M for the roll-out term
     var bk1 = 1L
@@ -75,14 +71,33 @@ object WinnowFingerprints {
     val hs = new Array[Long](m)
     var h = 0L
     var i = 0
-    while (i < k) { h = (h * B + cp(i).toLong) % M; i += 1 }
-    hs(0) = h
-    i = 1
-    while (i < m) {
-      val out = cp(i - 1).toLong * bk1 % M
-      h = ((h - out + M) % M * B + cp(i + k - 1).toLong) % M
-      hs(i) = h
-      i += 1
+    if (n == s.length) {
+      while (i < k) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < m) {
+        val out = s.charAt(i - 1).toLong * bk1 % M
+        h = ((h - out + M) % M * B + s.charAt(i + k - 1).toLong) % M
+        hs(i) = h
+        i += 1
+      }
+    } else {
+      val cp = new Array[Int](n)
+      var ci = 0
+      var cj = 0
+      while (ci < s.length) {
+        val c = s.codePointAt(ci)
+        cp(cj) = c; cj += 1; ci += Character.charCount(c)
+      }
+      while (i < k) { h = (h * B + cp(i).toLong) % M; i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < m) {
+        val out = cp(i - 1).toLong * bk1 % M
+        h = ((h - out + M) % M * B + cp(i + k - 1).toLong) % M
+        hs(i) = h
+        i += 1
+      }
     }
     // sliding window minima (monotonic deque over indices); m < w
     // degenerates to the single whole-array min

@@ -66,12 +66,18 @@ class ScalingSpec extends SparkSpec {
       s"$name: shuffle bytes grew ${ratio}x on an 8x input — superlinear blowup")
   }
 
-  test("n-gram Jaccard pairs: linear rows, near-linear shuffle bytes at 8x") {
+  test("n-gram Jaccard pairs: linear rows, near-linear shuffle bytes at 8x and 64x") {
     val one = measure(1)(d => NearDup.ngramJaccardPairs(d, threshold = 0.5))
     val eight = measure(8)(d => NearDup.ngramJaccardPairs(d, threshold = 0.5))
     assert(eight._2 == 8 * one._2,
       s"pair rows must scale exactly linearly: ${one._2} -> ${eight._2}")
     assertNearLinear("ngramJaccardPairs", one, eight)
+    // second octave: 8x -> 64x must ALSO stay near-linear — a candidate
+    // explosion that hides in fixed overhead at 8x shows up here
+    val sixtyFour = measure(64)(d => NearDup.ngramJaccardPairs(d, threshold = 0.5))
+    assert(sixtyFour._2 == 8 * eight._2,
+      s"pair rows must scale exactly linearly: ${eight._2} -> ${sixtyFour._2}")
+    assertNearLinear("ngramJaccardPairs 8x->64x", eight, sixtyFour)
   }
 
   test("pairs + connected components: linear labels, near-linear shuffle bytes at 8x") {
