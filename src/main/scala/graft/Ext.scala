@@ -555,6 +555,42 @@ object Ext {
         "FROM d ORDER BY doc_id")
   )
 
+  /** The blocklist used by `blocklist_flags`: mixed 1/2/3-token phrases
+    * from the synthetic vocab plus one guaranteed miss. */
+  private val blocklistPhrases =
+    Seq("sort merge", "slow join", "batch batch batch", "data group",
+      "forbidden phrase never present")
+
+  /** Phrase-blocklist screen ([[graft.functions.Blocklist.phraseHits]]):
+    * distinct-phrase hit counts + flag per document via the token-shingle
+    * equality join (never a per-phrase LIKE scan). The oracle replays the
+    * same gram⋈phrase join per distinct phrase length in DuckDB. */
+  private val blocklistQ = QDef(
+    "blocklist_flags",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.Blocklist.phraseHits(
+          documents(s, d), blocklistPhrases.toDF("phrase"), "phrase")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val values = blocklistPhrases.map(p => s"('$p')").mkString(", ")
+      s"WITH pl(ph) AS (VALUES $values), " +
+        "p AS (SELECT DISTINCT lower(trim(ph)) AS p, " +
+        "len(string_split(lower(trim(ph)), ' ')) AS np FROM pl), " +
+        "tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, np, list_distinct(list_transform(" +
+        "range(1, len(t) - np + 2), i -> array_to_string(list_slice(t, i, i + np - 1), ' '))) AS grams " +
+        "FROM tok, (SELECT DISTINCT np FROM p) n(np) WHERE len(t) >= np), " +
+        "e AS (SELECT doc_id, np, unnest(grams) AS gram FROM g), " +
+        "h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM e " +
+        "JOIN p ON e.gram = p.p AND e.np = p.np GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "coalesce(h.n_hits, 0) > 0 AS flagged " +
+        "FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"
+    }
+  )
+
   /** Per-document bigram novelty ([[graft.functions.Text.ngramNovelty]]):
     * fraction of each doc's distinct bigrams appearing in no other doc. */
   private val ngramNoveltyQ = QDef(
@@ -3019,7 +3055,7 @@ object Ext {
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
     entityResolveQ, normalizeTextQ, retrievalHybridQ,
     intradocDedupQ, sourceOverlapQ,
-    urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ,
+    urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Phrase-blocklist screening — the standard toxicity/spam/compliance
+  * filter step of a corpus-cleaning pipeline (CCNet/RefinedWeb-style
+  * pipelines drop or flag documents containing listed phrases).
+  *
+  * Scale shape: this is a TOKEN-SHINGLE EQUALITY JOIN, not a per-phrase
+  * scan. A `LIKE '%p%'` OR-chain is O(docs × phrases × doc length) and
+  * dies first on a 10k-phrase list; here each document explodes once
+  * into its distinct L-token grams per DISTINCT PHRASE LENGTH L (a
+  * handful of lengths, collected as bounded metadata), and the grams
+  * meet the broadcast phrase table in an equality join — cost is
+  * O(corpus tokens × #lengths) map-side plus a phrase-hit-sized
+  * aggregate, independent of blocklist size beyond the broadcast.
+  * Matching is case-insensitive on whole-token boundaries (the same
+  * single-space token model as the near-dup family).
+  */
+object Blocklist {
+
+  /** Per-document screen: `(doc_id, n_hits, flagged)` where `n_hits` is
+    * the number of DISTINCT blocklist phrases present in the document
+    * (multiplicity inside one document does not inflate the count) and
+    * `flagged = n_hits > 0`. One row per input document.
+    *
+    * @param phrases blocklist frame; `phraseCol` holds space-separated
+    *                token phrases (vocabulary-level: list-sized, it is
+    *                broadcast). Blank entries are dropped; matching is
+    *                on lowercased tokens.
+    *
+    * Note: the distinct phrase LENGTHS are collected eagerly — one tiny
+    * metadata job, bounded by the longest phrase, same convention as the
+    * IVF/quantizer training collects. */
+  def phraseHits(
+      docs: DataFrame, phrases: DataFrame, phraseCol: String): DataFrame = {
+    val p = phrases
+      .select(lower(trim(col(phraseCol))).as("_p"))
+      .filter(col("_p").isNotNull && col("_p") =!= "").distinct()
+      .withColumn("_np", size(split(col("_p"), " ")))
+      .persist()
+    val lens = p.select(col("_np")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("_toks"))
+    // per distinct length: distinct doc L-grams ⋈ broadcast phrases of
+    // that length; lengths partition the phrase set, so the union is
+    // (doc, phrase)-distinct with no extra shuffle
+    val hits = lens.map { l =>
+      toks.filter(size(col("_toks")) >= l)
+        .select(col("doc_id"),
+          explode(NearDup.shinglesOf(col("_toks"), l)).as("_p"))
+        .join(broadcast(p.filter(col("_np") === l).select(col("_p"))), "_p")
+        .select(col("doc_id"))
+    }.reduceOption(_ union _)
+      .getOrElse(docs.select(col("doc_id")).limit(0))
+    val counts = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    graft.AutoUnpersist.afterFirstUse(
+      docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0L).as("flagged")),
+      p)
+  }
+}

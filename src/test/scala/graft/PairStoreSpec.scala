@@ -92,6 +92,24 @@ class PairStoreSpec extends SparkSpec {
       == incr ++ Map(8L -> 8L, 9L -> 8L))
   }
 
+  test("append with an empty or pair-free batch is the identity on labels") {
+    val dir = tmpDir()
+    val oldNodes = Seq(1L, 2L, 3L).toDF("id")
+    PairStore.build(oldNodes, Seq((1L, 2L)).toDF("id_a", "id_b"), dir,
+      "id", "id_a", "id_b")
+    val before = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    // batch with new nodes but zero near-dup pairs: pure growth
+    PairStore.append(Seq(4L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == before + (4L -> 4L))
+    // fully empty batch: labels unchanged
+    PairStore.append(Seq.empty[Long].toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == before + (4L -> 4L))
+  }
+
   test("entity store round-trip: fuzzy chain closure with pointer jumping") {
     val dir = tmpDir()
     val terms = Seq("acmee", "acme", "acmees", "bolt", "bolts", "zed")
