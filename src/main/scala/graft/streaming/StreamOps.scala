@@ -664,6 +664,53 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("top_items"))
   }
 
+  /** Streaming ingest-dedup loop — the [[graft.functions.SignatureStore]]
+    * production shape as a structured-streaming sink: every micro-batch
+    * screens against the persisted signature store (exact-hash keeper ∧
+    * unseen ∧ no near-dup vs store ∧ no near-dup earlier in the batch),
+    * the ACCEPTED documents' signatures append to the store, and
+    * `onAccepted` receives the surviving rows (the hook that writes the
+    * clean corpus shard).
+    *
+    * The store IS the state: unlike [[dedupWithinWatermark]] (which
+    * bounds history by a time horizon held in executor state), this
+    * remembers ALL ingested history at batch-sized screening cost —
+    * signatures are hashes on parquet, never corpus text, and the
+    * screen joins are batch-sized on one side regardless of how much
+    * history exists. Restart semantics: a replayed batch re-screens
+    * against the store; if its signatures already appended, every doc
+    * drops as a dup of itself (no store double-growth). `onAccepted`
+    * runs BEFORE the append, so a crash before the sink write replays
+    * cleanly; a crash BETWEEN sink write and append re-delivers that one
+    * batch to the sink — close the gap with an idempotent sink (e.g.
+    * overwrite-by-batch-id paths), the standard foreachBatch contract.
+    * Single-writer: one ingest stream owns a store (the foreachBatch
+    * body runs serially across micro-batches).
+    *
+    * @param onAccepted called once per micro-batch with the accepted
+    *                   rows before their signatures append. */
+  def ingestDedupStream(
+      docs: DataFrame,
+      storeDir: String,
+      threshold: Double,
+      w: Int = 3)(
+      onAccepted: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val survivors = graft.functions.SignatureStore
+          .screenBatch(spark, batch.toDF(), storeDir, threshold, w)
+          .select(col("doc_id"))
+        val accepted = batch.toDF().join(survivors, "doc_id").persist()
+        try {
+          onAccepted(accepted)
+          graft.functions.SignatureStore.append(accepted, storeDir, w)
+        } finally accepted.unpersist()
+        ()
+      }
+      .start()
+
   /** Tumbling-window event aggregation: counts + exact decimal sums per
     * (window, event_type). Runs identically in batch mode. */
   def windowedEventCounts(

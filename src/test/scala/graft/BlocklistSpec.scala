@@ -42,6 +42,24 @@ class BlocklistSpec extends SparkSpec {
     assert(got == Map(1L -> ((1L, true))))
   }
 
+  test("property: random docs/phrases == driver-side token-window reference") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    def randText(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (round <- 1 to 5) {
+      val docs = (1L to 30L).map(i => (i, randText(1 + rnd.nextInt(12))))
+      val phrases = Seq.fill(6)(randText(1 + rnd.nextInt(3))).distinct
+      val got = run(docs, phrases)
+      val expected = docs.map { case (id, text) =>
+        val t = text.split(" ").toSeq
+        val hit = phrases.map(_.split(" ").toSeq).distinct.count(p =>
+          t.sliding(p.size).contains(p))
+        id -> ((hit.toLong, hit > 0))
+      }.toMap
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("degenerates: blank phrases dropped, doc shorter than phrase, empty list") {
     val got = run(Seq((1L, "a b"), (2L, "")), Seq("a b c", "  ", "b"))
     assert(got == Map(1L -> ((1L, true)), 2L -> ((0L, false))))

@@ -30,6 +30,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestDedupStream: store-backed screening accumulates exactly like sequential batch ingest") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_stream").toString
+    // words long enough that 3-token shingles exist; doc 20 is an exact
+    // dup of ingested doc 1, doc 21 a near-dup of doc 2 (>= 0.5), doc 22
+    // fresh, doc 23 a within-batch dup of 22, doc 24 a near-dup of the
+    // batch-2-accepted doc 22 arriving in batch 3
+    val ingested = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    graft.functions.SignatureStore.build(ingested, storeDir)
+    val b1 = Seq(Doc(20L, "alpha beta gamma delta epsilon zeta", ts(1)),
+      Doc(21L, "one two three four five six seven nine", ts(2)))
+    val b2 = Seq(Doc(22L, "fresh words entirely new content here", ts(3)),
+      Doc(23L, "fresh words entirely new content here", ts(4)))
+    val b3 = Seq(Doc(24L, "fresh words entirely new content there", ts(5)))
+
+    val mem = MemoryStream[Doc]
+    val acceptedIds = scala.collection.mutable.Set.empty[Long]
+    val q = StreamOps.ingestDedupStream(
+      mem.toDF().select(col("doc_id"), col("text")), storeDir, threshold = 0.5) {
+      accepted => acceptedIds ++= accepted.select("doc_id").as[Long].collect()
+    }
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // 20 exact-dup, 21 near-dup of store, 23 dup-of-22 in batch, 24
+    // near-dup of the APPENDED 22 — only 22 survives
+    assert(acceptedIds.toSet == Set(22L), s"got $acceptedIds")
+    // the store grew by exactly the accepted doc's signatures
+    assert(graft.functions.SignatureStore // 2 ingested + doc 22
+      .signatures(ingested).sparkSession.read.parquet(storeDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 22L))
+    // sequential batch-mode reference over the same three batches
+    val storeDir2 = java.nio.file.Files
+      .createTempDirectory("graft_ingest_batch").toString
+    graft.functions.SignatureStore.build(ingested, storeDir2)
+    val seqAccepted = Seq(b1, b2, b3).flatMap { b =>
+      val df = b.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+      val ok = graft.functions.SignatureStore
+        .screenBatch(spark, df, storeDir2, threshold = 0.5)
+        .as[Long].collect().toSeq
+      graft.functions.SignatureStore.append(
+        df.join(ok.toDF("doc_id"), "doc_id"), storeDir2)
+      ok
+    }.toSet
+    assert(acceptedIds.toSet == seqAccepted)
+  }
+
   test("dedupAgainstStatic anti-joins the ingested key set per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val ingested = Seq("same content").toDF("text")
