@@ -44,17 +44,21 @@ object Blocklist {
       .collect().map(_.getInt(0)).sorted
     val toks = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("_toks"))
-    // per distinct length: distinct doc L-grams ⋈ broadcast phrases of
-    // that length; lengths partition the phrase set, so the union is
-    // (doc, phrase)-distinct with no extra shuffle
+    // ONE corpus pass: the distinct L-gram arrays for every distinct
+    // phrase length concatenate into one gram column (an L-gram has
+    // L−1 spaces, so grams of different lengths are distinct strings —
+    // the concat stays (doc, gram)-distinct and one equality join
+    // against the whole phrase set is exact)
     val hits = lens.map { l =>
-      toks.filter(size(col("_toks")) >= l)
-        .select(col("doc_id"),
-          explode(NearDup.shinglesOf(col("_toks"), l)).as("_p"))
-        .join(broadcast(p.filter(col("_np") === l).select(col("_p"))), "_p")
-        .select(col("doc_id"))
-    }.reduceOption(_ union _)
-      .getOrElse(docs.select(col("doc_id")).limit(0))
+      when(size(col("_toks")) >= l, NearDup.shinglesOf(col("_toks"), l))
+        .otherwise(array().cast("array<string>"))
+    }.reduceOption(concat(_, _)) match {
+      case None => docs.select(col("doc_id")).limit(0)
+      case Some(grams) =>
+        toks.select(col("doc_id"), explode(grams).as("_p"))
+          .join(broadcast(p.select(col("_p"))), "_p")
+          .select(col("doc_id"))
+    }
     val counts = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     graft.AutoUnpersist.afterFirstUse(
       docs.select(col("doc_id"))
