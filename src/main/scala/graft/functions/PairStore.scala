@@ -121,13 +121,22 @@ object PairStore {
       .repartition(col(nodeCol))
       .sortWithinPartitions(nodeCol)
     // labels/ is both input and output of this pass: stage through a
-    // temp dir, then swap — never overwrite a parquet dir mid-read
+    // temp dir, then swap. The previous generation survives as
+    // labels_prev until the swap completes, so any crash window leaves
+    // a recoverable copy on disk (labels_prev and/or labels_next); a
+    // table format with atomic commit (Iceberg/Delta) is the production
+    // answer for concurrent readers — this store assumes the documented
+    // single-writer, no-concurrent-reader ingest loop.
     next.write.mode("overwrite").parquet(s"$dir/labels_next")
     base.unpersist()
     val cur = new org.apache.hadoop.fs.Path(s"$dir/labels")
+    val prev = new org.apache.hadoop.fs.Path(s"$dir/labels_prev")
+    val nxt = new org.apache.hadoop.fs.Path(s"$dir/labels_next")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(cur, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/labels_next"), cur)
+    fs.delete(prev, true)
+    fs.rename(cur, prev)
+    fs.rename(nxt, cur)
+    fs.delete(prev, true)
   }
 
   /** The stored verified pair table. */

@@ -44,6 +44,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(NearDup.simhashPairs(noDocs).count() == 0)
   }
 
+  test("blocklist screen on empty corpus / empty blocklist") {
+    val phrases = Seq("a b").toDF("phrase")
+    assert(graft.functions.Blocklist.phraseHits(noDocs, phrases, "phrase")
+      .count() == 0)
+    val docs = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val got = graft.functions.Blocklist
+      .phraseHits(docs, Seq.empty[String].toDF("phrase"), "phrase")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 0L, false)))
+  }
+
   test("contamination report on empty corpus / empty benchmark") {
     val docs = Seq((0L, "a b c d")).toDF("doc_id", "text")
     assert(graft.functions.Contamination.report(noDocs, docs).count() == 0)
