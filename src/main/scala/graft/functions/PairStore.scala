@@ -78,7 +78,14 @@ object PairStore {
     * a sliver of corpus bytes; at extreme scale, bucketing labels by a
     * cluster-id residue turns this into a touched-partition rewrite.
     *
-    * @param newNodes one row per NEW node (ids unseen by the store)
+    * Idempotent under replay: nodes already labeled and pair rows
+    * already stored are anti-joined away before anything writes, so
+    * re-running an append (a restarted ingest loop re-delivering its
+    * batch) is a no-op — both screens are batch-sized on one side and
+    * column-pruned on the store side.
+    *
+    * @param newNodes one row per NEW node (already-stored ids are
+    *                 ignored)
     * @param newPairs verified pairs touching the batch (batch-internal
     *                 and batch-vs-corpus, e.g. from
     *                 [[NearDup.ngramJaccardAcross]] or a
@@ -94,14 +101,26 @@ object PairStore {
       dstCol: String,
       shortcut: Boolean = false): Unit = {
     val spark = newNodes.sparkSession
-    newPairs.write.mode("append").parquet(s"$dir/pairs")
+    // Eager localCheckpoint, NOT persist: the anti-join reads pairs/
+    // and the append below writes pairs/ — appending triggers Spark's
+    // recache-by-path, which would RECOMPUTE a persisted plan against
+    // the just-appended files and empty the batch mid-flight. The
+    // checkpoint truncates lineage to concrete blocks first, so the
+    // screened batch is immune to its own append.
+    val freshPairs = newPairs
+      .join(pairs(spark, dir).select(col(srcCol), col(dstCol)),
+        Seq(srcCol, dstCol), "left_anti")
+      .localCheckpoint(true)
+    freshPairs.write.mode("append").parquet(s"$dir/pairs")
     val old = labels(spark, dir)
+    val freshNodes = newNodes.select(col(nodeCol)).distinct()
+      .join(old.select(col(nodeCol)), Seq(nodeCol), "left_anti")
     val base = old
-      .union(newNodes.select(col(nodeCol), col(nodeCol).as("cluster_id")))
+      .union(freshNodes.select(col(nodeCol), col(nodeCol).as("cluster_id")))
       .persist()
-    // lift each new pair onto current labels — the quotient edge list
+    // lift each fresh pair onto current labels — the quotient edge list
     val lab = base.select(col(nodeCol).as("_n"), col("cluster_id").as("_l"))
-    val qEdges = newPairs
+    val qEdges = freshPairs
       .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
       .join(lab.withColumnRenamed("_n", "_s").withColumnRenamed("_l", "_ls"), "_s")
       .join(lab.withColumnRenamed("_n", "_d").withColumnRenamed("_l", "_ld"), "_d")
@@ -129,6 +148,7 @@ object PairStore {
     // single-writer, no-concurrent-reader ingest loop.
     next.write.mode("overwrite").parquet(s"$dir/labels_next")
     base.unpersist()
+    freshPairs.unpersist(blocking = false)
     val cur = new org.apache.hadoop.fs.Path(s"$dir/labels")
     val prev = new org.apache.hadoop.fs.Path(s"$dir/labels_prev")
     val nxt = new org.apache.hadoop.fs.Path(s"$dir/labels_next")

@@ -92,6 +92,25 @@ class PairStoreSpec extends SparkSpec {
       == incr ++ Map(8L -> 8L, 9L -> 8L))
   }
 
+  test("append is idempotent under replay: re-delivering a batch changes nothing") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val nodes = Seq(4L, 5L).toDF("id")
+    val batchPairs = Seq((4L, 5L), (2L, 3L)).toDF("id_a", "id_b")
+    PairStore.append(nodes, batchPairs, dir, "id", "id_a", "id_b")
+    val labels1 = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    val pairs1 = PairStore.pairs(spark, dir).as[(Long, Long)].collect()
+    // a restarted ingest loop re-delivers the identical batch
+    PairStore.append(nodes, batchPairs, dir, "id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == labels1)
+    val pairs2 = PairStore.pairs(spark, dir).as[(Long, Long)].collect()
+    assert(pairs2.sorted.toSeq == pairs1.sorted.toSeq,
+      "replay must not duplicate pair rows")
+    assert(labels1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("append with an empty or pair-free batch is the identity on labels") {
     val dir = tmpDir()
     val oldNodes = Seq(1L, 2L, 3L).toDF("id")
