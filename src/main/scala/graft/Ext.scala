@@ -1259,6 +1259,52 @@ object Ext {
     dedupClusters.oracle
   )
 
+  /** Store health summary — the ingest dashboard's one-row read over the
+    * persisted artifacts: corpus size, stored pair count, cluster count,
+    * docs living in non-singleton clusters, and the largest cluster (the
+    * mirror/boilerplate alarm). Pure aggregates over the store parquet
+    * (labels column-pruned to cluster_id); the oracle recomputes the
+    * closure from text and must agree on every count. */
+  private val dedupStoreStats = QDef(
+    "dedup_store_stats",
+    (s, d) => {
+      val dir = docPairStore(s, d)
+      val labels = graft.functions.PairStore.labels(s, dir)
+      val pairsDf = graft.functions.PairStore.pairs(s, dir)
+      val cs = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      val nDocs = labels.agg(count(lit(1)).as("n_docs"))
+      val nPairs = pairsDf.agg(count(lit(1)).as("n_pairs"))
+      val cAgg = cs.agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum(when(col("n") > 1L, col("n"))), lit(0L)).as("n_dup_docs"),
+        max(col("n")).as("max_cluster_size"))
+      nDocs.crossJoin(nPairs).crossJoin(cAgg)
+    },
+    Some("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "e AS (SELECT id_a AS s, id_b AS t FROM pairs " +
+      "UNION SELECT id_b AS s, id_a AS t FROM pairs), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS lbl FROM documents " +
+      "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t), " +
+      "cl AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node), " +
+      "cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY 1) " +
+      "SELECT CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_docs, " +
+      "CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs, " +
+      "CAST((SELECT count(*) FROM cs) AS BIGINT) AS n_clusters, " +
+      "CAST((SELECT coalesce(sum(n), 0) FROM cs WHERE n > 1) AS BIGINT) AS n_dup_docs, " +
+      "CAST((SELECT max(n) FROM cs) AS BIGINT) AS max_cluster_size")
+  )
+
   /** Mixture-weighted corpus sample ([[graft.functions.Sampling
     * .mixtureSample]]): keep ~75% of English, ~50% of Chinese, ~25% of
     * everything else, deterministically by row-key hash. */
@@ -3065,7 +3111,7 @@ object Ext {
     dedupIncremental, dedupIncrementalStore,
     dedupPairsStore, dedupClustersStore, dedupCollapseStore,
     dedupKeepBestStore, dedupReportStore, entityResolveStore,
-    dedupClustersIncr,
+    dedupClustersIncr, dedupStoreStats,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
