@@ -139,4 +139,206 @@ class PairStoreSpec extends SparkSpec {
       == Map("acme" -> "acme", "acmee" -> "acme", "acmees" -> "acme",
         "bolt" -> "bolt", "bolts" -> "bolt", "zed" -> "zed"))
   }
+
+  // ---- crash / replay durability ------------------------------------
+
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+  /** The store's cluster-residue bucket of a value, computed with the
+    * same Catalyst hash the store uses. */
+  private def bucketOf(v: Long, buckets: Int = 16): Int =
+    Seq(v).toDF("x").select(pmod(hash(col("x")), lit(buckets)).as("b"))
+      .collect().head.getInt(0)
+
+  test("replay after a crash between the pairs append and the label swap still merges") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    // the crashed half-delivery: the batch's pairs reached pairs/ but the
+    // process died before the label update — exactly the ADVICE window
+    val batchPairs = Seq((3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    batchPairs.write.mode("append").parquet(s"$dir/pairs")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), "precondition: labels still stale")
+    // the restarted ingest loop re-delivers the identical batch
+    PairStore.append(Seq(4L).toDF("id"), batchPairs, dir, "id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      "the batch's merges must survive replay — not be anti-joined away")
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 2L), (2L, 3L), (3L, 4L)), "and pair rows must not duplicate")
+  }
+
+  test("recover: an unpublished stage is discarded, labels untouched") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val before = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    // crash after writing a (garbage) stage but before the journal commit
+    Seq((1L, 99L, 0)).toDF("id", "cluster_id", "cbucket")
+      .write.partitionBy("cbucket").parquet(s"$dir/labels_staged")
+    val out = fs.create(p(s"$dir/_PENDING.tmp"), true)
+    out.write("replace 0\n".getBytes("UTF-8")); out.close()
+    PairStore.recover(spark, dir)
+    assert(!fs.exists(p(s"$dir/labels_staged")) && !fs.exists(p(s"$dir/_PENDING.tmp")))
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap == before)
+  }
+
+  test("recover: a published journal rolls forward, idempotently past partial application") {
+    val dir = tmpDir()
+    // pick a second node whose 16-residue differs from node 1's, so the
+    // merge moves its row across buckets and empties the old bucket
+    val v = (2L to 20L).find(x => bucketOf(x) != bucketOf(1L)).get
+    PairStore.build(Seq(1L, v).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val b1 = bucketOf(1L)
+    val bv = bucketOf(v)
+    // manufacture the committed-but-unapplied state of an append that
+    // merged v into cluster 1: stage holds the rewritten bucket b1,
+    // bucket bv empties out
+    Seq((1L, 1L, b1), (v, 1L, b1)).toDF("id", "cluster_id", "cbucket")
+      .write.partitionBy("cbucket").parquet(s"$dir/labels_staged")
+    val out = fs.create(p(s"$dir/_PENDING.tmp"), true)
+    out.write(s"replace $b1\ndrop $bv\n".getBytes("UTF-8")); out.close()
+    assert(fs.rename(p(s"$dir/_PENDING.tmp"), p(s"$dir/_PENDING")))
+    // partially apply: the replace already ran before the crash
+    assert(fs.delete(p(s"$dir/labels/cbucket=$b1"), true))
+    assert(fs.rename(p(s"$dir/labels_staged/cbucket=$b1"),
+      p(s"$dir/labels/cbucket=$b1")))
+    PairStore.recover(spark, dir)
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, v -> 1L), "roll-forward must complete the journal")
+    assert(!fs.exists(p(s"$dir/_PENDING")) && !fs.exists(p(s"$dir/labels_staged")))
+    // recover on the healthy store is a no-op
+    PairStore.recover(spark, dir)
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, v -> 1L))
+  }
+
+  test("recover: pairs compaction crash windows (both sides of the swap)") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val expected = PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+    // window A: compacted output fully written, old pairs/ deleted,
+    // rename crashed — recover rolls forward
+    spark.read.parquet(s"$dir/pairs").repartition(1)
+      .write.parquet(s"$dir/pairs_next")
+    assert(fs.delete(p(s"$dir/pairs"), true))
+    PairStore.recover(spark, dir)
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == expected)
+    // window B: compacted output written (or half-written) while old
+    // pairs/ still live — recover rolls back, pairs/ intact
+    spark.read.parquet(s"$dir/pairs").repartition(1)
+      .write.parquet(s"$dir/pairs_next")
+    PairStore.recover(spark, dir)
+    assert(!fs.exists(p(s"$dir/pairs_next")))
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == expected)
+  }
+
+  test("append rewrites ONLY the touched label buckets") {
+    val dir = tmpDir()
+    val nodes = (1L to 40L).toDF("id")
+    PairStore.build(nodes, Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"),
+      dir, "id", "id_a", "id_b")
+    def bucketFiles(): Map[String, Set[String]] =
+      fs.listStatus(p(s"$dir/labels")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cbucket="))
+        .map(s => s.getPath.getName ->
+          fs.listStatus(s.getPath).map(_.getPath.getName).toSet)
+        .toMap
+    val before = bucketFiles()
+    // pure-growth singleton: only its own residue bucket may change
+    val nv = 101L
+    PairStore.append(Seq(nv).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val after = bucketFiles()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed == Set(s"cbucket=${bucketOf(nv)}"),
+      s"expected only the fresh node's bucket to change, got $changed")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      .apply(nv) == nv)
+  }
+
+  test("append with no label effect (full replay of a completed batch) rewrites nothing") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val nodes = Seq(4L).toDF("id")
+    val batch = Seq((3L, 4L)).toDF("id_a", "id_b")
+    PairStore.append(nodes, batch, dir, "id", "id_a", "id_b")
+    val stamp = fs.listStatus(p(s"$dir/labels")).map(s =>
+      s.getPath.getName -> s.getModificationTime).toMap
+    PairStore.append(nodes, batch, dir, "id", "id_a", "id_b")
+    val stamp2 = fs.listStatus(p(s"$dir/labels")).map(s =>
+      s.getPath.getName -> s.getModificationTime).toMap
+    assert(stamp2 == stamp,
+      "a fully-applied replay must take the identity fast path — zero bucket rewrites")
+  }
+
+  test("auto-compaction folds accumulated pair files without changing rows") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    for (i <- 3L to 6L)
+      PairStore.append(Seq(i).toDF("id"),
+        Seq((i - 1L, i)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b",
+        maxPairFiles = 2)
+    val files = fs.listStatus(p(s"$dir/pairs"))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    assert(files <= 2, s"compaction must bound the small-file count, got $files")
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == (2L to 6L).map(i => (i - 1L, i)))
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  // ---- randomized invariants (round-11 verdict item 7) ----------------
+
+  test("property: N random appends == full rebuild, and cluster_id is the component min") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n     <- Gen.choose(12, 30)
+      edges <- Gen.listOfN(25,
+        Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
+      cuts  <- Gen.listOfN(2, Gen.choose(2, 28))
+    } yield (n.toLong, edges, cuts)
+    for (seed <- 1 to 6) {
+      val (n, rawEdges, cuts) =
+        gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val universe = (1L to n).toVector
+      // pairs must only touch ingested nodes: assign each pair to the
+      // batch of its LATEST endpoint (ingest order = id order here)
+      val edges = rawEdges.map { case (a, b) => (a.min(n).min(b.min(n)), a.min(n).max(b.min(n))) }
+        .filter { case (a, b) => a != b }.distinct
+      val bounds = (cuts.map(_.toLong.min(n)).sorted :+ n).distinct
+      val batches = (0L +: bounds).distinct.sorted.sliding(2).toSeq.collect {
+        case Seq(lo, hi) if hi > lo =>
+          (universe.filter(x => x > lo && x <= hi),
+            edges.filter { case (a, b) => a.max(b) > lo && a.max(b) <= hi })
+      }
+      val dir = tmpDir()
+      val (n0, e0) = batches.head
+      PairStore.build(n0.toDF("id"), e0.toDF("id_a", "id_b"), dir,
+        "id", "id_a", "id_b")
+      for ((bn, be) <- batches.tail)
+        PairStore.append(bn.toDF("id"), be.toDF("id_a", "id_b"), dir,
+          "id", "id_a", "id_b")
+      val incr = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      val full = Clusters.connectedComponents(
+          universe.toDF("id"), edges.toDF("id_a", "id_b"), "id", "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(incr == full, s"seed $seed: incremental != rebuild")
+      // canonical-id invariant: every label is its cluster's minimum member
+      incr.groupBy(_._2).foreach { case (cid, members) =>
+        assert(members.keys.min == cid,
+          s"seed $seed: cluster $cid label is not the component min")
+      }
+    }
+  }
 }
