@@ -805,7 +805,8 @@ object Ext {
     * mutates the on-disk layout; the durable cache makes the mutation
     * idempotent across re-runs, which serve the same appended index). */
   private val appendedIdx =
-    new graft.PlanCache[graft.functions.IvfIndex](capacity = 4, durable = true)
+    new graft.PlanCache[graft.functions.IvfIndex](capacity = 4, durable = true,
+      onEvict = i => graft.TempDirs.delete(i.path))
 
   /** INDEX-HEALTH gate for the frozen-quantizer ingest path
     * ([[graft.functions.IvfIndex.appendBatch]]): a distribution-SHIFTED
@@ -834,9 +835,9 @@ object Ext {
       val exact = Similarity.bruteForceTopKCached(
         combined, q, "vec_id", "embedding", k = 5)
       val idx = appendedIdx.getOrCompute(
-        graft.PlanCache.keyOf2(base, shifted, "ivf16"), {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_ivf_appended").toString
+        graft.PlanCache.keyOf2(base, shifted, "ivf16"),
+        graft.BuildTimer.timed("ivf_appended_index") {
+          val dir = graft.TempDirs.create("graft_ivf_appended")
           val i = graft.functions.IvfIndex
             .build(base, "vec_id", "embedding", nCells = 16, dir)
           i.appendBatch(shifted, "vec_id", "embedding")
@@ -1124,7 +1125,8 @@ object Ext {
     * the bench's between-query cache clears, exactly like
     * [[sigStoreDirs]]. */
   private val pairStoreDirs =
-    new graft.PlanCache[String](capacity = 8, durable = true)
+    new graft.PlanCache[String](capacity = 8, durable = true,
+      onEvict = graft.TempDirs.delete)
 
   /** Build-or-reuse the document near-dup pair/cluster store (3-gram
     * Jaccard ≥ 0.5 verified pairs + CC labels over doc_id). */
@@ -1132,9 +1134,9 @@ object Ext {
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val docs = documents(s, d)
     pairStoreDirs.getOrCompute(
-      graft.PlanCache.keyOf(docs, "ngram-jaccard", 0.5, 3), {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_pairstore").toString
+      graft.PlanCache.keyOf(docs, "ngram-jaccard", 0.5, 3),
+      graft.BuildTimer.timed("pair_store_docs") {
+        val tmp = graft.TempDirs.create("graft_pairstore")
         graft.functions.PairStore.build(
           docs.select(col("doc_id")),
           NearDup.ngramJaccardPairs(docs, threshold = 0.5),
@@ -1149,9 +1151,9 @@ object Ext {
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val cust = customer(s, d)
     pairStoreDirs.getOrCompute(
-      graft.PlanCache.keyOf(cust, "fuzzy-c_name", 1), {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_pairstore").toString
+      graft.PlanCache.keyOf(cust, "fuzzy-c_name", 1),
+      graft.BuildTimer.timed("pair_store_entity") {
+        val tmp = graft.TempDirs.create("graft_pairstore")
         graft.functions.PairStore.build(
           cust.select(col("c_name").cast("string").as("term"))
             .filter(col("term").isNotNull).distinct(),
@@ -1238,9 +1240,9 @@ object Ext {
     (s, d) => {
       val docs = documents(s, d)
       val dir = pairStoreDirs.getOrCompute(
-        graft.PlanCache.keyOf(docs, "ngram-incr", 0.5, 3), {
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_pairstore").toString
+        graft.PlanCache.keyOf(docs, "ngram-incr", 0.5, 3),
+        graft.BuildTimer.timed("pair_store_incr") {
+          val tmp = graft.TempDirs.create("graft_pairstore")
           val ingested = docs.filter(col("doc_id") < 250)
           val batch = docs.filter(col("doc_id") >= 250)
           graft.functions.PairStore.build(
@@ -1704,7 +1706,8 @@ object Ext {
     * .SignatureStore]]). Durable artifact cache (the store is a persisted
     * parquet layout, like the IVF index). */
   private val sigStoreDirs =
-    new graft.PlanCache[String](capacity = 8, durable = true)
+    new graft.PlanCache[String](capacity = 8, durable = true,
+      onEvict = graft.TempDirs.delete)
 
   /** Store-backed incremental dedup: the SAME contract (and the same
     * oracle SQL) as `dedup_incremental`, but the ingested corpus is
@@ -1717,12 +1720,12 @@ object Ext {
     (s, d) => {
       val docs = documents(s, d)
       val ingested = docs.filter(col("doc_id") < 250)
-      val dir = sigStoreDirs.getOrCompute(graft.PlanCache.keyOf(ingested), {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_sigstore").toString
-        graft.functions.SignatureStore.build(ingested, tmp)
-        tmp
-      })
+      val dir = sigStoreDirs.getOrCompute(graft.PlanCache.keyOf(ingested),
+        graft.BuildTimer.timed("signature_store") {
+          val tmp = graft.TempDirs.create("graft_sigstore")
+          graft.functions.SignatureStore.build(ingested, tmp)
+          tmp
+        })
       graft.functions.SignatureStore.screenBatch(
         s, docs.filter(col("doc_id") >= 250), dir, threshold = 0.5)
     },

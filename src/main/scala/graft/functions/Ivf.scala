@@ -91,7 +91,8 @@ object Ivf {
   ): Array[Array[Double]] = {
     centroidCache.getOrCompute(
       graft.PlanCache.keyOf(corpus, vecCol, nCells, seed),
-      trainCentroids(corpus, vecCol, nCells, seed))
+      graft.BuildTimer.timed("ivf_centroids")(
+        trainCentroids(corpus, vecCol, nCells, seed)))
   }
 
   /** IVF top-k: probe the query's nearest `nProbe` cells, exact cosine

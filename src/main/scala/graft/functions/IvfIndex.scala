@@ -36,7 +36,7 @@ import org.apache.spark.sql.types._
   */
 final class IvfIndex private (
     spark: SparkSession,
-    path: String,
+    private[graft] val path: String,
     val centroids: Array[Array[Double]],
     codebooksOpt: Option[Pq.Codebooks]) {
 
@@ -225,14 +225,15 @@ object IvfIndex {
     * a persisted index is an offline-built artifact; the parquet layout
     * outlives the handle either way. */
   private val indexCache =
-    new graft.PlanCache[IvfIndex](capacity = 8, durable = true)
+    new graft.PlanCache[IvfIndex](capacity = 8, durable = true,
+      onEvict = i => graft.TempDirs.delete(i.path))
 
   private[graft] def cachedFor(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, m: Int = 8, kCodes: Int = 16): IvfIndex =
     indexCache.getOrCompute(
-      graft.PlanCache.keyOf(corpus, idCol, vecCol, nCells, m, kCodes), {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft_ivf_$nCells").toString
+      graft.PlanCache.keyOf(corpus, idCol, vecCol, nCells, m, kCodes),
+      graft.BuildTimer.timed("ivf_index") {
+        val dir = graft.TempDirs.create(s"graft_ivf_$nCells")
         build(corpus, idCol, vecCol, nCells, dir, m = m, kCodes = kCodes)
       })
 }

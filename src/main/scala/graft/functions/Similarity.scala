@@ -102,6 +102,13 @@ object Similarity {
   /** [[bruteForceTopK]] through the per-JVM result cache — use when the
     * same exact reference set gates several ANN paths (the recall
     * queries). Identical output, computed once. */
+  /** Hard cap on the query slate [[bruteForceTopKCached]] will collect
+    * a reference set for: the collect is O(queries·k) rows, bounded
+    * ONLY by this contract — an unbounded query side (someone passing
+    * the corpus itself) would otherwise become a corpus-sized driver
+    * collect. Enforced, like Fuzzy's term-length caps, not implied. */
+  val MaxQuerySlate = 4096
+
   def bruteForceTopKCached(
       corpus: DataFrame,
       queries: DataFrame,
@@ -109,6 +116,13 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
+    // limit(N+1).count() stops scanning past the cap — the guard costs a
+    // bounded probe job, never a full count of a runaway query side
+    val slate = queries.limit(MaxQuerySlate + 1).count()
+    require(slate <= MaxQuerySlate,
+      s"bruteForceTopKCached collects an exact O(queries*k) reference set " +
+        s"and requires a bounded query slate (<= $MaxQuerySlate rows); got " +
+        s"more — compute bruteForceTopK without the cache, or shrink the slate")
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
     val key = graft.PlanCache.keyOf2(corpus, queries, idCol, vecCol, k)
     val rows = topKCache.getOrCompute(key, exact.collect())

@@ -129,4 +129,25 @@ class PlanCacheSpec extends SparkSpec {
     AutoUnpersist.releaseAll()
     assert(AutoUnpersist.pendingCount == 0)
   }
+
+  test("TempDirs: eviction of a dir-valued cache reclaims the artifact directory") {
+    val cache = new PlanCache[String](capacity = 1, onEvict = TempDirs.delete)
+    def mk(tag: Int): String = cache.getOrCompute(PlanCache.keyOf(frame(tag)), {
+      val d = TempDirs.create("graft_tempdirs_spec")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "payload.parquet"), Array[Byte](1, 2, 3))
+      d
+    })
+    val d1 = mk(41)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d1)))
+    val d2 = mk(42) // capacity 1 → evicts d1 → TempDirs.delete removes it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d1)),
+      "evicted store dir must be deleted from disk")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d2)))
+    // an unregistered path is never touched by delete()
+    val foreign = java.nio.file.Files.createTempDirectory("graft_foreign").toString
+    TempDirs.delete(foreign)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(foreign)))
+    cache.clear()
+  }
 }

@@ -71,4 +71,21 @@ class SimilarityNativeSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("*("), s"expression fell out of codegen:\n$p")
   }
+
+  test("bruteForceTopKCached REFUSES an unbounded query slate (corpus-as-queries)") {
+    // the exact-reference collect is only bounded by the slate contract;
+    // passing a query side wider than MaxQuerySlate must throw loudly
+    // instead of silently becoming a corpus-sized driver collect
+    val wide = spark.range(Similarity.MaxQuerySlate + 1L)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("double"), lit(1.0)).as("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKCached(wide, wide, "vec_id", "embedding", k = 2)
+    }
+    assert(err.getMessage.contains("bounded query slate"))
+    // at the cap it still serves
+    val ok = Similarity.bruteForceTopKCached(
+      wide.limit(5), wide.limit(3), "vec_id", "embedding", k = 2)
+    assert(ok.count() > 0)
+  }
 }
