@@ -16,74 +16,91 @@ import org.apache.spark.sql.functions._
   * the text-dedup analog of [[IvfIndex]] (persisted index) and
   * [[SignatureStore]] (persisted signatures).
   *
-  * Layout under `dir`:
-  *   - `pairs/` — the verified pair rows exactly as produced by the
-  *     finder (e.g. `(id_a, id_b, jaccard)` or `(term_a, term_b, dist)`);
-  *     tens of bytes per EDGE, never corpus text. Grows append-mode per
-  *     ingest batch; [[compactPairs]] folds the accumulated small files
-  *     back to ~128 MB targets (auto-triggered by [[append]] past
-  *     `maxPairFiles`).
-  *   - `labels/cbucket=<b>/` — `(nodeCol, cluster_id)` for EVERY node
-  *     (singletons label themselves), hive-partitioned by a cluster-id
-  *     hash residue (`cbucket = pmod(hash(cluster_id), buckets)`) and
-  *     node-sorted within each bucket. The bucketing is what makes
-  *     [[append]] a TOUCHED-PARTITION rewrite: a batch that merges k
-  *     clusters rewrites only the buckets holding those clusters' rows
-  *     (plus the fresh nodes' buckets), never the full corpus table.
-  *   - `_BUCKETS` — the residue modulus, fixed at [[build]] time so every
-  *     later append agrees on the layout.
-  *   - transient: `labels_staged/` (replacement partitions mid-append),
-  *     `_PENDING` (the commit journal), `pairs_next/` (compaction
-  *     staging). [[recover]] heals any crash that left these behind.
+  * Layout under `dir` — IMMUTABLE data + versioned manifests:
+  *   - `pairs/` — append-only parquet pair-row files exactly as produced
+  *     by the finder (e.g. `(id_a, id_b, jaccard)`); tens of bytes per
+  *     EDGE, never corpus text. [[compactPairs]] folds accumulated small
+  *     files into a `pairs_g<v>/` generation (auto-triggered past
+  *     `maxPairFiles`); superseded files linger until [[vacuum]].
+  *   - `labels/g<v>b<b>/` — one dir per (commit version, cluster-residue
+  *     bucket), holding `(nodeCol, cluster_id)` rows node-sorted, for
+  *     the bucket generations written at version `v`. `b = pmod(hash(
+  *     cluster_id), buckets)`, so an [[append]] rewrites ONLY the
+  *     buckets holding merged or fresh clusters — never the corpus
+  *     table. Dirs are written once and never mutated.
+  *   - `history/v<N>` — the version-N MANIFEST: the complete
+  *     bucket→generation map plus the complete pairs file list. One
+  *     small text file IS the commit: readers resolve every path
+  *     through it, so publishing it (full write to a tmp name, then
+  *     rename) atomically exposes version N.
+  *   - `_BUCKETS` — the residue modulus, fixed at [[build]] time.
   *
-  * '''Crash model.''' Label updates commit through a write-ahead
-  * journal: the staged partitions are fully written (with `_SUCCESS`)
-  * first, then `_PENDING` — the exact list of `replace`/`drop` bucket
-  * moves — is published via a tmp-file rename, then the per-bucket
-  * swaps run, then the journal is deleted. A crash BEFORE the journal
-  * publishes leaves `labels/` untouched (recover discards the stage); a
-  * crash AFTER leaves a journal whose application is idempotent
-  * (replace skips buckets whose staged dir is already consumed, drop is
-  * a delete), so recover always rolls FORWARD to the post-append state.
-  * [[append]] itself is idempotent under whole-batch replay — a
-  * restarted ingest loop re-delivering its batch is a no-op — because
-  * the quotient edges are derived from the FULL delivered batch lifted
-  * onto current labels (already-merged pairs lift to `label == label`
-  * and drop out), while only the pairs-file append is screened by the
-  * stored-pair anti-join. Replay after ANY partial crash (pairs
-  * appended but labels not yet swapped, or a half-applied journal)
-  * therefore converges to the same store as a clean run.
+  * '''Crash model.''' The manifest rename is the single commit point.
+  * Data written for an uncommitted version (staged label dirs, `g<v>b*`
+  * generations, a `pairs_g<v>` compaction, appended pair files) is
+  * unreachable garbage — no manifest references it — so [[recover]]
+  * just deletes anything newer than the last committed manifest; there
+  * is no journal replay. [[append]] is idempotent under whole-batch
+  * replay, including replay after a crash at ANY point: the quotient
+  * edges derive from the FULL delivered batch lifted onto current
+  * labels (already-merged pairs lift to `label == label` and drop out),
+  * and a crashed delivery's orphan pair files are excluded from every
+  * manifest (the replay's appended-file diff never picks them up), so
+  * the replay converges to the same store as a clean run.
+  *
+  * '''Snapshots.''' Because data files are immutable and manifests are
+  * self-contained, [[snapshot]] pins a consistent (pairs, labels) view
+  * that stays valid while appends and compactions race ahead — the
+  * concurrent-reader contract a bare swap protocol cannot give.
+  * [[vacuum]] retires manifests older than `keepLast` and deletes the
+  * data files only they referenced; single-writer appends remain the
+  * rule, but readers need no coordination beyond vacuum retention.
   *
   * The closure is computed FROM the stored pair parquet (read back, not
   * from the live pair plan), so the pair pipeline executes exactly once
   * per build even though both artifacts derive from it. Incremental
   * growth composes with [[SignatureStore]]: screen a batch against the
-  * signature store, append accepted signatures, and rebuild pairs only
-  * for the batch-touched buckets — batch-sized work, never a corpus
-  * rescan.
-  *
-  * Single-writer: appends must not run concurrently with each other;
-  * readers racing an append can observe a mid-swap mix of old and new
-  * buckets (adopt a table format with snapshot commits for that).
+  * signature store, append accepted signatures, and find pairs only for
+  * the batch — batch-sized work, never a corpus rescan.
   */
 object PairStore {
 
-  /** Partition-column name for the cluster-residue bucket (no leading
-    * underscore — Spark's file listing hides `_`-prefixed paths). */
+  /** Partition-column name used transiently by the staged bucket write
+    * (no leading underscore — Spark's listing hides `_` paths). */
   private val BucketCol = "cbucket"
 
+  /** A pinned, immutable view of the store at one committed version:
+    * `pairs` and `labels` resolve to the exact files that version's
+    * manifest listed, so the view stays consistent while later appends,
+    * compactions, and bucket rewrites land (until [[vacuum]] passes the
+    * pinned version out of retention). */
+  final case class Snapshot(version: Long, pairs: DataFrame, labels: DataFrame)
+
+  /** The complete state of one committed version. `buckets` maps each
+    * live cluster-residue bucket to the version that last wrote it;
+    * `pairFiles` is the full pair-file list (paths relative to the
+    * store root). Small by construction: ≤ modulus bucket lines plus
+    * one line per pair file (compaction keeps that bounded). */
+  private final case class Manifest(
+      version: Long, buckets: Map[Int, Long], pairFiles: Seq[String])
+
+  // ------------------------------------------------------------------ //
+  // build / append / compact / vacuum (the single writer's API)
+  // ------------------------------------------------------------------ //
+
   /** Build (overwrite) the store: persist the verified `pairs`, then the
-    * connected-components labels of `nodes` under those pairs.
+    * connected-components labels of `nodes` under those pairs, and
+    * commit manifest v0.
     *
     * @param nodes    one row per node (the full id universe — isolated
     *                 nodes become singleton clusters)
     * @param pairs    verified pair rows; direction/duplicates don't matter
     * @param shortcut pointer-jumping mode for chain-shaped graphs (typo
     *                 chains) — see [[Clusters.connectedComponents]]
-    * @param buckets  cluster-residue modulus for the label layout; sized
-    *                 so one bucket ≈ one comfortable rewrite unit (at
-    *                 100 TB / 10^11 docs, 1024 buckets ≈ 1.6 GB of label
-    *                 rows each). Fixed for the store's lifetime.
+    * @param buckets  cluster-residue modulus: one bucket ≈ one
+    *                 comfortable rewrite unit (at 100 TB / 10^11 docs,
+    *                 1024 buckets ≈ 1.6 GB of label rows each). Fixed
+    *                 for the store's lifetime.
     */
   def build(
       nodes: DataFrame,
@@ -97,46 +114,52 @@ object PairStore {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = nodes.sparkSession
     val fs = fsOf(spark, dir)
-    // a rebuild must not inherit a crashed append's transient state
-    for (stray <- Seq("labels_staged", "pairs_next", "_PENDING", "_PENDING.tmp"))
-      fs.delete(new Path(s"$dir/$stray"), true)
+    // overwrite semantics: a rebuild starts the store's history over
+    for (old <- Seq("labels", "history", "pairs", "_BUCKETS"))
+      deleteOrThrow(fs, new Path(s"$dir/$old"))
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("pairs_g"))
+      .foreach(s => deleteOrThrow(fs, s.getPath))
     pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    if (listDataFiles(fs, dir, "pairs").isEmpty)
+      // an empty pair set can write zero part files; force one so the
+      // manifest always lists a schema-bearing file and no reader ever
+      // falls back to a directory listing (which could pick up orphans)
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairs.schema)
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/pairs")
     val stored = spark.read.parquet(s"$dir/pairs")
     val labels = Clusters.connectedComponents(
       nodes.select(col(nodeCol)), stored, nodeCol, srcCol, dstCol,
       shortcut = shortcut)
-    withBucket(labels, buckets)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/labels")
+    val written = writeBucketGen(spark, dir, labels, buckets, gen = 0L)
     writeSmallFile(fs, new Path(s"$dir/_BUCKETS"), buckets.toString)
-    spark.catalog.refreshByPath(s"$dir/labels")
+    commitManifest(fs, dir, Manifest(0L,
+      written.map(_ -> 0L).toMap, listDataFiles(fs, dir, "pairs")))
   }
 
   /** Incrementally extend the store with a batch: append the batch's
-    * verified pairs and update the labels WITHOUT recomputing the
-    * closure over the full corpus. Existing clusters collapse to
-    * SUPER-NODES: each delivered pair (a, b) becomes an edge between the
-    * CURRENT labels of a and b (new nodes label themselves), so the
-    * quotient graph has one node per touched cluster or new doc and one
-    * edge per new pair — connected components over it costs O(batch
-    * pairs), not O(corpus pairs). Because every label is its cluster's
-    * MINIMUM member id, the min label of a merged super-node set is the
-    * merged cluster's true minimum member — the canonical-id invariant
-    * survives, and the result is row-identical to a full rebuild
-    * (pinned by PairStoreSpec and the `dedup_clusters_incr` oracle).
+    * verified pairs and commit new label-bucket generations WITHOUT
+    * recomputing the closure over the full corpus. Existing clusters
+    * collapse to SUPER-NODES: each delivered pair (a, b) becomes an
+    * edge between the CURRENT labels of a and b (new nodes label
+    * themselves), so the quotient graph has one node per touched
+    * cluster or new doc and one edge per new pair — connected
+    * components over it costs O(batch pairs), not O(corpus pairs).
+    * Because every label is its cluster's MINIMUM member id, the min
+    * label of a merged super-node set is the merged cluster's true
+    * minimum member — the canonical-id invariant survives, and the
+    * result is row-identical to a full rebuild (pinned by PairStoreSpec
+    * and the `dedup_clusters_incr` oracle).
     *
-    * Only the TOUCHED label buckets are rewritten: the buckets holding
-    * rows of merging clusters (old residue), receiving merged labels
-    * (new residue), or receiving fresh nodes. A pure-growth batch
-    * rewrites the fresh nodes' buckets; a no-op batch (replay of a
-    * completed append) rewrites nothing. The one O(corpus) cost left is
-    * the label SCAN that lifts batch pair endpoints onto current labels
-    * — a broadcast-batch map-side join, no corpus shuffle (a node-keyed
-    * secondary index would remove even the scan; out of scope here).
-    *
-    * Idempotent under replay, including replay after a crash at ANY
-    * point of a previous delivery — see the crash model in the object
-    * doc. [[recover]] runs first, so a restarted ingest loop only ever
-    * calls `append` again.
+    * Only the TOUCHED buckets get a new generation: those holding rows
+    * of merging clusters (old residue), receiving merged labels (new
+    * residue), or receiving fresh nodes. A pure-growth batch writes the
+    * fresh nodes' buckets; a full replay of a completed batch commits
+    * nothing at all. The one O(corpus) cost left is the label SCAN that
+    * lifts batch pair endpoints onto current labels — a broadcast-batch
+    * map-side join, no corpus shuffle (a node-keyed secondary index
+    * would remove even the scan; out of scope here).
     *
     * @param newNodes     one row per NEW node (already-stored ids are
     *                     ignored)
@@ -145,9 +168,9 @@ object PairStore {
     *                     [[NearDup.ngramJaccardAcross]] or a
     *                     [[SignatureStore]] screen); old-old pairs are
     *                     also legal and merge their clusters
-    * @param maxPairFiles auto-compaction trigger: when the append-mode
-    *                     `pairs/` dir exceeds this many data files, fold
-    *                     them with [[compactPairs]] (edge-sized IO,
+    * @param maxPairFiles auto-compaction trigger: past this many live
+    *                     pair files the commit folds them into a
+    *                     `pairs_g<v>` generation (edge-sized IO,
     *                     amortized over ~maxPairFiles batches)
     */
   def append(
@@ -163,12 +186,14 @@ object PairStore {
     recover(spark, dir)
     val fs = fsOf(spark, dir)
     val b = bucketCount(fs, dir)
-    // Eager localCheckpoint: the batch is read several times (pairs
-    // screen, quotient lift) across writes that modify the very paths a
-    // live plan might read (pairs/ append triggers Spark's
-    // recache-by-path and would recompute a lazy screen against its own
-    // output, emptying the batch mid-flight). Checkpointing truncates
-    // lineage to concrete blocks first. Batch-sized by contract.
+    val man = currentManifest(fs, dir)
+    val v = man.version + 1
+    // Eager localCheckpoint: the batch is read several times across
+    // writes that modify the very paths a live plan might read (the
+    // pairs append triggers Spark's recache-by-path and would recompute
+    // a lazy screen against its own output, emptying the batch
+    // mid-flight). Checkpointing truncates lineage to concrete blocks
+    // first. Batch-sized by contract.
     val batch = newPairs.localCheckpoint(true)
     // Screen ONLY the pairs-file append on already-stored rows — the
     // label merge below deliberately uses the full batch, so a replay
@@ -178,17 +203,27 @@ object PairStore {
     // pair if its src is a batch endpoint), so the anti-join's store
     // side is batch-sized — the store is scanned, never shuffled.
     val batchSrc = batch.select(col(srcCol)).distinct()
-    val storedTouching = pairs(spark, dir).select(col(srcCol), col(dstCol))
+    val storedTouching = readFiles(spark, dir, man.pairFiles, "pairs")
+      .select(col(srcCol), col(dstCol))
       .join(broadcast(batchSrc), Seq(srcCol), "left_semi")
     val freshPairs = batch
       .join(storedTouching, Seq(srcCol, dstCol), "left_anti")
       .localCheckpoint(true)
-    freshPairs.write.mode("append").parquet(s"$dir/pairs")
-    if (dataFileCount(fs, new Path(s"$dir/pairs")) > maxPairFiles)
-      compactPairs(spark, dir)
+    // appended-file accounting by before/after diff: a crashed earlier
+    // delivery's ORPHAN files predate the diff and stay out of every
+    // manifest — replays never double-count pair rows. A fully-screened
+    // (replayed) batch skips the write: the writer emits a file per
+    // task even for zero rows, which would masquerade as a pairs-only
+    // commit
+    val appended = if (freshPairs.isEmpty) Seq.empty[String] else {
+      val before = listDataFiles(fs, dir, "pairs").toSet
+      freshPairs.write.mode("append").parquet(s"$dir/pairs")
+      listDataFiles(fs, dir, "pairs").filterNot(before)
+    }
+    var pairFiles = man.pairFiles ++ appended
 
-    val stored = spark.read.parquet(s"$dir/labels")
-    val old = stored.select(col(nodeCol), col("cluster_id"))
+    val old = readBuckets(spark, dir, man, man.buckets.keySet.toSeq)
+      .select(col(nodeCol), col("cluster_id"))
     // Fresh-node screen, same broadcast-batch shape as the pair screen:
     // semi-reduce the corpus label table by the batch's node ids first,
     // then anti-join two batch-sized frames — corpus scanned, not
@@ -202,8 +237,8 @@ object PairStore {
     // lift each delivered pair onto current labels — the quotient edge
     // list. Pairs already inside one cluster lift to _ls === _ld and
     // drop out, which is exactly what makes replay a no-op. The batch
-    // side is broadcast: the corpus-sized label table streams through
-    // two map-side probes and contributes no shuffle.
+    // side is broadcast: the corpus-sized label table streams through a
+    // map-side semi probe and contributes no shuffle.
     val lab = old
       .unionByName(freshNodes.select(col(nodeCol), col(nodeCol).as("cluster_id")))
       .select(col(nodeCol).as("_n"), col("cluster_id").as("_l"))
@@ -229,112 +264,295 @@ object PairStore {
       .filter(col("_q") =!= col("_merged"))
       .localCheckpoint(true)
 
-    // Buckets needing a rewrite: sources of moved rows (old residue),
-    // destinations (new residue), and fresh nodes' residues. Bounded by
-    // the modulus, so the collect is ≤ `buckets` ints of driver state.
+    // Buckets needing a new generation: sources of moved rows (old
+    // residue), destinations (new residue), and fresh nodes' residues.
+    // Bounded by the modulus, so the collect is ≤ `buckets` ints.
     val touched = merged.select(pmod(hash(col("_q")), lit(b)).as("bk"))
       .unionByName(merged.select(pmod(hash(col("_merged")), lit(b)).as("bk")))
       .unionByName(freshNodes.select(pmod(hash(col(nodeCol)), lit(b)).as("bk")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty && appended.isEmpty) {
+      // fully-applied replay (or empty batch): nothing changed, commit
+      // nothing — the fast path that makes restarted loops cheap
+      Seq(merged, endLabels, freshNodes, freshPairs, batch)
+        .foreach(_.unpersist(blocking = false))
+      return
+    }
+    var newBuckets = man.buckets
     if (touched.nonEmpty) {
-      // Rewrite = every current row of a touched bucket (partition
-      // pruning keeps the read touched-sized), relabeled through the
-      // batch-sized merge map, plus the fresh nodes. Rows whose new
-      // label has a different residue migrate buckets; a bucket whose
-      // rows ALL migrate out ends up with no staged dir and is journaled
-      // as a drop.
-      val candidates = stored.filter(col(BucketCol).isin(touched: _*))
+      // New generation = every current row of a touched bucket (read by
+      // direct manifest addressing — touched dirs only), relabeled
+      // through the batch-sized merge map, plus the fresh nodes. Rows
+      // whose new label has a different residue migrate buckets; a
+      // bucket whose rows ALL migrate out simply leaves the manifest.
+      val candidates = readBuckets(spark, dir, man,
+          touched.filter(man.buckets.contains))
         .select(col(nodeCol), col("cluster_id"))
         .unionByName(freshNodes.select(col(nodeCol), col(nodeCol).as("cluster_id")))
       val staged = candidates
         .join(broadcast(merged), col("cluster_id") === col("_q"), "left")
         .select(col(nodeCol),
           coalesce(col("_merged"), col("cluster_id")).as("cluster_id"))
-      withBucket(staged, b)
-        .write.partitionBy(BucketCol).mode("overwrite")
-        .parquet(s"$dir/labels_staged")
-      val outBuckets = listBuckets(fs, new Path(s"$dir/labels_staged"))
-      val drops = touched.filterNot(outBuckets.contains)
-        .filter(bk => fs.exists(new Path(s"$dir/labels/$BucketCol=$bk")))
-      publishPending(fs, dir,
-        outBuckets.map(bk => s"replace $bk") ++ drops.map(bk => s"drop $bk"))
-      applyPending(spark, dir)
+      val written = writeBucketGen(spark, dir, staged, b, gen = v)
+      newBuckets = (man.buckets -- touched) ++ written.map(_ -> v)
     }
-    merged.unpersist(blocking = false)
-    endLabels.unpersist(blocking = false)
-    freshNodes.unpersist(blocking = false)
-    freshPairs.unpersist(blocking = false)
-    batch.unpersist(blocking = false)
+    if (pairFiles.size > maxPairFiles)
+      pairFiles = compactInto(spark, dir, pairFiles, v)
+    commitManifest(fs, dir, Manifest(v, newBuckets, pairFiles))
+    Seq(merged, endLabels, freshNodes, freshPairs, batch)
+      .foreach(_.unpersist(blocking = false))
   }
 
-  /** Heal any crash-interrupted [[append]] or [[compactPairs]]: rolls a
-    * published journal FORWARD (its application is idempotent), discards
-    * an unpublished stage (labels untouched ⇒ the batch will simply be
-    * re-delivered), and completes or discards a pairs compaction swap.
-    * Safe to call on a healthy store (pure existence checks); [[append]]
-    * calls it first, so a restarted ingest loop needs no extra step. */
+  /** Delete any data newer than the last committed manifest: staged
+    * label writes, uncommitted `g<v>b*` generations, an uncommitted
+    * `pairs_g<v>` compaction, manifest tmp files. (Orphan pair files
+    * from a crashed append are unreferenced and harmless; [[vacuum]]
+    * reaps them.) Safe on a healthy store — pure listing checks — and
+    * [[append]] runs it first, so a restarted ingest loop needs no
+    * extra step. */
   def recover(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
-    // unpublished journal tmp: the commit never happened — discard
-    fs.delete(new Path(s"$dir/_PENDING.tmp"), true)
-    if (fs.exists(new Path(s"$dir/_PENDING"))) {
-      applyPending(spark, dir)
-    } else if (fs.exists(new Path(s"$dir/labels_staged"))) {
-      // stage written (possibly partially) but never journaled: labels/
-      // is still the pre-append generation — discard the stage
-      deleteOrThrow(fs, new Path(s"$dir/labels_staged"))
-    }
-    val pNext = new Path(s"$dir/pairs_next")
-    if (fs.exists(pNext)) {
-      val pairsP = new Path(s"$dir/pairs")
-      if (!fs.exists(pairsP) && fs.exists(new Path(s"$dir/pairs_next/_SUCCESS"))) {
-        // crash between the compaction delete and rename: roll forward
-        renameOrThrow(fs, pNext, pairsP)
-        spark.catalog.refreshByPath(s"$dir/pairs")
-      } else {
-        // compaction staged but old pairs/ still live (or the stage is
-        // incomplete): roll back — compaction re-triggers later
-        deleteOrThrow(fs, pNext)
+    val vMax = committedVersions(fs, dir).maxOption.getOrElse(return)
+    val hist = new Path(s"$dir/history")
+    fs.listStatus(hist).toSeq
+      .filterNot(s => s.getPath.getName.matches("v\\d+"))
+      .foreach(s => deleteOrThrow(fs, s.getPath))
+    val labelsRoot = new Path(s"$dir/labels")
+    if (fs.exists(labelsRoot))
+      fs.listStatus(labelsRoot).toSeq.foreach { s =>
+        val n = s.getPath.getName
+        val stale = n.startsWith("_staged") ||
+          parseGenBucket(n).exists(_._1 > vMax)
+        if (stale) deleteOrThrow(fs, s.getPath)
       }
-    }
+    fs.listStatus(new Path(dir)).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("pairs_g") && n.stripPrefix("pairs_g").toLongOption
+          .exists(_ > vMax)
+      }
+      .foreach(s => deleteOrThrow(fs, s.getPath))
   }
 
-  /** Fold the append-mode `pairs/` small files into ~`targetFileBytes`
-    * outputs (one read+shuffle of the EDGE-sized pair table — amortized
-    * across the `maxPairFiles` appends that triggered it). Swap is
-    * staged through `pairs_next` with a `_SUCCESS` gate; [[recover]]
-    * heals a crash on either side of the swap. */
+  /** Fold the live pair files into ~`targetFileBytes` outputs as a new
+    * committed version (labels unchanged). Old files stay for pinned
+    * readers until [[vacuum]]. */
   def compactPairs(
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L << 20): Unit = {
+    recover(spark, dir)
     val fs = fsOf(spark, dir)
-    val pairsP = new Path(s"$dir/pairs")
-    if (!fs.exists(pairsP)) return
-    val bytes = fs.getContentSummary(pairsP).getLength
-    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    spark.read.parquet(s"$dir/pairs").repartition(parts)
-      .write.mode("overwrite").parquet(s"$dir/pairs_next")
-    deleteOrThrow(fs, pairsP)
-    renameOrThrow(fs, new Path(s"$dir/pairs_next"), pairsP)
-    spark.catalog.refreshByPath(s"$dir/pairs")
+    val man = currentManifest(fs, dir)
+    val v = man.version + 1
+    val files = compactInto(spark, dir, man.pairFiles, v, targetFileBytes)
+    commitManifest(fs, dir, Manifest(v, man.buckets, files))
   }
 
-  /** The stored verified pair table. */
+  /** Retire manifests older than the newest `keepLast` and delete the
+    * label generations and pair files no retained manifest references —
+    * including orphans from crashed appends. Snapshots pinned inside
+    * the retention window stay valid; older pins fail loudly on read. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = fsOf(spark, dir)
+    val versions = committedVersions(fs, dir).sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val kept = keep.map(readManifest(fs, dir, _))
+    val liveGens: Set[(Long, Int)] = kept
+      .flatMap(m => m.buckets.map { case (bk, g) => (g, bk) }).toSet
+    val livePairs: Set[String] = kept.flatMap(_.pairFiles).toSet
+    drop.foreach(dv => deleteOrThrow(fs, new Path(s"$dir/history/v$dv")))
+    val labelsRoot = new Path(s"$dir/labels")
+    if (fs.exists(labelsRoot))
+      fs.listStatus(labelsRoot).toSeq.foreach { s =>
+        parseGenBucket(s.getPath.getName).foreach { gb =>
+          if (!liveGens.contains(gb)) deleteOrThrow(fs, s.getPath)
+        }
+      }
+    (listDataFiles(fs, dir, "pairs") ++
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(_.getPath.getName.startsWith("pairs_g"))
+        .flatMap(s => listDataFiles(fs, dir, s.getPath.getName)))
+      .filterNot(livePairs)
+      .foreach(f => deleteOrThrow(fs, new Path(s"$dir/$f")))
+  }
+
+  // ------------------------------------------------------------------ //
+  // readers
+  // ------------------------------------------------------------------ //
+
+  /** Pin the CURRENT committed version as an immutable view — valid
+    * across racing appends/compactions until [[vacuum]] retires it. */
+  def snapshot(spark: SparkSession, dir: String): Snapshot =
+    snapshotAt(spark, dir, currentManifest(fsOf(spark, dir), dir).version)
+
+  /** Pin a specific committed version. Throws if that version was never
+    * committed or has been vacuumed past retention. */
+  def snapshotAt(spark: SparkSession, dir: String, version: Long): Snapshot = {
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/history/v$version")),
+      s"PairStore $dir has no committed version $version (never written, " +
+        "or vacuumed past retention)")
+    val man = readManifest(fs, dir, version)
+    Snapshot(version,
+      readFiles(spark, dir, man.pairFiles, "pairs"),
+      readBuckets(spark, dir, man, man.buckets.keySet.toSeq))
+  }
+
+  /** The stored verified pair table (current version's view). */
   def pairs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/pairs")
+    snapshot(spark, dir).pairs
 
-  /** The stored `(nodeCol, cluster_id)` label table (every node, incl.
-    * singletons; the physical bucket partition column is dropped). */
+  /** The stored `(nodeCol, cluster_id)` label table (current version's
+    * view; every node, incl. singletons). */
   def labels(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/labels").drop(BucketCol)
+    snapshot(spark, dir).labels
 
-  // ---------------------------------------------------------------- //
+  // ------------------------------------------------------------------ //
 
-  private def withBucket(labels: DataFrame, buckets: Int): DataFrame =
-    labels.withColumn(BucketCol, pmod(hash(col("cluster_id")), lit(buckets)))
+  /** Stage `labels` partitioned by cluster residue, then rename each
+    * bucket into its immutable `g<gen>b<bucket>` address; returns the
+    * bucket ids that produced output. */
+  private def writeBucketGen(
+      spark: SparkSession, dir: String, labels: DataFrame,
+      buckets: Int, gen: Long): Seq[Int] = {
+    val nodeCol = labels.columns.head
+    val fs = fsOf(spark, dir)
+    val stagedRoot = new Path(s"$dir/labels/_staged_v$gen")
+    labels
+      .withColumn(BucketCol, pmod(hash(col("cluster_id")), lit(buckets)))
       .repartition(col(BucketCol))
-      .sortWithinPartitions(col(BucketCol), col(labels.columns.head))
+      .sortWithinPartitions(col(BucketCol), col(nodeCol))
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(stagedRoot.toString)
+    val out = fs.listStatus(stagedRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+      .map(s => s.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+      .sorted
+    out.foreach { bk =>
+      val dst = new Path(s"$dir/labels/g${gen}b$bk")
+      deleteOrThrow(fs, dst) // replay of this uncommitted gen
+      renameOrThrow(fs, new Path(s"$stagedRoot/$BucketCol=$bk"), dst)
+    }
+    deleteOrThrow(fs, stagedRoot)
+    out
+  }
+
+  /** Fold `files` into a `pairs_g<v>` generation; returns its file
+    * list. */
+  private def compactInto(
+      spark: SparkSession, dir: String, files: Seq[String], v: Long,
+      targetFileBytes: Long = 128L << 20): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val bytes = files.map(f =>
+      fs.getFileStatus(new Path(s"$dir/$f")).getLen).sum
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    readFiles(spark, dir, files, "pairs").repartition(parts)
+      .write.mode("overwrite").parquet(s"$dir/pairs_g$v")
+    listDataFiles(fs, dir, s"pairs_g$v")
+  }
+
+  /** Read a manifest's bucket selection by direct generation-dir
+    * addressing (no listing, no partition discovery). */
+  private def readBuckets(
+      spark: SparkSession, dir: String, man: Manifest,
+      buckets: Seq[Int]): DataFrame = {
+    val paths = buckets.sorted.flatMap(bk =>
+      man.buckets.get(bk).map(g => s"$dir/labels/g${g}b$bk"))
+    if (paths.isEmpty) emptyLike(spark, dir, man)
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** Zero-row labels frame with the store's schema (empty-corpus edge:
+    * schema comes from any committed generation, or fails loudly on a
+    * truly bucketless store with no history of one). */
+  private def emptyLike(
+      spark: SparkSession, dir: String, man: Manifest): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val labelsRoot = new Path(s"$dir/labels")
+    val any = (if (fs.exists(labelsRoot)) fs.listStatus(labelsRoot).toSeq
+      else Seq.empty)
+      .find(s => parseGenBucket(s.getPath.getName).isDefined)
+      .getOrElse(throw new IllegalStateException(
+        s"PairStore $dir has no label generation to derive a schema from"))
+    spark.read.parquet(any.getPath.toString).where(lit(false))
+  }
+
+  /** Read an explicit pair-file list; an empty list falls back to the
+    * (possibly empty) `pairs/` dir so the v0-no-pairs edge still has a
+    * schema. */
+  private def readFiles(
+      spark: SparkSession, dir: String, files: Seq[String],
+      fallbackDir: String): DataFrame =
+    if (files.isEmpty) spark.read.parquet(s"$dir/$fallbackDir")
+    else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+
+  private def commitManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
+    val lines =
+      Seq(s"version ${m.version}") ++
+        m.buckets.toSeq.sortBy(_._1).map { case (bk, g) => s"bucket $bk $g" } ++
+        m.pairFiles.sorted.map(f => s"pairfile $f")
+    val tmp = new Path(s"$dir/history/.tmp_v${m.version}")
+    fs.mkdirs(new Path(s"$dir/history"))
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    renameOrThrow(fs, tmp, new Path(s"$dir/history/v${m.version}"))
+  }
+
+  private def readManifest(fs: FileSystem, dir: String, v: Long): Manifest = {
+    val p = new Path(s"$dir/history/v$v")
+    val in = fs.open(p)
+    val lines =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    val buckets = Map.newBuilder[Int, Long]
+    val files = Seq.newBuilder[String]
+    lines.foreach { l =>
+      l.split(" ") match {
+        case Array("version", _)     => ()
+        case Array("bucket", bk, g)  => buckets += (bk.toInt -> g.toLong)
+        case Array("pairfile", f)    => files += f
+        case other => throw new IllegalStateException(
+          s"corrupt PairStore manifest line '${other.mkString(" ")}' in $p")
+      }
+    }
+    Manifest(v, buckets.result(), files.result())
+  }
+
+  private def currentManifest(fs: FileSystem, dir: String): Manifest = {
+    val v = committedVersions(fs, dir).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not a PairStore (no committed manifest) — run build() first"))
+    readManifest(fs, dir, v)
+  }
+
+  private def committedVersions(fs: FileSystem, dir: String): Seq[Long] = {
+    val hist = new Path(s"$dir/history")
+    if (!fs.exists(hist)) Seq.empty
+    else fs.listStatus(hist).toSeq
+      .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong))
+  }
+
+  /** `g<gen>b<bucket>` dir-name parse. */
+  private def parseGenBucket(name: String): Option[(Long, Int)] =
+    "^g(\\d+)b(\\d+)$".r.findFirstMatchIn(name)
+      .map(m => (m.group(1).toLong, m.group(2).toInt))
+
+  /** Relative paths of the parquet data files directly under
+    * `dir/<sub>`. */
+  private def listDataFiles(
+      fs: FileSystem, dir: String, sub: String): Seq[String] = {
+    val p = new Path(s"$dir/$sub")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s"$sub/${s.getPath.getName}")
+      .sorted
+  }
 
   private def bucketCount(fs: FileSystem, dir: String): Int = {
     val p = new Path(s"$dir/_BUCKETS")
@@ -345,60 +563,6 @@ object PairStore {
       .trim.toInt
     finally in.close()
   }
-
-  /** Publish the commit journal atomically: full write to a tmp path,
-    * then rename — recover treats a tmp as "never committed". */
-  private def publishPending(
-      fs: FileSystem, dir: String, moves: Seq[String]): Unit = {
-    val tmp = new Path(s"$dir/_PENDING.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((moves.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    renameOrThrow(fs, tmp, new Path(s"$dir/_PENDING"))
-  }
-
-  /** Apply (or re-apply) the published journal: per-bucket staged→live
-    * swaps plus emptied-bucket drops, each step idempotent — a `replace`
-    * whose staged dir is gone was already consumed; a `drop` is a
-    * delete. Ends by retiring the journal and the stage dir. */
-  private def applyPending(spark: SparkSession, dir: String): Unit = {
-    val fs = fsOf(spark, dir)
-    val pendingP = new Path(s"$dir/_PENDING")
-    val in = fs.open(pendingP)
-    val moves =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      finally in.close()
-    for (m <- moves) m.split(" ") match {
-      case Array("replace", bk) =>
-        val src = new Path(s"$dir/labels_staged/$BucketCol=$bk")
-        val dst = new Path(s"$dir/labels/$BucketCol=$bk")
-        if (fs.exists(src)) {
-          deleteOrThrow(fs, dst)
-          renameOrThrow(fs, src, dst)
-        }
-      case Array("drop", bk) =>
-        deleteOrThrow(fs, new Path(s"$dir/labels/$BucketCol=$bk"))
-      case other =>
-        throw new IllegalStateException(
-          s"corrupt PairStore journal line '${other.mkString(" ")}' in $pendingP")
-    }
-    deleteOrThrow(fs, pendingP)
-    deleteOrThrow(fs, new Path(s"$dir/labels_staged"))
-    spark.catalog.refreshByPath(s"$dir/labels")
-  }
-
-  private def listBuckets(fs: FileSystem, dir: Path): Seq[Int] =
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
-      .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
-      .sorted
-
-  private def dataFileCount(fs: FileSystem, dir: Path): Int =
-    if (!fs.exists(dir)) 0
-    else fs.listStatus(dir)
-      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
 
   private def writeSmallFile(fs: FileSystem, p: Path, content: String): Unit = {
     val out = fs.create(p, true)

@@ -151,16 +151,18 @@ class PairStoreSpec extends SparkSpec {
     Seq(v).toDF("x").select(pmod(hash(col("x")), lit(buckets)).as("b"))
       .collect().head.getInt(0)
 
-  test("replay after a crash between the pairs append and the label swap still merges") {
+  test("replay after a crash between the pairs append and the manifest commit still merges") {
     val dir = tmpDir()
     PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
       Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
-    // the crashed half-delivery: the batch's pairs reached pairs/ but the
-    // process died before the label update — exactly the ADVICE window
+    // the crashed half-delivery: the batch's pair files reached pairs/
+    // but the process died before committing — exactly the ADVICE window
     val batchPairs = Seq((3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     batchPairs.write.mode("append").parquet(s"$dir/pairs")
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
       == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), "precondition: labels still stale")
+    assert(PairStore.pairs(spark, dir).count() == 1L,
+      "precondition: orphan files are invisible (manifest-addressed reads)")
     // the restarted ingest loop re-delivers the identical batch
     PairStore.append(Seq(4L).toDF("id"), batchPairs, dir, "id", "id_a", "id_b")
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
@@ -168,119 +170,95 @@ class PairStoreSpec extends SparkSpec {
       "the batch's merges must survive replay — not be anti-joined away")
     assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
       == Seq((1L, 2L), (2L, 3L), (3L, 4L)), "and pair rows must not duplicate")
+    // vacuum reaps the crashed delivery's orphan files from disk
+    PairStore.vacuum(spark, dir, keepLast = 1)
+    val onDisk = fs.listStatus(p(s"$dir/pairs"))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val referenced = PairStore.pairs(spark, dir).inputFiles.length
+    assert(onDisk == referenced,
+      s"vacuum must reap orphans: $onDisk on disk vs $referenced referenced")
   }
 
-  test("recover: an unpublished stage is discarded, labels untouched") {
+  test("recover: uncommitted generations and staging are invisible and removed") {
     val dir = tmpDir()
     PairStore.build(Seq(1L, 2L).toDF("id"),
       Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
     val before = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
-    // crash after writing a (garbage) stage but before the journal commit
+    // crash mid-commit: a staged write and a renamed-but-never-committed
+    // generation dir (manifest v1 was never published)
     Seq((1L, 99L, 0)).toDF("id", "cluster_id", "cbucket")
-      .write.partitionBy("cbucket").parquet(s"$dir/labels_staged")
-    val out = fs.create(p(s"$dir/_PENDING.tmp"), true)
-    out.write("replace 0\n".getBytes("UTF-8")); out.close()
+      .write.partitionBy("cbucket").parquet(s"$dir/labels/_staged_v1")
+    Seq((2L, 99L)).toDF("id", "cluster_id")
+      .write.parquet(s"$dir/labels/g1b0")
+    // even BEFORE recover, readers resolve through the committed
+    // manifest and never see the garbage
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap == before)
     PairStore.recover(spark, dir)
-    assert(!fs.exists(p(s"$dir/labels_staged")) && !fs.exists(p(s"$dir/_PENDING.tmp")))
+    assert(!fs.exists(p(s"$dir/labels/_staged_v1")))
+    assert(!fs.exists(p(s"$dir/labels/g1b0")))
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap == before)
+    // recover on the healthy store is a no-op
+    PairStore.recover(spark, dir)
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap == before)
   }
 
-  test("recover: a published journal rolls forward, idempotently past partial application") {
-    val dir = tmpDir()
-    // pick a second node whose 16-residue differs from node 1's, so the
-    // merge moves its row across buckets and empties the old bucket
-    val v = (2L to 20L).find(x => bucketOf(x) != bucketOf(1L)).get
-    PairStore.build(Seq(1L, v).toDF("id"),
-      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
-    val b1 = bucketOf(1L)
-    val bv = bucketOf(v)
-    // manufacture the committed-but-unapplied state of an append that
-    // merged v into cluster 1: stage holds the rewritten bucket b1,
-    // bucket bv empties out
-    Seq((1L, 1L, b1), (v, 1L, b1)).toDF("id", "cluster_id", "cbucket")
-      .write.partitionBy("cbucket").parquet(s"$dir/labels_staged")
-    val out = fs.create(p(s"$dir/_PENDING.tmp"), true)
-    out.write(s"replace $b1\ndrop $bv\n".getBytes("UTF-8")); out.close()
-    assert(fs.rename(p(s"$dir/_PENDING.tmp"), p(s"$dir/_PENDING")))
-    // partially apply: the replace already ran before the crash
-    assert(fs.delete(p(s"$dir/labels/cbucket=$b1"), true))
-    assert(fs.rename(p(s"$dir/labels_staged/cbucket=$b1"),
-      p(s"$dir/labels/cbucket=$b1")))
-    PairStore.recover(spark, dir)
-    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
-      == Map(1L -> 1L, v -> 1L), "roll-forward must complete the journal")
-    assert(!fs.exists(p(s"$dir/_PENDING")) && !fs.exists(p(s"$dir/labels_staged")))
-    // recover on the healthy store is a no-op
-    PairStore.recover(spark, dir)
-    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
-      == Map(1L -> 1L, v -> 1L))
-  }
-
-  test("recover: pairs compaction crash windows (both sides of the swap)") {
+  test("recover: an uncommitted pairs compaction generation is removed; a committed one serves") {
     val dir = tmpDir()
     PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
       Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
     val expected = PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
-    // window A: compacted output fully written, old pairs/ deleted,
-    // rename crashed — recover rolls forward
+    // crash mid-compaction: pairs_g1 written but manifest v1 never landed
     spark.read.parquet(s"$dir/pairs").repartition(1)
-      .write.parquet(s"$dir/pairs_next")
-    assert(fs.delete(p(s"$dir/pairs"), true))
+      .write.parquet(s"$dir/pairs_g1")
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == expected, "uncommitted compaction must be invisible")
     PairStore.recover(spark, dir)
+    assert(!fs.exists(p(s"$dir/pairs_g1")))
+    // a COMMITTED compaction serves the same rows from the new generation
+    PairStore.compactPairs(spark, dir)
     assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
       == expected)
-    // window B: compacted output written (or half-written) while old
-    // pairs/ still live — recover rolls back, pairs/ intact
-    spark.read.parquet(s"$dir/pairs").repartition(1)
-      .write.parquet(s"$dir/pairs_next")
-    PairStore.recover(spark, dir)
-    assert(!fs.exists(p(s"$dir/pairs_next")))
-    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
-      == expected)
+    assert(PairStore.pairs(spark, dir).inputFiles
+      .forall(_.contains("pairs_g")), "compacted view must read the generation dir")
   }
 
-  test("append rewrites ONLY the touched label buckets") {
+  test("append writes ONLY the touched label buckets as a new generation") {
     val dir = tmpDir()
     val nodes = (1L to 40L).toDF("id")
     PairStore.build(nodes, Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"),
       dir, "id", "id_a", "id_b")
-    def bucketFiles(): Map[String, Set[String]] =
-      fs.listStatus(p(s"$dir/labels")).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cbucket="))
-        .map(s => s.getPath.getName ->
-          fs.listStatus(s.getPath).map(_.getPath.getName).toSet)
-        .toMap
-    val before = bucketFiles()
-    // pure-growth singleton: only its own residue bucket may change
+    def genDirs(): Set[String] =
+      fs.listStatus(p(s"$dir/labels")).map(_.getPath.getName)
+        .filter(_.startsWith("g")).toSet
+    val before = genDirs()
+    // pure-growth singleton: only its own residue bucket gets a new gen
     val nv = 101L
     PairStore.append(Seq(nv).toDF("id"),
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
-    val after = bucketFiles()
-    val changed = (before.keySet ++ after.keySet)
-      .filter(k => before.get(k) != after.get(k))
-    assert(changed == Set(s"cbucket=${bucketOf(nv)}"),
-      s"expected only the fresh node's bucket to change, got $changed")
+    val added = genDirs() -- before
+    assert(added == Set(s"g1b${bucketOf(nv)}"),
+      s"expected one new generation for the fresh node's bucket, got $added")
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
       .apply(nv) == nv)
   }
 
-  test("append with no label effect (full replay of a completed batch) rewrites nothing") {
+  test("append with no effect (full replay of a completed batch) commits nothing") {
     val dir = tmpDir()
     PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
       Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
     val nodes = Seq(4L).toDF("id")
     val batch = Seq((3L, 4L)).toDF("id_a", "id_b")
     PairStore.append(nodes, batch, dir, "id", "id_a", "id_b")
-    val stamp = fs.listStatus(p(s"$dir/labels")).map(s =>
-      s.getPath.getName -> s.getModificationTime).toMap
+    def state(): (Set[String], Set[String]) = (
+      fs.listStatus(p(s"$dir/history")).map(_.getPath.getName).toSet,
+      fs.listStatus(p(s"$dir/labels")).map(_.getPath.getName).toSet)
+    val s1 = state()
     PairStore.append(nodes, batch, dir, "id", "id_a", "id_b")
-    val stamp2 = fs.listStatus(p(s"$dir/labels")).map(s =>
-      s.getPath.getName -> s.getModificationTime).toMap
-    assert(stamp2 == stamp,
-      "a fully-applied replay must take the identity fast path — zero bucket rewrites")
+    assert(state() == s1,
+      "a fully-applied replay must take the identity fast path — no new version")
   }
 
-  test("auto-compaction folds accumulated pair files without changing rows") {
+  test("auto-compaction bounds the live pair-file count without changing rows") {
     val dir = tmpDir()
     PairStore.build(Seq(1L, 2L).toDF("id"),
       Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
@@ -288,13 +266,46 @@ class PairStoreSpec extends SparkSpec {
       PairStore.append(Seq(i).toDF("id"),
         Seq((i - 1L, i)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b",
         maxPairFiles = 2)
-    val files = fs.listStatus(p(s"$dir/pairs"))
-      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    assert(files <= 2, s"compaction must bound the small-file count, got $files")
+    val live = PairStore.pairs(spark, dir).inputFiles.length
+    assert(live <= 2, s"compaction must bound the live file count, got $live")
     assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
       == (2L to 6L).map(i => (i - 1L, i)))
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
       == (1L to 6L).map(_ -> 1L).toMap)
+    // vacuum then bounds the on-disk count too
+    PairStore.vacuum(spark, dir, keepLast = 1)
+    val onDisk = fs.listStatus(p(s"$dir/pairs"))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    assert(onDisk <= live, s"superseded pair files must be reaped, got $onDisk")
+  }
+
+  test("snapshot: a pinned version stays consistent across racing append + compaction") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L, 4L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val snap = PairStore.snapshot(spark, dir)
+    val labels0 = snap.labels.as[(Long, Long)].collect().toMap
+    val pairs0 = snap.pairs.as[(Long, Long)].collect().toSet
+    // a concurrent reader pinned v0; now the writer merges 3 and 4 into
+    // cluster 1 (rewriting several buckets) and compacts the pair files
+    PairStore.append(Seq(5L).toDF("id"),
+      Seq((2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b"),
+      dir, "id", "id_a", "id_b")
+    PairStore.compactPairs(spark, dir)
+    // the pinned view is bit-stable: same rows as before the race
+    assert(snap.labels.as[(Long, Long)].collect().toMap == labels0)
+    assert(snap.pairs.as[(Long, Long)].collect().toSet == pairs0)
+    // while the live view moved on
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // retention: vacuuming past the pin makes a NEW pin of v0 fail
+    // loudly instead of reading half-deleted files
+    PairStore.vacuum(spark, dir, keepLast = 1)
+    val err = intercept[IllegalArgumentException] {
+      PairStore.snapshotAt(spark, dir, snap.version)
+    }
+    assert(err.getMessage.contains("vacuumed") ||
+      err.getMessage.contains("no committed version"))
   }
 
   // ---- randomized invariants (round-11 verdict item 7) ----------------
