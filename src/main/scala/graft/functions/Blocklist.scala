@@ -35,6 +35,26 @@ object Blocklist {
     * IVF/quantizer training collects. */
   def phraseHits(
       docs: DataFrame, phrases: DataFrame, phraseCol: String): DataFrame = {
+    val (counts, p) = hitCounts(docs, phrases, phraseCol)
+    graft.AutoUnpersist.afterFirstUse(
+      docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0L).as("flagged")),
+      p)
+  }
+
+  /** The shared screen core: `(doc_id, n_hits)` for documents with at
+    * least one distinct-phrase hit, plus the persisted phrase-table
+    * handle (the caller owns its release). `docs` may be a STREAMING
+    * frame — every stage is a per-row gram expansion, a broadcast
+    * equality join against the static phrase table, and a per-doc
+    * aggregate, all of which Structured Streaming runs per micro-batch
+    * ([[graft.streaming.StreamOps.blocklistStream]] is that face). */
+  private[graft] def hitCounts(
+      docs: DataFrame, phrases: DataFrame, phraseCol: String
+  ): (DataFrame, DataFrame) = {
     val p = phrases
       .select(lower(trim(col(phraseCol))).as("_p"))
       .filter(col("_p").isNotNull && col("_p") =!= "").distinct()
@@ -53,19 +73,12 @@ object Blocklist {
       when(size(col("_toks")) >= l, NearDup.shinglesOf(col("_toks"), l))
         .otherwise(array().cast("array<string>"))
     }.reduceOption(concat(_, _)) match {
-      case None => docs.select(col("doc_id")).limit(0)
+      case None => docs.select(col("doc_id")).where(lit(false))
       case Some(grams) =>
         toks.select(col("doc_id"), explode(grams).as("_p"))
           .join(broadcast(p.select(col("_p"))), "_p")
           .select(col("doc_id"))
     }
-    val counts = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    graft.AutoUnpersist.afterFirstUse(
-      docs.select(col("doc_id"))
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) > 0L).as("flagged")),
-      p)
+    (hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")), p)
   }
 }

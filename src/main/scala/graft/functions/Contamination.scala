@@ -28,6 +28,18 @@ object Contamination {
       bench: DataFrame,
       w: Int = 3,
       minShared: Long = 1L
+  ): DataFrame = reportRows(train, bench, w, minShared).orderBy(col("doc_id"))
+
+  /** [[report]] without the final presentation sort — the shared core of
+    * the batch and streaming faces (`train` may be a STREAMING frame:
+    * shingle expansion is per-row, the benchmark side is static and
+    * broadcast, and the per-doc aggregate runs per micro-batch —
+    * [[graft.streaming.StreamOps.decontaminateStream]]). */
+  private[graft] def reportRows(
+      train: DataFrame,
+      bench: DataFrame,
+      w: Int = 3,
+      minShared: Long = 1L
   ): DataFrame = {
     // Size-gated like every other O(table) broadcast in the near-dup
     // family: below the threshold the bench shingle set ships once per
@@ -51,6 +63,5 @@ object Contamination {
         col("n_shared"),
         (col("n_shared").cast(DoubleType) / col("n_shingles"))
           .as("overlap_frac"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -20,6 +20,7 @@ object NearDup {
     * Split count is estimated from Catalyst plan statistics (driver-side
     * metadata only — no RDD lineage materialization, no job). */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch sizing is the scheduler's
     val spark = df.sparkSession
     val want = spark.sparkContext.defaultParallelism
     val maxSplit = bytesConf(spark.conf.get(

@@ -146,6 +146,45 @@ object StreamOps {
   ): DataFrame =
     stream.join(ingestedKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
 
+  /** Streaming face of the phrase-blocklist screen
+    * ([[graft.functions.Blocklist.phraseHits]]): each micro-batch of
+    * documents expands to token grams per-row and meets the STATIC
+    * phrase table in a broadcast equality join — the same one-pass
+    * kernel as the batch operator (shared via `Blocklist.hitCounts`),
+    * never a per-phrase scan. Emits `(doc_id, n_hits, flagged)` in
+    * update mode for documents with ≥1 distinct-phrase hit; a clean
+    * document produces NO row (on an infinite stream "all documents"
+    * has no meaning — absence from the update stream is the clean
+    * signal, and each doc arrives whole in one row, so its single
+    * update is final). The phrase table stays persisted for the
+    * query's lifetime (blocklist-sized, bounded). */
+  def blocklistStream(
+      docs: DataFrame,
+      phrases: DataFrame,
+      phraseCol: String
+  ): DataFrame = {
+    val (counts, _) =
+      graft.functions.Blocklist.hitCounts(docs, phrases, phraseCol)
+    counts.select(col("doc_id"), col("n_hits"),
+      (col("n_hits") > 0L).as("flagged"))
+  }
+
+  /** Streaming face of benchmark decontamination
+    * ([[graft.functions.Contamination.report]]): the training stream's
+    * shingles meet the static benchmark's broadcast shingle set per
+    * micro-batch; per-doc overlap aggregates emit in update mode. Same
+    * contaminated-docs-only contract as the batch report (and the same
+    * shared core, `Contamination.reportRows`), minus its presentation
+    * sort — a stream has no final order. Each training doc arrives
+    * whole in one row, so its single update is the batch answer. */
+  def decontaminateStream(
+      train: DataFrame,
+      bench: DataFrame,
+      w: Int = 3,
+      minShared: Long = 1L
+  ): DataFrame =
+    graft.functions.Contamination.reportRows(train, bench, w, minShared)
+
   /** Streaming face of the CDC MERGE ([[graft.operators.Cdc
     * .applyChanges]]): per key, track the LATEST change by `orderCol`
     * across micro-batches and emit the key's current state on every

@@ -710,6 +710,60 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("blocklistStream: micro-batch union == batch phraseHits flagged set") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val phrases = Seq("quick brown", "fox", "naps all day").toDF("phrase")
+    val b1 = Seq(Doc(1L, "the quick brown fox jumps", ts(1)),
+      Doc(2L, "slow red fox naps all day", ts(2)))
+    val b2 = Seq(Doc(3L, "quick brown quick brown quick", ts(3)),
+      Doc(4L, "nothing to see", ts(4)))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.blocklistStream(
+        mem.toDF().select(col("doc_id"), col("text")), phrases, "phrase")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("blocklist_out").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("blocklist_out")
+        .as[(Long, Long, Boolean)].collect().toSet
+      val batchFlagged = graft.functions.Blocklist.phraseHits(
+          (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          phrases, "phrase")
+        .filter(col("flagged"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == batchFlagged, s"stream $got != batch $batchFlagged")
+      assert(!got.exists(_._1 == 4L), "clean doc must emit no update")
+    } finally q.stop()
+  }
+
+  test("decontaminateStream: micro-batch union == batch Contamination.report") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // bench doc shares the "one two three four five" shingle run with
+    // train docs 1 and 3; train doc 2 is clean
+    val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val b1 = Seq(Doc(1L, "one two three four five six seven", ts(1)),
+      Doc(2L, "alpha beta gamma delta epsilon zeta", ts(2)))
+    val b2 = Seq(Doc(3L, "zero one two three four five", ts(3)))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.decontaminateStream(
+        mem.toDF().select(col("doc_id"), col("text")), bench, w = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("decontam_out").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("decontam_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = graft.functions.Contamination.report(
+          (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          bench, w = 3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(!got.exists(_._1 == 2L), "uncontaminated doc must emit no update")
+    } finally q.stop()
+  }
 }
 
 final case class CadEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
