@@ -1235,30 +1235,96 @@ object Ext {
     * SAME full-corpus recursive-CTE closure as `dedup_clusters`, so
     * hash equality proves the incremental path is row-identical to
     * recomputing from scratch. */
+  /** Build-or-reuse the incremental-ingest store: built from the
+    * already-ingested slice (doc_id < `split`) committing manifest v0,
+    * then ONE append folds the rest of the corpus in (v1). v0's
+    * manifest therefore pins the pre-append closure — the
+    * `dedup_snapshot_pinned` observable. */
+  private def incrStore(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String, split: Int, maxId: Int,
+      vacuumAfter: Boolean = false): String = {
+    val docs = documents(s, d)
+    pairStoreDirs.getOrCompute(
+      graft.PlanCache.keyOf(docs, tag, split, maxId, 0.5, 3),
+      graft.BuildTimer.timed(s"pair_store_$tag") {
+        val tmp = graft.TempDirs.create("graft_pairstore")
+        val slice = docs.filter(col("doc_id") < maxId)
+        val ingested = slice.filter(col("doc_id") < split)
+        val batch = slice.filter(col("doc_id") >= split)
+        graft.functions.PairStore.build(
+          ingested.select(col("doc_id")),
+          NearDup.ngramJaccardPairs(ingested, threshold = 0.5),
+          tmp, "doc_id", "id_a", "id_b")
+        graft.functions.PairStore.append(
+          batch.select(col("doc_id")),
+          NearDup.ngramJaccardAcross(batch, ingested, threshold = 0.5)
+            .unionByName(NearDup.ngramJaccardPairs(batch, threshold = 0.5)),
+          tmp, "doc_id", "id_a", "id_b")
+        if (vacuumAfter) graft.functions.PairStore.vacuum(s, tmp, keepLast = 1)
+        tmp
+      })
+  }
+
   private val dedupClustersIncr = QDef(
     "dedup_clusters_incr",
-    (s, d) => {
-      val docs = documents(s, d)
-      val dir = pairStoreDirs.getOrCompute(
-        graft.PlanCache.keyOf(docs, "ngram-incr", 0.5, 3),
-        graft.BuildTimer.timed("pair_store_incr") {
-          val tmp = graft.TempDirs.create("graft_pairstore")
-          val ingested = docs.filter(col("doc_id") < 250)
-          val batch = docs.filter(col("doc_id") >= 250)
-          graft.functions.PairStore.build(
-            ingested.select(col("doc_id")),
-            NearDup.ngramJaccardPairs(ingested, threshold = 0.5),
-            tmp, "doc_id", "id_a", "id_b")
-          graft.functions.PairStore.append(
-            batch.select(col("doc_id")),
-            NearDup.ngramJaccardAcross(batch, ingested, threshold = 0.5)
-              .unionByName(NearDup.ngramJaccardPairs(batch, threshold = 0.5)),
-            tmp, "doc_id", "id_a", "id_b")
-          tmp
-        })
-      graft.functions.PairStore.labels(s, dir).orderBy(col("doc_id"))
-    },
+    (s, d) => graft.functions.PairStore
+      .labels(s, incrStore(s, d, "incr", 250, Int.MaxValue))
+      .orderBy(col("doc_id")),
     dedupClusters.oracle
+  )
+
+  /** The `dedup_clusters` recursive-CTE closure restricted to
+    * `doc_id < maxId` — the oracle for snapshot/vacuum store views that
+    * cover a corpus slice. */
+  private def closureSqlUnder(maxId: Int): String =
+    "WITH RECURSIVE " +
+      s"d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < $maxId), " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM d0), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "e AS (SELECT id_a AS s, id_b AS t FROM pairs " +
+      "UNION SELECT id_b AS s, id_a AS t FROM pairs), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS lbl FROM d0 " +
+      "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t) " +
+      "SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk " +
+      "GROUP BY node ORDER BY doc_id"
+
+  /** Snapshot isolation under the oracle: pin manifest v0 of the
+    * incremental store (the pre-append build over doc_id < 250) AFTER
+    * the append already folded the full corpus in — the pinned view
+    * must still hash-equal the closure over the ingested slice alone.
+    * This is the concurrent-reader contract a production ingest loop
+    * relies on: a report job that pinned a version keeps reading
+    * consistent data while appends land. */
+  private val dedupSnapshotPinned = QDef(
+    "dedup_snapshot_pinned",
+    (s, d) => graft.functions.PairStore
+      .snapshotAt(s, incrStore(s, d, "incr", 250, Int.MaxValue), 0L)
+      .labels.orderBy(col("doc_id")),
+    Some(closureSqlUnder(250))
+  )
+
+  /** Vacuum safety under the oracle: a SEPARATE small store (its own
+    * slice — vacuum retires v0, which `dedup_snapshot_pinned` needs on
+    * the shared store) is built, appended, then vacuumed to the newest
+    * version only; the surviving view must still hash-equal the full
+    * closure over its slice — vacuum may only reap what no retained
+    * manifest references. */
+  private val dedupStoreVacuum = QDef(
+    "dedup_store_vacuum",
+    (s, d) => graft.functions.PairStore
+      .labels(s, incrStore(s, d, "vac", 60, 120, vacuumAfter = true))
+      .orderBy(col("doc_id")),
+    Some(closureSqlUnder(120))
   )
 
   /** Store health summary — the ingest dashboard's one-row read over the
@@ -3114,7 +3180,7 @@ object Ext {
     dedupIncremental, dedupIncrementalStore,
     dedupPairsStore, dedupClustersStore, dedupCollapseStore,
     dedupKeepBestStore, dedupReportStore, entityResolveStore,
-    dedupClustersIncr, dedupStoreStats,
+    dedupClustersIncr, dedupStoreStats, dedupSnapshotPinned, dedupStoreVacuum,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,

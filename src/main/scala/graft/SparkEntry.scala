@@ -5,6 +5,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * Query implementations live in [[Queries]] (core verbs, SURVEY §2.1-2.4)
   * and [[Ext]] (LLM-pipeline tier); this object is the thin registry the
   * driver introspects.
+  *
+  * SESSION REQUIREMENT: the SparkSession must set
+  * `spark.sql.session.timeZone=UTC` on the builder — the event-tier
+  * queries read [[Tables.events]], whose timestamps are defined against
+  * UTC wall clocks, and it THROWS on any other zone rather than silently
+  * re-timing earlier reads (see Tables.events scaladoc). [[Verify]] and
+  * [[Bench]] — the driver's entry points — both set it.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -359,8 +359,10 @@ object PairStore {
     val versions = committedVersions(fs, dir).sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
     val kept = keep.map(readManifest(fs, dir, _))
+    // note the .toSeq: mapping the bucket Map directly would collapse
+    // every (gen -> bucket) pair sharing a generation into one entry
     val liveGens: Set[(Long, Int)] = kept
-      .flatMap(m => m.buckets.map { case (bk, g) => (g, bk) }).toSet
+      .flatMap(m => m.buckets.toSeq.map { case (bk, g) => (g, bk) }).toSet
     val livePairs: Set[String] = kept.flatMap(_.pairFiles).toSet
     drop.foreach(dv => deleteOrThrow(fs, new Path(s"$dir/history/v$dv")))
     val labelsRoot = new Path(s"$dir/labels")

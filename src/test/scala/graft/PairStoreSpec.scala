@@ -299,8 +299,13 @@ class PairStoreSpec extends SparkSpec {
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
       == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
     // retention: vacuuming past the pin makes a NEW pin of v0 fail
-    // loudly instead of reading half-deleted files
+    // loudly instead of reading half-deleted files — while the LIVE view
+    // survives vacuum intact (regression: the live-generation set must
+    // be computed per (gen, bucket) PAIR; collapsing it per generation
+    // once deleted most of the current version's buckets)
     PairStore.vacuum(spark, dir, keepLast = 1)
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
     val err = intercept[IllegalArgumentException] {
       PairStore.snapshotAt(spark, dir, snap.version)
     }
