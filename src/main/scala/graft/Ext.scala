@@ -1278,8 +1278,13 @@ object Ext {
     * `doc_id < maxId` — the oracle for snapshot/vacuum store views that
     * cover a corpus slice. */
   private def closureSqlUnder(maxId: Int): String =
+    closureSqlWhere(s"doc_id < $maxId")
+
+  /** [[closureSqlUnder]] generalized to an arbitrary doc predicate —
+    * the delete oracle carves a hole out of the slice. */
+  private def closureSqlWhere(pred: String): String =
     "WITH RECURSIVE " +
-      s"d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < $maxId), " +
+      s"d0 AS (SELECT doc_id, text FROM documents WHERE $pred), " +
       "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM d0), " +
       "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
       "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
@@ -1325,6 +1330,39 @@ object Ext {
       .labels(s, incrStore(s, d, "vac", 60, 120, vacuumAfter = true))
       .orderBy(col("doc_id")),
     Some(closureSqlUnder(120))
+  )
+
+  /** Retention deletes under the oracle ([[graft.functions.PairStore.delete]]):
+    * build over `doc_id < 120`, then DELETE the `[40, 80)` slice — the
+    * surviving labels must hash-equal the closure computed from scratch
+    * over the remaining docs. That checks all three delete obligations
+    * at once: pairs touching deleted ids are gone (file-pruned
+    * copy-on-write), clusters bridged by a deleted doc split, and
+    * surviving clusters re-canonicalize to their minimum REMAINING
+    * member. The right-to-be-forgotten path a 100 TB corpus store needs. */
+  private val dedupStoreDelete = QDef(
+    "dedup_store_delete",
+    (s, d) => {
+      val docs = documents(s, d)
+      val dir = pairStoreDirs.getOrCompute(
+        graft.PlanCache.keyOf(docs, "del", 120, 40, 80, 0.5, 3),
+        graft.BuildTimer.timed("pair_store_del") {
+          val tmp = graft.TempDirs.create("graft_pairstore")
+          val slice = docs.filter(col("doc_id") < 120)
+          graft.functions.PairStore.build(
+            slice.select(col("doc_id")),
+            NearDup.ngramJaccardPairs(slice, threshold = 0.5),
+            tmp, "doc_id", "id_a", "id_b")
+          graft.functions.PairStore.delete(
+            slice.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+              .select(col("doc_id")),
+            tmp, "doc_id", "id_a", "id_b")
+          tmp
+        })
+      graft.functions.PairStore.labels(s, dir).orderBy(col("doc_id"))
+    },
+    Some(closureSqlWhere(
+      "doc_id < 120 AND NOT (doc_id >= 40 AND doc_id < 80)"))
   )
 
   /** Store health summary — the ingest dashboard's one-row read over the
@@ -3181,6 +3219,7 @@ object Ext {
     dedupPairsStore, dedupClustersStore, dedupCollapseStore,
     dedupKeepBestStore, dedupReportStore, entityResolveStore,
     dedupClustersIncr, dedupStoreStats, dedupSnapshotPinned, dedupStoreVacuum,
+    dedupStoreDelete,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,

@@ -303,6 +303,126 @@ object PairStore {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** Remove nodes from the store — the retention / right-to-be-forgotten
+    * path. Copy-on-write at FILE granularity, the same shape engines
+    * like Delta use for DELETE: one columnar scan of the live pair
+    * files finds those holding a pair that touches a deleted id, and
+    * ONLY those files are rewritten (survivor rows into a `pairs_g<v>`
+    * generation); untouched files keep their manifest entries, and the
+    * superseded ones stay on disk for pinned snapshots until [[vacuum]].
+    *
+    * Labels are recomputed for the AFFECTED COMPONENTS only: deleting a
+    * bridge node must SPLIT its cluster, and deleting a cluster's
+    * minimum id must re-canonicalize the survivors, so the closure is
+    * re-run — but only over the members of clusters that lost a node
+    * (their rows all live in the clusters' residue buckets, so the
+    * member read is bucket-addressed, never a corpus scan) with the
+    * already-rewritten pair set. The min-label invariant holds: the new
+    * label of each surviving component is its minimum surviving member.
+    *
+    * Cost model per delete batch: one O(live pairs) columnar scan (no
+    * shuffle) for file pruning, one O(corpus) label scan to locate the
+    * deleted ids (broadcast-semi, the same map-side shape as
+    * [[append]]'s), and component-sized rewrite/closure work. The
+    * merge-on-read upgrade (deletion vectors applied at read time,
+    * folded in at compaction) trades the scan for reader-side work;
+    * file-level copy-on-write is the simpler contract and keeps every
+    * reader untouched.
+    *
+    * Idempotent under whole-batch replay at any crash point: already-
+    * deleted ids have no label row and no surviving pair, so a replay
+    * finds nothing to rewrite and commits nothing. Deleting an id that
+    * was never stored is a no-op; a deleted id may be re-ingested later
+    * via [[append]] (delete is removal, not a forward blocklist — its
+    * old pairs are physically gone, so re-ingest starts clean). */
+  def delete(
+      deletedNodes: DataFrame,
+      dir: String,
+      nodeCol: String,
+      srcCol: String,
+      dstCol: String,
+      shortcut: Boolean = false): Unit = {
+    val spark = deletedNodes.sparkSession
+    recover(spark, dir)
+    val fs = fsOf(spark, dir)
+    val b = bucketCount(fs, dir)
+    val man = currentManifest(fs, dir)
+    val v = man.version + 1
+    val del = deletedNodes.select(col(nodeCol)).distinct().localCheckpoint(true)
+    val old = readBuckets(spark, dir, man, man.buckets.keySet.toSeq)
+      .select(col(nodeCol), col("cluster_id"))
+    // labels of the deleted ids actually stored — batch-sized; replayed
+    // or never-stored ids drop out here (corpus scanned via a broadcast
+    // semi probe, not shuffled)
+    val delRows = old.join(broadcast(del), Seq(nodeCol), "left_semi")
+      .localCheckpoint(true)
+    val affLabels = delRows.select(col("cluster_id")).distinct()
+      .localCheckpoint(true)
+    // file pruning: one columnar pass over the live pair files tags each
+    // file holding a pair that touches a deleted id (endpoints exploded
+    // against the broadcast batch — an OR-of-equalities semi would plan
+    // as a nested-loop join). The collect is file-path-sized.
+    val deadAbs = readFiles(spark, dir, man.pairFiles, "pairs")
+      .select(input_file_name().as("_file"),
+        explode(array(col(srcCol), col(dstCol))).as(nodeCol))
+      .join(broadcast(del), Seq(nodeCol), "left_semi")
+      .select(col("_file")).distinct().collect().map(_.getString(0))
+    val deadFiles = man.pairFiles
+      .filter(f => deadAbs.exists(_.endsWith("/" + f))).toSet
+    var pairFiles = man.pairFiles
+    if (deadFiles.nonEmpty) {
+      // survivor rows of ONLY the dead files, rewritten as this
+      // version's pair generation (an empty survivor set still writes a
+      // schema-bearing file — harmless, vacuumed with its version)
+      readFiles(spark, dir, deadFiles.toSeq.sorted, "pairs")
+        .join(broadcast(del.select(col(nodeCol).as(srcCol))), Seq(srcCol), "left_anti")
+        .join(broadcast(del.select(col(nodeCol).as(dstCol))), Seq(dstCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$dir/pairs_g$v")
+      pairFiles = man.pairFiles.filterNot(deadFiles) ++
+        listDataFiles(fs, dir, s"pairs_g$v")
+    }
+    // affected-component closure: members of the clusters that lost a
+    // node (bucket-addressed read + broadcast label semi), minus the
+    // deleted ids, over the already-rewritten pair set
+    val affBk = affLabels.select(pmod(hash(col("cluster_id")), lit(b)).as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val members = readBuckets(spark, dir, man, affBk.filter(man.buckets.contains))
+      .join(broadcast(affLabels), Seq("cluster_id"), "left_semi")
+      .select(col(nodeCol), col("cluster_id"))
+      .localCheckpoint(true)
+    val survivors = members.select(col(nodeCol))
+      .join(broadcast(del), Seq(nodeCol), "left_anti")
+    val affPairs = readFiles(spark, dir, pairFiles, "pairs")
+      .join(members.select(col(nodeCol).as(srcCol)), Seq(srcCol), "left_semi")
+    val cc = Clusters.connectedComponents(
+        survivors, affPairs, nodeCol, srcCol, dstCol, shortcut = shortcut)
+      .localCheckpoint(true)
+    // touched buckets: every affected cluster's old residue plus the
+    // recomputed labels' residues (bounded by the modulus)
+    val touched = (affBk ++ cc
+        .select(pmod(hash(col("cluster_id")), lit(b)).as("bk"))
+        .distinct().collect().map(_.getInt(0))).distinct.sorted
+    if (touched.isEmpty && deadFiles.isEmpty) {
+      // fully-applied replay (or nothing stored from this batch)
+      Seq(cc, members, affLabels, delRows, del)
+        .foreach(_.unpersist(blocking = false))
+      return
+    }
+    var newBuckets = man.buckets
+    if (touched.nonEmpty) {
+      val candidates = readBuckets(spark, dir, man,
+          touched.filter(man.buckets.contains))
+        .join(members.select(col(nodeCol)), Seq(nodeCol), "left_anti")
+        .select(col(nodeCol), col("cluster_id"))
+        .unionByName(cc)
+      val written = writeBucketGen(spark, dir, candidates, b, gen = v)
+      newBuckets = (man.buckets -- touched) ++ written.map(_ -> v)
+    }
+    commitManifest(fs, dir, Manifest(v, newBuckets, pairFiles))
+    Seq(cc, members, affLabels, delRows, del)
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Delete any data newer than the last committed manifest: staged
     * label writes, uncommitted `g<v>b*` generations, an uncommitted
     * `pairs_g<v>` compaction, manifest tmp files. (Orphan pair files

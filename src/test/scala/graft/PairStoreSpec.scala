@@ -313,6 +313,106 @@ class PairStoreSpec extends SparkSpec {
       err.getMessage.contains("no committed version"))
   }
 
+  // ---- delete (retention / right-to-be-forgotten) ---------------------
+
+  test("delete splits a bridged cluster and re-canonicalizes survivors") {
+    val dir = tmpDir()
+    // one chain cluster 1-2-3 (2 is the bridge) and one pair {4,5}
+    PairStore.build((1L to 6L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b"),
+      dir, "id", "id_a", "id_b")
+    PairStore.delete(Seq(2L).toDF("id"), dir, "id", "id_a", "id_b")
+    // the bridge is gone: 1 and 3 must SPLIT into singletons
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((4L, 5L)), "pairs touching the deleted id are physically gone")
+    // deleting a cluster's MINIMUM re-canonicalizes the survivor's label
+    PairStore.delete(Seq(4L).toDF("id"), dir, "id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 3L -> 3L, 5L -> 5L, 6L -> 6L))
+    assert(PairStore.pairs(spark, dir).count() == 0L)
+  }
+
+  test("delete rewrites ONLY the pair files holding a dead pair") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    // second pair file arrives via append; store now has ≥2 pair files
+    PairStore.append(Seq(3L, 4L).toDF("id"),
+      Seq((3L, 4L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val filesBefore = PairStore.pairs(spark, dir).inputFiles.toSet
+    PairStore.delete(Seq(4L).toDF("id"), dir, "id", "id_a", "id_b")
+    val filesAfter = PairStore.pairs(spark, dir).inputFiles.toSet
+    // the file holding (1,2) is untouched — same physical path survives
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      "files without dead pairs must keep their manifest entries")
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((1L, 2L)))
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("delete == full rebuild on the remaining corpus (and replay commits nothing)") {
+    val dir = tmpDir()
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    PairStore.build((1L to 8L).toDF("id"), pairs, dir, "id", "id_a", "id_b")
+    val dead = Seq(3L, 6L, 99L) // 99 was never stored — must be a no-op
+    PairStore.delete(dead.toDF("id"), dir, "id", "id_a", "id_b")
+    val got = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    val keepPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val want = Clusters.connectedComponents(
+        Seq(1L, 2L, 4L, 5L, 7L, 8L).toDF("id"), keepPairs,
+        "id", "id_a", "id_b").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // replay of the same delete batch: identity fast path, no new version
+    def state(): (Set[String], Set[String]) = (
+      fs.listStatus(p(s"$dir/history")).map(_.getPath.getName).toSet,
+      fs.listStatus(p(s"$dir/labels")).map(_.getPath.getName).toSet)
+    val s1 = state()
+    PairStore.delete(dead.toDF("id"), dir, "id", "id_a", "id_b")
+    assert(state() == s1, "replayed delete must commit nothing")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap == got)
+  }
+
+  test("a deleted id can be re-ingested cleanly: old pairs never resurrect") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    PairStore.delete(Seq(2L).toDF("id"), dir, "id", "id_a", "id_b")
+    // the id returns in a later batch, now near-dup with 3 instead of 1
+    PairStore.append(Seq(2L).toDF("id"),
+      Seq((2L, 3L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 2L, 3L -> 2L),
+      "the pre-delete pair (1,2) must not re-link the re-ingested id")
+    assert(PairStore.pairs(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((2L, 3L)))
+  }
+
+  test("delete: a pinned snapshot keeps the pre-delete view until vacuumed") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val snap = PairStore.snapshot(spark, dir)
+    PairStore.delete(Seq(2L).toDF("id"), dir, "id", "id_a", "id_b")
+    assert(snap.labels.as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), "pinned reader is isolated")
+    assert(snap.pairs.as[(Long, Long)].collect().toSet
+      == Set((1L, 2L), (2L, 3L)))
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 3L -> 3L))
+    // vacuum retires v0 and reaps the superseded pair file from disk
+    PairStore.vacuum(spark, dir, keepLast = 1)
+    val onDisk = (fs.listStatus(p(s"$dir/pairs")).toSeq ++
+        fs.listStatus(p(dir)).toSeq.filter(_.getPath.getName.startsWith("pairs_g"))
+          .flatMap(s => fs.listStatus(s.getPath).toSeq))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    assert(onDisk == PairStore.pairs(spark, dir).inputFiles.length,
+      "vacuum must reap the pre-delete pair files")
+  }
+
   // ---- randomized invariants (round-11 verdict item 7) ----------------
 
   test("property: N random appends == full rebuild, and cluster_id is the component min") {
