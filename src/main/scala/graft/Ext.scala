@@ -2260,6 +2260,56 @@ object Ext {
       "FROM t JOIN cf USING (token) GROUP BY doc_id ORDER BY doc_id")
   )
 
+  /** Shared CTE prefix of the perplexity oracles: corpus bigram counts,
+    * context counts, vocabulary size, per-doc perplexity under the
+    * add-one-smoothed bigram LM (the CCNet gate — see
+    * [[graft.functions.LangModel]]). Parallel `unnest`s zip in DuckDB,
+    * so (w1, w2) falls out of two aligned list_transforms. */
+  private val perplexityCte: String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "bg AS (SELECT doc_id, " +
+      "unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1, " +
+      "unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2 " +
+      "FROM tok WHERE len(t) >= 2), " +
+      "c2 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, sum(n12) AS n1 FROM c2 GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT w) AS vs FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents)), " +
+      "p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "round(exp(-sum(ln((n12 + 1.0) / (n1 + vs))) / count(*)), 6) AS ppl " +
+      "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
+      "GROUP BY doc_id) "
+
+  /** Per-doc perplexity under the corpus-trained bigram LM
+    * ([[graft.functions.LangModel.perplexity]]) — the CCNet-style
+    * quality signal: low = template/boilerplate, high = gibberish. */
+  private val ngramPerplexity = QDef(
+    "ngram_perplexity",
+    (s, d) => graft.functions.LangModel.perplexity(documents(s, d))
+      .orderBy(col("doc_id")),
+    Some(perplexityCte +
+      "SELECT doc_id, n_bigrams, ppl FROM p ORDER BY doc_id")
+  )
+
+  /** CCNet head/middle/tail corpus tiers at the exact perplexity
+    * terciles ([[graft.functions.LangModel.perplexityTiers]]). Both
+    * engines derive the cut points independently — Spark via the
+    * two-pass range-partition order statistics ([[graft.functions
+    * .Quantiles.exactQuantilesGlobal]]), DuckDB via quantile_cont; the
+    * interpolation formulas are bit-identical (see `quantile_dist`). */
+  private val perplexityTiersQ = QDef(
+    "perplexity_tiers",
+    (s, d) => graft.functions.LangModel.perplexityTiers(documents(s, d)),
+    Some(perplexityCte +
+      ", c AS (SELECT quantile_cont(ppl, 1.0/3) AS lo, " +
+      "quantile_cont(ppl, 2.0/3) AS hi FROM p) " +
+      "SELECT tier, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "min(ppl) AS min_ppl, max(ppl) AS max_ppl FROM " +
+      "(SELECT ppl, CASE WHEN ppl <= lo THEN 'head' " +
+      "WHEN ppl <= hi THEN 'middle' ELSE 'tail' END AS tier " +
+      "FROM p CROSS JOIN c) GROUP BY tier ORDER BY tier")
+  )
+
   /** Deterministic ~10% sample by md5 hex-prefix of the row key —
     * reproducible across engines and runs (vs rand()). */
   private val sampleDet = QDef(
@@ -3222,7 +3272,8 @@ object Ext {
     dedupStoreDelete,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
+    tfidfTop, unigramQ, ngramPerplexity, perplexityTiersQ,
+    vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
     graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, winnowClustersQ, dedupReportQ,
     lengthProfileQ,
     sampleDet, sampleBottomK, histogramQ,

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language model over the corpus — the CCNet-style
+  * quality gate: train a smoothed bigram LM on the corpus itself, score
+  * every document's perplexity under it, and bucket the corpus into
+  * head / middle / tail tiers that downstream mixing samples from.
+  * (CCNet: Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data", 2019 — there the LM is KenLM trained
+  * on Wikipedia; here the LM is the corpus's own bigram table, which
+  * keeps the whole pipeline closed over the input and SQL-checkable.)
+  *
+  * The reference has no language-model surface (its whole scalar tier is
+  * user lambdas, `/root/reference/source/koalas/dataframe.d:238-262`);
+  * this is LLM-pipeline tier like the rest of [[Text]].
+  *
+  * Scale shape: training is ONE corpus-bigram aggregate (map-side
+  * partial count, bigram-keyed shuffle) whose result is vocab²-bounded
+  * but in practice distinct-bigram-sized; the context-count table folds
+  * out of it with a vocab-keyed aggregate. Scoring re-joins the doc
+  * bigram stream against the count tables — the bigram join shuffles on
+  * the bigram key, the context join broadcasts when the vocab table
+  * fits (size-gated, shuffled fallback at 100 TB vocabularies) — and
+  * per-doc reduction is a map-side-combined sum. No collect touches
+  * anything larger than the scalar vocabulary size. Every step is
+  * integer-count arithmetic except the final log/exp, which both
+  * engines round to 6 decimals — the convention the other
+  * float-emitting oracles here use.
+  */
+object LangModel {
+
+  /** (doc_id, w1, w2): one row per ADJACENT token pair of each doc.
+    * Token array bound to an attribute first — an inline `split` inside
+    * the transform lambda would re-tokenize per element (see
+    * [[NearDup.shinglesOf]]). */
+  def docBigrams(docs: DataFrame): DataFrame =
+    NearDup.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(slice(col("_t"), lit(1), size(col("_t")) - 1),
+          (w, i) => struct(w.as("w1"),
+            element_at(col("_t"), i + lit(2)).as("w2")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+
+  /** Per-document perplexity under the corpus-trained add-one-smoothed
+    * bigram LM: `P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)` with `V` the
+    * distinct-token vocabulary size; `ppl(doc) = exp(-mean ln P)` over
+    * the doc's bigrams, rounded to 6 decimals. Docs with fewer than two
+    * tokens have no bigram and are absent (they carry no LM evidence —
+    * route them through [[Text.textStats]] length gates instead).
+    *
+    * Output: (doc_id, n_bigrams, ppl). Low ppl = head (predictable,
+    * template-like), high ppl = tail (noisy); self-trained, so boiler-
+    * plate scores LOW — the CCNet tail cut drops gibberish, the head
+    * cut drops boilerplate. */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val bg = docBigrams(docs).persist()
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n12"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("_n12")).as("_n1"))
+    // scalar vocabulary size: the one driver-side value (a Long)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(NearDup.broadcastIfSmall(c1, sizeProxy = Some(c1)), Seq("w1"))
+      .select(col("doc_id"),
+        log((col("_n12") + lit(1)).cast("double") /
+          (col("_n1") + lit(vocab)).cast("double")).as("_lp"))
+    graft.AutoUnpersist.afterFirstUse(
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(exp(-sum(col("_lp")) / count(lit(1))), 6).as("ppl")),
+      bg)
+  }
+
+  /** CCNet head/middle/tail tiers: split the scored corpus at the exact
+    * discrete terciles of the (rounded) perplexity distribution —
+    * `head` = ppl ≤ q(1/3), `tail` = ppl > q(2/3), `middle` between.
+    * Threshold-based (every tied doc lands in the same tier), computed
+    * with the exact distributed quantile machinery ([[Quantiles]]), so
+    * both engines derive the SAME cut points independently — no rank
+    * window, no single-partition sort.
+    *
+    * Output: (tier, n_docs, min_ppl, max_ppl) — the mixing dashboard's
+    * three-row summary. */
+  def perplexityTiers(docs: DataFrame): DataFrame = {
+    val ppl = perplexity(docs).persist()
+    // two rows (q, value) — the bounded driver-side collect of this op
+    val cuts = Quantiles.exactQuantilesGlobal(
+        ppl, "ppl", Seq(1.0 / 3, 2.0 / 3))
+      .orderBy(col("q")).collect()
+    val (lo, hi) = (cuts(0).getDouble(1), cuts(1).getDouble(1))
+    graft.AutoUnpersist.afterFirstUse(
+      ppl
+        .select(col("ppl"),
+          when(col("ppl") <= lo, lit("head"))
+            .when(col("ppl") <= hi, lit("middle"))
+            .otherwise(lit("tail")).as("tier"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"))
+        .orderBy(col("tier")),
+      ppl)
+  }
+}
