@@ -2681,6 +2681,23 @@ object Ext {
       "FROM range(0, 32) t(i) ORDER BY asset_id")
   )
 
+  /** Perceptual-hash image near-dup ([[graft.functions.Multimodal
+    * .phashPairs]]): 64 real PNGs where assets 32..63 are assets 0..31
+    * brightness-shifted (+17/channel, no clipping). The integer-exact
+    * aHash is invariant under the shift, so the Hamming-banded join must
+    * recover EXACTLY the planted (i, i+32) twins at distance 0 — through
+    * the full codec path (render → PNG encode → decode → hash → band →
+    * verify). Unrelated noise images sit ~32 bits apart, far outside
+    * maxHamming=2. */
+  private val mediaPhashDedup = QDef(
+    "media_phash_dedup",
+    (s, d) => graft.functions.Multimodal.phashPairs(
+        graft.functions.Multimodal.syntheticMediaDups(s, 32), maxHamming = 2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("SELECT i AS id_a, i + 32 AS id_b, CAST(0 AS INT) AS hamming " +
+      "FROM range(0, 32) t(i) ORDER BY id_a")
+  )
+
   // ------------------------------------------- semdedup / chunking / search
 
   /** SemDedup ([[graft.functions.SemDedup.semanticDupPairs]]): k-means-cell
@@ -3284,6 +3301,6 @@ object Ext {
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
     profileQ, giniProfileQ, embedQuantizeQ, driftQ,
     tokenIdsQ, funnelQ, funnelLagQ, retentionQ, temperatureMixQ,
-    mediaDecode, mediaResize, videoFrames, audioDecode
+    mediaDecode, mediaResize, videoFrames, audioDecode, mediaPhashDedup
   )
 }

@@ -442,6 +442,123 @@ object Multimodal {
         .map(i => renderVideoRow(i, nFrames, fps)),
       videoSchema)
 
+  // ------------------------------------------- perceptual-hash dedup
+
+  /** 64-bit average hash (aHash) of an image: luminance block sums on
+    * an 8×8 grid, one bit per block set when the block's mean exceeds
+    * the image's global mean. The comparison is EXACT integer
+    * cross-multiplication (`blockSum·n > totalSum·blockCnt` — no
+    * division, no floats), so the hash is exactly invariant under a
+    * uniform brightness shift: adding `c` to every channel adds
+    * `1000c` to every integer luminance, which shifts block and global
+    * sums proportionally and cancels in the cross-difference. That is
+    * the property the near-dup gate relies on (re-exposed / brightness-
+    * adjusted copies of one image collide at Hamming 0); unrelated
+    * noise images land ~32 bits apart. Big-image guard: past ~3 M
+    * pixels the cross-product could overflow a Long, so the comparison
+    * falls back to BigInt — same exact semantics. */
+  private[functions] def aHash64(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val blockSum = new Array[Long](64)
+    val blockCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = (y * 8) / h
+      var x = 0
+      while (x < w) {
+        val bx = (x * 8) / w
+        val rgb = img.getRGB(x, y)
+        val lum = ((((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114)).toLong
+        val b = by * 8 + bx
+        blockSum(b) += lum
+        blockCnt(b) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val exact = n <= 3000000L
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (blockCnt(i) > 0) {
+        val gt =
+          if (exact) blockSum(i) * n > total * blockCnt(i)
+          else BigInt(blockSum(i)) * n > BigInt(total) * blockCnt(i)
+        if (gt) hash |= (1L << i)
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** (asset_id, phash) over decodable images — REAL codec path, per-
+    * partition amortized like the other decode passes. Undecodable rows
+    * are absent (quarantine-sink material, same contract as
+    * [[decodeInfo]]'s decoded=false). */
+  def phashTable(media: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long)]
+    media.select(col("asset_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          readImage(r.getAs[Array[Byte]](1))
+            .map(img => (r.getLong(0), aHash64(img)))
+        }
+      }
+      .toDF("asset_id", "phash")
+  }
+
+  /** Perceptual near-dup image pairs: aHash fingerprints through the
+    * shared Hamming banding core ([[NearDup.hammingBandedPairs]]) —
+    * exact by pigeonhole for `maxHamming < bands`, and only 16-byte
+    * fingerprint rows ever shuffle (the image bytes stay at the scan).
+    * The image analog of text SimHash dedup. */
+  def phashPairs(
+      media: DataFrame, maxHamming: Int = 2, bands: Int = 4): DataFrame =
+    NearDup.hammingBandedPairs(
+      phashTable(media), "asset_id", "phash", maxHamming, bands)
+
+  /** Renders one noise PNG whose channels stay in [0, 200], optionally
+    * brightness-shifted by +17 — content twins for the pHash gate:
+    * asset `i ≥ n` is asset `i - n`'s pixels shifted (no channel
+    * clips, so [[aHash64]] must collide them exactly). EXECUTOR-side
+    * like [[renderMediaRow]]. */
+  private def renderShiftableRow(i: Long, n: Long): Row = {
+    val base = i % n
+    val shift = if (i >= n) 17 else 0
+    val w = 24 + (base % 16).toInt
+    val h = 24 + (base % 12).toInt
+    val rnd = new scala.util.Random(base * 7919L + 13L)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = rnd.nextInt(201) + shift
+        val g = rnd.nextInt(201) + shift
+        val b = rnd.nextInt(201) + shift
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    Row(i, encodePng(img), Row("png", w, h))
+  }
+
+  /** Deterministic corpus with PLANTED image near-dups: 2n real PNGs
+    * where asset `n + i` is asset `i` brightness-shifted — the pHash
+    * dedup gate's ground truth (`media_phash_dedup`: the matched pairs
+    * must be exactly {(i, n+i)}). */
+  def syntheticMediaDups(spark: SparkSession, n: Int): DataFrame =
+    spark.createDataFrame(
+      spark.range(0, 2L * n, 1, math.max(1, n / 50))
+        .rdd.map(i => renderShiftableRow(i, n.toLong)),
+      mediaSchema)
+
   /** Renders one PNG asset — called on EXECUTORS by [[syntheticMedia]]. */
   private def renderMediaRow(i: Long): Row = {
     val w = 32 + (i % 64).toInt

@@ -438,26 +438,40 @@ object NearDup {
     * expression, so NOTHING shuffles before the banding join (the
     * exploded bit-sum aggregate `simhashTable` form cost one extra
     * explode+groupBy exchange). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hammingBandedPairs(
+      fanOut(docs).select(col("doc_id"),
+        graft.plans.SimHash64.simhash64Native(col("text")).as("sh")),
+      "doc_id", "sh", maxHamming, bands)
+
+  /** Hamming near-dup pairs over ANY (id, 64-bit fingerprint) table —
+    * the banding core shared by text SimHash ([[simhashPairs]]) and
+    * image perceptual hashes ([[Multimodal.phashPairs]]): split the
+    * fingerprint into `bands` equal-width keys, equality-join on any
+    * matching band, verify exact Hamming ≤ `maxHamming`. Exact by
+    * pigeonhole when `maxHamming < bands`; a recall heuristic
+    * otherwise. Only the banding join shuffles — fingerprint-sized
+    * rows, never payloads. */
+  def hammingBandedPairs(
+      table: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bands: Int): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val withSim = fanOut(docs).select(col("doc_id"),
-      graft.plans.SimHash64.simhash64Native(col("text")).as("sh"))
-    val banded = withSim.select(col("doc_id"), col("sh"),
+    val banded = table.select(col(idCol), col(hashCol).as("_h"),
       posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sh"), b * bits).bitwiseAND(mask)): _*))
+        shiftrightunsigned(col(hashCol), b * bits).bitwiseAND(mask)): _*))
         .as(Seq("band", "band_key")))
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band")
           && col("x.band_key") === col("y.band_key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("x.sh").as("sha"),
-        col("y.doc_id").as("id_b"), col("y.sh").as("shb"))
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col("x._h").as("_ha"),
+        col(s"y.$idCol").as("id_b"), col("y._h").as("_hb"))
       .distinct()
     cand
-      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .withColumn("hamming", bit_count(col("_ha").bitwiseXOR(col("_hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))

@@ -113,6 +113,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleVideoFrames(junk, 2).count() == 0)
   }
 
+  test("phash: exactly invariant under uniform brightness shift, through the codec") {
+    val dups = Multimodal.syntheticMediaDups(spark, 12)
+    val hashes = Multimodal.phashTable(dups)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.size == 24, "every rendered PNG must decode and hash")
+    for (i <- 0L until 12L)
+      assert(hashes(i) == hashes(i + 12),
+        s"asset $i and its +17-brightness twin must hash identically")
+    // unrelated noise images sit FAR apart — nowhere near the gate
+    val dists = for {
+      i <- 0L until 12L; j <- (i + 1) until 12L
+    } yield java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+    assert(dists.min > 8,
+      s"independent noise hashes must be distant, got min ${dists.min}")
+  }
+
+  test("phash pairs: banded join equals brute force (pigeonhole) and finds only twins") {
+    val dups = Multimodal.syntheticMediaDups(spark, 12)
+    val got = Multimodal.phashPairs(dups, maxHamming = 2, bands = 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == (0L until 12L).map(i => (i, i + 12, 0)))
+    // brute-force reference over the hash table confirms banding lost nothing
+    val hs = Multimodal.phashTable(dups).as[(Long, Long)].collect()
+    val brute = for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (a, b, d)
+    assert(got.toSet == brute.toSet)
+  }
+
   test("video features: mean of real per-frame histograms, L1-normalized") {
     val feats = Multimodal.videoFeatures(video, everyN = 4, dim = 16).cache()
     assert(feats.count() == 8)
