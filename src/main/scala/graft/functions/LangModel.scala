@@ -45,12 +45,56 @@ object LangModel {
             element_at(col("_t"), i + lit(2)).as("w2")))).as("_bg"))
       .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
 
+  /** A trained bigram LM: the bigram count table (w1, w2, _n12), the
+    * context count table (w1, _n1), and the scalar vocabulary size —
+    * everything [[scoreWith]] needs, FROZEN at train time. The frames
+    * are vocabulary-bounded, not corpus-bounded. */
+  final case class BigramLm(counts: DataFrame, contexts: DataFrame, vocab: Long)
+
+  /** Train the add-one-smoothed bigram LM on `ref`: one bigram-keyed
+    * corpus aggregate, a vocab-keyed fold of it, and the scalar
+    * vocabulary count — the one driver-side value. */
+  def train(ref: DataFrame): BigramLm = {
+    val c2 = docBigrams(ref)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n12"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("_n12")).as("_n1"))
+    val vocab = ref.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    BigramLm(c2, c1, vocab)
+  }
+
+  /** Score pre-exploded bigrams under `lm`. LEFT joins + coalesce(0):
+    * a bigram or context unseen at train time scores pure smoothing
+    * mass (1/(c1+V), or 1/V for an unseen context) instead of dropping
+    * — the frozen-LM contract the streaming twin relies on. */
+  private def scoreBigrams(bg: DataFrame, lm: BigramLm): DataFrame =
+    bg
+      .join(lm.counts, Seq("w1", "w2"), "left")
+      .join(NearDup.broadcastIfSmall(lm.contexts, sizeProxy = Some(lm.contexts)),
+        Seq("w1"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("_n12"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("_n1"), lit(0L)) + lit(lm.vocab)).cast("double"))
+          .as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("_lp")) / count(lit(1))), 6).as("ppl"))
+
+  /** Per-document perplexity of `docs` under a PRE-TRAINED (frozen) LM
+    * — the production scoring path: train once on the reference corpus,
+    * score every ingest batch (or stream micro-batch:
+    * [[graft.streaming.StreamOps.perplexityStream]]) against it. */
+  def scoreWith(lm: BigramLm, docs: DataFrame): DataFrame =
+    scoreBigrams(docBigrams(docs), lm)
+
   /** Per-document perplexity under the corpus-trained add-one-smoothed
     * bigram LM: `P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)` with `V` the
     * distinct-token vocabulary size; `ppl(doc) = exp(-mean ln P)` over
     * the doc's bigrams, rounded to 6 decimals. Docs with fewer than two
     * tokens have no bigram and are absent (they carry no LM evidence —
     * route them through [[Text.textStats]] length gates instead).
+    * Self-scoring specialization of [[train]]+[[scoreWith]], sharing one
+    * persisted bigram pass between training and scoring.
     *
     * Output: (doc_id, n_bigrams, ppl). Low ppl = head (predictable,
     * template-like), high ppl = tail (noisy); self-trained, so boiler-
@@ -60,20 +104,10 @@ object LangModel {
     val bg = docBigrams(docs).persist()
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n12"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("_n12")).as("_n1"))
-    // scalar vocabulary size: the one driver-side value (a Long)
     val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w"))).collect()(0).getLong(0)
-    val scored = bg
-      .join(c2, Seq("w1", "w2"))
-      .join(NearDup.broadcastIfSmall(c1, sizeProxy = Some(c1)), Seq("w1"))
-      .select(col("doc_id"),
-        log((col("_n12") + lit(1)).cast("double") /
-          (col("_n1") + lit(vocab)).cast("double")).as("_lp"))
     graft.AutoUnpersist.afterFirstUse(
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(exp(-sum(col("_lp")) / count(lit(1))), 6).as("ppl")),
-      bg)
+      scoreBigrams(bg, BigramLm(c2, c1, vocab)), bg)
   }
 
   /** CCNet head/middle/tail tiers: split the scored corpus at the exact

@@ -185,6 +185,25 @@ object StreamOps {
   ): DataFrame =
     graft.functions.Contamination.reportRows(train, bench, w, minShared)
 
+  /** Streaming face of the CCNet perplexity gate
+    * ([[graft.functions.LangModel]]): every arriving document scores
+    * under a bigram LM trained ONCE on the static reference corpus and
+    * frozen — the production shape, where the LM is a published
+    * artifact and ingest batches are judged against it, never against
+    * themselves. The count tables are persisted for the query's
+    * lifetime (vocabulary-bounded); unseen bigrams score pure smoothing
+    * mass, so drifted micro-batches score HIGH instead of erroring —
+    * exactly the signal a drift monitor alerts on. Emits
+    * `(doc_id, n_bigrams, ppl)` in update mode; each doc arrives whole
+    * in one row, so its single update equals the batch
+    * [[graft.functions.LangModel.scoreWith]] answer. */
+  def perplexityStream(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val lm = graft.functions.LangModel.train(ref)
+    lm.counts.persist()
+    lm.contexts.persist()
+    graft.functions.LangModel.scoreWith(lm, docs)
+  }
+
   /** Streaming face of the CDC MERGE ([[graft.operators.Cdc
     * .applyChanges]]): per key, track the LATEST change by `orderCol`
     * across micro-batches and emit the key's current state on every

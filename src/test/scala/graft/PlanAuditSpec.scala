@@ -157,6 +157,11 @@ class PlanAuditSpec extends SparkSpec {
       // winnow_clusters = fingerprint pair generation + the iterative
       // min-label closure (same class as dedup_clusters, capped 40).
       else if (name == "winnow_clusters") 40
+      // tiers embed the whole bigram-LM scoring pipeline (bigram agg,
+      // context agg, two count joins, per-doc reduction) TWICE in the
+      // audited text — once under the quantile-cut cache, once live —
+      // plus the tier rollup; each is a bounded equality shuffle.
+      else if (name == "perplexity_tiers") 12
       else 6
     val offenders = Queries.all.flatMap { q =>
       // cold caches per query (the Bench convention): a shared

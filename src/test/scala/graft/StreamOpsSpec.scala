@@ -738,6 +738,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perplexityStream: micro-batch union == batch scoreWith under the frozen LM") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, "a b a b c"), (101L, "a b c a")).toDF("doc_id", "text")
+    // batch 2's doc 3 is pure drift: every bigram unseen at train time
+    val b1 = Seq(Doc(1L, "a b a", ts(1)), Doc(2L, "c a b", ts(2)))
+    val b2 = Seq(Doc(3L, "x y z", ts(3)), Doc(4L, "a", ts(4)))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.perplexityStream(
+        mem.toDF().select(col("doc_id"), col("text")), ref)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ppl_out").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("ppl_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.functions.LangModel.scoreWith(
+          graft.functions.LangModel.train(ref),
+          (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // the drifted doc scores the pure-smoothing ceiling: ppl == V
+      assert(got.find(_._1 == 3L).get._3 == 3.0,
+        "all-unseen bigrams must score 1/V each (V=3 here)")
+      assert(!got.exists(_._1 == 4L), "a one-token doc carries no LM evidence")
+    } finally q.stop()
+  }
+
   test("decontaminateStream: micro-batch union == batch Contamination.report") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
