@@ -198,6 +198,52 @@ class ScalingSpec extends SparkSpec {
         "append cost must track the batch, not the corpus")
   }
 
+  test("pair-store delete: shuffle bytes stay batch-proportional as the stored corpus grows 8x") {
+    import graft.functions.PairStore
+    // same synthetic store shape as the append gate; the delete batch is
+    // CONSTANT (6 copy-0 pair endpoints → 6 affected clusters), so the
+    // touched-bucket count stays below BOTH moduli — the rewrite unit is
+    // the bucket, and the documented operating point scales the modulus
+    // with the corpus so a bucket stays fixed-size; a batch touching
+    // most of the small-store modulus would deflate the baseline. The
+    // pair-file pruning SCAN is read IO by design (not shuffle) — the
+    // shuffle gate pins the component closure + bucket rewrite costs.
+    def nodes(f: Int): DataFrame =
+      (0 until f).map(i => spark.range(1000).select(
+        (col("id") + lit(i.toLong * 1000000L)).as("id")))
+        .reduce(_ union _)
+    def pairsOf(f: Int): DataFrame =
+      (0 until f).map(i => spark.range(100).select(
+        ((col("id") * 10) + lit(i.toLong * 1000000L)).as("id_a"),
+        ((col("id") * 10) + 1L + lit(i.toLong * 1000000L)).as("id_b")))
+        .reduce(_ union _)
+    val delBatch = spark.range(6).select((col("id") * 10).as("id"))
+    def deleteBytes(f: Int): Long = {
+      val dir = TempDirs.create("graft_scaling_pairstore_del")
+      PairStore.build(nodes(f), pairsOf(f), dir, "id", "id_a", "id_b",
+        buckets = 8 * f)
+      val sc = spark.sparkContext
+      var bytes = 0L
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          bytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
+      sc.addSparkListener(listener)
+      try {
+        PairStore.delete(delBatch, dir, "id", "id_a", "id_b")
+        org.apache.spark.sql.graftsql.Bridge.waitForListeners(spark)
+        bytes
+      } finally sc.removeSparkListener(listener)
+    }
+    val b1 = deleteBytes(1)
+    val b8 = deleteBytes(8)
+    assert(b1 > 0, "no shuffle bytes measured — listener broken?")
+    val ratio = b8.toDouble / b1
+    assert(ratio < 3.0,
+      s"delete shuffle grew ${ratio}x when ONLY the stored corpus grew 8x — " +
+        "delete cost must track the affected components, not the corpus")
+  }
+
   test("winnow overlap pairs: near-linear shuffle bytes at 8x") {
     val one = measure(1)(d =>
       Winnow.overlapPairs(d, k = 24, w = 12, minShared = 4L))
