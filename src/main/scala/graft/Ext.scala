@@ -851,6 +851,51 @@ object Ext {
       "WHERE vec_id % 5 = 0 AND vec_id < 100 ORDER BY qid")
   )
 
+  /** Deleted-index handles: built from the FULL corpus on a private dir
+    * (the shared `ann_ivf_full` index must not be mutated), then the
+    * `vec_id % 7 == 3` slice deleted ONCE per JVM. */
+  private val deletedIdx =
+    new graft.PlanCache[graft.functions.IvfIndex](capacity = 4, durable = true,
+      onEvict = i => graft.TempDirs.delete(i.path))
+
+  /** Retention deletes on the persisted ANN index
+    * ([[graft.functions.IvfIndex.delete]] — cell-pruned copy-on-write),
+    * pinned to the EXACT answer: full-probe top-k after deleting the
+    * `vec_id % 7 == 3` slice must equal brute force over the remaining
+    * corpus (same degeneracy argument as `ann_ivf_full`). A deleted
+    * vector appearing in any result row — or a surviving one lost by a
+    * mis-rewritten cell — breaks the hash. */
+  private val annIvfDeletedFull = QDef(
+    "ann_ivf_deleted_full",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val idx = deletedIdx.getOrCompute(
+        graft.PlanCache.keyOf(e, "ivf-del", 16),
+        graft.BuildTimer.timed("ivf_deleted_index") {
+          val dir = graft.TempDirs.create("graft_ivf_deleted")
+          val i = graft.functions.IvfIndex
+            .build(e, "vec_id", "embedding", nCells = 16, dir)
+          i.delete(e.filter(pmod(col("vec_id"), lit(7)) === 3)
+            .select(col("vec_id")), "vec_id")
+          i
+        })
+      idx.topK(
+        e.filter(col("vec_id") < 20 && pmod(col("vec_id"), lit(7)) =!= 3),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+    },
+    Some(
+      "WITH rem AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id % 7 <> 3), " +
+        "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+        "FROM rem WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM rem), " +
+        s"p AS (SELECT qid, nid, ${cosSql("qe", "ce")} AS sim FROM c, q WHERE qid <> nid), " +
+        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, nid) AS rn FROM p) " +
+        "SELECT qid, nid, round(sim, 6) AS sim FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, nid")
+  )
+
   /** IVF-PQ recall gate ([[graft.functions.Pq]] →
     * [[graft.functions.IvfIndex.pqTopK]]): compressed-domain ADC scan over
     * the PERSISTED codes (encoded once at index build; the scan reads
@@ -3278,7 +3323,7 @@ object Ext {
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
-    annIvfFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
+    annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
     dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid,
     embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,

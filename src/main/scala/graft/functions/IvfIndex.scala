@@ -73,6 +73,50 @@ final class IvfIndex private (
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Delete vectors by id — the retention path, CELL-pruned copy-on-
+    * write (the ANN mirror of [[PairStore.delete]]'s file pruning): one
+    * columnar `(id, cell)` projection scan locates the cells holding
+    * deleted ids (vector and code pages never read), ONLY those cell
+    * directories are rewritten without the deleted rows (dynamic
+    * partition overwrite), and a fully-emptied cell's directory is
+    * removed outright. Untouched cells — `(nCells - touched)/nCells` of
+    * the corpus — are never read or written. The quantizer stays frozen
+    * ([[appendBatch]]'s contract): an empty cell is a valid probe
+    * target, and later appends may repopulate it.
+    *
+    * Not transactional, matching the layout's append semantics: a crash
+    * mid-delete can leave some touched cells rewritten and others not.
+    * Re-running the SAME delete converges (already-rewritten cells no
+    * longer match the id scan); a torn state never corrupts serving —
+    * every surviving row is a real corpus row. */
+  def delete(ids: DataFrame, idCol: String): Unit = {
+    val del = ids.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val touched = cells.select(col("id"), col("cell"))
+      .join(broadcast(del), Seq("id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) { del.unpersist(blocking = false); return }
+    // materialize survivors BEFORE overwriting the very directories the
+    // plan reads (touched-cells-sized by construction)
+    val survivors = cells.filter(col("cell").isin(touched: _*))
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val kept = survivors.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/cells")
+    // dynamic overwrite only replaces partitions PRESENT in the data —
+    // a cell whose every row was deleted must be removed explicitly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(kept).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new IllegalStateException(s"IvfIndex: delete $p failed")
+    }
+    Seq(survivors, del).foreach(_.unpersist(blocking = false))
+  }
+
   /** Top-k cosine neighbors of each query against the probed cells only,
     * re-ranking RAW vectors (the plain-IVF serve path).
     * `nProbe = nCells` probes everything → exact brute-force top-k (each

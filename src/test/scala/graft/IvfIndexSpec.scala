@@ -97,6 +97,62 @@ class IvfIndexSpec extends SparkSpec {
       == rows(exact))
   }
 
+  test("delete: cell-pruned rewrite, exact serve over the remainder, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val idx = IvfIndex.build(e, "vec_id", "embedding", nCells = 8, dir)
+    val delIds = e.filter(pmod(col("vec_id"), lit(4)) === 1).select(col("vec_id"))
+    val deadSet = delIds.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    // untouched cells must keep their physical files across the delete
+    val deadCells = idx.cells.select(col("id"), col("cell"))
+      .join(delIds.withColumnRenamed("vec_id", "id"), Seq("id"), "left_semi")
+      .select("cell").distinct().as[Int].collect().toSet
+    val untouchedBefore = idx.cells.inputFiles
+      .filterNot(f => deadCells.exists(c => f.contains(s"cell=$c/"))).toSet
+    idx.delete(delIds, "vec_id")
+    val untouchedAfter = idx.cells.inputFiles
+      .filterNot(f => deadCells.exists(c => f.contains(s"cell=$c/"))).toSet
+    assert(untouchedBefore == untouchedAfter,
+      "cells without deleted ids must not be rewritten")
+    // deleted ids are gone; survivors intact
+    val remaining = idx.cells.select(col("id").cast("long")).as[Long].collect().toSet
+    val expected = e.select(col("vec_id").cast("long")).as[Long]
+      .collect().toSet -- deadSet
+    assert(remaining == expected)
+    // full probe over the remainder equals brute force over the remainder
+    val rem = e.join(delIds, Seq("vec_id"), "left_anti")
+    val qRem = rem.filter(col("vec_id") < 12)
+    val exact = Similarity.bruteForceTopK(rem, qRem, "vec_id", "embedding", 5)
+    val served = idx.topK(qRem, "vec_id", "embedding", k = 5, nProbe = 8)
+    assert(rows(served) == rows(exact))
+    // replaying the same delete converges to the same state
+    idx.delete(delIds, "vec_id")
+    assert(idx.cells.select(col("id").cast("long")).as[Long].collect().toSet
+      == expected)
+  }
+
+  test("delete: a fully-emptied cell's directory is removed and stays probeable") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del_all").toString
+    val idx = IvfIndex.build(e, "vec_id", "embedding", nCells = 4, dir)
+    // wipe one whole cell (victim ids collected FIRST — a lazy plan over
+    // the cells layout would re-list the deleted directory afterwards)
+    val cellToKill = idx.cells.select("cell").distinct().as[Int].collect().min
+    val victims = idx.cells.filter(col("cell") === cellToKill)
+      .select(col("id").cast("long")).as[Long].collect().toSeq
+      .toDF("vec_id")
+    idx.delete(victims, "vec_id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cells/cell=$cellToKill")),
+      "an emptied cell directory must be removed")
+    // probing everything still serves (the empty cell is a valid target)
+    val rem = e.join(victims, Seq("vec_id"), "left_anti")
+    val served = idx.topK(rem.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    val exact = Similarity.bruteForceTopK(rem,
+      rem.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+    assert(rows(served) == rows(exact))
+  }
+
   test("load() round-trips the persisted codebooks") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cb").toString
     val built = IvfIndex.build(e, "vec_id", "embedding", nCells = 8, dir)
