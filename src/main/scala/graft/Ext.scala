@@ -1796,11 +1796,14 @@ object Ext {
     * ([[graft.functions.NearDup.ngramJaccardAcross]] — prefix-filtered,
     * batch-sized cost), and it is not the higher id of an in-batch
     * near-dup pair. Every criterion mirrored in DuckDB. */
-  private val incrementalOracleSql: String =
+  /** `dedup_incremental` oracle with a parameterized "already ingested"
+    * predicate (`ex` renders it for a column reference) — the deleted-
+    * store variant carves forgotten docs out of the existing side. */
+  private def incrementalOracleSqlFor(ex: String => String): String =
     "WITH inh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents " +
       "WHERE doc_id >= 250), " +
       "exh AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents " +
-      "WHERE doc_id < 250), " +
+      s"WHERE ${ex("doc_id")}), " +
       "keep AS (SELECT h, min(doc_id) AS doc_id FROM inh GROUP BY h), " +
       "ae AS (SELECT doc_id FROM keep WHERE h NOT IN (SELECT h FROM exh)), " +
       "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
@@ -1810,7 +1813,7 @@ object Ext {
       "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
       "io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
       "FROM ds a JOIN ds b ON a.shingle = b.shingle " +
-      "AND a.doc_id >= 250 AND b.doc_id < 250 GROUP BY 1, 2), " +
+      s"AND a.doc_id >= 250 AND ${ex("b.doc_id")} GROUP BY 1, 2), " +
       "nd_old AS (SELECT DISTINCT id_a AS doc_id FROM io " +
       "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
@@ -1824,6 +1827,9 @@ object Ext {
       "SELECT doc_id FROM ae " +
       "WHERE doc_id NOT IN (SELECT doc_id FROM nd_old) " +
       "AND doc_id NOT IN (SELECT doc_id FROM nd_new) ORDER BY doc_id"
+
+  private val incrementalOracleSql: String =
+    incrementalOracleSqlFor(c => s"$c < 250")
 
   private val dedupIncremental = QDef(
     "dedup_incremental",
@@ -1879,6 +1885,36 @@ object Ext {
         s, docs.filter(col("doc_id") >= 250), dir, threshold = 0.5)
     },
     Some(incrementalOracleSql)
+  )
+
+  /** Retention deletes on the signature store
+    * ([[graft.functions.SignatureStore.delete]] — file-pruned
+    * copy-on-write): signatures of the `[100, 150)` slice are deleted
+    * from the ingested store, and the batch screen must then behave as
+    * if those docs were never ingested — a batch doc whose ONLY match
+    * was a forgotten doc must now be accepted. The oracle is the
+    * incremental SQL with the deleted slice carved out of the existing
+    * side. */
+  private val dedupIncrementalDeleted = QDef(
+    "dedup_incremental_deleted",
+    (s, d) => {
+      val docs = documents(s, d)
+      val ingested = docs.filter(col("doc_id") < 250)
+      val dir = sigStoreDirs.getOrCompute(
+        graft.PlanCache.keyOf(ingested, "del", 100, 150),
+        graft.BuildTimer.timed("signature_store_del") {
+          val tmp = graft.TempDirs.create("graft_sigstore")
+          graft.functions.SignatureStore.build(ingested, tmp)
+          graft.functions.SignatureStore.delete(s,
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+              .select(col("doc_id")), tmp)
+          tmp
+        })
+      graft.functions.SignatureStore.screenBatch(
+        s, docs.filter(col("doc_id") >= 250), dir, threshold = 0.5)
+    },
+    Some(incrementalOracleSqlFor(c =>
+      s"$c < 250 AND NOT ($c >= 100 AND $c < 150)"))
   )
 
   /** MinHash-LSH candidates + exact-Jaccard verification — the production
@@ -3327,7 +3363,7 @@ object Ext {
     dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid,
     embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,
-    dedupIncremental, dedupIncrementalStore,
+    dedupIncremental, dedupIncrementalStore, dedupIncrementalDeleted,
     dedupPairsStore, dedupClustersStore, dedupCollapseStore,
     dedupKeepBestStore, dedupReportStore, entityResolveStore,
     dedupClustersIncr, dedupStoreStats, dedupSnapshotPinned, dedupStoreVacuum,

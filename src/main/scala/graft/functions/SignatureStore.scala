@@ -46,6 +46,38 @@ object SignatureStore {
   def append(docs: DataFrame, dir: String, w: Int = 3): Unit =
     signatures(docs, w).write.mode("append").parquet(dir)
 
+  /** Delete signatures by doc id — the retention pass: once a document
+    * is forgotten, future batches must stop being screened against it
+    * (a new doc that matches only a deleted one must now be ACCEPTED).
+    * File-pruned copy-on-write like [[PairStore.delete]]: one columnar
+    * `doc_id` scan tags the files holding deleted ids (the signature
+    * arrays' pages are never read), their survivor rows are appended as
+    * new files, then the dead files are removed. A crash between the
+    * two steps leaves duplicated survivor signatures — harmless to
+    * screening (every screen is an anti-join / distinct-candidate
+    * path), and reaped when a later delete touches those files. */
+  def delete(spark: SparkSession, ids: DataFrame, dir: String): Unit = {
+    val del = ids.select(col(ids.columns.head).as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val dead = spark.read.parquet(dir)
+      .select(col("doc_id"), input_file_name().as("_f"))
+      .join(broadcast(del), Seq("doc_id"), "left_semi")
+      .select(col("_f")).distinct().collect().map(_.getString(0))
+    if (dead.isEmpty) { del.unpersist(blocking = false); return }
+    val survivors = spark.read.parquet(dead.toIndexedSeq: _*)
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!survivors.isEmpty) survivors.write.mode("append").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dead.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (!fs.delete(p, false) && fs.exists(p))
+        throw new IllegalStateException(s"SignatureStore: delete $p failed")
+    }
+    Seq(survivors, del).foreach(_.unpersist(blocking = false))
+  }
+
   /** Surviving doc ids of a new batch screened against the store:
     * batch-exact-keeper ∧ exact hash unseen ∧ no near-dup vs store ∧ no
     * near-dup vs smaller batch id. All joins are batch-sized on one side;

@@ -70,4 +70,44 @@ class SignatureStoreSpec extends SparkSpec {
     // of 2 (jaccard 4/6 >= 0.5); only 11 survives
     assert(got == Seq(11L))
   }
+
+  test("delete: a batch doc matching ONLY a forgotten doc is now accepted") {
+    val keep = Seq((1L, "alpha beta gamma delta epsilon"))
+    val forget = Seq((2L, "one two three four five six"))
+    val existing = (keep ++ forget).toDF("doc_id", "text")
+    // 10 near-dups the forgotten doc; 11 near-dups the kept doc; 12 clean
+    val incoming = Seq(
+      (10L, "one two three four five seven"),
+      (11L, "alpha beta gamma delta zeta"),
+      (12L, "unrelated content entirely here")).toDF("doc_id", "text")
+    val dir = tmp()
+    SignatureStore.build(existing, dir)
+    assert(SignatureStore.screenBatch(spark, incoming, dir, 0.5)
+      .as[Long].collect().sorted.toSeq == Seq(12L), "precondition")
+    SignatureStore.delete(spark, Seq(2L).toDF("doc_id"), dir)
+    val got = SignatureStore.screenBatch(spark, incoming, dir, 0.5)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 12L),
+      "screening must behave as if the deleted doc was never ingested")
+    // equals the recompute reference over the surviving corpus
+    assert(got == reference(keep.toDF("doc_id", "text"), incoming))
+    // replay converges; deleting a never-stored id is a no-op
+    SignatureStore.delete(spark, Seq(2L, 999L).toDF("doc_id"), dir)
+    assert(SignatureStore.screenBatch(spark, incoming, dir, 0.5)
+      .as[Long].collect().sorted.toSeq == Seq(10L, 12L))
+  }
+
+  test("delete keeps co-located survivors: same-file rows not deleted survive") {
+    // one build writes few files; delete doc 1 but doc 2 may share its file
+    val existing = Seq(
+      (1L, "a b c d e f"), (2L, "g h i j k l"), (3L, "m n o p q r"))
+      .toDF("doc_id", "text").coalesce(1)
+    val dir = tmp()
+    SignatureStore.build(existing, dir)
+    SignatureStore.delete(spark, Seq(1L).toDF("doc_id"), dir)
+    val left = spark.read.parquet(dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(left == Seq(2L, 3L),
+      "survivor rows sharing a rewritten file must be preserved")
+  }
 }
