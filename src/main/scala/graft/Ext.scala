@@ -3066,6 +3066,108 @@ object Ext {
     }
   )
 
+  /** Shared oracle CTE: tokenized docs + Gopher weak labels — the same
+    * rule conjunction the `gopher_rules` oracle emits, folded to one
+    * (doc_id, pass) relation. Prefix of the classifier and DSIR
+    * oracles, which both bootstrap from the rule-passed subset. */
+  private val weakLabelCte: String = {
+    val stopList = Text.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "m AS (SELECT doc_id, len(toks) AS n, " +
+      "CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mlen, " +
+      "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS af, " +
+      s"len(list_filter($stopList, s -> list_contains(toks, s))) AS sh FROM t), " +
+      "lbl AS (SELECT doc_id, (n >= 15 AND n <= 150 AND mlen >= 3.0 " +
+      "AND mlen <= 10.0 AND af >= 0.8 AND sh >= 2) AS pass FROM m) "
+  }
+
+  /** NB-quality CTE suffix: per-token class counts, totals, prior, and
+    * per-token log-likelihood ratios under the add-one-smoothed
+    * multinomial ([[graft.functions.QualityClassifier]]). */
+  private val nbCte: String =
+    weakLabelCte +
+      ", w AS (SELECT doc_id, unnest(toks) AS token FROM t), " +
+      "cnt AS (SELECT token, sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pos, " +
+      "sum(CASE WHEN pass THEN 0 ELSE 1 END) AS n_neg " +
+      "FROM w JOIN lbl USING (doc_id) GROUP BY token), " +
+      "tot AS (SELECT sum(n_pos) AS np, sum(n_neg) AS nn, count(*) AS v FROM cnt), " +
+      "pr AS (SELECT ln((sum(CASE WHEN pass THEN 1 ELSE 0 END) + 1.0) / " +
+      "(sum(CASE WHEN pass THEN 0 ELSE 1 END) + 1.0)) AS prior FROM lbl), " +
+      "lw AS (SELECT token, n_pos, n_neg, " +
+      "ln((n_pos + 1.0) / (np + v)) - ln((n_neg + 1.0) / (nn + v)) AS llr " +
+      "FROM cnt CROSS JOIN tot) "
+
+  /** Learned quality filter ([[graft.functions.QualityClassifier
+    * .score]]): multinomial Naive Bayes trained on the Gopher-rule weak
+    * labels, per-doc quality log-odds + verdict — the fastText-style
+    * classifier gate. `pred` derives from the ROUNDED log-odds so both
+    * engines agree at the boundary. */
+  private val nbQualityScoreQ = QDef(
+    "nb_quality_score",
+    (s, d) => graft.functions.QualityClassifier.score(documents(s, d))
+      .orderBy(col("doc_id")),
+    Some(nbCte +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "round((SELECT prior FROM pr) + sum(llr), 6) AS log_odds, " +
+      "round((SELECT prior FROM pr) + sum(llr), 6) > 0 AS pred " +
+      "FROM w JOIN lw USING (token) GROUP BY doc_id ORDER BY doc_id")
+  )
+
+  /** The classifier's most quality-discriminative tokens ([[graft
+    * .functions.QualityClassifier.topTokens]]) — the audit view. Both
+    * engines rank by the ROUNDED llr (token tie-break) so the top-k cut
+    * is identical. */
+  private val nbQualityTopQ = QDef(
+    "nb_quality_top",
+    (s, d) => graft.functions.QualityClassifier.topTokens(documents(s, d), 25),
+    Some(nbCte +
+      "SELECT token, CAST(n_pos AS BIGINT) AS n_pos, " +
+      "CAST(n_neg AS BIGINT) AS n_neg, round(llr, 6) AS llr " +
+      "FROM lw ORDER BY round(llr, 6) DESC, token LIMIT 25")
+  )
+
+  /** DSIR CTE suffix: hashed unigram+bigram features (md5 first-byte
+    * buckets), raw/target bucket counts, and the smoothed per-bucket
+    * importance log-ratio ([[graft.functions.Dsir]]). */
+  private val dsirCte: String =
+    weakLabelCte +
+      ", f AS (SELECT doc_id, substring(md5(ft), 1, 2) AS b FROM " +
+      "(SELECT doc_id, unnest(toks || list_transform(range(1, len(toks)), " +
+      "i -> toks[i] || ' ' || toks[i+1])) AS ft FROM t)), " +
+      "rawc AS (SELECT b, count(*) AS nr FROM f GROUP BY b), " +
+      "tgtc AS (SELECT b, count(*) AS nt FROM f JOIN lbl USING (doc_id) " +
+      "WHERE pass GROUP BY b), " +
+      "trt AS (SELECT (SELECT sum(nr) FROM rawc) AS totr, " +
+      "(SELECT sum(nt) FROM tgtc) AS tott), " +
+      "lr AS (SELECT b, ln((coalesce(nt, 0) + 1.0) / (tott + 256)) - " +
+      "ln((nr + 1.0) / (totr + 256)) AS log_ratio " +
+      "FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN trt), " +
+      "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
+      "round(sum(log_ratio), 6) AS logw " +
+      "FROM f JOIN lr USING (b) GROUP BY doc_id) "
+
+  /** DSIR importance weights ([[graft.functions.Dsir.weights]]): per-doc
+    * log importance of raw-corpus docs toward the Gopher-passed target
+    * distribution — Xie et al. 2023's selection signal. */
+  private val dsirWeightsQ = QDef(
+    "dsir_weights",
+    (s, d) => graft.functions.Dsir.weights(documents(s, d))
+      .orderBy(col("doc_id")),
+    Some(dsirCte + "SELECT doc_id, n_feats, logw FROM sc ORDER BY doc_id")
+  )
+
+  /** DSIR deterministic top-k selection ([[graft.functions.Dsir
+    * .select]]): the 64 most target-like docs by rounded importance
+    * weight, doc_id tie-break — the reproducible (temperature→0)
+    * variant of the paper's Gumbel resampling. */
+  private val dsirSelectQ = QDef(
+    "dsir_select",
+    (s, d) => graft.functions.Dsir.select(documents(s, d), 64),
+    Some(dsirCte +
+      "SELECT doc_id, n_feats, logw FROM sc " +
+      "ORDER BY logw DESC, doc_id LIMIT 64")
+  )
+
   /** Exact-substring dedup ([[graft.functions.SubstringDedup
     * .dupSpanStats]]): per-doc count of token positions inside an 8-token
     * window repeated verbatim in another document. The oracle groups by
@@ -3378,7 +3480,7 @@ object Ext {
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     dedupSubstring, dedupSpansQ,
-    gopherRulesQ,
+    gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, dsirWeightsQ, dsirSelectQ,
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
     profileQ, giniProfileQ, embedQuantizeQ, driftQ,
     tokenIdsQ, funnelQ, funnelLagQ, retentionQ, temperatureMixQ,

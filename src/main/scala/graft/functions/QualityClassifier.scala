@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned document-quality classifier — the fastText-style filter tier
+  * of a web-corpus pipeline (Joulin et al. 2016; used as the quality
+  * gate in GPT-3/CCNet-descended pipelines): train a multinomial Naive
+  * Bayes model on weakly-labeled documents and score every document
+  * with its log-odds of being "quality". The weak labels come from the
+  * published Gopher rules ([[Text.gopherRules]] `pass` verdict — Rae et
+  * al. 2021 §A1.1), so the whole pipeline is closed over the corpus and
+  * SQL-checkable; in production the same `train`/`scoreWith` split runs
+  * with any labeled reference set (e.g. Wikipedia-vs-crawl, the CCNet
+  * arrangement).
+  *
+  * Why NB and not SGD-logistic: the model is pure counting — one
+  * token-keyed corpus aggregate — so training is a single deterministic
+  * distributed pass with no iteration, no learning-rate state, and no
+  * driver-side parameter vector beyond four scalars. At the quality-
+  * filter operating point the two are interchangeable (fastText itself
+  * is a linear bag-of-ngrams model); NB's count table IS its weights.
+  *
+  * The reference has no classifier surface (its scalar tier is user
+  * lambdas, `/root/reference/source/koalas/dataframe.d:238-262`); this
+  * is LLM-pipeline tier like [[LangModel]].
+  *
+  * Scale shape: training is ONE token-keyed aggregate over the corpus
+  * (map-side partial counts, vocabulary-bounded result) plus two
+  * one-row scalar collects; scoring folds each doc to its distinct-
+  * token term frequencies (map-side combine on (doc, token)), joins the
+  * vocabulary-bounded weight table (size-gated broadcast, shuffled
+  * fallback at 100 TB vocabularies), and reduces per doc. Nothing
+  * corpus-sized ever reaches the driver. All arithmetic is integer
+  * counts until the final log-ratio, which both engines round to 6
+  * decimals — the float-emitting-oracle convention here
+  * ([[LangModel]], `stats_corr`).
+  */
+object QualityClassifier {
+
+  /** A trained NB model: per-token class counts (vocabulary-bounded
+    * frame) plus the four scalars scoring needs — total positive-class
+    * tokens, total negative-class tokens, vocabulary size, and the
+    * add-one-smoothed document-prior log-odds. Frozen at train time:
+    * tokens unseen then score from coalesced zero counts (pure
+    * smoothing mass), the contract the streaming twin
+    * ([[graft.streaming.StreamOps.nbQualityStream]]) relies on. */
+  final case class NbModel(
+      tokenCounts: DataFrame, // (token, n_pos, n_neg)
+      nPos: Long,
+      nNeg: Long,
+      vocab: Long,
+      priorLogOdds: Double)
+
+  /** Gopher-rule weak labels: (doc_id, pass). The standard bootstrap
+    * for a corpus with no human labels — rule-passed docs are the
+    * positive class the classifier generalizes from. */
+  def weakLabels(docs: DataFrame): DataFrame =
+    Text.gopherRules(docs).select(col("doc_id"), col("pass"))
+
+  /** One row per token OCCURRENCE (multiplicity kept — multinomial NB
+    * counts occurrences, not presence). */
+  private def docTokens(docs: DataFrame): DataFrame =
+    NearDup.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
+  /** Train on `docs` with `labels` = (doc_id, pass: boolean): one
+    * token-keyed aggregate counting both classes at once, one
+    * vocabulary fold for the scalars, one two-value prior count. */
+  def train(docs: DataFrame, labels: DataFrame): NbModel = {
+    val counts = docTokens(docs)
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("token"))
+      .agg(
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("n_neg"))
+    // vocabulary-bounded frame -> one-row scalar collect
+    val tot = counts.agg(
+      sum(col("n_pos")), sum(col("n_neg")), count(lit(1))).collect()(0)
+    val prior = labels.agg(
+      sum(when(col("pass"), 1L).otherwise(0L)),
+      sum(when(col("pass"), 0L).otherwise(1L))).collect()(0)
+    NbModel(counts, tot.getLong(0), tot.getLong(1), tot.getLong(2),
+      math.log((prior.getLong(0) + 1.0) / (prior.getLong(1) + 1.0)))
+  }
+
+  /** Self-trained convenience: labels from the Gopher rules over the
+    * same corpus. */
+  def train(docs: DataFrame): NbModel = train(docs, weakLabels(docs))
+
+  /** Per-token log-likelihood ratio under `m`, from coalesced counts so
+    * unseen tokens score smoothing mass:
+    * `llr(w) = ln((n_pos(w)+1)/(N_pos+V)) - ln((n_neg(w)+1)/(N_neg+V))`. */
+  private def llr(m: NbModel) =
+    log((coalesce(col("n_pos"), lit(0L)) + lit(1)).cast("double") /
+        lit((m.nPos + m.vocab).toDouble)) -
+      log((coalesce(col("n_neg"), lit(0L)) + lit(1)).cast("double") /
+        lit((m.nNeg + m.vocab).toDouble))
+
+  /** Score `docs` under a PRE-TRAINED (frozen) model — the production
+    * path: train once on the labeled reference, score every ingest
+    * batch or stream micro-batch. Output (doc_id, n_tokens, log_odds,
+    * pred): `log_odds = prior + Σ_occurrences llr(w)` rounded to 6
+    * decimals, `pred` derived from the ROUNDED value so both engines
+    * agree at the boundary. ONE aggregation on purpose: the weight join
+    * is size-gated-broadcast (narrow), per-doc partial sums fold
+    * map-side before the doc_id shuffle, and the single-stateful-
+    * operator shape is what lets [[graft.streaming.StreamOps
+    * .nbQualityStream]] run this same plan in update mode. */
+  def scoreWith(m: NbModel, docs: DataFrame): DataFrame =
+    docTokens(docs)
+      .join(NearDup.broadcastIfSmall(m.tokenCounts), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(lit(m.priorLogOdds) + sum(llr(m)), 6).as("log_odds"))
+      .select(col("doc_id"), col("n_tokens"), col("log_odds"),
+        (col("log_odds") > 0.0).as("pred"))
+
+  /** Self-trained score of the whole corpus — train on the Gopher weak
+    * labels, score every doc. One persisted label pass shared between
+    * prior counting and token labeling. */
+  def score(docs: DataFrame): DataFrame = {
+    val labels = weakLabels(docs).persist()
+    val m = train(docs, labels)
+    graft.AutoUnpersist.afterFirstUse(scoreWith(m, docs), labels)
+  }
+
+  /** The model's top-k most quality-discriminative tokens —
+    * (token, n_pos, n_neg, llr) ordered by rounded llr descending, the
+    * dashboard view a pipeline owner audits the classifier with.
+    * Ordering uses the ROUNDED llr (ties broken by token) so both
+    * engines cut the same top-k. */
+  def topTokens(docs: DataFrame, k: Int = 25): DataFrame = {
+    val m = train(docs)
+    m.tokenCounts
+      .select(col("token"), col("n_pos"), col("n_neg"),
+        round(llr(m), 6).as("llr"))
+      .orderBy(col("llr").desc, col("token"))
+      .limit(k)
+  }
+}

@@ -204,6 +204,35 @@ object StreamOps {
     graft.functions.LangModel.scoreWith(lm, docs)
   }
 
+  /** Streaming face of the NB quality gate ([[graft.functions
+    * .QualityClassifier]]): every arriving document scores its quality
+    * log-odds under a model trained ONCE on the static reference corpus
+    * (Gopher weak labels) and frozen — the fastText-filter production
+    * shape. The vocabulary-bounded count table persists for the query's
+    * lifetime; tokens unseen at train time score smoothing mass. The
+    * scorer is a single stateful aggregation by construction (see
+    * scoreWith), so it runs in update mode; each doc arrives whole in
+    * one row, so its single update equals the batch answer. */
+  def nbQualityStream(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val m = graft.functions.QualityClassifier.train(ref)
+    m.tokenCounts.persist()
+    graft.functions.QualityClassifier.scoreWith(m, docs)
+  }
+
+  /** Streaming face of DSIR selection scoring ([[graft.functions
+    * .Dsir]]): arriving documents get importance weights under a
+    * bucket-ratio model fitted ONCE on static raw/target corpora and
+    * frozen — ingest-time routing of a crawl feed toward a target
+    * distribution. The 256-row model persists and broadcasts; buckets
+    * absent from training score their smoothing mass. Single stateful
+    * aggregation → update mode; one whole doc per row → each update
+    * equals the batch [[graft.functions.Dsir.scoreWith]] answer. */
+  def dsirStream(docs: DataFrame, raw: DataFrame, target: DataFrame): DataFrame = {
+    val m = graft.functions.Dsir.train(raw, target)
+    m.bucketLogRatio.persist()
+    graft.functions.Dsir.scoreWith(m, docs)
+  }
+
   /** Streaming face of the CDC MERGE ([[graft.operators.Cdc
     * .applyChanges]]): per key, track the LATEST change by `orderCol`
     * across micro-batches and emit the key's current state on every

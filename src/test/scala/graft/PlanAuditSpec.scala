@@ -125,7 +125,10 @@ class PlanAuditSpec extends SparkSpec {
     def cap(name: String): Int =
       if (name.endsWith("_recall") || name.endsWith("_bounds")
         || name == "corpus_clean" || name == "dedup_incremental"
-        || name == "dedup_incremental_store") 16
+        // the deleted-store variant serves the SAME store-screen pipeline
+        // as dedup_incremental_store (the delete happens at build time)
+        || name == "dedup_incremental_store"
+        || name == "dedup_incremental_deleted") 16
       // graph_pagerank is likewise ITERATIVE (power iteration): 2 bounded
       // shuffles per unrolled iteration × 5 iterations + pair generation.
       else if (name == "dedup_clusters" || name == "dedup_collapse"

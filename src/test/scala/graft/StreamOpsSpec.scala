@@ -792,6 +792,67 @@ class StreamOpsSpec extends SparkSpec {
       assert(!got.exists(_._1 == 2L), "uncontaminated doc must emit no update")
     } finally q.stop()
   }
+
+  test("nbQualityStream: micro-batch union == batch scoreWith under the frozen NB model") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // ref corpus with a clean Gopher split: quality docs carry stopwords,
+    // spam docs are stopword-free (fail the n_stop_hits rule)
+    val ref = ((1L to 4L).map(i =>
+        (100L + i, s"the a of item$i " + (1 to 12).map(j => s"good$j").mkString(" "))) ++
+      (5L to 8L).map(i =>
+        (100L + i, (1 to 16).map(j => s"spam$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val b1 = Seq(Doc(1L, "good1 good2 the a", ts(1)), Doc(2L, "spam1 spam2 spam3", ts(2)))
+    // batch 2's doc 3 is pure drift: every token unseen at train time
+    val b2 = Seq(Doc(3L, "novel tokens entirely", ts(3)))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.nbQualityStream(
+        mem.toDF().select(col("doc_id"), col("text")), ref)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("nbq_out").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("nbq_out")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      val batch = graft.functions.QualityClassifier.scoreWith(
+          graft.functions.QualityClassifier.train(ref),
+          (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.find(_._1 == 1L).get._4, "stopword-bearing doc scores quality")
+      assert(!got.find(_._1 == 2L).get._4, "spam-vocab doc scores spam")
+    } finally q.stop()
+  }
+
+  test("dsirStream: micro-batch union == batch scoreWith under the frozen DSIR model") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val target = (1L to 3L).map(i =>
+      (200L + i, (1 to 10).map(j => s"alpha$j").mkString(" "))).toDF("doc_id", "text")
+    val raw = target.union((4L to 6L).map(i =>
+      (200L + i, (1 to 10).map(j => s"beta$j").mkString(" "))).toDF("doc_id", "text"))
+    val b1 = Seq(Doc(1L, "alpha1 alpha2 alpha3", ts(1)), Doc(2L, "beta1 beta2 beta3", ts(2)))
+    val b2 = Seq(Doc(3L, "alpha4 beta4", ts(3)))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.dsirStream(
+        mem.toDF().select(col("doc_id"), col("text")), raw, target)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dsir_out").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("dsir_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.functions.Dsir.scoreWith(
+          graft.functions.Dsir.train(raw, target),
+          (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // target-vocab doc outranks off-target doc in the same stream
+      val w = got.map(r => r._1 -> r._3).toMap
+      assert(w(1L) > w(2L), "alpha-vocab doc must outrank beta-vocab doc")
+    } finally q.stop()
+  }
 }
 
 final case class CadEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
