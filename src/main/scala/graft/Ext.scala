@@ -698,6 +698,56 @@ object Ext {
     )
   )
 
+  /** Shared CTE of the contrastive-mining oracles: anchor slate ×
+    * corpus cosine pairs tagged pos/neg by label match
+    * ([[graft.functions.Contrastive]]). */
+  private val contrastiveCte: String =
+    "WITH q AS (SELECT vec_id AS qid, label AS qlab, " +
+      "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 20), " +
+      "c AS (SELECT vec_id AS nid, label AS nlab, " +
+      "CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+      "p AS (SELECT qid, nid, CASE WHEN nlab = qlab THEN 'pos' ELSE 'neg' END " +
+      s"AS kind, ${cosSql("qe", "ce")} AS sim FROM c, q WHERE qid <> nid) "
+
+  /** Contrastive pair mining ([[graft.functions.Contrastive
+    * .hardPairs]]): per anchor, the 4 hardest positives and negatives —
+    * the candidate pool a pair-loss trainer samples from. */
+  private val contrastivePairsQ = QDef(
+    "contrastive_pairs",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.Contrastive.hardPairs(
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 4)
+    },
+    Some(contrastiveCte +
+      ", r AS (SELECT qid, kind, nid, sim, row_number() OVER " +
+      "(PARTITION BY qid, kind ORDER BY sim DESC, nid) AS rn FROM p) " +
+      "SELECT qid, kind, nid, round(sim, 6) AS sim FROM r WHERE rn <= 4 " +
+      "ORDER BY qid, kind, nid")
+  )
+
+  /** Semi-hard triplet mining ([[graft.functions.Contrastive
+    * .semiHardTriplets]]): FaceNet §3.2 — hardest positive + hardest
+    * negative strictly farther than it, one triplet per anchor. */
+  private val contrastiveTripletsQ = QDef(
+    "contrastive_triplets",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.Contrastive.semiHardTriplets(
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label")
+    },
+    Some(contrastiveCte +
+      ", pos AS (SELECT qid, nid AS pos_nid, sim AS psim FROM " +
+      "(SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY sim DESC, nid) AS rn FROM p WHERE kind = 'pos') WHERE rn = 1), " +
+      "neg AS (SELECT p.qid AS qid, pos_nid, psim, nid, sim, " +
+      "row_number() OVER (PARTITION BY p.qid ORDER BY sim DESC, nid) AS rn " +
+      "FROM p JOIN pos ON p.qid = pos.qid WHERE kind = 'neg' AND sim < psim) " +
+      "SELECT qid, pos_nid, round(psim, 6) AS pos_sim, " +
+      "nid AS neg_nid, round(sim, 6) AS neg_sim " +
+      "FROM neg WHERE rn = 1 ORDER BY qid")
+  )
+
   /** Oracle for every `ann_*_recall` query: the booleans are computed
     * in-engine from BOTH the ANN result and the exact top-k; the oracle
     * asserts they are all true (the `approx_agg_bounds` pattern). A recall
@@ -3479,6 +3529,7 @@ object Ext {
     sampleDet, sampleBottomK, histogramQ,
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
+    contrastivePairsQ, contrastiveTripletsQ,
     dedupSubstring, dedupSpansQ,
     gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, dsirWeightsQ, dsirSelectQ,
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
