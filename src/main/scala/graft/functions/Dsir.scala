@@ -67,6 +67,12 @@ object Dsir {
   private def bucketCounts(docs: DataFrame): DataFrame =
     features(docs).groupBy(col("b")).agg(count(lit(1)).as("n"))
 
+  /** Null-safe one-row sum collect (NULL on empty input → 0). */
+  private def scalarSum(df: DataFrame, c: String): Long = {
+    val r = df.agg(sum(col(c))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Smoothed log-probability of a coalesced count column under a
     * corpus total. */
   private def logP(n: Column, total: Long): Column =
@@ -79,8 +85,14 @@ object Dsir {
   def train(raw: DataFrame, target: DataFrame): DsirModel = {
     val rawN = bucketCounts(raw)
     val tgtN = bucketCounts(target).withColumnRenamed("n", "_nt")
-    val totR = rawN.agg(sum(col("n"))).collect()(0).getLong(0)
-    val totT = tgtN.agg(sum(col("_nt"))).collect()(0).getLong(0)
+    val totR = scalarSum(rawN, "n")
+    val totT = scalarSum(tgtN, "_nt")
+    // an empty corpus yields a NULL sum — fail loudly (an all-smoothing
+    // model silently ranks everything equal, which reads as "selection
+    // ran" while selecting nothing)
+    require(totR > 0, "DSIR raw corpus produced no features")
+    require(totT > 0,
+      "DSIR target corpus produced no features — empty or unmatched target")
     DsirModel(
       rawN.join(tgtN, Seq("b"), "full")
         .select(col("b"),

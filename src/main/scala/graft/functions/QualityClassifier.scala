@@ -74,9 +74,13 @@ object QualityClassifier {
       .agg(
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("pass"), 0L).otherwise(1L)).as("n_neg"))
-    // vocabulary-bounded frame -> one-row scalar collect
+    // vocabulary-bounded frame -> one-row scalar collect. An empty
+    // labeled corpus yields NULL sums — fail loudly rather than train a
+    // degenerate all-smoothing model.
     val tot = counts.agg(
       sum(col("n_pos")), sum(col("n_neg")), count(lit(1))).collect()(0)
+    require(!tot.isNullAt(0),
+      "NB training corpus produced no labeled tokens — empty docs or labels")
     val prior = labels.agg(
       sum(when(col("pass"), 1L).otherwise(0L)),
       sum(when(col("pass"), 0L).otherwise(1L))).collect()(0)

@@ -46,6 +46,14 @@ class DsirSpec extends SparkSpec {
     assert(re == w)
   }
 
+  test("empty raw or target corpus fails loudly, never trains all-smoothing") {
+    val empty = raw.filter(col("doc_id") < 0)
+    val e1 = intercept[IllegalArgumentException](Dsir.train(empty, target))
+    assert(e1.getMessage.contains("raw corpus"))
+    val e2 = intercept[IllegalArgumentException](Dsir.train(raw, empty))
+    assert(e2.getMessage.contains("target corpus"))
+  }
+
   test("n_feats counts unigrams + bigrams") {
     val one = Seq((1L, "x y z")).toDF("doc_id", "text")
     val m = Dsir.train(one, one)

@@ -53,6 +53,12 @@ class QualityClassifierSpec extends SparkSpec {
       base.toSet)
   }
 
+  test("empty labeled corpus fails loudly, never trains a degenerate model") {
+    val e = intercept[IllegalArgumentException](
+      QualityClassifier.train(docs.filter(col("doc_id") < 0), labels))
+    assert(e.getMessage.contains("no labeled tokens"))
+  }
+
   // engineered corpus where the Gopher rules split cleanly: good docs are
   // 16 alpha tokens with stopwords; spam docs fail alpha_frac (digits)
   private def corpus = {

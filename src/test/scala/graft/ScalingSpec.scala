@@ -257,4 +257,35 @@ class ScalingSpec extends SparkSpec {
       s"overlap rows left the ~linear band: ${one._2} -> ${eight._2}")
     assertNearLinear("winnowOverlap", one, eight)
   }
+
+  test("NB quality scoring: linear rows, near-linear shuffle bytes at 8x") {
+    // deterministic non-heuristic labels: per-copy token renaming breaks
+    // the stopword rule, so the Gopher bootstrap would label everything
+    // negative — the train/scoreWith split takes labels directly
+    import graft.functions.QualityClassifier
+    def pipe(d: DataFrame): DataFrame =
+      QualityClassifier.scoreWith(
+        QualityClassifier.train(d,
+          d.select(col("doc_id"), (col("doc_id") % 2 === 0).as("pass"))), d)
+    val one = measure(1)(pipe)
+    val eight = measure(8)(pipe)
+    assert(eight._2 == 8 * one._2,
+      s"score rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assertNearLinear("nbQualityScore", one, eight)
+  }
+
+  test("DSIR weights: linear rows, near-linear shuffle bytes at 8x; model stays bucket-bounded") {
+    import graft.functions.Dsir
+    def pipe(d: DataFrame): DataFrame =
+      Dsir.scoreWith(Dsir.train(d, d.filter(col("doc_id") % 2 === 0)), d)
+    val one = measure(1)(pipe)
+    val eight = measure(8)(pipe)
+    assert(eight._2 == 8 * one._2,
+      s"weight rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assertNearLinear("dsirWeights", one, eight)
+    // the model itself must not grow with the corpus
+    assert(Dsir.train(inflated(8),
+      inflated(8).filter(col("doc_id") % 2 === 0))
+      .bucketLogRatio.count() <= Dsir.Buckets)
+  }
 }
