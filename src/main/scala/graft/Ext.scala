@@ -1028,6 +1028,70 @@ object Ext {
     Some(ngramJaccardSql(0.5))
   )
 
+  /** [[ngramJaccardSql]]'s pair pipeline as an open CTE (`pr`:
+    * id_a, id_b, jaccard) — prefix of the provenance-joined oracles. */
+  private def ngramPairCteSql(t: Double): String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pr AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard " +
+      "FROM inter JOIN sizes sa ON sa.doc_id = id_a " +
+      "JOIN sizes sb ON sb.doc_id = id_b " +
+      s"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $t) "
+
+  /** Provenance-aware near-dup pairs ([[graft.functions.Dedup
+    * .crossSourcePairs]]): only pairs spanning two `source` values — the
+    * syndication/mirror detector a licensing pass reviews. */
+  private val dedupCrossSource = QDef(
+    "dedup_cross_source",
+    (s, d) => graft.functions.Dedup.crossSourcePairs(documents(s, d), 0.5),
+    Some(ngramPairCteSql(0.5) +
+      "SELECT id_a, da.source AS src_a, id_b, db.source AS src_b, jaccard " +
+      "FROM pr JOIN documents da ON da.doc_id = id_a " +
+      "JOIN documents db ON db.doc_id = id_b " +
+      "WHERE da.source <> db.source ORDER BY id_a, id_b")
+  )
+
+  /** Syndication rollup ([[graft.functions.Dedup.syndicationReport]]):
+    * cross-source near-dup pair counts per unordered source pair. */
+  private val syndicationQ = QDef(
+    "syndication_report",
+    (s, d) => graft.functions.Dedup.syndicationReport(documents(s, d), 0.5),
+    Some(ngramPairCteSql(0.5) +
+      "SELECT least(da.source, db.source) AS src_lo, " +
+      "greatest(da.source, db.source) AS src_hi, " +
+      "CAST(count(*) AS BIGINT) AS n_pairs " +
+      "FROM pr JOIN documents da ON da.doc_id = id_a " +
+      "JOIN documents db ON db.doc_id = id_b " +
+      "WHERE da.source <> db.source GROUP BY 1, 2 ORDER BY 1, 2")
+  )
+
+  /** One-pass corpus datacard ([[graft.functions.Profile.datacard]]):
+    * per (lang, source) — docs, distinct contents, char/token totals,
+    * mean length, corpus share. The release-audit composition table. */
+  private val datacardQ = QDef(
+    "corpus_datacard",
+    (s, d) => graft.functions.Profile.datacard(documents(s, d)),
+    Some("WITH g AS (SELECT lang, source, count(*) AS n_docs, " +
+      "count(DISTINCT md5(lower(trim(text)))) AS n_unique, " +
+      "sum(n_chars) AS n_chars, " +
+      "sum(len(string_split(text, ' '))) AS n_tokens " +
+      "FROM documents GROUP BY 1, 2), " +
+      "t AS (SELECT sum(n_docs) AS tot FROM g) " +
+      "SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, " +
+      "CAST(n_unique AS BIGINT) AS n_unique, " +
+      "CAST(n_chars AS BIGINT) AS n_chars, " +
+      "CAST(n_tokens AS BIGINT) AS n_tokens, " +
+      "round(CAST(n_chars AS DOUBLE) / n_docs, 6) AS mean_chars, " +
+      "round(CAST(n_docs AS DOUBLE) / tot, 6) AS pct_docs " +
+      "FROM g CROSS JOIN t ORDER BY lang, source")
+  )
+
   /** Duplicate-cluster resolution: transitive closure of the near-dup
     * pairs via distributed min-label propagation
     * ([[graft.functions.Clusters.connectedComponents]]) — every document
@@ -3511,7 +3575,8 @@ object Ext {
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
-    annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram, dedupClusters,
+    annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram,
+    dedupCrossSource, syndicationQ, datacardQ, dedupClusters,
     dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid,
     embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,

@@ -74,4 +74,40 @@ object Dedup {
       .withColumn("exact_rate",
         col("n_exact_copies").cast("double") / col("n_docs"))
   }
+
+  /** Provenance-aware near-dup pairs: only the pairs whose two docs come
+    * from DIFFERENT `source` values — the syndication/mirror detector
+    * (cross-source copies are usually scraped republication and the ones
+    * a licensing/attribution pass must review; intra-source near-dups
+    * are ordinary template reuse handled by the plain dedup path).
+    *
+    * Scale shape: the pair table is the banded near-dup output (edge-
+    * sized); the two provenance lookups are doc_id equality joins
+    * against a (doc_id, source) projection — size-gated broadcast with
+    * the corpus scan as the size proxy, shuffled fallback at 100 TB. */
+  def crossSourcePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    def lookup(side: String) = NearDup.broadcastIfSmall(
+      src.select(col("doc_id").as(side), col("source").as(s"src_$side")),
+      sizeProxy = Some(docs))
+    NearDup.ngramJaccardPairsShared(docs, threshold)
+      .join(lookup("id_a"), Seq("id_a"))
+      .join(lookup("id_b"), Seq("id_b"))
+      .filter(col("src_id_a") =!= col("src_id_b"))
+      .select(col("id_a"), col("src_id_a").as("src_a"),
+        col("id_b"), col("src_id_b").as("src_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Syndication rollup of [[crossSourcePairs]]: near-dup pair counts per
+    * UNORDERED source pair (cells keyed src_lo ≤ src_hi so the matrix is
+    * triangular) — the dashboard that names which feeds copy which. */
+  def syndicationReport(docs: DataFrame, threshold: Double): DataFrame =
+    crossSourcePairs(docs, threshold)
+      .select(
+        least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_lo"), col("src_hi"))
 }

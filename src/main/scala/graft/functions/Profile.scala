@@ -84,6 +84,41 @@ object Profile {
       .orderBy(col(sliceCol), col(catCol))
   }
 
+  /** One-pass corpus datacard ("Datasheets for Datasets", Gebru et al.
+    * 2018 §3.2's composition questions as a query): per (lang, source)
+    * cell — doc count, DISTINCT-content count (md5 content key, the
+    * [[Dedup.contentKey]] convention), char and token totals, mean doc
+    * length, and the cell's share of the corpus. The first table of any
+    * data card / release audit, and the drift baseline the per-snapshot
+    * monitors compare against.
+    *
+    * Scale shape: ONE aggregate over the corpus (map-side partial
+    * counts; the distinct-content count shuffles 16-byte keys, not
+    * text), then the grand total re-joins as a one-row broadcast cross
+    * join (the [[categoryDrift]] pattern — never a global window). Mean
+    * and share are single IEEE divides of exact integer sums. */
+  def datacard(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("lang"), col("source"), col("n_chars"),
+        Dedup.contentKey(col("text")).as("_h"),
+        size(split(col("text"), " ")).cast("long").as("_toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("_h")).as("n_unique"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("_toks")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_docs")).as("_n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_unique"),
+        col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast(DoubleType) / col("n_docs"), 6)
+          .as("mean_chars"),
+        round(col("n_docs").cast(DoubleType) / col("_n_total"), 6)
+          .as("pct_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Pairwise content overlap between corpus groups (sources, snapshots,
     * providers): EXACT Jaccard of the groups' distinct w-token shingle
     * sets. The corpus-monitoring question this answers — "how much of

@@ -228,4 +228,24 @@ class NearDupSpec extends SparkSpec {
     assert(got("srcA") == ((3L, 1L, 1L, 1.0 / 3)))
     assert(got("srcB") == ((1L, 1L, 1L, 1.0)))
   }
+
+  test("crossSourcePairs keeps only pairs spanning sources; syndication rolls up unordered") {
+    // 1~2 near-dup within srcA (dropped), 1~4 and 2~4 across srcA/srcB
+    // (kept), 5 unique in srcB
+    val docs = Seq(
+      (1L, "a b c d e f g h", "srcA"),
+      (2L, "a b c d e f g x", "srcA"),
+      (4L, "a b c d e f g h", "srcB"),
+      (5L, "q r s t u v w z", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.functions.Dedup.crossSourcePairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getString(1), r.getString(3)))).toMap
+    assert(got.keySet == Set((1L, 4L), (2L, 4L)),
+      s"intra-source pair must be dropped: ${got.keySet}")
+    assert(got((1L, 4L)) == (("srcA", "srcB")))
+    val rep = graft.functions.Dedup.syndicationReport(docs, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep == Map(("srcA", "srcB") -> 2L))
+  }
 }

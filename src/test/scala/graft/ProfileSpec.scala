@@ -125,4 +125,33 @@ class ProfileSpec extends SparkSpec {
     // skewed 3:1 → 1 - (9+1)/16 = 0.375
     assert(got("skewed") == ((2L, 4L, 0.375)))
   }
+
+  test("datacard: counts, distinct contents, totals, shares per (lang, source) cell") {
+    val docs = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "alpha beta", "en", "s1", 10L),   // exact dup of 1
+      (3L, "  ALPHA BETA ", "en", "s1", 13L), // same content key (trim+lower)
+      (4L, "gamma", "en", "s2", 5L),
+      (5L, "delta eps zeta", "fr", "s1", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Profile.datacard(docs)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // (en, s1): 3 docs, ONE distinct content, 33 chars, 2+2+5 tokens
+    // (space-split keeps empty fields: doc 3's padding makes 5)
+    assert(got(("en", "s1")) ==
+      (("en", "s1", 3L, 1L, 33L, 9L, 11.0, 0.6)))
+    assert(got(("en", "s2")) == (("en", "s2", 1L, 1L, 5L, 1L, 5.0, 0.2)))
+    assert(got(("fr", "s1")) == (("fr", "s1", 1L, 1L, 14L, 3L, 14.0, 0.2)))
+    // shares partition the corpus
+    assert(got.values.map(_._8).sum == 1.0)
+  }
+
+  test("datacard is invariant to input partitioning") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"w$i x y", if (i % 2 == 0) "en" else "fr", s"s${i % 3}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Profile.datacard(docs.repartition(7)).collect().toSeq ==
+      Profile.datacard(docs).collect().toSeq)
+  }
 }
