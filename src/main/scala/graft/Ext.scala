@@ -2505,6 +2505,35 @@ object Ext {
       "FROM p CROSS JOIN c) GROUP BY tier ORDER BY tier")
   )
 
+  /** DoReMi-style domain-mixture reweighting over `source`
+    * ([[graft.functions.Doremi.domainReweight]]): each domain's mixture
+    * share is its baseline token share exponentially tilted by its
+    * clipped excess mean log-perplexity under the corpus bigram LM.
+    * Excess is rounded to 6 decimals BEFORE the exp in both engines so
+    * the exponentials see identical arguments. */
+  private val domainReweightQ = QDef(
+    "domain_reweight",
+    (s, d) => graft.functions.Doremi.domainReweight(
+      documents(s, d), "source", temperature = 1.0),
+    Some(perplexityCte +
+      ", dom AS (SELECT p.doc_id, d.source AS domain, n_bigrams, ppl " +
+      "FROM p JOIN documents d USING (doc_id)), " +
+      "cells AS (SELECT domain, count(*) AS n_docs, " +
+      "sum(n_bigrams) AS n_tok, sum(ln(ppl)) AS snll FROM dom GROUP BY 1), " +
+      "t AS (SELECT sum(snll) / sum(n_docs) AS gnll, sum(n_tok) AS ttok " +
+      "FROM cells), " +
+      "u AS (SELECT domain, n_docs, n_tok, ttok, snll / n_docs AS mnll, " +
+      "round(greatest(snll / n_docs - gnll, 0), 6) AS excess " +
+      "FROM cells CROSS JOIN t), " +
+      "z AS (SELECT sum(n_tok * exp(excess / 1.0)) AS zz FROM u) " +
+      "SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, " +
+      "CAST(n_tok AS BIGINT) AS n_tokens, " +
+      "round(CAST(n_tok AS DOUBLE) / ttok, 6) AS base_w, " +
+      "round(mnll, 6) AS mean_nll, excess, " +
+      "round(n_tok * exp(excess / 1.0) / zz, 6) AS weight " +
+      "FROM u CROSS JOIN z ORDER BY domain")
+  )
+
   /** Deterministic ~10% sample by md5 hex-prefix of the row key —
     * reproducible across engines and runs (vs rand()). */
   private val sampleDet = QDef(
@@ -3587,7 +3616,7 @@ object Ext {
     dedupStoreDelete,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, ngramPerplexity, perplexityTiersQ,
+    tfidfTop, unigramQ, ngramPerplexity, perplexityTiersQ, domainReweightQ,
     vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
     graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, winnowClustersQ, dedupReportQ,
     lengthProfileQ,

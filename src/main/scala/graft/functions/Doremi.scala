@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture reweighting — a deterministic, SQL-checkable analog of
+  * DoReMi (Xie et al., "DoReMi: Optimizing Data Mixtures Speeds Up
+  * Language Model Pretraining", 2023). DoReMi trains a proxy model with
+  * group DRO and upweights domains whose EXCESS LOSS (loss beyond a
+  * reference model's) is largest; the published recipe's output is one
+  * tiny vector — a weight per domain — that the real pretraining run
+  * then samples by.
+  *
+  * This engine's closed-over-the-corpus variant keeps the shape but
+  * swaps the learned proxies for the corpus-trained bigram LM the CCNet
+  * gate already maintains ([[LangModel.perplexity]]): a domain's loss is
+  * its docs' mean log-perplexity, the reference loss is the corpus-wide
+  * mean, and excess is clipped at zero exactly as DoReMi clips group
+  * excess loss. The exponentiated-gradient update then becomes one
+  * closed-form step from the baseline token shares:
+  *
+  *   weight(d) ∝ tokens(d) · exp(max(0, nll(d) − nll(corpus)) / τ)
+  *
+  * normalized over domains — domains the LM finds hardest (novel,
+  * under-represented text) gain share; domains at or below corpus-mean
+  * difficulty keep their token-proportional baseline. τ is the usual
+  * temperature: τ→∞ recovers the baseline mixture, small τ concentrates
+  * on the hardest domain.
+  *
+  * The reference has no mixing surface (its scalar tier is user lambdas,
+  * `/root/reference/source/koalas/dataframe.d:238-262`); this is
+  * LLM-pipeline tier, the planning half of [[Sampling.targetMixture]] —
+  * feed the weights straight in as that operator's target shares.
+  *
+  * Scale shape: everything after [[LangModel.perplexity]] (one bigram
+  * shuffle, see its scaladoc) is a doc_id equality join to recover the
+  * domain column, ONE domain-keyed aggregate (map-side partial), and
+  * two one-row/domain-count-sized broadcast folds — the domain table is
+  * mixture-sized (thousands at most), never corpus-sized. No collect
+  * anywhere; the weights stay a DataFrame for [[Sampling]] to join.
+  *
+  * Determinism across engines: per-doc ppl is rounded to 6 decimals by
+  * the LM (both engines), mean-NLL works on ln(ppl) of those rounded
+  * values, excess is rounded to 6 BEFORE the exp so both engines
+  * exponentiate identical arguments, and the final weight/share columns
+  * round to 6 after the normalizing divide.
+  */
+object Doremi {
+
+  /** Per-domain DoReMi-style mixture weights over `domainCol`.
+    *
+    * Output, one row per domain, ordered by domain:
+    * (domain, n_docs, n_tokens, base_w, mean_nll, excess, weight) —
+    * `n_tokens` counts scored bigrams (the LM's token-evidence measure),
+    * `base_w` is the baseline token share, `mean_nll` the domain's mean
+    * ln-perplexity, `excess` its clipped distance above corpus mean,
+    * `weight` the reweighted mixture share (sums to 1). Docs with fewer
+    * than 2 tokens carry no LM evidence and are absent, exactly as in
+    * [[LangModel.perplexity]]. */
+  def domainReweight(
+      docs: DataFrame,
+      domainCol: String,
+      temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val scored = LangModel.perplexity(docs)
+      .join(docs.select(col("doc_id"), col(domainCol).as("domain")), "doc_id")
+    // the ONE corpus-sized reduction: domain cells of (docs, tokens,
+    // summed ln ppl). Everything below folds over this mixture-sized
+    // frame, so persist it across the two global passes.
+    val cells = scored
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_tokens"),
+        sum(log(col("ppl"))).as("_snll"))
+      .persist()
+    val totals = cells.agg(
+      (sum(col("_snll")) / sum(col("n_docs"))).as("_gnll"),
+      sum(col("n_tokens")).as("_ttok"))
+    val excess = cells.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("_ttok"),
+        (col("_snll") / col("n_docs")).as("_mnll"),
+        round(greatest(col("_snll") / col("n_docs") - col("_gnll"), lit(0d)),
+          6).as("excess"))
+    val z = excess
+      .agg(sum(col("n_tokens") * exp(col("excess") / temperature)).as("_z"))
+    graft.AutoUnpersist.afterFirstUse(
+      excess.crossJoin(broadcast(z))
+        .select(col("domain"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("_ttok"), 6).as("base_w"),
+          round(col("_mnll"), 6).as("mean_nll"),
+          col("excess"),
+          round(col("n_tokens") * exp(col("excess") / temperature) / col("_z"),
+            6).as("weight"))
+        .orderBy(col("domain")),
+      cells)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Doremi, LangModel}
+
+/** DoReMi-style domain reweighting ([[graft.functions.Doremi]]): weights
+  * must be a normalized tilt of the baseline token shares, clip at the
+  * corpus mean (at-or-below-mean domains keep exactly their baseline
+  * ratio against each other), move share toward the hardest domain, and
+  * be partitioning-invariant. Oracle parity at sf is `domain_reweight`
+  * in CORRECTNESS. */
+class DoremiSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three domains: `tmpl` is a highly repetitive template domain (low
+    * ppl), `mid` mixed, `rare` each doc over near-unique vocab (high
+    * ppl). */
+  private def docs = {
+    val tmpl = (1L to 8L).map(i => (i, "a b a b a b a b", "tmpl"))
+    val mid = (9L to 16L).map(i => (i, s"a b c${i % 4} a b c${i % 3}", "mid"))
+    val rare = (17L to 24L).map(i => (i, s"u$i v$i w$i x$i y$i z$i", "rare"))
+    (tmpl ++ mid ++ rare).toDF("doc_id", "text", "source")
+  }
+
+  test("weights normalize, clip at corpus mean, and tilt toward the hardest domain") {
+    val got = Doremi.domainReweight(docs, "source")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("tmpl", "mid", "rare"))
+    val wsum = got.values.map(_._7).sum
+    assert(math.abs(wsum - 1.0) < 1e-5, s"weights must sum to 1, got $wsum")
+    val bsum = got.values.map(_._4).sum
+    assert(math.abs(bsum - 1.0) < 1e-5, s"base shares must sum to 1, got $bsum")
+    // the template domain is easiest (lowest mean nll), rare hardest
+    assert(got("tmpl")._5 < got("mid")._5 && got("mid")._5 < got("rare")._5)
+    // clipping: the easiest domain is below corpus mean -> excess 0, and
+    // its weight can only LOSE share vs baseline (normalization)
+    assert(got("tmpl")._6 == 0.0)
+    assert(got("tmpl")._7 < got("tmpl")._4)
+    // the hardest domain gains share over its baseline
+    assert(got("rare")._7 > got("rare")._4)
+    // weight ratio equals base ratio tilted by exp(excess diff)
+    val lhs = got("rare")._7 / got("mid")._7
+    val rhs = (got("rare")._3.toDouble / got("mid")._3) *
+      math.exp(got("rare")._6 - got("mid")._6)
+    assert(math.abs(lhs - rhs) < 1e-4, s"tilt identity: $lhs vs $rhs")
+  }
+
+  test("high temperature recovers the baseline mixture") {
+    val got = Doremi.domainReweight(docs, "source", temperature = 1e9)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    got.foreach(r => assert(math.abs(r._7 - r._4) < 1e-5,
+      s"domain ${r._1}: weight ${r._7} must approach base ${r._4}"))
+  }
+
+  test("token accounting matches the LM's scored-bigram counts") {
+    val scored = LangModel.perplexity(docs).agg(sum(col("n_bigrams")))
+      .collect()(0).getLong(0)
+    val got = Doremi.domainReweight(docs, "source")
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(got == scored)
+  }
+
+  test("reweighting is invariant to input partitioning") {
+    val base = Doremi.domainReweight(docs, "source").collect().toSeq
+    assert(Doremi.domainReweight(docs.repartition(7), "source")
+      .collect().toSeq == base)
+  }
+}

@@ -258,6 +258,47 @@ class ScalingSpec extends SparkSpec {
     assertNearLinear("winnowOverlap", one, eight)
   }
 
+  /** f disconnected copies of a fixed 200-node graph (ring chords give
+    * every node two triangles; node 0 is a degree-~40 hub). Copies are
+    * id-offset, so ranks / triangle counts per copy are IDENTICAL and
+    * output rows must grow exactly linearly. */
+  private def graphEdges(f: Int): DataFrame = {
+    val n = 200L
+    val base = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1L) % n).as("dst"))
+      .union(spark.range(n).select(col("id").as("src"),
+        ((col("id") + 2L) % n).as("dst")))
+      .union(spark.range(40).select(lit(0L).as("src"),
+        (col("id") + 100L).as("dst")))
+    (0 until f).map(i => base.select(
+      (col("src") + lit(i.toLong * 1000000L)).as("src"),
+      (col("dst") + lit(i.toLong * 1000000L)).as("dst")))
+      .reduce(_ union _)
+  }
+
+  test("pagerank: linear rank rows, near-linear shuffle bytes at 8x") {
+    import graft.functions.Graph
+    def pr(f: Int): DataFrame = {
+      val e = graphEdges(f)
+      val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(both, "src", "dst", iterations = 5)
+    }
+    val one = measure(1)(_ => pr(1))
+    val eight = measure(8)(_ => pr(8))
+    assert(eight._2 == 8 * one._2,
+      s"rank rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assertNearLinear("pageRank", one, eight)
+  }
+
+  test("triangle counting: linear rows, near-linear shuffle bytes at 8x (hub-proof)") {
+    import graft.functions.Graph
+    val one = measure(1)(_ => Graph.triangleCounts(graphEdges(1), "src", "dst"))
+    val eight = measure(8)(_ => Graph.triangleCounts(graphEdges(8), "src", "dst"))
+    assert(eight._2 == 8 * one._2,
+      s"node rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assertNearLinear("triangleCounts", one, eight)
+  }
+
   test("NB quality scoring: linear rows, near-linear shuffle bytes at 8x") {
     // deterministic non-heuristic labels: per-copy token renaming breaks
     // the stopword rule, so the Gopher bootstrap would label everything
