@@ -2511,27 +2511,188 @@ object Ext {
     * clipped excess mean log-perplexity under the corpus bigram LM.
     * Excess is rounded to 6 decimals BEFORE the exp in both engines so
     * the exponentials see identical arguments. */
+  /** The full DoReMi reweighting as a reusable CTE ending in `rw` —
+    * shared by the `domain_reweight` and `mixture_epochs` oracles. */
+  private val doremiRwCte: String = perplexityCte +
+    ", dom AS (SELECT p.doc_id, d.source AS domain, n_bigrams, ppl " +
+    "FROM p JOIN documents d USING (doc_id)), " +
+    "cells AS (SELECT domain, count(*) AS n_docs, " +
+    "sum(n_bigrams) AS n_tok, sum(ln(ppl)) AS snll FROM dom GROUP BY 1), " +
+    "t AS (SELECT sum(snll) / sum(n_docs) AS gnll, sum(n_tok) AS ttok " +
+    "FROM cells), " +
+    "u AS (SELECT domain, n_docs, n_tok, ttok, snll / n_docs AS mnll, " +
+    "round(greatest(snll / n_docs - gnll, 0), 6) AS excess " +
+    "FROM cells CROSS JOIN t), " +
+    "z AS (SELECT sum(n_tok * exp(excess / 1.0)) AS zz FROM u), " +
+    "rw AS (SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, " +
+    "CAST(n_tok AS BIGINT) AS n_tokens, " +
+    "round(CAST(n_tok AS DOUBLE) / ttok, 6) AS base_w, " +
+    "round(mnll, 6) AS mean_nll, excess, " +
+    "round(n_tok * exp(excess / 1.0) / zz, 6) AS weight " +
+    "FROM u CROSS JOIN z)"
+
   private val domainReweightQ = QDef(
     "domain_reweight",
     (s, d) => graft.functions.Doremi.domainReweight(
       documents(s, d), "source", temperature = 1.0),
-    Some(perplexityCte +
-      ", dom AS (SELECT p.doc_id, d.source AS domain, n_bigrams, ppl " +
-      "FROM p JOIN documents d USING (doc_id)), " +
-      "cells AS (SELECT domain, count(*) AS n_docs, " +
-      "sum(n_bigrams) AS n_tok, sum(ln(ppl)) AS snll FROM dom GROUP BY 1), " +
-      "t AS (SELECT sum(snll) / sum(n_docs) AS gnll, sum(n_tok) AS ttok " +
-      "FROM cells), " +
-      "u AS (SELECT domain, n_docs, n_tok, ttok, snll / n_docs AS mnll, " +
-      "round(greatest(snll / n_docs - gnll, 0), 6) AS excess " +
-      "FROM cells CROSS JOIN t), " +
-      "z AS (SELECT sum(n_tok * exp(excess / 1.0)) AS zz FROM u) " +
-      "SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, " +
-      "CAST(n_tok AS BIGINT) AS n_tokens, " +
-      "round(CAST(n_tok AS DOUBLE) / ttok, 6) AS base_w, " +
-      "round(mnll, 6) AS mean_nll, excess, " +
-      "round(n_tok * exp(excess / 1.0) / zz, 6) AS weight " +
-      "FROM u CROSS JOIN z ORDER BY domain")
+    Some(doremiRwCte +
+      " SELECT domain, n_docs, n_tokens, base_w, mean_nll, excess, weight " +
+      "FROM rw ORDER BY domain")
+  )
+
+  /** Data-constrained epoch planning over the DoReMi mixture
+    * ([[graft.functions.Doremi.epochPlan]], Muennighoff et al. 2023):
+    * implied epochs per domain at a 2× token budget, the 4-epoch repeat
+    * cap, and the renormalized ACHIEVABLE mixture after capping. Every
+    * derived value is a short chain of single IEEE ops on 6-rounded
+    * inputs; `eff_tokens` floors to exact BIGINT so totals sum exactly
+    * in both engines. */
+  private val mixtureEpochsQ = QDef(
+    "mixture_epochs",
+    (s, d) => graft.functions.Doremi.epochPlan(
+      documents(s, d), "source", budgetFactor = 2.0, maxEpochs = 4.0),
+    Some(doremiRwCte +
+      ", tt AS (SELECT sum(n_tokens) AS t FROM rw), " +
+      "pl AS (SELECT domain, n_tokens, weight, " +
+      "round(weight * (t * 2.0) / n_tokens, 6) AS epochs " +
+      "FROM rw CROSS JOIN tt), " +
+      "pe AS (SELECT domain, n_tokens, weight, epochs, " +
+      "least(epochs, 4.0) AS eff_epochs FROM pl), " +
+      "pf AS (SELECT *, CAST(floor(eff_epochs * n_tokens) AS BIGINT) " +
+      "AS eff_tokens FROM pe), " +
+      "et AS (SELECT sum(eff_tokens) AS s FROM pf) " +
+      "SELECT domain, n_tokens, weight, epochs, eff_epochs, eff_tokens, " +
+      "round(CAST(eff_tokens AS DOUBLE) / s, 6) AS achieved_share " +
+      "FROM pf CROSS JOIN et ORDER BY domain")
+  )
+
+  /** Leakage-safe train/test split
+    * ([[graft.functions.Sampling.leakageSafeSplit]]): the split hash key
+    * is the near-dup CLUSTER id (the `dedup_clusters` closure), so whole
+    * duplicate clusters land in one split atomically — no eval doc's
+    * near-duplicate can sit in train. The oracle recomputes the closure
+    * with the recursive CTE and applies the identical md5 rule. */
+  private val splitLeakageSafeQ = QDef(
+    "split_leakage_safe",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.functions.Sampling.leakageSafeSplit(
+          graft.functions.Clusters.connectedComponentsShared(
+            docs.select(col("doc_id")),
+            NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
+            nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b"),
+          "cluster_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+      "FROM tok WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+      "e AS (SELECT id_a AS s, id_b AS t FROM pairs " +
+      "UNION SELECT id_b AS s, id_a AS t FROM pairs), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS lbl FROM documents " +
+      "UNION SELECT e.s AS node, w.lbl FROM e JOIN walk w ON w.node = e.t), " +
+      "lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk " +
+      "GROUP BY node) " +
+      "SELECT doc_id, cluster_id, " +
+      "CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '1a' " +
+      "THEN 'test' ELSE 'train' END AS split " +
+      "FROM lab ORDER BY doc_id")
+  )
+
+  /** Memorization-risk audit
+    * ([[graft.functions.SubstringDedup.topRepeated]]): the 20 five-token
+    * spans repeated verbatim in the most documents, with text — license
+    * boilerplate and syndicated passages surface here before they
+    * surface as model regurgitation. Fully ordered (n_docs desc,
+    * n_occurrences desc, gram), so the top-k cut is deterministic. */
+  private val ngramTopRepeatedQ = QDef(
+    "ngram_top_repeated",
+    (s, d) => graft.functions.SubstringDedup.topRepeated(
+      documents(s, d), l = 5, k = 20),
+    Some("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t " +
+      "FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' " +
+      "|| t[i+4])) AS gram FROM tok WHERE len(t) >= 5), " +
+      "pd AS (SELECT gram, doc_id, count(*) AS occ FROM g GROUP BY 1, 2), " +
+      "r AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(occ) AS BIGINT) AS n_occurrences FROM pd GROUP BY 1) " +
+      "SELECT gram, n_docs, n_occurrences FROM r WHERE n_docs >= 2 " +
+      "ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20")
+  )
+
+  /** Filter-funnel attribution ([[graft.functions.CorpusClean.funnel]]):
+    * per cleaning rule, how many docs it rejects, how many ONLY it
+    * rejects (its unique contribution), and the cumulative survivor
+    * count in canonical rule order — the last row pins `corpus_clean`'s
+    * survivor count. */
+  private val cleanFunnelQ = QDef(
+    "clean_funnel",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.functions.CorpusClean.funnel(
+        docs, docs.filter(col("doc_id") < 10),
+        qualityMin = 0.3, jaccardT = 0.5, w = 3, minShared = 1L)
+    },
+    Some(
+      "WITH qm AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t IN (" +
+        Text.stopwords.map(w => s"'$w'").mkString(", ") + "))) AS DOUBLE) " +
+        " / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) " +
+        " / length(text) AS alpha_ratio, " +
+        "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(200.0 AS DOUBLE), " +
+        " CAST(1.0 AS DOUBLE)) AS len_score FROM documents), " +
+        "q AS (SELECT doc_id, stop_ratio * CAST(0.5 AS DOUBLE) " +
+        " + alpha_ratio * CAST(0.3 AS DOUBLE) " +
+        " + len_score * CAST(0.2 AS DOUBLE) AS quality FROM qm), " +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        " GROUP BY md5(lower(trim(text)))), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "nd AS (SELECT DISTINCT id_b AS doc_id FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), " +
+        "bsh AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 10), " +
+        "contam AS (SELECT ds.doc_id FROM ds JOIN bsh ON ds.shingle = bsh.shingle " +
+        "GROUP BY ds.doc_id HAVING count(*) >= 1), " +
+        "f AS (SELECT (q.quality < 0.3) AS fq, " +
+        "(q.doc_id NOT IN (SELECT doc_id FROM keep)) AS fx, " +
+        "(q.doc_id IN (SELECT doc_id FROM nd)) AS fn, " +
+        "(q.doc_id IN (SELECT doc_id FROM contam)) AS fc FROM q) " +
+        "SELECT * FROM (" +
+        "SELECT 1 AS stage, 'quality' AS rule, " +
+        "CAST(sum(CASE WHEN fq THEN 1 ELSE 0 END) AS BIGINT) AS n_fail, " +
+        "CAST(sum(CASE WHEN fq AND NOT fx AND NOT fn AND NOT fc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_only, " +
+        "CAST(sum(CASE WHEN NOT fq THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_cum FROM f " +
+        "UNION ALL SELECT 2, 'exact_dup', " +
+        "CAST(sum(CASE WHEN fx THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN fx AND NOT fq AND NOT fn AND NOT fc THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN NOT fq AND NOT fx THEN 1 ELSE 0 END) AS BIGINT) FROM f " +
+        "UNION ALL SELECT 3, 'near_dup', " +
+        "CAST(sum(CASE WHEN fn THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN fn AND NOT fq AND NOT fx AND NOT fc THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN NOT fq AND NOT fx AND NOT fn THEN 1 ELSE 0 END) AS BIGINT) FROM f " +
+        "UNION ALL SELECT 4, 'contamination', " +
+        "CAST(sum(CASE WHEN fc THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN fc AND NOT fq AND NOT fx AND NOT fn THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN NOT fq AND NOT fx AND NOT fn AND NOT fc THEN 1 ELSE 0 END) AS BIGINT) FROM f" +
+        ") u ORDER BY stage")
   )
 
   /** Deterministic ~10% sample by md5 hex-prefix of the row key —
@@ -3617,6 +3778,7 @@ object Ext {
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, ngramPerplexity, perplexityTiersQ, domainReweightQ,
+    mixtureEpochsQ, splitLeakageSafeQ, ngramTopRepeatedQ, cleanFunnelQ,
     vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
     graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, winnowClustersQ, dedupReportQ,
     lengthProfileQ,

@@ -95,4 +95,60 @@ object Doremi {
         .orderBy(col("domain")),
       cells)
   }
+
+  /** Data-constrained epoch planning on top of [[domainReweight]] —
+    * the Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+    * Models") question: the mixture says each domain SHOULD contribute
+    * `weight·budget` tokens, but a domain only HAS `n_tokens` — how many
+    * epochs (repeats) does the plan imply, and what mixture is actually
+    * achievable once repeats are capped? Per domain:
+    *   - `epochs` = weight·budget / n_tokens (budget =
+    *     `budgetFactor` × corpus tokens) — the implied repeat count;
+    *   - `eff_epochs` = min(epochs, `maxEpochs`) — the paper's finding
+    *     that value decays past ~4 epochs, applied as a hard cap;
+    *   - `eff_tokens` = ⌊eff_epochs · n_tokens⌋ — what the domain can
+    *     actually contribute;
+    *   - `achieved_share` — the post-cap renormalized mixture, the
+    *     shares [[Sampling.targetMixture]] should ACTUALLY be fed (a
+    *     capped domain's shortfall flows pro-rata to the others).
+    *
+    * Scale shape: one extra fold + broadcast join over the
+    * mixture-sized reweight table — the corpus is touched exactly as
+    * many times as [[domainReweight]] touches it, no more.
+    *
+    * Determinism across engines: starts from the 6-rounded `weight`,
+    * every derived value is a short chain of single IEEE ops on rounded
+    * inputs (each correctly rounded in both engines), `eff_tokens` is
+    * floored to an exact BIGINT so its total sums exactly, and the final
+    * share rounds to 6 after one exact-int division. */
+  def epochPlan(
+      docs: DataFrame,
+      domainCol: String,
+      budgetFactor: Double = 2.0,
+      maxEpochs: Double = 4.0,
+      temperature: Double = 1.0): DataFrame = {
+    require(budgetFactor > 0, s"budgetFactor must be positive, got $budgetFactor")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val w = domainReweight(docs, domainCol, temperature)
+      .select(col("domain"), col("n_tokens"), col("weight"))
+      .persist()
+    val tot = w.agg(sum(col("n_tokens")).as("_tt"))
+    val planned = w.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_tokens"), col("weight"),
+        round(col("weight") * (col("_tt") * budgetFactor) / col("n_tokens"),
+          6).as("epochs"))
+      .select(col("domain"), col("n_tokens"), col("weight"), col("epochs"),
+        least(col("epochs"), lit(maxEpochs)).as("eff_epochs"))
+      .select(col("*"),
+        floor(col("eff_epochs") * col("n_tokens")).cast("long").as("eff_tokens"))
+    val achieved = planned.agg(sum(col("eff_tokens")).as("_et"))
+    graft.AutoUnpersist.afterFirstUse(
+      planned.crossJoin(broadcast(achieved))
+        .select(col("domain"), col("n_tokens"), col("weight"), col("epochs"),
+          col("eff_epochs"), col("eff_tokens"),
+          round(col("eff_tokens").cast("double") / col("_et"), 6)
+            .as("achieved_share"))
+        .orderBy(col("domain")),
+      w)
+  }
 }

@@ -27,6 +27,38 @@ object Sampling {
       when(substring(md5(key), 1, 2) < th, lit("test")).otherwise(lit("train")))
   }
 
+  /** LEAKAGE-SAFE train/test split: the hash key is the row's near-dup
+    * CLUSTER id, not the row id, so an entire duplicate cluster lands in
+    * one split atomically — a near-duplicate of an eval document can
+    * never appear in train. Splitting by row key (plain
+    * [[trainTestSplit]]) leaks: two near-identical docs hash to
+    * independent splits with probability 2·p·(1−p), and at 100 TB that
+    * is millions of eval documents effectively memorized in training
+    * (the contamination mode n-gram decontamination against a KNOWN
+    * benchmark can't catch, because eval is drawn from the corpus
+    * itself).
+    *
+    * `labels` is the (idCol, clusterCol) table — the output of
+    * [[Clusters.connectedComponents]] or a [[PairStore]] read, so the
+    * expensive closure is the shared prefix the store already serves.
+    * This operator itself is ONE per-row hash on the label table — no
+    * extra shuffle, and membership is a pure function of the cluster id:
+    * reproducible across engines/runs, and a late-arriving doc joins its
+    * cluster's existing side. Singleton clusters (label = own id)
+    * degrade exactly to [[trainTestSplit]] semantics on the id.
+    *
+    * Output: `labels` + a `split` column; the no-pair-spans-splits
+    * invariant is structural (split is a function of clusterCol). */
+  def leakageSafeSplit(
+      labels: DataFrame,
+      clusterCol: String,
+      testBytes: Int = 26): DataFrame = {
+    val th = f"$testBytes%02x"
+    labels.withColumn("split",
+      when(substring(md5(col(clusterCol).cast("string")), 1, 2) < th,
+        lit("test")).otherwise(lit("train")))
+  }
+
   /** Mixture-weighted sample: per-stratum deterministic keep RATES (vs
     * [[stratifiedSample]]'s per-stratum COUNT cap) — the "2 parts web, 1
     * part code" mixing step of corpus assembly. Each stratum keeps

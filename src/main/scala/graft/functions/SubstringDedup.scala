@@ -75,6 +75,46 @@ object SubstringDedup {
           " ").as("clean_text"))
   }
 
+  /** Memorization-risk audit: the `k` L-gram spans repeated verbatim in
+    * the MOST DOCUMENTS, with their text — "what's the most duplicated
+    * passage in my corpus" is the first question a release review asks
+    * (license boilerplate, templated pages, and mass-syndicated passages
+    * all surface here before they surface as model regurgitation).
+    * Output: (gram, n_docs, n_occurrences) for grams appearing in ≥ 2
+    * distinct docs, by (n_docs desc, n_occurrences desc, gram) — the
+    * doc-count ordering because a passage repeated across many documents
+    * is the memorization signal; within-doc repetition is
+    * `intradoc_dedup`'s business.
+    *
+    * Scale shape: the per-(gram,doc) dedup and the per-gram rollup are
+    * the standard two-level exact-distinct aggregate (both map-side
+    * partial); gram TEXT rides the shuffle as the grouping key — ~8·L
+    * bytes vs the hash pipeline's 8, the price of a report that must
+    * output text (the detection-only paths above stay hash-keyed). The
+    * final top-k is a distributed TakeOrdered: per-partition heads, a
+    * k-row driver merge — never a global sort. */
+  def topRepeated(docs: DataFrame, l: Int = 5, k: Int = 20): DataFrame = {
+    require(l > 1, s"gram length must exceed 1 token, got $l")
+    require(k > 0, s"k must be positive, got $k")
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val grams = base.filter(col("_n") >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"),
+        col("_t"))
+      .select(col("doc_id"),
+        array_join(slice(col("_t"), col("pos"), lit(l)), " ").as("gram"))
+    grams
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("_occ"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_occ")).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
   def dupSpanStats(docs: DataFrame, l: Int = 8): DataFrame = {
     require(l > 1, s"gram length must exceed 1 token, got $l")
     val base = docs

@@ -25,4 +25,27 @@ class CorpusCleanSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(ids.intersect(contam).isEmpty, "a contaminated doc survived")
   }
+
+  test("funnel: attribution counts are consistent and pin the survivor count") {
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter(col("doc_id") < 10)
+    val rows = CorpusClean.funnel(docs, bench).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("quality", "exact_dup", "near_dup", "contamination"))
+    val total = docs.count()
+    rows.foreach { r =>
+      val (nf, nu, nc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nu <= nf, s"stage ${r.getInt(0)}: unique $nu exceeds total fail $nf")
+      assert(nf <= total && nc <= total)
+    }
+    // the funnel curve is monotone non-increasing
+    val cum = rows.map(_.getLong(4)).toSeq
+    assert(cum == cum.sorted.reverse, s"funnel must shrink monotonically: $cum")
+    // ... and its last point is exactly the surviving() count
+    assert(cum.last == CorpusClean.surviving(docs, bench).count(),
+      "funnel tail must equal the survivor pipeline's count")
+    // stage-1 cumulative + stage-1 fails account for the whole corpus
+    assert(rows(0).getLong(2) + rows(0).getLong(4) == total)
+  }
 }

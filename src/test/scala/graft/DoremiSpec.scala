@@ -66,4 +66,40 @@ class DoremiSpec extends SparkSpec {
     assert(Doremi.domainReweight(docs.repartition(7), "source")
       .collect().toSeq == base)
   }
+
+  test("epochPlan: caps bind, floors are exact, achieved shares renormalize to 1") {
+    val got = Doremi.epochPlan(docs, "source", budgetFactor = 2.0, maxEpochs = 4.0)
+      .as[(String, Long, Double, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("tmpl", "mid", "rare"))
+    got.values.foreach { case (dom, nTok, _, epochs, eff, effTok, _) =>
+      assert(eff <= 4.0 + 1e-12, s"$dom: cap violated ($eff)")
+      assert(eff <= epochs + 1e-12, s"$dom: eff_epochs exceeds implied epochs")
+      assert(effTok == math.floor(eff * nTok).toLong,
+        s"$dom: eff_tokens must be the exact floor")
+    }
+    val shares = got.values.map(_._7).sum
+    assert(math.abs(shares - 1.0) < 1e-5, s"achieved shares must sum to 1: $shares")
+  }
+
+  test("epochPlan: with no binding cap, achieved share recovers the mixture weight") {
+    val got = Doremi.epochPlan(docs, "source", budgetFactor = 1.0, maxEpochs = 1e9)
+      .as[(String, Long, Double, Double, Double, Long, Double)].collect()
+    got.foreach { case (dom, _, w, epochs, eff, _, share) =>
+      assert(epochs == eff, s"$dom: cap must not bind at maxEpochs=1e9")
+      // eff_tokens = floor(epochs * n_tokens) ≈ weight * budget, so the
+      // renormalized share returns the weight up to the floor's ±1-token
+      // quantization — on this ~150-token fixture that's ~1/150 per domain
+      assert(math.abs(share - w) < 0.01, s"$dom: share $share vs weight $w")
+    }
+  }
+
+  test("epochPlan: a hard domain under a tight budget needs more epochs than its base share") {
+    val got = Doremi.epochPlan(docs, "source", budgetFactor = 8.0, maxEpochs = 100.0)
+      .as[(String, Long, Double, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // rare is upweighted, so at 8x budget its implied epochs exceed 8
+    assert(got("rare")._4 > 8.0, s"rare epochs ${got("rare")._4}")
+    assert(got("tmpl")._4 < 8.0, s"tmpl epochs ${got("tmpl")._4}")
+  }
 }

@@ -74,4 +74,37 @@ class SubstringDedupSpec extends SparkSpec {
     val got = removed(texts, l = 4)
     assert(got(0L) == (5, 5, texts(0)) && got(1L) == (5, 5, texts(1)))
   }
+
+  test("topRepeated: doc-count-first ordering, cross-doc only, within-doc occurrences summed") {
+    // "c d e" appears in docs 0,1,2 (once each) = 3 docs / 3 occurrences;
+    // "x y z" in docs 3,4 but TWICE in doc 3 = 2 docs / 3 occurrences;
+    // "q r s" only repeats inside doc 5 — must not appear at all
+    val docs = Seq(
+      (0L, "a c d e b"), (1L, "c d e f g"), (2L, "h c d e i"),
+      (3L, "x y z m x y z"), (4L, "x y z n o"),
+      (5L, "q r s t q r s")).toDF("doc_id", "text")
+    val got = SubstringDedup.topRepeated(docs, l = 3, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.head == (("c d e", 3L, 3L)), s"head was ${got.head}")
+    assert(got.contains(("x y z", 2L, 3L)))
+    assert(!got.exists(_._1 == "q r s"), "within-doc repeat leaked into the report")
+    // every reported gram spans >= 2 docs, and ordering is (docs, occ, gram)
+    assert(got.forall(_._2 >= 2))
+    val key = got.map(g => (-g._2, -g._3, g._1))
+    assert(key == key.sorted, s"ordering violated: $got")
+  }
+
+  test("topRepeated: k cuts deterministically and short docs are excluded") {
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c e"), // share "a b c"
+      (2L, "p q r s"), (3L, "p q r t"), // share "p q r"
+      (4L, "u v"), (5L, "u v")          // too short for l=3
+    ).toDF("doc_id", "text")
+    val all = SubstringDedup.topRepeated(docs, l = 3, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(all.map(_._1) == Seq("a b c", "p q r"), s"got $all") // tie → gram asc
+    val one = SubstringDedup.topRepeated(docs, l = 3, k = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(one.map(_._1) == Seq("a b c"))
+  }
 }
