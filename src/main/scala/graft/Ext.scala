@@ -3430,6 +3430,55 @@ object Ext {
       "FROM lw ORDER BY round(llr, 6) DESC, token LIMIT 25")
   )
 
+  /** Calibration table for the NB quality scores
+    * ([[graft.functions.QualityClassifier.calibration]]): per predicted-
+    * probability decile, doc count, mean predicted p, observed positive
+    * rate — decides whether scores can serve as sampling weights or only
+    * as a gate. `mean_pred` sums p as exact DECIMAL so neither engine
+    * depends on float summation order. */
+  private val nbCalibrationQ = QDef(
+    "nb_calibration",
+    (s, d) => graft.functions.QualityClassifier.calibration(
+      documents(s, d), bins = 10),
+    Some(nbCte +
+      ", sc AS (SELECT doc_id, round((SELECT prior FROM pr) + sum(llr), 6) " +
+      "AS lo FROM w JOIN lw USING (token) GROUP BY doc_id), " +
+      "pp AS (SELECT doc_id, round(1.0 / (1.0 + exp(-lo)), 6) AS p FROM sc), " +
+      "bb AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, pass " +
+      "FROM pp JOIN lbl USING (doc_id)) " +
+      "SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+      "round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) " +
+      "AS mean_pred, " +
+      "round(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ count(*), 6) AS pos_rate FROM bb GROUP BY bin ORDER BY bin")
+  )
+
+  /** MinHash-LSH parameter planner ([[graft.functions.NearDup.lshTune]]):
+    * S-curve FP/FN mass for every (bands, rows) factoring of the
+    * 32-permutation signature at threshold 0.5 — the table `bands` is
+    * chosen from before a run. Pure arithmetic; per-point collision
+    * probabilities round to 6 before the sums in both engines. */
+  private val lshTuneQ = QDef(
+    "lsh_tune",
+    (s, _) => graft.functions.NearDup.lshTune(
+      s, k = 32, threshold = 0.5, gridN = 40),
+    Some("WITH c AS (SELECT CAST(b AS INT) AS bands, " +
+      "CAST(32 // b AS INT) AS rows_per_band " +
+      "FROM range(1, 33) t(b) WHERE 32 % b = 0), " +
+      "g AS (SELECT bands, rows_per_band, (i + 0.5) / 40 AS s " +
+      "FROM c CROSS JOIN range(0, 40) t2(i)), " +
+      "p AS (SELECT bands, rows_per_band, s, " +
+      "round(1.0 - power(1.0 - power(s, rows_per_band), bands), 6) AS p " +
+      "FROM g), " +
+      "agg AS (SELECT bands, rows_per_band, " +
+      "round(sum(CASE WHEN s < 0.5 THEN p ELSE 0 END) / 40, 6) AS fp, " +
+      "round(sum(CASE WHEN s >= 0.5 THEN 1.0 - p ELSE 0 END) / 40, 6) AS fn " +
+      "FROM p GROUP BY 1, 2) " +
+      "SELECT bands, rows_per_band, fp, fn, round(fp + fn, 6) AS cost " +
+      "FROM agg ORDER BY cost, bands")
+  )
+
   /** DSIR CTE suffix: hashed unigram+bigram features (md5 first-byte
     * buckets), raw/target bucket counts, and the smoothed per-bucket
     * importance log-ratio ([[graft.functions.Dsir]]). */
@@ -3787,7 +3836,8 @@ object Ext {
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     contrastivePairsQ, contrastiveTripletsQ,
     dedupSubstring, dedupSpansQ,
-    gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, dsirWeightsQ, dsirSelectQ,
+    gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, nbCalibrationQ, lshTuneQ,
+    dsirWeightsQ, dsirSelectQ,
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
     profileQ, giniProfileQ, embedQuantizeQ, driftQ,
     tokenIdsQ, funnelQ, funnelLagQ, retentionQ, temperatureMixQ,

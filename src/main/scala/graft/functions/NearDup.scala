@@ -476,4 +476,51 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** MinHash-LSH parameter planner: for every (bands, rows) factoring of
+    * the `k`-permutation signature, the S-curve's false-positive and
+    * false-negative mass around `threshold` — the table an operator
+    * chooses `bands` FROM before a 100 TB run, because the wrong S-curve
+    * either floods the verify stage (FP: candidate pairs are the
+    * dominant shuffle) or silently loses duplicates (FN: no verify can
+    * recover a pair banding never produced).
+    *
+    * Collision probability at similarity s is `1-(1-s^rows)^bands`
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4.3).
+    * `fp` integrates that curve below `threshold`, `fn` integrates its
+    * complement above, both by midpoint rule on a `gridN`-point uniform
+    * similarity grid (an assumed-uniform pair-similarity density — the
+    * standard planning neutral when the true density is unknown);
+    * `cost = fp + fn` is the equal-loss pick, top row = recommendation.
+    *
+    * Pure arithmetic on a divisors×grid frame (≤ k·gridN rows) — no
+    * corpus access. Per-point p rounds to 6 decimals before the sums so
+    * both engines fold identical values (pow is the only transcendental;
+    * the established exp/round-6 convention). */
+  def lshTune(
+      spark: org.apache.spark.sql.SparkSession,
+      k: Int = 32,
+      threshold: Double = 0.5,
+      gridN: Int = 40): DataFrame = {
+    require(k > 0 && gridN > 0, s"k=$k and gridN=$gridN must be positive")
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1)")
+    spark.range(1, k + 1L)
+      .filter(lit(k) % col("id") === 0)
+      .select(col("id").cast("int").as("bands"),
+        (lit(k) / col("id")).cast("int").as("rows_per_band"))
+      .select(col("bands"), col("rows_per_band"),
+        explode(sequence(lit(0), lit(gridN - 1))).as("i"))
+      .withColumn("s", (col("i") + lit(0.5)) / gridN)
+      .withColumn("p",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("s"), col("rows_per_band")),
+          col("bands")), 6))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        round(sum(when(col("s") < threshold, col("p")).otherwise(lit(0.0)))
+          / gridN, 6).as("fp"),
+        round(sum(when(col("s") >= threshold, lit(1.0) - col("p"))
+          .otherwise(lit(0.0))) / gridN, 6).as("fn"))
+      .withColumn("cost", round(col("fp") + col("fn"), 6))
+      .orderBy(col("cost"), col("bands"))
+  }
 }

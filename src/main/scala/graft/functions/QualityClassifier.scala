@@ -143,4 +143,43 @@ object QualityClassifier {
       .orderBy(col("llr").desc, col("token"))
       .limit(k)
   }
+
+  /** Calibration (reliability) table — the audit that decides whether
+    * the classifier's scores can be used as sampling WEIGHTS (DSIR-style
+    * soft filtering needs calibrated probabilities) or only as a
+    * threshold gate: per decile of predicted probability
+    * `p = σ(log_odds)`, how many docs landed there, their mean predicted
+    * p, and the rate actually labeled positive. A calibrated model has
+    * `mean_pred ≈ pos_rate` per bin; systematic gaps mean the log-odds
+    * scale is distorted (expected for NB's independence assumption — the
+    * question is by how much).
+    *
+    * Determinism: p rounds to 6 from the already-6-rounded log_odds, the
+    * bin is `min(⌊p·bins⌋, bins−1)` on that value, and `mean_pred` sums
+    * p as exact DECIMAL(18,6) before the one rounded divide — no
+    * float-summation-order dependence in either engine.
+    *
+    * Scale shape: one score pass + the label pass it already shares,
+    * then a `bins`-row aggregate. */
+  def calibration(docs: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins > 1, s"bins must exceed 1, got $bins")
+    val labels = weakLabels(docs).persist()
+    val m = train(docs, labels)
+    val out = scoreWith(m, docs)
+      .withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("log_odds"))), 6))
+      .join(labels.select(col("doc_id"), col("pass")), Seq("doc_id"))
+      .withColumn("bin",
+        least(floor(col("p") * bins), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
+        round(sum(col("p").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_pred"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n"), 6))
+      .orderBy(col("bin"))
+    graft.AutoUnpersist.afterFirstUse(out, labels)
+  }
 }

@@ -248,4 +248,24 @@ class NearDupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(rep == Map(("srcA", "srcB") -> 2L))
   }
+
+  test("lshTune: every factoring present, S-curve extremes, cost-ordered recommendation") {
+    val got = graft.functions.NearDup.lshTune(spark, k = 32, threshold = 0.5)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(b => (b._1, b._2)).toSet ==
+      Set((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1)))
+    val byBands = got.map(r => r._1 -> r).toMap
+    // 32 bands of 1 row: collides on ANY shared perm — no false negatives,
+    // maximal false positives; 1 band of 32 rows is the mirror image
+    assert(byBands(32)._4 == 0.0 && byBands(32)._3 > 0.4)
+    assert(byBands(1)._3 == 0.0 && byBands(1)._4 > 0.4)
+    // output is sorted by total cost and the balanced S-curve wins at 0.5
+    val costs = got.map(_._5).toSeq
+    assert(costs == costs.sorted, s"must be cost-ordered: $costs")
+    assert(got.head._1 == 8 && got.head._2 == 4,
+      s"expected 8x4 recommendation at t=0.5, got ${got.head}")
+    got.foreach(r => assert(r._5 == BigDecimal(r._3 + r._4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }

@@ -87,4 +87,30 @@ class QualityClassifierSpec extends SparkSpec {
     // stopwords only appear in quality docs -> positive llr at the top
     assert(top.head.getDouble(3) > 0)
   }
+
+  test("calibration: bins partition the scored corpus, rates and means stay in-bin") {
+    val rows = QualityClassifier.calibration(corpus, bins = 10).collect()
+    assert(rows.nonEmpty)
+    val total = QualityClassifier.score(corpus).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "bin counts must partition the scored docs")
+    rows.foreach { r =>
+      val (bin, n, nPos, mp, rate) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9)
+      assert(nPos <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+      // mean predicted p must lie inside its decile (bin 9 absorbs p=1.0)
+      assert(mp >= bin / 10.0 - 1e-9 &&
+        mp <= (if (bin == 9) 1.0 else (bin + 1) / 10.0) + 1e-9,
+        s"bin $bin mean_pred $mp escaped its decile")
+    }
+    // the classifier separates this corpus: the top-decile bin must be
+    // purer than the bottom one
+    val byBin = rows.map(r => r.getInt(0) -> r).toMap
+    val lo = byBin.minBy(_._1)._2
+    val hi = byBin.maxBy(_._1)._2
+    assert(hi.getDouble(4) >= lo.getDouble(4),
+      "observed positive rate must not invert across extreme bins")
+  }
 }
