@@ -129,24 +129,35 @@ object Doremi {
       temperature: Double = 1.0): DataFrame = {
     require(budgetFactor > 0, s"budgetFactor must be positive, got $budgetFactor")
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    // One pipeline instantiation: the reweight table is persisted
+    // (mixture-sized rows, computed once), and the two normalizing
+    // totals fold to ONE-ROW driver scalars — the bounded-metadata
+    // collect class (codebooks, per-stratum maps), never row data. A
+    // broadcast-fold formulation instead re-instantiates the whole LM
+    // pipeline under each fold branch in the audited plan.
     val w = domainReweight(docs, domainCol, temperature)
       .select(col("domain"), col("n_tokens"), col("weight"))
       .persist()
-    val tot = w.agg(sum(col("n_tokens")).as("_tt"))
-    val planned = w.crossJoin(broadcast(tot))
+    // null-safe scalar fold (empty corpus -> empty plan, no NPE)
+    def scalarSum(df: DataFrame, c: String): Long = {
+      val r = df.agg(sum(col(c))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val tt = scalarSum(w, "n_tokens")
+    val planned = w
       .select(col("domain"), col("n_tokens"), col("weight"),
-        round(col("weight") * (col("_tt") * budgetFactor) / col("n_tokens"),
+        round(col("weight") * lit(tt * budgetFactor) / col("n_tokens"),
           6).as("epochs"))
       .select(col("domain"), col("n_tokens"), col("weight"), col("epochs"),
         least(col("epochs"), lit(maxEpochs)).as("eff_epochs"))
       .select(col("*"),
         floor(col("eff_epochs") * col("n_tokens")).cast("long").as("eff_tokens"))
-    val achieved = planned.agg(sum(col("eff_tokens")).as("_et"))
+    val et = scalarSum(planned, "eff_tokens")
     graft.AutoUnpersist.afterFirstUse(
-      planned.crossJoin(broadcast(achieved))
+      planned
         .select(col("domain"), col("n_tokens"), col("weight"), col("epochs"),
           col("eff_epochs"), col("eff_tokens"),
-          round(col("eff_tokens").cast("double") / col("_et"), 6)
+          round(col("eff_tokens").cast("double") / lit(et), 6)
             .as("achieved_share"))
         .orderBy(col("domain")),
       w)

@@ -131,8 +131,11 @@ class PlanAuditSpec extends SparkSpec {
         || name == "dedup_incremental_deleted") 16
       // graph_pagerank is likewise ITERATIVE (power iteration): 2 bounded
       // shuffles per unrolled iteration × 5 iterations + pair generation.
+      // split_leakage_safe = the SAME pair+closure pipeline as
+      // dedup_clusters plus one stateless hash projection on its output.
       else if (name == "dedup_clusters" || name == "dedup_collapse"
-        || name == "dedup_keep_best" || name == "graph_pagerank") 40
+        || name == "dedup_keep_best" || name == "graph_pagerank"
+        || name == "split_leakage_safe") 40
       // entity_resolve = fuzzy pair generation + a pointer-jumping
       // closure (3 bounded shuffles × O(log diameter) rounds, all nested
       // in the final plan's persisted-lineage text).
@@ -165,6 +168,11 @@ class PlanAuditSpec extends SparkSpec {
       // audited text — once under the quantile-cut cache, once live —
       // plus the tier rollup; each is a bounded equality shuffle.
       else if (name == "perplexity_tiers") 12
+      // the epoch plan embeds the full DoReMi pipeline (bigram-LM scoring
+      // + domain cells + two mixture folds) plus its own two
+      // mixture-sized budget folds — every stage a bounded equality
+      // shuffle over domain-count-sized frames past the LM.
+      else if (name == "mixture_epochs") 12
       else 6
     val offenders = Queries.all.flatMap { q =>
       // cold caches per query (the Bench convention): a shared
