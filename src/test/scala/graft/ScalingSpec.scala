@@ -276,6 +276,22 @@ class ScalingSpec extends SparkSpec {
       .reduce(_ union _)
   }
 
+  test("topRepeated gram report: linear rows, near-linear shuffle bytes at 8x") {
+    import graft.functions.SubstringDedup
+    // k past any plausible gram count, so the top-k cut doesn't mask the
+    // underlying relation's growth: per-copy token renaming makes
+    // cross-copy gram matches impossible, so cross-doc-repeated grams
+    // grow exactly linearly
+    def top(d: DataFrame): DataFrame =
+      SubstringDedup.topRepeated(d, l = 5, k = 1 << 24)
+    val one = measure(1)(top)
+    val eight = measure(8)(top)
+    assert(eight._2 == 8 * one._2,
+      s"repeated-gram rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assert(one._2 > 0, "fixture must contain cross-doc repeated grams")
+    assertNearLinear("topRepeated", one, eight)
+  }
+
   test("pagerank: linear rank rows, near-linear shuffle bytes at 8x") {
     import graft.functions.Graph
     def pr(f: Int): DataFrame = {
