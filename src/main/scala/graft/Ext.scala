@@ -1057,6 +1057,27 @@ object Ext {
       "WHERE da.source <> db.source ORDER BY id_a, id_b")
   )
 
+  /** Threshold-sensitivity sweep ([[graft.functions.Dedup
+    * .thresholdSweep]]): pair/doc mass flagged at each candidate Jaccard
+    * threshold 0.3–0.9, from ONE pair pass at the loosest candidate —
+    * the measurement a threshold is chosen from before a 100 TB dedup
+    * run. */
+  private val dedupThresholdSweepQ = QDef(
+    "dedup_threshold_sweep",
+    (s, d) => graft.functions.Dedup.thresholdSweep(
+      documents(s, d), minThreshold = 0.3),
+    Some(ngramPairCteSql(0.3) +
+      ", th AS (SELECT i / 10.0 AS threshold FROM range(3, 10) t(i)), " +
+      "fp AS (SELECT threshold, id_a, id_b FROM pr CROSS JOIN th " +
+      "WHERE jaccard >= threshold), " +
+      "np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs " +
+      "FROM fp GROUP BY 1), " +
+      "nd AS (SELECT threshold, CAST(count(DISTINCT dd) AS BIGINT) AS n_docs " +
+      "FROM (SELECT threshold, unnest([id_a, id_b]) AS dd FROM fp) GROUP BY 1) " +
+      "SELECT threshold, n_pairs, n_docs FROM np JOIN nd USING (threshold) " +
+      "ORDER BY threshold")
+  )
+
   /** Syndication rollup ([[graft.functions.Dedup.syndicationReport]]):
     * cross-source near-dup pair counts per unordered source pair. */
   private val syndicationQ = QDef(
@@ -3815,7 +3836,8 @@ object Ext {
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall,
     annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram,
-    dedupCrossSource, syndicationQ, datacardQ, dedupClusters,
+    dedupCrossSource, syndicationQ, dedupThresholdSweepQ, datacardQ,
+    dedupClusters,
     dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid,
     embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,

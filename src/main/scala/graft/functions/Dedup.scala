@@ -110,4 +110,40 @@ object Dedup {
       .groupBy(col("src_lo"), col("src_hi"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("src_lo"), col("src_hi"))
+
+  /** Threshold-sensitivity sweep — [[graft.functions.NearDup.lshTune]]'s
+    * data-driven companion: the tuner plans banding for a CHOSEN
+    * threshold; this measures, on the actual corpus, how much the choice
+    * matters — per candidate threshold t ∈ {minThreshold, …, 0.9} (0.1
+    * steps), how many near-dup pairs and how many distinct documents
+    * would be flagged at Jaccard ≥ t. A cliff between two rows means the
+    * corpus has a dup-mass mode there (mirrors/templates); a flat tail
+    * means the threshold barely matters above it. Run BEFORE committing
+    * a threshold for a 100 TB dedup pass — rerunning the pass to try
+    * another threshold costs a corpus rescan, this sweep costs one.
+    *
+    * Scale shape: ONE pair-finding pass at the LOOSEST candidate
+    * threshold (the pair pipeline's own prefix-filter bound), then a
+    * per-pair 7-way threshold explode + two aggregates over the
+    * PAIR-sized table and a threshold-count-sized join — nothing
+    * corpus-sized past the shared pair pipeline. */
+  def thresholdSweep(
+      docs: DataFrame,
+      minThreshold: Double = 0.3,
+      w: Int = 3): DataFrame = {
+    val grid = (math.round(minThreshold * 10).toInt to 9).map(_ / 10.0)
+    require(grid.nonEmpty, s"minThreshold $minThreshold leaves an empty grid")
+    val flagged = NearDup.ngramJaccardPairsShared(docs, minThreshold, w)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        explode(array(grid.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = flagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = flagged
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(count_distinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold")).orderBy(col("threshold"))
+  }
 }

@@ -249,6 +249,28 @@ class NearDupSpec extends SparkSpec {
     assert(rep == Map(("srcA", "srcB") -> 2L))
   }
 
+  test("thresholdSweep: monotone pair/doc mass, cliff where the dup mode sits") {
+    import spark.implicits._
+    // docs 1/2 identical (J=1.0); 3/4 share most shingles (high J);
+    // 5/6 share a minority (low J); 7 unique
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w"), (4L, "p q r s t u v x"),
+      (5L, "k l m n o z1 z2 z3"), (6L, "k l m n o y1 y2 y3"),
+      (7L, "j1 j2 j3 j4 j5 j6 j7 j8")).toDF("doc_id", "text")
+    val got = graft.functions.Dedup.thresholdSweep(docs, minThreshold = 0.3)
+      .as[(Double, Long, Long)].collect().toSeq.sortBy(_._1)
+    // monotone non-increasing in both masses
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, s"pairs not monotone: $got")
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, s"docs not monotone: $got")
+    val byT = got.map(g => g._1 -> g).toMap
+    // at 0.9 only the identical pair survives; doc 7 never appears
+    assert(byT(0.9) == ((0.9, 1L, 2L)), s"got ${byT(0.9)}")
+    assert(got.map(_._3).max <= 6L, "unique doc must never be flagged")
+    // the loosest row sees all three planted pairs
+    assert(byT(0.3)._2 == 3L && byT(0.3)._3 == 6L, s"got ${byT(0.3)}")
+  }
+
   test("lshTune: every factoring present, S-curve extremes, cost-ordered recommendation") {
     val got = graft.functions.NearDup.lshTune(spark, k = 32, threshold = 0.5)
       .collect().map(r => (r.getInt(0), r.getInt(1),
