@@ -2629,6 +2629,19 @@ object Ext {
       "FROM lab ORDER BY doc_id")
   )
 
+  /** Store-served leakage-safe split: `split_leakage_safe` semantics with
+    * the cluster labels read from the persisted pair store — the
+    * production shape (the split is a per-row hash on the label table;
+    * only the closure is expensive, and the store already holds it). */
+  private val splitLeakageSafeStoreQ = QDef(
+    "split_leakage_safe_store",
+    (s, d) => graft.functions.Sampling.leakageSafeSplit(
+        graft.functions.PairStore.labels(s, docPairStore(s, d)),
+        "cluster_id")
+      .orderBy(col("doc_id")),
+    splitLeakageSafeQ.oracle
+  )
+
   /** Memorization-risk audit
     * ([[graft.functions.SubstringDedup.topRepeated]]): the 20 five-token
     * spans repeated verbatim in the most documents, with text — license
@@ -3849,7 +3862,8 @@ object Ext {
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, ngramPerplexity, perplexityTiersQ, domainReweightQ,
-    mixtureEpochsQ, splitLeakageSafeQ, ngramTopRepeatedQ, cleanFunnelQ,
+    mixtureEpochsQ, splitLeakageSafeQ, splitLeakageSafeStoreQ,
+    ngramTopRepeatedQ, cleanFunnelQ,
     vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
     graphTrianglesQ, winnowFingerprintQ, winnowOverlapQ, winnowClustersQ, dedupReportQ,
     lengthProfileQ,
