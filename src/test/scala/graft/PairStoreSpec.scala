@@ -457,4 +457,65 @@ class PairStoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: interleaved appends, deletes, and replays == closure over the survivors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      edges <- Gen.listOfN(40,
+        Gen.zip(Gen.choose(1L, 24L), Gen.choose(1L, 24L)))
+      dels  <- Gen.listOfN(3, Gen.listOfN(3, Gen.choose(1L, 24L)))
+    } yield (edges, dels)
+    // 3 seeds: each runs 3 append(+replay)+delete rounds with 4 closure
+    // recomputes — wall-clock-bounded while still exercising merge,
+    // split, re-canonicalization, and replay across random graphs
+    for (seed <- 1 to 3) {
+      val (rawEdges, delPicks) =
+        gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val edges = rawEdges.map { case (a, b) => (a.min(b), a.max(b)) }
+        .filter { case (a, b) => a != b }.distinct
+      // batches by id range: (0,8], (8,16], (16,24]; a batch carries the
+      // edges whose LATEST endpoint it ingests, restricted to endpoints
+      // alive at append time (deletes are removal, not a blocklist — the
+      // store's contract filters dead-endpoint pairs out of the closure)
+      val batches = Seq((0L, 8L), (8L, 16L), (16L, 24L))
+      val dir = tmpDir()
+      var alive = Set.empty[Long]
+      var liveEdges = Seq.empty[(Long, Long)]
+      batches.zipWithIndex.foreach { case ((lo, hi), k) =>
+        val nodes = ((lo + 1) to hi).toSeq
+        alive ++= nodes
+        val be = edges.filter { case (a, b) =>
+          a.max(b) > lo && a.max(b) <= hi && alive(a) && alive(b) }
+        liveEdges ++= be
+        if (k == 0)
+          PairStore.build(nodes.toDF("id"), be.toDF("id_a", "id_b"), dir,
+            "id", "id_a", "id_b")
+        else {
+          PairStore.append(nodes.toDF("id"), be.toDF("id_a", "id_b"), dir,
+            "id", "id_a", "id_b")
+          // whole-batch replay must commit nothing and change nothing
+          val before = PairStore.labels(spark, dir)
+            .as[(Long, Long)].collect().toMap
+          PairStore.append(nodes.toDF("id"), be.toDF("id_a", "id_b"), dir,
+            "id", "id_a", "id_b")
+          assert(PairStore.labels(spark, dir)
+            .as[(Long, Long)].collect().toMap == before,
+            s"seed $seed batch $k: replay changed the store")
+        }
+        val del = delPicks(k).filter(alive).distinct
+        if (del.nonEmpty) {
+          PairStore.delete(del.toDF("id"), dir, "id", "id_a", "id_b")
+          alive --= del
+          liveEdges = liveEdges.filter { case (a, b) => alive(a) && alive(b) }
+        }
+        val got = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+        val want = Clusters.connectedComponents(
+            alive.toSeq.toDF("id"), liveEdges.toDF("id_a", "id_b"),
+            "id", "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"seed $seed after batch $k: store != rebuild")
+      }
+    }
+  }
 }
