@@ -145,6 +145,10 @@ class PlanAuditSpec extends SparkSpec {
       // pairwise enumeration + sizes joined back (source overlap).
       else if (name == "retrieval_bm25" || name == "source_overlap") 8
       else if (name == "source_overlap_sketch") 10
+      // threshold sweep = the shared pair pipeline + the 7-way explode's
+      // TWO aggregates (pairs, distinct docs) + the threshold join —
+      // every stage bounded by the pair table, measured 8.
+      else if (name == "dedup_threshold_sweep") 10
       // hybrid = BOTH retrieval legs (bm25 + hashed cosine) + the RRF
       // fusion join/window — three pipelines in one query by contract.
       else if (name == "retrieval_hybrid") 20
