@@ -162,4 +162,54 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(loaded.pqTopK(q, "vec_id", "embedding", 3, 8, 1000))
       == rows(built.pqTopK(q, "vec_id", "embedding", 3, 8, 1000)))
   }
+
+  test("property: random append/delete interleavings stay exact at full probe") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // a random op script over vec_id ranges: the index must serve
+    // bit-exactly like brute force over the SURVIVING corpus after every
+    // mutation (the frozen quantizer only affects recall at partial
+    // probe, never full-probe exactness)
+    val gen = for {
+      cut1 <- Gen.choose(200L, 350L)
+      cut2 <- Gen.choose(360L, 480L)
+      mods <- Gen.listOfN(2, Gen.choose(3, 9))
+      offs <- Gen.listOfN(2, Gen.choose(0, 2))
+    } yield (cut1, cut2, mods.zip(offs))
+    for (seed <- 1 to 3) {
+      val (cut1, cut2, delRules) =
+        gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivf_prop$seed").toString
+      val idx = IvfIndex.build(e.filter(col("vec_id") < cut1),
+        "vec_id", "embedding", nCells = 8, dir)
+      var live = e.filter(col("vec_id") < cut1)
+      val steps: Seq[() => Unit] = Seq(
+        () => { idx.appendBatch(
+            e.filter(col("vec_id") >= cut1 && col("vec_id") < cut2),
+            "vec_id", "embedding")
+          live = e.filter(col("vec_id") < cut2) },
+        () => { val (m, o) = delRules.head
+          val del = live.filter(pmod(col("vec_id"), lit(m)) === o)
+            .select("vec_id")
+          idx.delete(del, "vec_id")
+          live = live.filter(pmod(col("vec_id"), lit(m)) =!= o) },
+        () => { idx.appendBatch(e.filter(col("vec_id") >= cut2),
+            "vec_id", "embedding")
+          live = live.unionAll(e.filter(col("vec_id") >= cut2)) },
+        () => { val (m, o) = delRules(1)
+          val del = live.filter(pmod(col("vec_id"), lit(m)) === o)
+            .select("vec_id")
+          idx.delete(del, "vec_id")
+          live = live.filter(pmod(col("vec_id"), lit(m)) =!= o) })
+      steps.zipWithIndex.foreach { case (step, k) =>
+        step()
+        val qs = live.orderBy(col("vec_id")).limit(6)
+        val exact = Similarity.bruteForceTopK(live, qs, "vec_id", "embedding", 4)
+        val served = idx.topK(qs, "vec_id", "embedding", k = 4, nProbe = 8)
+        assert(rows(served) == rows(exact),
+          s"seed $seed step $k: full-probe serve != brute force over survivors")
+      }
+    }
+  }
 }

@@ -110,4 +110,46 @@ class SignatureStoreSpec extends SparkSpec {
     assert(left == Seq(2L, 3L),
       "survivor rows sharing a rewritten file must be preserved")
   }
+
+  test("property: random append/delete interleavings screen like the surviving corpus") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 12-token pool over 5-token docs: exact and near dups occur often
+    val pool = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l")
+    val genDoc = Gen.listOfN(5, Gen.choose(0, pool.size - 1))
+      .map(_.map(pool).mkString(" "))
+    val gen = for {
+      texts <- Gen.listOfN(24, genDoc)
+      probe <- Gen.listOfN(6, genDoc)
+      dels  <- Gen.listOfN(2, Gen.listOfN(3, Gen.choose(0, 23)))
+    } yield (texts, probe, dels)
+    for (seed <- 1 to 3) {
+      val (texts, probeT, dels) =
+        gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val batches = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.grouped(8).toSeq
+      val probe = probeT.zipWithIndex
+        .map { case (t, i) => ((100 + i).toLong, t) }.toDF("doc_id", "text")
+      val dir = tmp()
+      var corpus = Seq.empty[(Long, String)]
+      batches.zipWithIndex.foreach { case (b, k) =>
+        if (k == 0) SignatureStore.build(b.toDF("doc_id", "text"), dir)
+        else SignatureStore.append(b.toDF("doc_id", "text"), dir)
+        corpus ++= b
+        if (k < dels.size) {
+          val ids = corpus.map(_._1).toSet
+          val del = dels(k).map(_.toLong).distinct.filter(ids)
+          if (del.nonEmpty) {
+            SignatureStore.delete(spark, del.toDF("doc_id"), dir)
+            corpus = corpus.filterNot(c => del.contains(c._1))
+          }
+        }
+        val got = SignatureStore.screenBatch(spark, probe, dir, 0.5)
+          .as[Long].collect().sorted.toSeq
+        val want = reference(corpus.toDF("doc_id", "text"), probe)
+        assert(got == want,
+          s"seed $seed after batch $k: store screen != surviving-corpus screen")
+      }
+    }
+  }
 }
