@@ -798,6 +798,65 @@ object StreamOps {
       }
       .start()
 
+  /** The COMPOSED streaming corpus-clean ingest loop — the production
+    * shape of [[graft.functions.CorpusClean.surviving]] run forever:
+    * each micro-batch passes, in order,
+    *   1. the heuristic quality gate (`quality >= qualityMin`),
+    *   2. the phrase-blocklist screen (any hit rejects),
+    *   3. benchmark decontamination (>= `minShared` shared shingles
+    *      with the static `bench` rejects),
+    *   4. exact + near dedup against the persisted signature store —
+    *      in-batch and vs ALL accepted history, batch-sized cost
+    *      ([[graft.functions.SignatureStore.screenBatch]]);
+    * `onAccepted` receives the survivors, and ONLY their signatures
+    * append — the store holds the CLEAN corpus, so a future duplicate
+    * of a rejected document is judged against accepted history alone
+    * (rejecting it would resurrect the rejected doc as invisible
+    * state). Screens 1–3 are per-row expressions / broadcast joins
+    * against static tables; the restart/idempotence contract is
+    * [[ingestDedupStream]]'s (replayed batches self-dedup against their
+    * own appended signatures).
+    *
+    * Batch-equality is pinned in StreamOpsSpec: the stream's accepted
+    * union equals the same four screens run sequentially per batch. */
+  def ingestCleanStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      phrases: DataFrame,
+      phraseCol: String,
+      storeDir: String,
+      qualityMin: Double = 0.3,
+      threshold: Double = 0.5,
+      w: Int = 3,
+      minShared: Long = 1L)(
+      onAccepted: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val quality = graft.functions.Text.qualityScore(b)
+          .filter(col("quality") >= qualityMin).select(col("doc_id"))
+        val blocked = graft.functions.Blocklist.phraseHits(b, phrases, phraseCol)
+          .filter(col("flagged")).select(col("doc_id"))
+        val contaminated = graft.functions.Contamination
+          .reportRows(b, bench, w, minShared).select(col("doc_id"))
+        val screened = b
+          .join(quality, Seq("doc_id"), "left_semi")
+          .join(blocked, Seq("doc_id"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val survivors = graft.functions.SignatureStore
+          .screenBatch(spark, screened, storeDir, threshold, w)
+          .select(col("doc_id"))
+        val accepted = b.join(survivors, "doc_id").persist()
+        try {
+          onAccepted(accepted)
+          graft.functions.SignatureStore.append(accepted, storeDir, w)
+        } finally accepted.unpersist()
+        ()
+      }
+      .start()
+
   /** Tumbling-window event aggregation: counts + exact decimal sums per
     * (window, event_type). Runs identically in batch mode. */
   def windowedEventCounts(

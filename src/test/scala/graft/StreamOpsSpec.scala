@@ -81,6 +81,70 @@ class StreamOpsSpec extends SparkSpec {
     assert(acceptedIds.toSet == seqAccepted)
   }
 
+  test("ingestCleanStream: four-screen loop == sequential batch composition, rejected docs leave no state") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_cleanstream").toString
+    val ingested = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    graft.functions.SignatureStore.build(ingested, storeDir)
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val phrases = Seq("bad phrase here").toDF("phrase")
+    // b1: 30 low-quality, 31 blocklisted, 32 contaminated, 33 clean
+    val b1 = Seq(
+      Doc(30L, "9999 8888 7777 6666 5555", ts(1)),
+      Doc(31L, "bad phrase here and the words of the day are good", ts(2)),
+      Doc(32L, "alpha beta gamma and the rest of these words are fine", ts(3)),
+      Doc(33L, "it was the best of times it was the worst of times", ts(4)))
+    // b2: 34 exact dup of accepted 33; 35 is a NEAR-DUP OF REJECTED 31
+    // (J≈0.89) with the phrase removed — must be ACCEPTED, proving
+    // rejected docs leave no signature state behind
+    val b2 = Seq(
+      Doc(34L, "it was the best of times it was the worst of times", ts(5)),
+      Doc(35L, "phrase here and the words of the day are good", ts(6)))
+    // b3: 36 near-dups the APPENDED 33 -> rejected; 37 clean
+    val b3 = Seq(
+      Doc(36L, "it was the best of times it was the worst of life", ts(7)),
+      Doc(37L, "to be or not to be that is the question and more", ts(8)))
+
+    val mem = MemoryStream[Doc]
+    val acceptedIds = scala.collection.mutable.Set.empty[Long]
+    val q = StreamOps.ingestCleanStream(
+      mem.toDF().select(col("doc_id"), col("text")),
+      bench, phrases, "phrase", storeDir) {
+      accepted => acceptedIds ++= accepted.select("doc_id").as[Long].collect()
+    }
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(acceptedIds.toSet == Set(33L, 35L, 37L), s"got $acceptedIds")
+    // the store grew by exactly the accepted docs' signatures
+    assert(spark.read.parquet(storeDir).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 33L, 35L, 37L))
+    // sequential batch-mode reference: same four screens per batch
+    val storeDir2 = java.nio.file.Files
+      .createTempDirectory("graft_cleanbatch").toString
+    graft.functions.SignatureStore.build(ingested, storeDir2)
+    val seqAccepted = Seq(b1, b2, b3).flatMap { b =>
+      val df = b.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+      val screened = df
+        .join(graft.functions.Text.qualityScore(df)
+          .filter(col("quality") >= 0.3).select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(graft.functions.Blocklist.phraseHits(df, phrases, "phrase")
+          .filter(col("flagged")).select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(graft.functions.Contamination.report(df, bench)
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      val ok = graft.functions.SignatureStore
+        .screenBatch(spark, screened, storeDir2, threshold = 0.5)
+        .as[Long].collect().toSeq
+      graft.functions.SignatureStore.append(
+        df.join(ok.toDF("doc_id"), "doc_id"), storeDir2)
+      ok
+    }.toSet
+    assert(acceptedIds.toSet == seqAccepted)
+  }
+
   test("dedupAgainstStatic anti-joins the ingested key set per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val ingested = Seq("same content").toDF("text")
