@@ -805,6 +805,50 @@ object Ext {
     Some(recallOracleSql)
   )
 
+  /** IVF-served contrastive mining at FULL probe
+    * ([[graft.functions.Contrastive.hardPairsIvf]]): the scale path's
+    * machinery (persisted index, probed-cell candidates, label
+    * join-back) driven in its exact regime — nProbe = nCells and a
+    * corpus-sized candidate pool make the pool every corpus vector, so
+    * the oracle is the brute-force miner ranked by the 6-ROUNDED
+    * similarity the index emits. */
+  private val contrastivePairsIvfFullQ = QDef(
+    "contrastive_pairs_ivf_full",
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.functions.Contrastive.hardPairsIvf(
+        graft.functions.IvfIndex.cachedFor(e, "vec_id", "embedding", nCells = 16),
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+        k = 4, nProbe = 16, candidates = 1 << 20)
+    },
+    Some(contrastiveCte +
+      ", r AS (SELECT qid, kind, nid, round(sim, 6) AS sim, row_number() OVER " +
+      "(PARTITION BY qid, kind ORDER BY round(sim, 6) DESC, nid) AS rn FROM p) " +
+      "SELECT qid, kind, nid, sim FROM r WHERE rn <= 4 " +
+      "ORDER BY qid, kind, nid")
+  )
+
+  /** Partial-probe recall gate for the IVF-served miner: the mined
+    * (qid, nid) pool at nProbe=8 vs the exact miner's 4+4 per anchor.
+    * Near-orthogonal random embeddings are the hard quantizer regime
+    * (same as the other ANN gates) — gated at 0.15 per-anchor / 0.5
+    * mean, under the measured minima at sf0.01. */
+  private val contrastivePairsIvfRecall = QDef(
+    "contrastive_pairs_ivf_recall",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 20)
+      val exact = graft.functions.Contrastive.hardPairs(
+        e, anchors, "vec_id", "embedding", "label", k = 4)
+      val ivf = graft.functions.Contrastive.hardPairsIvf(
+        graft.functions.IvfIndex.cachedFor(e, "vec_id", "embedding", nCells = 16),
+        e, anchors, "vec_id", "embedding", "label",
+        k = 4, nProbe = 8, candidates = 256)
+      recallBounds(Similarity.recallAtK(exact, ivf, 8), 0.15, 0.5)
+    },
+    Some(recallOracleSql)
+  )
+
   /** PERSISTED-index IVF recall gate: the serve path against the
     * cell-partitioned on-disk layout (partition pruning plan-asserted in
     * IvfIndexSpec). Same quantizer/probe regime as `ann_ivf_recall`,
@@ -3871,6 +3915,7 @@ object Ext {
     packSeq, packBins, sampleStrat, splitTT,
     semdedupPairs, semdedupCollapse, chunkDocsQ, simTopKFiltered,
     contrastivePairsQ, contrastiveTripletsQ,
+    contrastivePairsIvfFullQ, contrastivePairsIvfRecall,
     dedupSubstring, dedupSpansQ,
     gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, nbCalibrationQ, lshTuneQ,
     dsirWeightsQ, dsirSelectQ,

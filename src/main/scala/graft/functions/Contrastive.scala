@@ -72,6 +72,46 @@ object Contrastive {
     * semi-hard gradient there). Ranking and the margin comparison use
     * the UNROUNDED similarity (both engines compute the identical IEEE
     * fold); only the emitted columns round. */
+  /** [[hardPairs]] served from a persisted [[IvfIndex]] — the scale
+    * path its scaladoc promises: candidates come from the index's
+    * probed-cell top-`candidates` (partition-pruned scan, never the
+    * full corpus at partial probe), labels join back, and the per-kind
+    * top-`k` ranks over that pool. At `nProbe = nCells` with
+    * `candidates` ≥ corpus the pool is every corpus vector, so the
+    * result is EXACTLY the brute-force miner ranked by the index's
+    * 6-rounded similarity (the `contrastive_pairs_ivf_full` oracle);
+    * at partial probe it trades recall for the pruned scan, measured
+    * by the `contrastive_pairs_ivf_recall` gate. The blind spot of the
+    * composition is inherent: a same-label positive OUTSIDE the probed
+    * cells can't be mined — rare-label positives want a higher
+    * `candidates`/`nProbe` or a per-label index.
+    *
+    * Join shape: the candidate table is anchors×candidates (bounded by
+    * the slate contract); the corpus label projection streams against
+    * it on the id key (AQE broadcasts the bounded side), and the
+    * anchor-label join is an explicit slate-sized broadcast. */
+  def hardPairsIvf(
+      index: IvfIndex, corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, nProbe: Int, candidates: Int): DataFrame = {
+    val cand = index.topK(anchors, idCol, vecCol, k = candidates, nProbe)
+    val lab = corpus.select(col(idCol).as("nid"), col(labelCol).as("_nlab"))
+    val alab = anchors.select(col(idCol).as("qid"), col(labelCol).as("_qlab"))
+    val w = Window.partitionBy(col("qid"), col("kind"))
+      .orderBy(col("sim").desc, col("nid"))
+    cand
+      .join(lab, "nid")
+      .join(broadcast(alab), "qid")
+      .select(col("qid"), col("nid"),
+        when(col("_nlab") === col("_qlab"), lit("pos"))
+          .otherwise(lit("neg")).as("kind"),
+        col("sim"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col("kind"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("kind"), col("nid"))
+  }
+
   def semiHardTriplets(
       corpus: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String, labelCol: String): DataFrame = {
