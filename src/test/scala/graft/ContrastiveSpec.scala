@@ -78,4 +78,31 @@ class ContrastiveSpec extends SparkSpec {
     assert(Contrastive.semiHardTriplets(emb.repartition(5), emb,
       "vec_id", "embedding", "label").collect().toSet == base)
   }
+
+  test("IVF-served mining at full probe equals the brute-force miner") {
+    val e = Tables.embeddings(spark, sf0001)
+    val anchors = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_contrastive").toString
+    val idx = graft.functions.IvfIndex.build(e, "vec_id", "embedding", 8, dir)
+    val exact = Contrastive.hardPairs(e, anchors,
+        "vec_id", "embedding", "label", k = 4)
+      .select("qid", "kind", "nid")
+      .as[(Long, String, Long)].collect().toSet
+    val ivf = Contrastive.hardPairsIvf(idx, e, anchors,
+        "vec_id", "embedding", "label", k = 4, nProbe = 8, candidates = 1 << 20)
+      .select("qid", "kind", "nid")
+      .as[(Long, String, Long)].collect().toSet
+    assert(ivf == exact,
+      "full probe with a corpus-sized pool must mine exactly the brute-force set")
+    // partial probe: a subset relation isn't guaranteed (per-kind top-k
+    // over fewer candidates), but every mined id must come from the
+    // probed pool and each (qid, kind) emits at most k rows
+    val part = Contrastive.hardPairsIvf(idx, e, anchors,
+        "vec_id", "embedding", "label", k = 4, nProbe = 2, candidates = 64)
+      .select("qid", "kind", "nid")
+      .as[(Long, String, Long)].collect().toSeq
+    part.groupBy(r => (r._1, r._2)).foreach { case (g, rows) =>
+      assert(rows.size <= 4, s"group $g overflowed k")
+    }
+  }
 }
