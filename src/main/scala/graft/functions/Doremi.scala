@@ -96,6 +96,25 @@ object Doremi {
       cells)
   }
 
+  /** The end-to-end composition the planner exists FOR: sample `docs`
+    * to the DoReMi mixture in one pass. The reweight table is collected
+    * to [[Sampling.targetMixture]]'s target map — mixture-sized by
+    * contract (thousands of domains at most), the bounded-metadata
+    * collect class — and the sampler is one count pass plus a codegen'd
+    * md5-threshold filter: membership stays a pure function of
+    * (row key, domain weights), reproducible across engines and runs
+    * and stable under late-arriving data. */
+  def reweightedSample(
+      docs: DataFrame,
+      domainCol: String,
+      key: org.apache.spark.sql.Column,
+      temperature: Double = 1.0): DataFrame = {
+    val targets = domainReweight(docs, domainCol, temperature)
+      .select(col("domain"), col("weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Sampling.targetMixture(docs, col(domainCol), key, targets)
+  }
+
   /** Data-constrained epoch planning on top of [[domainReweight]] —
     * the Muennighoff et al. 2023 ("Scaling Data-Constrained Language
     * Models") question: the mixture says each domain SHOULD contribute

@@ -94,6 +94,37 @@ class DoremiSpec extends SparkSpec {
     }
   }
 
+  test("reweightedSample: the realized mixture approaches the DoReMi weights end-to-end") {
+    import org.apache.spark.sql.DataFrame
+    // 3000 easy template docs vs 1500 hard near-unique-vocab docs: the
+    // LM upweights `hard`, so the sample must thin `easy` toward the
+    // reweighted shares — the full planning->execution composition
+    val easy = spark.range(3000).select(col("id").as("doc_id"),
+      lit("a b a b a b a b").as("text"), lit("easy").as("source"))
+    val hard = spark.range(1500).select((col("id") + 10000L).as("doc_id"),
+      concat(lit("u"), col("id"), lit(" v"), col("id"), lit(" w"), col("id"),
+        lit(" x"), col("id"), lit(" y"), col("id")).as("text"),
+      lit("hard").as("source"))
+    val corpus: DataFrame = easy.unionByName(hard)
+    val weights = Doremi.domainReweight(corpus, "source")
+      .select(col("domain"), col("weight"))
+      .as[(String, Double)].collect().toMap
+    assert(weights("hard") > 0.4, s"fixture must upweight hard: $weights")
+    val sampled = Doremi.reweightedSample(
+        corpus, "source", col("doc_id").cast("string"))
+      .groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    val total = sampled.values.sum.toDouble
+    weights.foreach { case (dom, w) =>
+      val realized = sampled.getOrElse(dom, 0L) / total
+      assert(math.abs(realized - w) < 0.05,
+        s"$dom: realized share $realized vs planned weight $w")
+    }
+    // the binding stratum keeps everything (targetMixture's max-data rule)
+    assert(sampled("hard") == 1500L || sampled("easy") == 3000L,
+      s"one stratum must keep all rows: $sampled")
+  }
+
   test("epochPlan: a hard domain under a tight budget needs more epochs than its base share") {
     val got = Doremi.epochPlan(docs, "source", budgetFactor = 8.0, maxEpochs = 100.0)
       .as[(String, Long, Double, Double, Double, Long, Double)]
