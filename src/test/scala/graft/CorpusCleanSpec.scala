@@ -48,4 +48,44 @@ class CorpusCleanSpec extends SparkSpec {
     // stage-1 cumulative + stage-1 fails account for the whole corpus
     assert(rows(0).getLong(2) + rows(0).getLong(4) == total)
   }
+
+  test("property: funnel counters equal the set algebra over the component rule sets") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pool = Vector("the", "a", "of", "and", "to", "xx", "yy", "zz",
+      "qq", "ww", "9")
+    val genDoc = Gen.listOfN(6, Gen.choose(0, pool.size - 1))
+      .map(_.map(pool).mkString(" "))
+    val gen = Gen.listOfN(30, genDoc)
+    for (seed <- 1 to 3) {
+      val texts = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 3)
+      // independent per-rule fail sets from the component operators
+      val all = (0L until 30L).toSet
+      val fq = all -- graft.functions.Text.qualityScore(docs)
+        .filter(col("quality") >= 0.3)
+        .select("doc_id").as[Long].collect().toSet
+      val fx = all -- graft.functions.Dedup.exactGroups(docs)
+        .select(col("keep_id")).as[Long].collect().toSet
+      val fn = graft.functions.NearDup.ngramJaccardPairs(docs, 0.5)
+        .select(col("id_b")).as[Long].collect().toSet
+      val fc = graft.functions.Contamination.report(docs, bench)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val fails = Seq(fq, fx, fn, fc)
+      val got = CorpusClean.funnel(docs, bench).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      fails.zipWithIndex.foreach { case (f, i) =>
+        val others = fails.zipWithIndex.collect {
+          case (o, j) if j != i => o }.reduce(_ ++ _)
+        val cum = all -- fails.take(i + 1).reduce(_ ++ _)
+        assert(got(i + 1) == ((f.size.toLong, (f -- others).size.toLong,
+          cum.size.toLong)),
+          s"seed $seed stage ${i + 1}: ${got(i + 1)} vs set algebra")
+      }
+    }
+  }
 }
