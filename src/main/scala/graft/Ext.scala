@@ -1236,6 +1236,40 @@ object Ext {
       s" SELECT node AS doc_id, rank AS rank_scaled FROM r$iters ORDER BY doc_id"
   }
 
+  /** DuckDB mirror of [[graft.functions.Graph.pageRankDirected]] over the
+    * DIRECTED near-dup pair graph (id_a → id_b, NOT symmetrized — the
+    * canonical-direction pair table has genuine sinks: any doc never
+    * appearing as id_a has out-degree 0). Adds, per unrolled iteration,
+    * the dangling-mass CTE (summed rank of nodes without out-edges) and
+    * its even integer split `dm // n` inside the damped term, matching
+    * the Spark side's fixed-point arithmetic op for op. */
+  private def pageRankDirectedOracleSql(iters: Int, scale: Long): String = {
+    val base = 15L * scale / 100L
+    val ctes = Seq.newBuilder[String]
+    ctes += dupEdgesSqlPrefix
+    ctes += "ed AS (SELECT id_a AS src, id_b AS dst FROM pairs)"
+    ctes += "degd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src)"
+    ctes += "nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)"
+    ctes += "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd)"
+    ctes += s"r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nd)"
+    for (i <- 1 to iters) {
+      ctes += s"s$i AS (SELECT ed.dst AS node, " +
+        "CAST(sum(r.rank // d.deg) AS BIGINT) AS s " +
+        s"FROM ed JOIN r${i - 1} r ON r.node = ed.src " +
+        "JOIN degd d ON d.src = ed.src GROUP BY ed.dst)"
+      ctes += s"dg$i AS (SELECT CAST(COALESCE(sum(r.rank), 0) AS BIGINT) AS dm " +
+        s"FROM r${i - 1} r LEFT JOIN degd d ON d.src = r.node " +
+        "WHERE d.src IS NULL)"
+      ctes += s"r$i AS (SELECT nd.node, " +
+        s"CAST($base + (85 * (COALESCE(s.s, 0) + dg.dm // nc.n)) // 100 " +
+        "AS BIGINT) AS rank " +
+        s"FROM nd CROSS JOIN dg$i dg CROSS JOIN nc " +
+        s"LEFT JOIN s$i s ON s.node = nd.node)"
+    }
+    "WITH " + ctes.result().mkString(", ") +
+      s" SELECT node AS doc_id, rank AS rank_scaled FROM r$iters ORDER BY doc_id"
+  }
+
   /** PageRank over the near-dup graph ([[graft.functions.Graph.pageRank]]):
     * which documents sit at the CENTER of duplication clusters — high-rank
     * docs are the canonical representatives boilerplate/mirror detection
@@ -1252,6 +1286,25 @@ object Ext {
         .orderBy(col("doc_id"))
     },
     Some(pageRankOracleSql(iters = 5, scale = 1000000L))
+  )
+
+  /** [[graft.functions.Graph.pageRankDirected]] on the near-dup pair
+    * table in its CANONICAL direction (id_a → id_b, id_a < id_b — no
+    * symmetrization), a genuinely directed graph with sinks: the
+    * max-id end of every duplication chain has out-degree 0, so this
+    * key exercises the dangling-mass conservation the undirected
+    * `graph_pagerank` never hits. Shares the cached pair pipeline. */
+  private val pageRankDirectedQ = QDef(
+    "graph_pagerank_directed",
+    (s, d) => {
+      val pairs = NearDup.ngramJaccardPairsShared(documents(s, d), threshold = 0.5)
+      graft.functions.Graph.pageRankDirected(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          "src", "dst", iterations = 5)
+        .select(col("node").as("doc_id"), col("rank").as("rank_scaled"))
+        .orderBy(col("doc_id"))
+    },
+    Some(pageRankDirectedOracleSql(iters = 5, scale = 1000000L))
   )
 
   /** Keep-one-per-cluster dedup: the corpus with every near-dup cluster
@@ -1838,6 +1891,167 @@ object Ext {
     (s, d) => graft.functions.BpeTrain.learnedMerges(
       documents(s, d), col("text"), nMerges = 8),
     Some(bpeTrainOracleSql(k = 8))
+  )
+
+  /** Emit the Viterbi DP of [[graft.plans.Unigram.viterbi]] as unrolled
+    * DuckDB CTEs: per position k ≤ `dpLen`, candidates extend the best
+    * states at positions k−maxPieceLen..k−1 with the piece
+    * `substr(word, pos+1, k−pos)`, and a window keeps the winner per
+    * (word, position) under EXACTLY the kernel's ordering — product
+    * desc (same IEEE multiplies in the same left-to-right order), then
+    * fewer pieces, then the chr(1)-joined piece sequence ascending.
+    * `${tag}a$dpLen` accumulates every (word, pos) best state; the best
+    * full segmentation of a word is its row at `pos = len(word)`
+    * (positions beyond `dpLen` never resolve — the corpus max word
+    * length is 8, asserted by the spec fixture). */
+  private def unigramViterbiCtes(
+      tag: String, wordsCte: String, piecesCte: String,
+      dpLen: Int, maxPieceLen: Int): Seq[String] = {
+    val ctes = Seq.newBuilder[String]
+    // MATERIALIZED: the cumulative a_k chain is referenced twice per
+    // step — default CTE inlining would expand the base relation 2^dpLen
+    // times (DuckDB then dies on file handles before it dies on time).
+    ctes += s"${tag}a0 AS MATERIALIZED (SELECT word, 0 AS pos, " +
+      "CAST(1.0 AS DOUBLE) AS prod, 0 AS np, '' AS seg " +
+      s"FROM $wordsCte)"
+    for (k <- 1 to dpLen) {
+      ctes += s"${tag}d$k AS (SELECT word, $k AS pos, prod, np, seg FROM (" +
+        "SELECT word, prod, np, seg, row_number() OVER (" +
+        "PARTITION BY word ORDER BY prod DESC, np ASC, seg ASC) AS rn " +
+        "FROM (SELECT d.word, d.prod * p.prob AS prod, d.np + 1 AS np, " +
+        "CASE WHEN d.seg = '' THEN p.piece " +
+        "ELSE d.seg || chr(1) || p.piece END AS seg " +
+        s"FROM ${tag}a${k - 1} d JOIN $piecesCte p " +
+        s"ON d.pos >= $k - $maxPieceLen AND d.pos < $k " +
+        s"AND len(d.word) >= $k " +
+        s"AND p.piece = substr(d.word, d.pos + 1, $k - d.pos))) WHERE rn = 1)"
+      ctes += s"${tag}a$k AS MATERIALIZED (SELECT * FROM ${tag}a${k - 1} " +
+        s"UNION ALL SELECT * FROM ${tag}d$k)"
+    }
+    ctes.result()
+  }
+
+  /** DuckDB mirror of [[graft.functions.UnigramTrain.learnedPieces]]:
+    * capped word head → substring seed (alphabet-closed, multi head
+    * capped) → `emIters` hard-EM rounds, each a full unrolled Viterbi
+    * ([[unigramViterbiCtes]]) against the previous round's round-6
+    * probabilities followed by the weighted segmentation-occurrence
+    * count — the learned PIECE TABLE hash-matches, counts and
+    * probabilities included. */
+  private def unigramTrainOracleSql(
+      vocabSize: Int, maxPieceLen: Int, emIters: Int, maxWords: Int,
+      seedMultis: Int, dpLen: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += "wt AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE word <> '' GROUP BY word)"
+    ctes += "head AS MATERIALIZED (SELECT word, freq FROM wt " +
+      s"ORDER BY freq DESC, word LIMIT $maxWords)"
+    ctes += "posn AS (SELECT word, freq, " +
+      "unnest(generate_series(1, len(word))) AS i FROM head)"
+    ctes += "candsub AS (SELECT word, freq, i, " +
+      s"unnest(generate_series(1, $maxPieceLen)) AS l FROM posn)"
+    ctes += "sub AS (SELECT substr(word, i, l) AS piece, " +
+      "CAST(sum(freq) AS BIGINT) AS c FROM candsub " +
+      "WHERE i + l <= len(word) + 1 GROUP BY 1)"
+    ctes += "vchars AS (SELECT piece, c FROM sub WHERE len(piece) = 1)"
+    ctes += "vmult AS (SELECT piece, c FROM sub WHERE len(piece) > 1 " +
+      s"ORDER BY c DESC, piece LIMIT $seedMultis)"
+    ctes += "v0 AS (SELECT * FROM vchars UNION ALL SELECT * FROM vmult)"
+    ctes += "p0 AS MATERIALIZED (SELECT piece, " +
+      "round(c / (SELECT sum(c) FROM v0), 6) AS prob FROM v0)"
+    for (t <- 1 to emIters) {
+      ctes ++= unigramViterbiCtes(s"e$t", "head", s"p${t - 1}",
+        dpLen, maxPieceLen)
+      ctes += s"seg$t AS (SELECT word, seg FROM e${t}a$dpLen " +
+        "WHERE pos = len(word))"
+      ctes += s"c$t AS MATERIALIZED (SELECT piece, " +
+        "CAST(sum(freq) AS BIGINT) AS c " +
+        "FROM (SELECT h.freq, unnest(string_split(s.seg, chr(1))) AS piece " +
+        s"FROM seg$t s JOIN head h USING (word)) GROUP BY piece)"
+      ctes += s"p$t AS MATERIALIZED (SELECT piece, " +
+        s"round(c / (SELECT sum(c) FROM c$t), 6) AS prob FROM c$t)"
+    }
+    ctes += s"kept AS (SELECT piece, c FROM c$emIters " +
+      s"ORDER BY c DESC, piece LIMIT $vocabSize)"
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT piece, c AS n_count, " +
+      s"round(c / (SELECT sum(c) FROM c$emIters), 6) AS prob " +
+      "FROM kept ORDER BY piece"
+  }
+
+  /** SQL literal rows of the frozen unigram piece fixture. */
+  private def unigramFixtureValues: String =
+    graft.functions.Text.fixturePieces.map { case (p, pr) =>
+      s"('${p.replace("'", "''")}', CAST($pr AS DOUBLE))"
+    }.mkString(", ")
+
+  /** DuckDB mirror of [[graft.functions.Text.unigramTokenCount]] under
+    * the frozen fixture pieces: per DISTINCT word, the unrolled Viterbi
+    * piece count (falling back to one-piece-per-char via COALESCE for a
+    * word the vocab can't segment — the kernel's fallback, unreachable
+    * under the shipped fixture), then `Σ np(word) + #words` per doc
+    * (one `</w>` marker per word, empties included — the
+    * [[bpeTokensOracleSql]] convention). */
+  private def unigramTokensOracleSql(dpLen: Int, maxPieceLen: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"pieces(piece, prob) AS (VALUES $unigramFixtureValues)"
+    ctes += "docw AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS word FROM documents)"
+    ctes += "uw AS (SELECT DISTINCT word FROM docw)"
+    ctes ++= unigramViterbiCtes("t", "uw", "pieces", dpLen, maxPieceLen)
+    ctes += s"wcnt AS (SELECT u.word, COALESCE(b.np, len(u.word)) AS np " +
+      s"FROM uw u LEFT JOIN (SELECT word, np FROM ta$dpLen " +
+      "WHERE pos = len(word)) b USING (word))"
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT d.doc_id, CAST(count(*) AS INT) AS n_ws_tokens, " +
+      "CAST(sum(w.np) + count(*) AS INT) AS n_unigram_tokens " +
+      "FROM docw d JOIN wcnt w USING (word) " +
+      "GROUP BY d.doc_id ORDER BY d.doc_id"
+  }
+
+  /** Unigram-LM tokenizer training ([[graft.functions.UnigramTrain
+    * .learnedPieces]]): the SentencePiece-style companion to `bpe_train`
+    * — substring seed + 2 hard-EM rounds over the capped word head, the
+    * full piece table (counts AND round-6 probabilities) pinned against
+    * the unrolled-DP DuckDB replica. */
+  private val unigramTrainQ = QDef(
+    "unigram_train",
+    (s, d) => graft.functions.UnigramTrain.learnedPieces(
+      documents(s, d), col("text"), vocabSize = 48, maxPieceLen = 4,
+      emIters = 2, maxWords = 512, seedMultis = 64),
+    Some(unigramTrainOracleSql(vocabSize = 48, maxPieceLen = 4, emIters = 2,
+      maxWords = 512, seedMultis = 64, dpLen = 12))
+  )
+
+  /** Tokenizer-faithful counts under the FROZEN unigram fixture
+    * ([[graft.functions.Text.unigramTokenCount]]) next to the
+    * whitespace count — the unigram sibling of `bpe_tokens`, pinning
+    * the distributed Viterbi kernel itself (not just training) to the
+    * SQL DP. */
+  private val unigramTokenizeQ = QDef(
+    "unigram_tokenize",
+    (s, d) => documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        graft.functions.Text.unigramTokenCount(
+          col("text"), graft.functions.Text.fixturePieces)
+          .as("n_unigram_tokens"))
+      .orderBy(col("doc_id")),
+    Some(unigramTokensOracleSql(dpLen = 12, maxPieceLen = 4))
+  )
+
+  /** decode ∘ unigramEncode ≡ id corpus-wide — the unigram sibling of
+    * `bpe_roundtrip` (shared `</w>` marker, shared [[graft.functions
+    * .Text.bpeDecode]] inverse). */
+  private val unigramRoundtripQ = QDef(
+    "unigram_roundtrip",
+    (s, d) => documents(s, d).select(col("doc_id"),
+        graft.functions.Text.bpeDecode(
+          graft.functions.Text.unigramEncode(
+            col("text"), graft.functions.Text.fixturePieces))
+          .as("text"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id")
   )
 
   /** Deterministic global shuffle order ([[graft.functions.Sampling
@@ -3532,6 +3746,39 @@ object Ext {
       "/ count(*), 6) AS pos_rate FROM bb GROUP BY bin ORDER BY bin")
   )
 
+  /** Calibration-gated quality weighting ([[graft.functions
+    * .QualityClassifier.calibratedWeightedSample]]): the consumer of
+    * `nb_calibration`'s verdict — calibrated scores become md5-threshold
+    * sampling weights, uncalibrated ones fall back to the hard gate;
+    * the in-plan branch (a one-row reliability-gap broadcast over the
+    * bins-sized table) is replicated in SQL via the same round-6
+    * comparison, so both engines take the same branch AND keep the same
+    * docs. */
+  private val qualityWeightedQ = QDef(
+    "quality_weighted_mixture",
+    (s, d) => graft.functions.QualityClassifier.calibratedWeightedSample(
+      documents(s, d), maxGap = 0.25, bins = 10),
+    Some(nbCte +
+      ", sc AS (SELECT doc_id, round((SELECT prior FROM pr) + sum(llr), 6) " +
+      "AS lo FROM w JOIN lw USING (token) GROUP BY doc_id), " +
+      "pp AS (SELECT doc_id, lo, round(1.0 / (1.0 + exp(-lo)), 6) AS p FROM sc), " +
+      "bb AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, pass " +
+      "FROM pp JOIN lbl USING (doc_id)), " +
+      "cal AS (SELECT bin, " +
+      "round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) " +
+      "AS mean_pred, " +
+      "round(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ count(*), 6) AS pos_rate FROM bb GROUP BY bin), " +
+      "gap AS (SELECT max(abs(mean_pred - pos_rate)) AS g FROM cal) " +
+      "SELECT doc_id, p, CASE WHEN (SELECT g FROM gap) <= 0.25 " +
+      "THEN 'weighted' ELSE 'gate' END AS mode FROM pp " +
+      "WHERE CASE WHEN (SELECT g FROM gap) <= 0.25 THEN " +
+      "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+      "(CASE WHEN p <= 0.0 THEN '0000' WHEN p >= 1.0 THEN 'zzzzz' " +
+      "ELSE printf('%04x', CAST(floor(p * 65536) AS INT)) END) " +
+      "ELSE lo > 0 END ORDER BY doc_id")
+  )
+
   /** MinHash-LSH parameter planner ([[graft.functions.NearDup.lshTune]]):
     * S-curve FP/FN mass for every (bands, rows) factoring of the
     * 32-permutation signature at threshold 0.5 — the table `bands` is
@@ -3883,6 +4130,7 @@ object Ext {
 
   val all: Seq[QDef] = Seq(
     bpeTrain, bpeRoundtrip, bpeTokens, packSeqBpe, quotaBpe,
+    unigramTrainQ, unigramTokenizeQ, unigramRoundtripQ,
     boilerplateReport, boilerplateRemove, targetMixQ,
     sessionize, sessionStatsQ, sentenceStatsQ, textStats, tokenCount, langIdQ, langIdEvalQ,
     qualityScore, fingerprintQ,
@@ -3895,7 +4143,8 @@ object Ext {
     annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram,
     dedupCrossSource, syndicationQ, dedupThresholdSweepQ, datacardQ,
     dedupClusters,
-    dedupCollapse, dedupKeepBest, pageRankQ, mixtureQ, shuffleQ, quotaQ, embedCentroid,
+    dedupCollapse, dedupKeepBest, pageRankQ, pageRankDirectedQ,
+    mixtureQ, shuffleQ, quotaQ, embedCentroid,
     embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,
     dedupIncremental, dedupIncrementalStore, dedupIncrementalDeleted,
@@ -3917,7 +4166,8 @@ object Ext {
     contrastivePairsQ, contrastiveTripletsQ,
     contrastivePairsIvfFullQ, contrastivePairsIvfRecall,
     dedupSubstring, dedupSpansQ,
-    gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, nbCalibrationQ, lshTuneQ,
+    gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, nbCalibrationQ,
+    qualityWeightedQ, lshTuneQ,
     dsirWeightsQ, dsirSelectQ,
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,
     profileQ, giniProfileQ, embedQuantizeQ, driftQ,

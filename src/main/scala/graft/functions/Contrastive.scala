@@ -64,14 +64,6 @@ object Contrastive {
       .orderBy(col("qid"), col("kind"), col("nid"))
   }
 
-  /** One semi-hard triplet per anchor: the hardest positive (highest
-    * same-label sim) and the hardest negative STRICTLY farther than it
-    * (highest different-label sim with `sim < pos_sim`) — the FaceNet
-    * §3.2 selection. Anchors with no positive, or whose every negative
-    * is at least as close as the positive, emit no row (no useful
-    * semi-hard gradient there). Ranking and the margin comparison use
-    * the UNROUNDED similarity (both engines compute the identical IEEE
-    * fold); only the emitted columns round. */
   /** [[hardPairs]] served from a persisted [[IvfIndex]] — the scale
     * path its scaladoc promises: candidates come from the index's
     * probed-cell top-`candidates` (partition-pruned scan, never the
@@ -112,6 +104,14 @@ object Contrastive {
       .orderBy(col("qid"), col("kind"), col("nid"))
   }
 
+  /** One semi-hard triplet per anchor: the hardest positive (highest
+    * same-label sim) and the hardest negative STRICTLY farther than it
+    * (highest different-label sim with `sim < pos_sim`) — the FaceNet
+    * §3.2 selection. Anchors with no positive, or whose every negative
+    * is at least as close as the positive, emit no row (no useful
+    * semi-hard gradient there). Ranking and the margin comparison use
+    * the UNROUNDED similarity (both engines compute the identical IEEE
+    * fold); only the emitted columns round. */
   def semiHardTriplets(
       corpus: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String, labelCol: String): DataFrame = {

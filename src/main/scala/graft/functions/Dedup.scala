@@ -114,8 +114,11 @@ object Dedup {
   /** Threshold-sensitivity sweep — [[graft.functions.NearDup.lshTune]]'s
     * data-driven companion: the tuner plans banding for a CHOSEN
     * threshold; this measures, on the actual corpus, how much the choice
-    * matters — per candidate threshold t ∈ {minThreshold, …, 0.9} (0.1
-    * steps), how many near-dup pairs and how many distinct documents
+    * matters — per candidate threshold t ∈ {minThreshold} ∪ {0.1-grid
+    * strictly above it, …, 0.9} (minThreshold itself is always the
+    * loosest row, even when it isn't a 0.1 multiple; minThreshold
+    * > 0.9 degrades to the single-row sweep), how many near-dup pairs
+    * and how many distinct documents
     * would be flagged at Jaccard ≥ t. A cliff between two rows means the
     * corpus has a dup-mass mode there (mirrors/templates); a flat tail
     * means the threshold barely matters above it. Run BEFORE committing
@@ -131,8 +134,16 @@ object Dedup {
       docs: DataFrame,
       minThreshold: Double = 0.3,
       w: Int = 3): DataFrame = {
-    val grid = (math.round(minThreshold * 10).toInt to 9).map(_ / 10.0)
-    require(grid.nonEmpty, s"minThreshold $minThreshold leaves an empty grid")
+    require(minThreshold > 0 && minThreshold < 1,
+      s"minThreshold must be in (0, 1), got $minThreshold")
+    // Grid = minThreshold itself plus every 0.1-multiple strictly above
+    // it up to 0.9 — so the loosest row always matches the documented
+    // "t in {minThreshold, …}" contract even for non-0.1-multiple
+    // inputs (0.35 → {0.35, 0.4, …, 0.9}), and near-1.0 inputs degrade
+    // to the single-row sweep {minThreshold} instead of an empty grid.
+    val grid = (minThreshold +:
+      (math.ceil(minThreshold * 10).toInt to 9).map(_ / 10.0)
+        .filter(_ > minThreshold)).sorted
     val flagged = NearDup.ngramJaccardPairsShared(docs, minThreshold, w)
       .select(col("id_a"), col("id_b"), col("jaccard"),
         explode(array(grid.map(lit): _*)).as("threshold"))

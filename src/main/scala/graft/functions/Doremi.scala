@@ -112,6 +112,21 @@ object Doremi {
     val targets = domainReweight(docs, domainCol, temperature)
       .select(col("domain"), col("weight")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // A domain whose docs ALL have <2 tokens never reaches the LM
+    // scoring table and is absent from `targets`; a weight that rounds
+    // to 0.0 at 6 decimals would trip targetMixture's require(p > 0)
+    // with an opaque error. Either way a whole domain would vanish from
+    // the sample — fail loudly NAMING the domains instead of silently
+    // dropping training data. The distinct-domain probe is the same
+    // mixture-sized bounded-collect class as the reweight table itself.
+    val allDomains = docs.select(col(domainCol).cast("string").as("d"))
+      .where(col("d").isNotNull).distinct().collect().map(_.getString(0))
+    val dropped = allDomains.filterNot(d => targets.getOrElse(d, 0.0) > 0)
+    require(dropped.isEmpty,
+      s"reweightedSample would drop domain(s) ${dropped.sorted.mkString(", ")}: " +
+        "each has no LM-scorable docs (<2 tokens throughout) or a DoReMi " +
+        "weight that rounds to 0 at 6 decimals. Exclude them explicitly " +
+        "before sampling, or raise `temperature` to flatten the mixture.")
     Sampling.targetMixture(docs, col(domainCol), key, targets)
   }
 

@@ -258,10 +258,9 @@ object EventStats {
     * (user, day) and builds the day set (bounded by the calendar — a
     * decade is ~3.7k entries); next-day retention reads straight off
     * the set with `array_contains` — no corpus-sized self-join. The
-    * "has a following event day" filter uses the distinct-day list
-    * collected to the driver (calendar-bounded metadata, the same
-    * contract as the centroid/vocab-head collects) — a literal
-    * membership test instead of a day-table self-join. */
+    * "has a following event day" filter is a LEFT SEMI join against the
+    * calendar-bounded distinct-day frame (explicitly broadcast), keeping
+    * the whole plan driver-free — no collected In-list anywhere. */
   def dailyChurn(
       events: DataFrame,
       userCol: String,
@@ -276,13 +275,10 @@ object EventStats {
           .cast(LongType).as("_ret"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("actives"), sum(col("_ret")).as("retained"))
-    val allDays = events.select(to_date(col(tsCol)).as("day")).distinct()
-      .collect().map(_.getDate(0)).toSeq
-    if (allDays.isEmpty) return perDay.select(
-      col("day"), col("actives"), col("retained"),
-      col("actives").as("churned"), lit(0.0).as("churn_rate"))
+    val allDays = events.select(to_date(col(tsCol)).as("_next")).distinct()
     perDay
-      .filter(date_add(col("day"), 1).isInCollection(allDays))
+      .join(broadcast(allDays), date_add(col("day"), 1) === col("_next"),
+        "left_semi")
       .select(
         col("day"),
         col("actives"),

@@ -53,8 +53,25 @@ import org.apache.spark.sql.functions._
   * that stays valid while appends and compactions race ahead — the
   * concurrent-reader contract a bare swap protocol cannot give.
   * [[vacuum]] retires manifests older than `keepLast` and deletes the
-  * data files only they referenced; single-writer appends remain the
-  * rule, but readers need no coordination beyond vacuum retention.
+  * data files only they referenced (plus unreferenced orphans, e.g. a
+  * losing concurrent writer's generations); readers need no
+  * coordination beyond vacuum retention.
+  *
+  * '''Concurrent writers.''' Commits are serialized by a manifest
+  * compare-and-swap, not by convention: every commit stages its data
+  * under SALTED generation paths no other attempt can collide with,
+  * then publishes through [[commitManifest]], which (1) fails if any
+  * version ≥ its own was committed since its manifest was read, (2)
+  * verifies every generation dir it references still exists, and (3)
+  * renames the manifest onto a destination that must not exist
+  * ([[renameOrThrow]] refuses, never overwrites) and read-back-verifies
+  * the published content. Of N writers racing an append, EXACTLY ONE
+  * commits; the rest throw `ConcurrentModificationException` with the
+  * store unharmed, and replaying their batches converges (append/delete
+  * are idempotent under whole-batch replay). The one residual rule:
+  * don't run [[recover]]/[[vacuum]] concurrently with a live append —
+  * they may reap its in-flight generations, which downgrades that
+  * append to a loud commit-time abort (never corruption).
   *
   * The closure is computed FROM the stored pair parquet (read back, not
   * from the live pair plan), so the pair pipeline executes exactly once
@@ -68,6 +85,12 @@ object PairStore {
   /** Partition-column name used transiently by the staged bucket write
     * (no leading underscore — Spark's listing hides `_` paths). */
   private val BucketCol = "cbucket"
+
+  /** Test seam: invoked by [[append]] immediately before its manifest
+    * commit, so PairStoreSpec can interleave a full competing append at
+    * exactly the CAS window, deterministically and single-threaded.
+    * No-op in production. */
+  private[graft] var onBeforeAppendCommit: () => Unit = () => ()
 
   /** A pinned, immutable view of the store at one committed version:
     * `pairs` and `labels` resolve to the exact files that version's
@@ -85,7 +108,7 @@ object PairStore {
       version: Long, buckets: Map[Int, Long], pairFiles: Seq[String])
 
   // ------------------------------------------------------------------ //
-  // build / append / compact / vacuum (the single writer's API)
+  // build / append / compact / vacuum (the writers' API — CAS-committed)
   // ------------------------------------------------------------------ //
 
   /** Build (overwrite) the store: persist the verified `pairs`, then the
@@ -293,11 +316,13 @@ object PairStore {
         .join(broadcast(merged), col("cluster_id") === col("_q"), "left")
         .select(col(nodeCol),
           coalesce(col("_merged"), col("cluster_id")).as("cluster_id"))
-      val written = writeBucketGen(spark, dir, staged, b, gen = v)
-      newBuckets = (man.buckets -- touched) ++ written.map(_ -> v)
+      val tok = genToken(v)
+      val written = writeBucketGen(spark, dir, staged, b, gen = tok)
+      newBuckets = (man.buckets -- touched) ++ written.map(_ -> tok)
     }
     if (pairFiles.size > maxPairFiles)
-      pairFiles = compactInto(spark, dir, pairFiles, v)
+      pairFiles = compactInto(spark, dir, pairFiles, genToken(v))
+    onBeforeAppendCommit()
     commitManifest(fs, dir, Manifest(v, newBuckets, pairFiles))
     Seq(merged, endLabels, freshNodes, freshPairs, batch)
       .foreach(_.unpersist(blocking = false))
@@ -415,8 +440,9 @@ object PairStore {
         .join(members.select(col(nodeCol)), Seq(nodeCol), "left_anti")
         .select(col(nodeCol), col("cluster_id"))
         .unionByName(cc)
-      val written = writeBucketGen(spark, dir, candidates, b, gen = v)
-      newBuckets = (man.buckets -- touched) ++ written.map(_ -> v)
+      val tok = genToken(v)
+      val written = writeBucketGen(spark, dir, candidates, b, gen = tok)
+      newBuckets = (man.buckets -- touched) ++ written.map(_ -> tok)
     }
     commitManifest(fs, dir, Manifest(v, newBuckets, pairFiles))
     Seq(cc, members, affLabels, delRows, del)
@@ -442,15 +468,12 @@ object PairStore {
       fs.listStatus(labelsRoot).toSeq.foreach { s =>
         val n = s.getPath.getName
         val stale = n.startsWith("_staged") ||
-          parseGenBucket(n).exists(_._1 > vMax)
+          parseGenBucket(n).exists(gb => versionOfGen(gb._1) > vMax)
         if (stale) deleteOrThrow(fs, s.getPath)
       }
     fs.listStatus(new Path(dir)).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        n.startsWith("pairs_g") && n.stripPrefix("pairs_g").toLongOption
-          .exists(_ > vMax)
-      }
+      .filter(s => parsePairsGen(s.getPath.getName)
+        .exists(versionOfGen(_) > vMax))
       .foreach(s => deleteOrThrow(fs, s.getPath))
   }
 
@@ -465,7 +488,7 @@ object PairStore {
     val fs = fsOf(spark, dir)
     val man = currentManifest(fs, dir)
     val v = man.version + 1
-    val files = compactInto(spark, dir, man.pairFiles, v, targetFileBytes)
+    val files = compactInto(spark, dir, man.pairFiles, genToken(v), targetFileBytes)
     commitManifest(fs, dir, Manifest(v, man.buckets, files))
   }
 
@@ -498,6 +521,12 @@ object PairStore {
         .flatMap(s => listDataFiles(fs, dir, s.getPath.getName)))
       .filterNot(livePairs)
       .foreach(f => deleteOrThrow(fs, new Path(s"$dir/$f")))
+    // drop compaction-generation dir shells with no live file left —
+    // including a losing concurrent writer's whole orphan generation
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => parsePairsGen(s.getPath.getName).isDefined &&
+        listDataFiles(fs, dir, s.getPath.getName).forall(!livePairs(_)))
+      .foreach(s => deleteOrThrow(fs, s.getPath))
   }
 
   // ------------------------------------------------------------------ //
@@ -553,9 +582,13 @@ object PairStore {
       .map(s => s.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
       .sorted
     out.foreach { bk =>
-      val dst = new Path(s"$dir/labels/g${gen}b$bk")
-      deleteOrThrow(fs, dst) // replay of this uncommitted gen
-      renameOrThrow(fs, new Path(s"$stagedRoot/$BucketCol=$bk"), dst)
+      // Salted tokens make each attempt's destination unique, so an
+      // existing dst can only mean a concurrent writer's data —
+      // renameOrThrow refuses it loudly rather than clobbering. (The
+      // legacy replay-cleanup delete lived here when generations were
+      // version-keyed; recover() still reaps crashed uncommitted gens.)
+      renameOrThrow(fs, new Path(s"$stagedRoot/$BucketCol=$bk"),
+        new Path(s"$dir/labels/${genDirName(gen, bk)}"))
     }
     deleteOrThrow(fs, stagedRoot)
     out
@@ -571,8 +604,8 @@ object PairStore {
       fs.getFileStatus(new Path(s"$dir/$f")).getLen).sum
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     readFiles(spark, dir, files, "pairs").repartition(parts)
-      .write.mode("overwrite").parquet(s"$dir/pairs_g$v")
-    listDataFiles(fs, dir, s"pairs_g$v")
+      .write.mode("overwrite").parquet(s"$dir/${pairsGenDirName(v)}")
+    listDataFiles(fs, dir, pairsGenDirName(v))
   }
 
   /** Read a manifest's bucket selection by direct generation-dir
@@ -581,7 +614,7 @@ object PairStore {
       spark: SparkSession, dir: String, man: Manifest,
       buckets: Seq[Int]): DataFrame = {
     val paths = buckets.sorted.flatMap(bk =>
-      man.buckets.get(bk).map(g => s"$dir/labels/g${g}b$bk"))
+      man.buckets.get(bk).map(g => s"$dir/labels/${genDirName(g, bk)}"))
     if (paths.isEmpty) emptyLike(spark, dir, man)
     else spark.read.parquet(paths: _*)
   }
@@ -610,17 +643,62 @@ object PairStore {
     if (files.isEmpty) spark.read.parquet(s"$dir/$fallbackDir")
     else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
 
+  /** Publish manifest `m` as the store's version `m.version` — the CAS
+    * commit point that makes concurrent writers safe. Three guards, in
+    * order:
+    *
+    *  1. '''Version CAS''': if any committed version ≥ `m.version`
+    *     already exists, another writer advanced the store since this
+    *     commit's manifest was read — fail loudly; the caller's batch
+    *     must be replayed against the new head (append/delete are
+    *     idempotent under whole-batch replay, so the replay converges).
+    *  2. '''Referenced-data verify''': every label-generation dir the
+    *     manifest references must exist on disk — a concurrent
+    *     [[recover]]/[[vacuum]] may have reaped this writer's
+    *     not-yet-committed generations; publishing a manifest that
+    *     points at deleted dirs would corrupt the store, so that race
+    *     also dies here instead. ≤ modulus exists-checks — cheap.
+    *  3. '''Exclusive publish''': full write to a tmp name, then a
+    *     rename that REFUSES an existing `history/v<N>` (HDFS rename
+    *     onto an existing file fails atomically; [[renameOrThrow]]
+    *     makes the local-FS clobber loud too), then a read-back that
+    *     verifies the committed content is OURS — the belt-and-braces
+    *     close of the local-FS check-then-rename window.
+    *
+    * Exactly one of N racing writers passes all three; the rest throw
+    * `ConcurrentModificationException` with the store unharmed. */
   private def commitManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
+    val latest = committedVersions(fs, dir).maxOption
+    if (latest.exists(_ >= m.version))
+      throw new java.util.ConcurrentModificationException(
+        s"PairStore commit v${m.version} aborted: version ${latest.get} was " +
+          "committed by a concurrent writer since this batch began — " +
+          "replay the batch against the new head (append is idempotent)")
+    m.buckets.toSeq.sortBy(_._1).foreach { case (bk, g) =>
+      val p = new Path(s"$dir/labels/${genDirName(g, bk)}")
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"PairStore commit v${m.version} aborted: referenced $p is " +
+            "missing (a concurrent recover/vacuum reaped this writer's " +
+            "uncommitted generation?) — replay the batch")
+    }
     val lines =
       Seq(s"version ${m.version}") ++
         m.buckets.toSeq.sortBy(_._1).map { case (bk, g) => s"bucket $bk $g" } ++
         m.pairFiles.sorted.map(f => s"pairfile $f")
-    val tmp = new Path(s"$dir/history/.tmp_v${m.version}")
+    val tmp = new Path(s"$dir/history/.tmp_v${m.version}_" +
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, GenStride))
     fs.mkdirs(new Path(s"$dir/history"))
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    renameOrThrow(fs, tmp, new Path(s"$dir/history/v${m.version}"))
+    try renameOrThrow(fs, tmp, new Path(s"$dir/history/v${m.version}"))
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    val back = readManifest(fs, dir, m.version)
+    if (back.buckets != m.buckets || back.pairFiles.sorted != m.pairFiles.sorted)
+      throw new java.util.ConcurrentModificationException(
+        s"PairStore commit v${m.version}: published manifest content is not " +
+          "ours — lost a same-version publish race; replay the batch")
   }
 
   private def readManifest(fs: FileSystem, dir: String, v: Long): Manifest = {
@@ -659,10 +737,56 @@ object PairStore {
         .map(_.group(1).toLong))
   }
 
-  /** `g<gen>b<bucket>` dir-name parse. */
+  /** Generation tokens. [[build]] writes the legacy unsalted `gen = 0`;
+    * every later commit derives its generations from a SALTED token
+    * `v·GenStride + salt` (salt ∈ [1, GenStride)), rendered as
+    * `g<v>.<salt>b<bucket>` — so two writers racing toward the same
+    * version stage and rename DISJOINT paths and can never overwrite or
+    * delete each other's data. Which of them commits is decided solely
+    * by [[commitManifest]]'s manifest CAS; the loser's dirs are
+    * unreferenced orphans that [[vacuum]] reaps. */
+  private val GenStride = 1L << 20
+
+  private def genToken(v: Long): Long = {
+    require(v >= 1, s"salted generations start at version 1, got $v")
+    v * GenStride +
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, GenStride)
+  }
+
+  /** The manifest version a generation token belongs to (legacy unsalted
+    * tokens ARE the version). */
+  private def versionOfGen(g: Long): Long =
+    if (g < GenStride) g else g / GenStride
+
+  private def genDirName(g: Long, bk: Int): String =
+    if (g < GenStride) s"g${g}b$bk"
+    else s"g${g / GenStride}.${g % GenStride}b$bk"
+
+  private def pairsGenDirName(g: Long): String =
+    if (g < GenStride) s"pairs_g$g"
+    else s"pairs_g${g / GenStride}.${g % GenStride}"
+
+  /** `g<gen>b<bucket>` / `g<v>.<salt>b<bucket>` dir-name parse (returns
+    * the token form stored in manifests). */
   private def parseGenBucket(name: String): Option[(Long, Int)] =
-    "^g(\\d+)b(\\d+)$".r.findFirstMatchIn(name)
-      .map(m => (m.group(1).toLong, m.group(2).toInt))
+    "^g(\\d+)(?:\\.(\\d+))?b(\\d+)$".r.findFirstMatchIn(name).map { m =>
+      val base = m.group(1).toLong
+      val g = Option(m.group(2)) match {
+        case Some(salt) => base * GenStride + salt.toLong
+        case None       => base
+      }
+      (g, m.group(3).toInt)
+    }
+
+  /** `pairs_g<v>` / `pairs_g<v>.<salt>` dir-name parse → token. */
+  private def parsePairsGen(name: String): Option[Long] =
+    "^pairs_g(\\d+)(?:\\.(\\d+))?$".r.findFirstMatchIn(name).map { m =>
+      val base = m.group(1).toLong
+      Option(m.group(2)) match {
+        case Some(salt) => base * GenStride + salt.toLong
+        case None       => base
+      }
+    }
 
   /** Relative paths of the parquet data files directly under
     * `dir/<sub>`. */
@@ -696,10 +820,22 @@ object PairStore {
 
   /** Filesystems may report failure by RETURNING false (local FS renames
     * across devices, permission walls) — a silent false here corrupts
-    * the store, so every structural move is checked and loud. */
-  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    * the store, so every structural move is checked and loud. An
+    * EXISTING destination is refused outright: every structural rename
+    * in this store targets a path no committed state may own (salted
+    * generation dirs, a fresh manifest version), so a pre-existing
+    * destination means a concurrent writer got there first — local
+    * filesystems would silently clobber it (POSIX rename(2) replaces),
+    * which is exactly the manifest-overwrite corruption this guard
+    * exists to make loud. */
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit = {
+    if (fs.exists(dst))
+      throw new java.util.ConcurrentModificationException(
+        s"PairStore: rename $src -> $dst refused — destination already " +
+          "exists (concurrent writer?); never overwriting committed state")
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"PairStore: rename $src -> $dst failed")
+  }
 
   private def deleteOrThrow(fs: FileSystem, p: Path): Unit =
     if (!fs.delete(p, true) && fs.exists(p))

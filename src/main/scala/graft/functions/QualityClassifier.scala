@@ -182,4 +182,59 @@ object QualityClassifier {
       .orderBy(col("bin"))
     graft.AutoUnpersist.afterFirstUse(out, labels)
   }
+
+  /** Calibration-GATED quality weighting — the consumer of
+    * [[calibration]]'s verdict, closing the loop the reliability table
+    * exists for: IF the classifier is calibrated (every decile's
+    * |mean_pred − pos_rate| ≤ `maxGap`), its predicted probabilities
+    * serve as per-doc sampling WEIGHTS ([[Sampling.weightedKeepExpr]]
+    * with rate = p — DSIR-style soft filtering, high-quality docs kept
+    * proportionally more); otherwise the probabilities are NOT
+    * trustworthy as weights and the selection falls back to the hard
+    * threshold GATE (`log_odds > 0`), which only needs the ranking to
+    * be right at one operating point. The emitted `mode` column makes
+    * the branch auditable downstream.
+    *
+    * The branch is decided IN-PLAN: the reliability gap is a one-row
+    * aggregate over the bins-sized calibration table, crossed back as a
+    * one-row broadcast — no driver collect, so the whole key stays a
+    * deterministic pure function of the corpus in both engines (the
+    * gap compares round-6 values, so the branch itself is
+    * engine-agreed).
+    *
+    * @return kept docs as (doc_id, p, mode); `p` is the round-6
+    *         predicted quality probability, `mode` is 'weighted' or
+    *         'gate' (constant per run). */
+  def calibratedWeightedSample(
+      docs: DataFrame, maxGap: Double = 0.25, bins: Int = 10): DataFrame = {
+    require(maxGap > 0 && maxGap < 1, s"maxGap must be in (0,1), got $maxGap")
+    require(bins > 1, s"bins must exceed 1, got $bins")
+    val labels = weakLabels(docs).persist()
+    val m = train(docs, labels)
+    val scored = scoreWith(m, docs)
+      .withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("log_odds"))), 6))
+    val cal = scored
+      .join(labels.select(col("doc_id"), col("pass")), Seq("doc_id"))
+      .withColumn("bin",
+        least(floor(col("p") * bins), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        round(sum(col("p").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_pred"),
+        round(sum(when(col("pass"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("pos_rate"))
+    val gap = cal.agg(
+      max(abs(col("mean_pred") - col("pos_rate"))).as("gap"))
+    val out = scored
+      .crossJoin(broadcast(gap))
+      .withColumn("mode",
+        when(col("gap") <= maxGap, lit("weighted")).otherwise(lit("gate")))
+      .filter(when(col("gap") <= maxGap,
+          Sampling.weightedKeepExpr(col("doc_id").cast("string"), col("p")))
+        .otherwise(col("log_odds") > 0.0))
+      .select(col("doc_id"), col("p"), col("mode"))
+      .orderBy(col("doc_id"))
+    graft.AutoUnpersist.afterFirstUse(out, labels)
+  }
 }

@@ -101,11 +101,19 @@ object Sampling {
     * Rates ≥ 1 keep always (`zzzzz` sorts above every hex quartet — the
     * [[mixtureSample]] trick); null/negative rates keep nothing. Zero
     * shuffle: one codegen'd filter. */
-  def weightedSample(df: DataFrame, key: Column, rate01: Column): DataFrame = {
+  def weightedSample(df: DataFrame, key: Column, rate01: Column): DataFrame =
+    df.filter(weightedKeepExpr(key, rate01))
+
+  /** [[weightedSample]]'s keep predicate as a bare Column, for callers
+    * that must COMBINE it with another condition in one filter (e.g.
+    * [[QualityClassifier.calibratedWeightedSample]]'s in-plan
+    * weighted-vs-gate branch). Same contract: pure function of
+    * (key, rate), no transcendentals. */
+  def weightedKeepExpr(key: Column, rate01: Column): Column = {
     val th = when(rate01.isNull || rate01 <= 0.0, lit("0000"))
       .when(rate01 >= 1.0, lit("zzzzz"))
       .otherwise(format_string("%04x", floor(rate01 * 65536).cast("int")))
-    df.filter(substring(md5(key), 1, 4) < th)
+    substring(md5(key), 1, 4) < th
   }
 
   /** Temperature-flattened corpus mix (the T5/LLaMA mixing step at

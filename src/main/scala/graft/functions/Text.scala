@@ -661,6 +661,36 @@ object Text {
     joined.substr(lit(1), length(joined) - 1)
   }
 
+  /** Unigram-LM tokenizer encode ([[graft.plans.Unigram]]): text →
+    * max-likelihood piece stream under the trained piece probabilities,
+    * with the shared `</w>` end-of-word markers — so [[bpeDecode]]
+    * inverts it too (`unigram_roundtrip`). */
+  def unigramEncode(text: Column, pieces: Seq[(String, Double)]): Column =
+    graft.plans.Unigram.unigramEncodeNative(text, pieces)
+
+  /** Tokenizer-faithful token count under the unigram model: piece
+    * count of [[unigramEncode]] (markers included, one per word — the
+    * same convention as [[bpeTokenCount]]). */
+  def unigramTokenCount(text: Column, pieces: Seq[(String, Double)]): Column =
+    size(unigramEncode(text, pieces))
+
+  /** The checked-in unigram piece fixture (`graft/unigram_pieces.txt`
+    * on the classpath, one `piece prob` per line) — trained once from
+    * the sf0.001 documents table via [[UnigramTrain.learnedPieces]] and
+    * frozen, so the registered unigram queries are deterministic
+    * forever (the [[fixtureMerges]] convention). */
+  lazy val fixturePieces: Seq[(String, Double)] = {
+    val in = getClass.getResourceAsStream("/graft/unigram_pieces.txt")
+    require(in != null, "missing classpath resource /graft/unigram_pieces.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val sp = line.lastIndexOf(' ')
+      require(sp > 0, s"malformed piece line: '$line'")
+      (line.substring(0, sp), line.substring(sp + 1).toDouble)
+    }.toList
+    finally src.close()
+  }
+
   /** The checked-in merges fixture (`graft/bpe_merges.txt` on the
     * classpath, one `left right` pair per line) — learned once from the
     * sf0.001 documents table via [[bpeMerges]] and frozen, so the

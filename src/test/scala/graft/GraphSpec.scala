@@ -81,6 +81,71 @@ class GraphSpec extends SparkSpec {
     assert(total > (n * 1000000L * 99L) / 100L)
   }
 
+  // ---- directed PageRank (dangling-mass conservation) ----------------
+
+  /** Driver-side reference for the DIRECTED recurrence with the
+    * dangling-mass redistribution, sequential. */
+  private def refRanksDirected(
+      edges: Seq[(Long, Long)], iters: Int, scale: Long = 1000000L
+  ): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val base = 15L * scale / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      r = nodes.map(v =>
+        v -> (base + 85L * (s.getOrElse(v, 0L) + dm / n) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runDirected(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.pageRankDirected(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pageRankDirected: hand-checked two-node chain with a sink") {
+    // 1 -> 2: deg(1)=1, node 2 is dangling; N = 2.
+    // iter 1: s(2) = 1000000; dm = r(2) = 1000000, dm div N = 500000
+    //   r1(1) = 150000 + 85·(0 + 500000) div 100      = 575000
+    //   r1(2) = 150000 + 85·(1000000 + 500000) div 100 = 1425000
+    val got = runDirected(Seq((1L, 2L)), iters = 1)
+    assert(got === Map(1L -> 575000L, 2L -> 1425000L))
+  }
+
+  test("pageRankDirected: conserves total mass where the undirected " +
+      "formula would leak it through sinks") {
+    // a chain with a long tail of sinks off a cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L),
+      (2L, 6L), (6L, 7L))
+    val got = runDirected(edges, iters = 5)
+    val n = got.size
+    val total = got.values.sum
+    // with redistribution, mass stays ≈ N·scale up to integer dust
+    assert(total <= n * 1000000L)
+    assert(total > (n * 1000000L * 97L) / 100L,
+      s"dangling mass leaked: $total of ${n * 1000000L}")
+  }
+
+  test("pageRankDirected: matches the sequential directed reference") {
+    val edges = for {
+      i <- 1L to 25L; j <- 1L to 25L
+      if i != j && (i * 5 + j * 17) % 13 == 0 // sparse, has sinks
+    } yield (i, j)
+    val sinks = (edges.map(_._2).toSet -- edges.map(_._1).toSet)
+    assert(sinks.nonEmpty, "fixture must contain dangling nodes")
+    assert(runDirected(edges, iters = 5) === refRanksDirected(edges, iters = 5))
+  }
+
+  test("pageRankDirected: equals pageRank on a symmetrized graph " +
+      "(no dangling mass, dm = 0)") {
+    val e = both(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    assert(runDirected(e, iters = 4) === run(e, iters = 4))
+  }
+
   private def tri(edges: Seq[(Long, Long)]) =
     Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
       .select(col("node"), col("degree"), col("n_triangles"), col("clustering"))

@@ -236,8 +236,10 @@ class PairStoreSpec extends SparkSpec {
     PairStore.append(Seq(nv).toDF("id"),
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
     val added = genDirs() -- before
-    assert(added == Set(s"g1b${bucketOf(nv)}"),
-      s"expected one new generation for the fresh node's bucket, got $added")
+    // post-CAS generations are salted: g<version>.<salt>b<bucket>
+    assert(added.size == 1 &&
+      added.head.matches(s"g1\\.\\d+b${bucketOf(nv)}"),
+      s"expected one new v1 generation for the fresh node's bucket, got $added")
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
       .apply(nv) == nv)
   }
@@ -517,5 +519,97 @@ class PairStoreSpec extends SparkSpec {
         assert(got == want, s"seed $seed after batch $k: store != rebuild")
       }
     }
+  }
+
+  // ---- concurrent writers (manifest CAS) ----------------------------
+
+  test("interleaved appenders: exactly one commits, the loser fails loudly, " +
+      "its replay converges") {
+    val dir = tmpDir()
+    PairStore.build((1L to 6L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    // Appender A reads the v0 manifest and stages its data; at A's CAS
+    // window the hook runs appender B's ENTIRE append (which commits
+    // v1). A must then abort without touching B's committed state.
+    val err = try {
+      PairStore.onBeforeAppendCommit = () => {
+        PairStore.onBeforeAppendCommit = () => () // B must not recurse
+        PairStore.append(Seq(8L).toDF("id"),
+          Seq((5L, 8L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        PairStore.append(Seq(7L).toDF("id"),
+          Seq((3L, 7L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+      }
+    } finally PairStore.onBeforeAppendCommit = () => ()
+    assert(err.getMessage.contains("concurrent writer"), err.getMessage)
+    // exactly B's commit landed: history = {v0, v1}, state = B-only
+    assert(fs.listStatus(p(s"$dir/history")).map(_.getPath.getName).toSet
+      == Set("v0", "v1"))
+    val afterB = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    assert(afterB == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 8L -> 5L), s"winner's state damaged: $afterB")
+    // the loser replays its whole batch against the new head → converges
+    PairStore.append(Seq(7L).toDF("id"),
+      Seq((3L, 7L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val afterA = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    assert(afterA == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 3L, 8L -> 5L), s"replay diverged: $afterA")
+    val pairs = PairStore.pairs(spark, dir).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(pairs == Seq((1L, 2L), (3L, 7L), (5L, 8L)),
+      s"pair table wrong after the race + replay: $pairs")
+  }
+
+  test("commit CAS: a version published mid-append aborts the commit " +
+      "with the store unharmed") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    val before = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    val v0 = {
+      val in = fs.open(p(s"$dir/history/v0"))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val err = try {
+      PairStore.onBeforeAppendCommit = () => {
+        // a competing writer publishes v1 (same content, new version)
+        // right inside A's CAS window — the narrowest possible race
+        val out = fs.create(p(s"$dir/history/v1"), true)
+        try out.write(v0.replace("version 0", "version 1").getBytes("UTF-8"))
+        finally out.close()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        PairStore.append(Seq(4L).toDF("id"),
+          Seq((3L, 4L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+      }
+    } finally PairStore.onBeforeAppendCommit = () => ()
+    assert(err.getMessage.contains("committed by a concurrent writer"),
+      err.getMessage)
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == before, "aborted commit must leave the committed state untouched")
+  }
+
+  test("a losing writer's orphan generation survives recover (same-version) " +
+      "and is reaped by vacuum") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    PairStore.append(Seq(3L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    // fabricate a losing v1 attempt's salted generation: same version
+    // as the committed head, unreferenced by any manifest
+    val orphan = s"$dir/labels/g1.99999b0"
+    Seq((42L, 42L)).toDF("id", "cluster_id").write.parquet(orphan)
+    val before = PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    PairStore.recover(spark, dir)
+    assert(fs.exists(p(orphan)),
+      "recover must not reap a same-version generation (it cannot tell a " +
+        "loser's orphan from a LIVE writer's in-flight data)")
+    PairStore.vacuum(spark, dir, keepLast = 2)
+    assert(!fs.exists(p(orphan)), "vacuum must reap unreferenced generations")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == before, "orphan lifecycle must never leak into the served labels")
   }
 }

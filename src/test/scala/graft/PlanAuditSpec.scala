@@ -136,6 +136,11 @@ class PlanAuditSpec extends SparkSpec {
       else if (name == "dedup_clusters" || name == "dedup_collapse"
         || name == "dedup_keep_best" || name == "graph_pagerank"
         || name == "split_leakage_safe") 40
+      // the directed variant adds, per unrolled iteration, the
+      // dangling-mass anti-join + one-row fold (2 more bounded
+      // exchanges/iter than the undirected 2) on top of the same pair
+      // pipeline — 5 iterations × ~5 + pair generation.
+      else if (name == "graph_pagerank_directed") 56
       // entity_resolve = fuzzy pair generation + a pointer-jumping
       // closure (3 bounded shuffles × O(log diameter) rounds, all nested
       // in the final plan's persisted-lineage text).
