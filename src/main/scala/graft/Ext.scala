@@ -945,6 +945,60 @@ object Ext {
       "WHERE vec_id % 5 = 0 AND vec_id < 100 ORDER BY qid")
   )
 
+  /** Streamed-index handles: base index grown by MICRO-BATCH ingest —
+    * the shifted slice split 3 ways, delivered via [[graft.functions
+    * .IvfIndex.appendBatchIdempotent]] (the exact kernel
+    * [[graft.streaming.StreamOps.ingestIvfStream]] runs per
+    * micro-batch) with the middle delivery REPLAYED, so the gate
+    * certifies the restart contract — replay appends nothing — along
+    * with the layout. StreamOpsSpec pins true-stream ≡ batch equality;
+    * this driver key prices and gates the composed result. */
+  private val streamedIdx =
+    new graft.PlanCache[graft.functions.IvfIndex](capacity = 4, durable = true,
+      onEvict = i => graft.TempDirs.delete(i.path))
+
+  /** INDEX-HEALTH gate for the STREAMING ingest path
+    * ([[graft.streaming.StreamOps.ingestIvfStream]]): the same
+    * shifted-batch regime as `ann_ivf_appended_recall`, but the shifted
+    * slice arrives as 3 idempotent micro-batch appends with one replay —
+    * the resulting index must serve the same recall the one-shot append
+    * serves (and StreamOpsSpec asserts the layouts agree row-for-row).
+    * Gates at 0.2/0.6, the family's bounds. */
+  private val annIvfStreamedRecall = QDef(
+    "ann_ivf_streamed_recall",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val shifted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val combined = base.unionByName(shifted)
+      val q = shifted.filter(col("vec_id") < 100100L)
+      val exact = Similarity.bruteForceTopKCached(
+        combined, q, "vec_id", "embedding", k = 5)
+      val idx = streamedIdx.getOrCompute(
+        graft.PlanCache.keyOf2(base, shifted, "ivf16-streamed"),
+        graft.BuildTimer.timed("ivf_streamed_index") {
+          val dir = graft.TempDirs.create("graft_ivf_streamed")
+          val i = graft.functions.IvfIndex
+            .build(base, "vec_id", "embedding", nCells = 16, dir)
+          val micro = (0 to 2).map(r =>
+            shifted.filter(pmod(col("vec_id"), lit(3)) === r))
+          micro.foreach(b => i.appendBatchIdempotent(b, "vec_id", "embedding"))
+          val replayed = i.appendBatchIdempotent(micro(1), "vec_id", "embedding")
+          require(replayed == 0L,
+            s"replayed micro-batch appended $replayed rows — idempotence broken")
+          i
+        })
+      val ann = idx.topK(q, "vec_id", "embedding", k = 5, nProbe = 8)
+      recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
+    },
+    Some("SELECT CAST(vec_id + 100000 AS BIGINT) AS qid, " +
+      "true AS recall_ok, true AS macro_ok FROM embeddings " +
+      "WHERE vec_id % 5 = 0 AND vec_id < 100 ORDER BY qid")
+  )
+
   /** Deleted-index handles: built from the FULL corpus on a private dir
     * (the shared `ann_ivf_full` index must not be mutated), then the
     * `vec_id % 7 == 3` slice deleted ONCE per JVM. */
@@ -4139,7 +4193,7 @@ object Ext {
     intradocDedupQ, sourceOverlapQ,
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
-    annIvfAppendedRecall,
+    annIvfAppendedRecall, annIvfStreamedRecall,
     annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram,
     dedupCrossSource, syndicationQ, dedupThresholdSweepQ, datacardQ,
     dedupClusters,

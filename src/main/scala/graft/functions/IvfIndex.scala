@@ -73,6 +73,44 @@ final class IvfIndex private (
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** [[appendBatch]] made IDEMPOTENT under whole-batch replay — the
+    * micro-batch ingest kernel [[graft.streaming.StreamOps
+    * .ingestIvfStream]] runs per batch: ids already in the index are
+    * screened out first, so a crashed-and-replayed delivery appends
+    * nothing the crash's partial write (or the completed earlier
+    * delivery) already landed. The screen is the [[PairStore.append]]
+    * shape: the index side projects the id column only (columnar —
+    * vector and code pages never read) and is semi-reduced by a
+    * BROADCAST of the batch's ids before the anti-join, so the index is
+    * scanned, never shuffled, and both join sides are batch-sized.
+    *
+    * The append itself is parquet-append of cell-partitioned files —
+    * data-first, no manifest to publish: a crash mid-write leaves whole
+    * well-formed part-files of ALREADY-SCREENED rows, which the replay
+    * then skips (their ids are now present), so convergence needs no
+    * recovery step. NOT safe for two concurrent writers racing the SAME
+    * ids (both screens can pass before either writes) — one ingest
+    * stream owns an index, the [[graft.streaming.StreamOps
+    * .ingestDedupStream]] single-writer contract.
+    *
+    * @return the number of genuinely new rows appended (0 for a full
+    *         replay — the cheap signal a restarted loop logs). */
+  def appendBatchIdempotent(
+      batch: DataFrame, idCol: String, vecCol: String): Long = {
+    val b = batch.localCheckpoint(true)
+    val batchIds = b.select(col(idCol).cast("long").as("id")).distinct()
+    val stored = cells.select(col("id"))
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+    val fresh = b
+      .join(stored.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0) appendBatch(fresh, idCol, vecCol)
+    b.unpersist(blocking = false)
+    fresh.unpersist(blocking = false)
+    n
+  }
+
   /** Delete vectors by id — the retention path, CELL-pruned copy-on-
     * write (the ANN mirror of [[PairStore.delete]]'s file pruning): one
     * columnar `(id, cell)` projection scan locates the cells holding

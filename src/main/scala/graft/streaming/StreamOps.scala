@@ -857,6 +857,57 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ANN-index ingest — the micro-batch twin of
+    * [[graft.functions.IvfIndex.appendBatch]], completing the store tier's
+    * streaming story (the dedup stores have [[ingestDedupStream]]; the
+    * vector index had batch-only growth): each micro-batch is assigned
+    * and encoded under the index's FROZEN quantizer and appended to the
+    * cell-partitioned layout via [[graft.functions.IvfIndex
+    * .appendBatchIdempotent]], so N micro-batches converge to exactly
+    * one big [[graft.functions.IvfIndex.appendBatch]] of their union —
+    * INCLUDING a crashed-and-replayed micro-batch, which screens out as
+    * already indexed (the store-tier crash contract: data lands first,
+    * replays converge, nothing double-counts). `onIndexed` receives the
+    * genuinely-new rows BEFORE they append ([[ingestDedupStream]]'s
+    * accepted-docs-only convention — a replayed batch delivers nothing
+    * downstream). Single-writer: one ingest stream owns an index (the
+    * foreachBatch body runs serially across micro-batches).
+    *
+    * The quantizer staying frozen is the drift trade the
+    * `ann_ivf_appended_recall` / `ann_ivf_streamed_recall` gates watch:
+    * when shifted-query recall decays, rebuild to a fresh path — the
+    * stream never retrains mid-flight.
+    *
+    * @param onIndexed called once per micro-batch with the new rows
+    *                  before their append (empty for full replays). */
+  def ingestIvfStream(
+      batches: DataFrame,
+      index: graft.functions.IvfIndex,
+      idCol: String,
+      vecCol: String)(
+      onIndexed: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val batchIds = b.select(col(idCol).cast("long").as("id")).distinct()
+        val stored = index.cells.select(col("id"))
+          .join(broadcast(batchIds), Seq("id"), "left_semi")
+        val fresh = b.join(stored.withColumnRenamed("id", idCol),
+            Seq(idCol), "left_anti").persist()
+        try {
+          onIndexed(fresh)
+          // fresh is already screened — append directly (re-screening
+          // inside appendBatchIdempotent would just rescan the id column)
+          if (!fresh.isEmpty) index.appendBatch(fresh, idCol, vecCol)
+        } finally {
+          fresh.unpersist()
+          b.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
   /** Tumbling-window event aggregation: counts + exact decimal sums per
     * (window, event_type). Runs identically in batch mode. */
   def windowedEventCounts(

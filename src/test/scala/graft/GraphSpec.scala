@@ -131,10 +131,12 @@ class GraphSpec extends SparkSpec {
   }
 
   test("pageRankDirected: matches the sequential directed reference") {
-    val edges = for {
+    val core = for {
       i <- 1L to 25L; j <- 1L to 25L
-      if i != j && (i * 5 + j * 17) % 13 == 0 // sparse, has sinks
+      if i != j && (i * 5 + j * 17) % 13 == 0 // sparse deterministic core
     } yield (i, j)
+    // explicit sink tails: 101..105 never appear as a source
+    val edges = core ++ (1L to 5L).map(i => (i * 3, 100L + i))
     val sinks = (edges.map(_._2).toSet -- edges.map(_._1).toSet)
     assert(sinks.nonEmpty, "fixture must contain dangling nodes")
     assert(runDirected(edges, iters = 5) === refRanksDirected(edges, iters = 5))

@@ -141,6 +141,10 @@ class PlanAuditSpec extends SparkSpec {
       // exchanges/iter than the undirected 2) on top of the same pair
       // pipeline — 5 iterations × ~5 + pair generation.
       else if (name == "graph_pagerank_directed") 56
+      // calibration-gated weighting embeds the whole NB scoring pipeline
+      // PLUS the bins-sized calibration fold and its one-row gap
+      // broadcast — two pipelines in one key by contract, measured 8.
+      else if (name == "quality_weighted_mixture") 10
       // entity_resolve = fuzzy pair generation + a pointer-jumping
       // closure (3 bounded shuffles × O(log diameter) rounds, all nested
       // in the final plan's persisted-lineage text).

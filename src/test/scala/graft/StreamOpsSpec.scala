@@ -917,7 +917,51 @@ class StreamOpsSpec extends SparkSpec {
       assert(w(1L) > w(2L), "alpha-vocab doc must outrank beta-vocab doc")
     } finally q.stop()
   }
+
+  test("ingestIvfStream: N micro-batch appends (incl. a replay) equal one " +
+      "batch appendBatch") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def vec(id: Long): Seq[Double] =
+      (0 until 8).map(j => ((id * 7 + j * 13) % 10).toDouble)
+    val base = (1L to 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val newRows = (41L to 52L).map(i => Vec(i, vec(i + 100)))
+
+    val dirS = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val idxS = graft.functions.IvfIndex.build(
+      base, "vec_id", "embedding", nCells = 4, s"$dirS/idx", m = 4)
+    val mem = MemoryStream[Vec]
+    val indexedIds = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = StreamOps.ingestIvfStream(mem.toDF(), idxS, "vec_id", "embedding") {
+      fresh => indexedIds += fresh.select("vec_id").as[Long].collect().toSet
+    }
+    try {
+      val b1 = newRows.take(4); val b2 = newRows.slice(4, 8); val b3 = newRows.drop(8)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // a crashed-and-replayed delivery: the SAME rows as b2 arrive again
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // onIndexed saw each row exactly once; the replay delivered nothing
+    assert(indexedIds.map(_.size).toSeq == Seq(4, 4, 4, 0),
+      s"per-batch indexed ids: $indexedIds")
+    assert(indexedIds.flatten.toSet == (41L to 52L).toSet)
+
+    // reference: one big batch append on an identically-built index
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    val idxB = graft.functions.IvfIndex.build(
+      base, "vec_id", "embedding", nCells = 4, s"$dirB/idx", m = 4)
+    idxB.appendBatch(
+      newRows.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    def state(i: graft.functions.IvfIndex): Set[(Long, Int, Seq[Int])] =
+      i.cells.select(col("id"), col("cell"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(state(idxS) == state(idxB),
+      "streamed index layout must equal the one-shot batch append")
+  }
 }
+
+final case class Vec(vec_id: Long, embedding: Seq[Double])
 
 final case class CadEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
