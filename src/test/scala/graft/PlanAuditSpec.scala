@@ -106,6 +106,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unbounded-following frames in: $offenders")
   }
 
+  test("every recompute-priced dedup key has a store-served twin registered") {
+    // The iterative-closure dedup keys exist to pin the recompute oracle
+    // under the cold-cache bench rule — in production the build-once
+    // artifact serves (COVERAGE.md "Which key do I call in production").
+    // This tripwire keeps that contract honest: a new closure-priced
+    // dedup key may not land without its cheap serving twin. graph_* and
+    // winnow_clusters are analytics keys, not pipeline artifacts — the
+    // closure IS their deliverable, so they carry no store twin.
+    val recomputePriced = Set("dedup_clusters", "dedup_collapse",
+      "dedup_keep_best", "split_leakage_safe", "entity_resolve")
+    val names = Queries.all.map(_.name).toSet
+    assert(recomputePriced.subsetOf(names),
+      s"audit list drifted from the registry: ${recomputePriced.diff(names)}")
+    val missing = recomputePriced.filterNot(k => names.contains(s"${k}_store"))
+    assert(missing.isEmpty,
+      s"recompute-priced dedup keys without a _store twin: $missing")
+    // and the twin relation can't dangle the other way: every _store key
+    // must still have its recompute-oracle base registered.
+    // dedup_pairs_store's recompute base is dedup_ngram (same rows, same
+    // oracle SQL — the pair table just predates the _store suffix rule).
+    val baseOf = Map("dedup_pairs_store" -> "dedup_ngram")
+      .withDefault(_.stripSuffix("_store"))
+    val orphans = names.filter(_.endsWith("_store"))
+      .filterNot(k => names.contains(baseOf(k)))
+    assert(orphans.isEmpty, s"_store keys whose base key vanished: $orphans")
+  }
+
   test("no query shuffles more than 6 times") {
     // count DISTINCT exchange plan ids: persisted subtrees repeat their
     // plan text under every InMemoryRelation occurrence, but share ids.
