@@ -66,8 +66,17 @@ object NearDup {
     * (measured: 6s of a 10s query at sf0.1). */
   def shinglesOf(toks: Column, w: Int = 3): Column = {
     require(w >= 1, "shingle width must be >= 1")
+    // TOTAL on short inputs: sequence(0, size-w) with size < w yields a
+    // DESCENDING [0, -1, …] (Spark's sequence steps -1 when start > stop)
+    // whose transform indexes past the array — an ANSI runtime error. The
+    // guard must live HERE, not in callers' size(toks) >= w filters: the
+    // optimizer can evaluate a projection on a row its sibling filter
+    // later drops (observed with a repartitioned input), so the
+    // expression itself has to be safe on every row it might see.
+    val starts = when(size(toks) >= w, sequence(lit(0), size(toks) - w))
+      .otherwise(array().cast("array<int>"))
     array_distinct(
-      transform(sequence(lit(0), size(toks) - w),
+      transform(starts,
         i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + 1 + j)): _*)))
   }
 
@@ -103,9 +112,10 @@ object NearDup {
     * whole prefix derivation ROW-LOCAL (sort the per-doc hash array, slice
     * the prefix — zero shuffles before the candidate join); verification
     * counts intersections only for candidate pairs. All equality joins, no
-    * cross product. Known upgrade for zipfian corpora: rarest-first
-    * ordering (global doc-frequency rank) prunes harder but costs an extra
-    * aggregate + shuffle for the frequency table.
+    * cross product. For zipfian corpora the rarest-first ordering
+    * ([[ngramJaccardPairsRareFirst]]) prunes harder;
+    * [[ngramJaccardPairsAuto]] picks between the two from a cheap
+    * document-frequency skew probe.
     */
   /** (doc_id, sorted distinct shingle-hash array, n_shingles) — the shared
     * payload for prefix filtering, minhash signatures, and exact verify. */
@@ -197,12 +207,51 @@ object NearDup {
   private val pairsCache =
     new graft.PlanCache[DataFrame](capacity = 16, onEvict = graft.PlanCache.unpersist)
 
-  /** [[ngramJaccardPairs]] through the per-JVM cache — use when several
-    * queries consume one pair set. Identical output, computed once. */
+  /** [[ngramJaccardPairsAuto]] through the per-JVM cache — use when
+    * several queries consume one pair set. Identical output, computed
+    * once; the skew probe runs only on a cache miss (a served pair set
+    * costs no corpus pass at all). */
   def ngramJaccardPairsShared(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame =
     pairsCache.getOrCompute(graft.PlanCache.keyOf(docs, threshold, w),
-      ngramJaccardPairs(docs, threshold, w)
+      ngramJaccardPairsAuto(docs, threshold, w)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Share of all (doc, shingle) occurrences held by the single
+    * most-frequent shingle hash — the skew statistic
+    * [[ngramJaccardPairsAuto]] selects on. One exploded-count aggregate
+    * folded to ONE driver row (8 bytes of state per distinct shingle on
+    * the executors, two bounded shuffles, nothing collected but the
+    * max/total pair) — the cheap probe a 100 TB operator can afford
+    * before committing to a pair-generation ordering. */
+  def topShingleDfShare(docs: DataFrame, w: Int = 3): Double = {
+    val ex = shingleHashArrays(docs, w).select(explode(col("arr")).as("h"))
+    val row = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("mx"), sum(col("df")).as("tot")).head()
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
+    else row.getLong(0).toDouble / row.getLong(1)
+  }
+
+  /** Exact n-gram Jaccard pairs with the prefix ORDERING chosen by a
+    * document-frequency skew probe: zipfian corpora (mirrors, templates,
+    * boilerplate — a handful of stop-shingles held by a large doc share)
+    * get the rarest-first order ([[ngramJaccardPairsRareFirst]]), whose
+    * Σ df_prefix² candidate bound is what survives the skew; uniform
+    * corpora keep the hash order ([[ngramJaccardPairs]]), which skips
+    * the df aggregate and the per-doc re-sort entirely. Both paths are
+    * EXACT — the choice moves candidate-join cost, never the output —
+    * so callers (and the oracle) see identical rows either way.
+    *
+    * `skewShare` is the top-shingle occurrence share above which the
+    * probe declares skew. 0.02 separates the regimes by orders of
+    * magnitude: a healthy shingled corpus tops out near 1/|distinct
+    * shingles| (~1e-5 even at sf0.01), while template skew puts whole
+    * percents of all occurrences on one shingle. */
+  def ngramJaccardPairsAuto(
+      docs: DataFrame, threshold: Double, w: Int = 3,
+      skewShare: Double = 0.02): DataFrame =
+    if (topShingleDfShare(docs, w) >= skewShare)
+      ngramJaccardPairsRareFirst(docs, threshold, w)
+    else ngramJaccardPairs(docs, threshold, w)
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
     // (doc_id, sorted distinct shingle-hash array, n) — persisted: feeds

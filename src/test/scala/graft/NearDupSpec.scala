@@ -67,6 +67,33 @@ class NearDupSpec extends SparkSpec {
       rows(NearDup.ngramJaccardPairsNaive(docs, 0.5)))
   }
 
+  test("skew probe: zipfian fixture selects rarest-first, uniform keeps hash order") {
+    // Zipfian: every doc shares one 3-token boilerplate template (the
+    // "stop-shingle" regime rarest-first exists for), plus a unique tail.
+    val zipf = (0L until 40L).map { i =>
+      (i, s"shared template header w$i x$i y$i z$i q$i r$i")
+    }.toDF("doc_id", "text")
+    // Uniform: fully disjoint vocabularies — every shingle df = 1.
+    val uni = (0L until 40L).map { i =>
+      (i, s"a$i b$i c$i d$i e$i f$i g$i h$i")
+    }.toDF("doc_id", "text")
+    val zs = NearDup.topShingleDfShare(zipf)
+    val us = NearDup.topShingleDfShare(uni)
+    assert(zs >= 0.02, s"zipfian fixture must probe as skewed, got $zs")
+    assert(us < 0.02, s"uniform fixture must probe as uniform, got $us")
+    // the real corpus is healthy — auto must not pay the df aggregate there
+    assert(NearDup.topShingleDfShare(Tables.documents(spark, sf0001)) < 0.02,
+      "sf0.001 documents must select the hash-ordered path")
+    // and whichever path auto picks, the rows are the exact pair set
+    assert(rows(NearDup.ngramJaccardPairsAuto(zipf, 0.5)) ==
+      rows(NearDup.ngramJaccardPairsNaive(zipf, 0.5)))
+    assert(rows(NearDup.ngramJaccardPairsAuto(uni, 0.5)) ==
+      rows(NearDup.ngramJaccardPairsNaive(uni, 0.5)))
+    // empty/degenerate corpora probe as uniform, not divide-by-zero
+    assert(NearDup.topShingleDfShare(
+      Seq((1L, "a b")).toDF("doc_id", "text")) == 0.0)
+  }
+
   test("cross-corpus jaccard equals the self-join restricted to left×right") {
     val d = Tables.documents(spark, sf0001)
     val left = d.filter(col("doc_id") >= 250)
