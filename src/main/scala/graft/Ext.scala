@@ -2123,6 +2123,23 @@ object Ext {
       "AS shuffle_pos FROM documents ORDER BY doc_id")
   )
 
+  /** Short-first curriculum schedule ([[graft.functions.Sampling
+    * .curriculumOrder]]): every doc's exact global position in
+    * (token count asc, doc_id) order via the range-shuffle two-pass —
+    * the oracle runs the sequential global-window definition, pinning
+    * the distributed layout to it. */
+  private val curriculumQ = QDef(
+    "curriculum_order",
+    (s, d) => graft.functions.Sampling.curriculumOrder(
+        documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")),
+        difficulty = col("n_tokens"), key = col("doc_id"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+      "row_number() OVER (ORDER BY len(string_split(text, ' ')), doc_id) - 1 " +
+      "AS curriculum_pos FROM documents ORDER BY doc_id")
+  )
+
   /** Per-source token quota ([[graft.functions.Sampling.tokenQuota]]):
     * each source greedily filled to 5000 chars in md5 order. */
   private val quotaQ = QDef(
@@ -2816,6 +2833,37 @@ object Ext {
     (s, d) => graft.functions.LangModel.perplexity(documents(s, d))
       .orderBy(col("doc_id")),
     Some(perplexityCte +
+      "SELECT doc_id, n_bigrams, ppl FROM p ORDER BY doc_id")
+  )
+
+  /** Per-doc perplexity under the self-trained interpolated Kneser-Ney
+    * bigram LM ([[graft.functions.LangModel.perplexityKn]]) — KenLM-grade
+    * smoothing: absolute discount 0.75, discounted mass re-spent on the
+    * add-one-floored continuation distribution. The oracle replays the
+    * identical estimator (self-scored, so every bigram/context is seen
+    * and the oracle needs no back-off branch — the unseen branches are
+    * unit-tested on held-out docs in LangModelSpec). */
+  private val knPerplexity = QDef(
+    "kn_perplexity",
+    (s, d) => graft.functions.LangModel.perplexityKn(documents(s, d))
+      .orderBy(col("doc_id")),
+    Some("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t " +
+      "FROM documents), " +
+      "bg AS (SELECT doc_id, " +
+      "unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1, " +
+      "unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2 " +
+      "FROM tok WHERE len(t) >= 2), " +
+      "c2 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2), " +
+      "ctx AS (SELECT w1, sum(n12) AS n1, count(*) AS nf FROM c2 GROUP BY 1), " +
+      "cont AS (SELECT w2, count(*) AS nc FROM c2 GROUP BY 1), " +
+      "tt AS (SELECT count(*) AS t FROM c2), " +
+      "v AS (SELECT count(DISTINCT w) AS vs FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents)), " +
+      "p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "round(exp(-sum(ln((greatest(n12 - 0.75, 0) " +
+      "+ 0.75 * nf * ((nc + 1.0) / (t + vs))) / n1)) / count(*)), 6) AS ppl " +
+      "FROM bg JOIN c2 USING (w1, w2) JOIN ctx USING (w1) " +
+      "JOIN cont USING (w2) CROSS JOIN tt CROSS JOIN v GROUP BY doc_id) " +
       "SELECT doc_id, n_bigrams, ppl FROM p ORDER BY doc_id")
   )
 
@@ -4198,7 +4246,7 @@ object Ext {
     dedupCrossSource, syndicationQ, dedupThresholdSweepQ, datacardQ,
     dedupClusters,
     dedupCollapse, dedupKeepBest, pageRankQ, pageRankDirectedQ,
-    mixtureQ, shuffleQ, quotaQ, embedCentroid,
+    mixtureQ, shuffleQ, curriculumQ, quotaQ, embedCentroid,
     embedOutliersQ, embedKmeans,
     decontaminate, corpusClean,
     dedupIncremental, dedupIncrementalStore, dedupIncrementalDeleted,
@@ -4208,7 +4256,8 @@ object Ext {
     dedupStoreDelete,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, ngramPerplexity, perplexityTiersQ, domainReweightQ,
+    tfidfTop, unigramQ, ngramPerplexity, knPerplexity, perplexityTiersQ,
+    domainReweightQ,
     mixtureEpochsQ, splitLeakageSafeQ, splitLeakageSafeStoreQ,
     ngramTopRepeatedQ, cleanFunnelQ,
     vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,

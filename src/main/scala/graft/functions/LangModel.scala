@@ -110,6 +110,91 @@ object LangModel {
       scoreBigrams(bg, BigramLm(c2, c1, vocab)), bg)
   }
 
+  /** A trained interpolated Kneser-Ney bigram LM — the KenLM-grade
+    * smoothing CCNet actually ships (Wenzek et al. 2019 use a KenLM
+    * 5-gram; Kneser–Ney is its estimator), upgrading [[BigramLm]]'s
+    * add-one: absolute discounting on seen bigrams, with the discounted
+    * mass re-spent on the CONTINUATION distribution (how many distinct
+    * contexts a word follows — "Francisco" is frequent but only ever
+    * follows "San", so its continuation probability is tiny and novel
+    * contexts stop predicting it). All tables are vocabulary-bounded:
+    * `counts` (w1, w2, _n12), `contexts` (w1, _n1 total, _nf distinct
+    * continuations), `cont` (w2, _nc distinct left-contexts), plus two
+    * scalars (distinct bigram types, vocabulary size).
+    *
+    * `counts` is persisted at train time (three folds and every scoring
+    * batch read it); release with [[KnLm.unpersist]] when the model
+    * retires. */
+  final case class KnLm(counts: DataFrame, contexts: DataFrame,
+      cont: DataFrame, bigramTypes: Long, vocab: Long, discount: Double) {
+    def unpersist(): Unit = { counts.unpersist(blocking = false); () }
+  }
+
+  /** Train the interpolated Kneser-Ney bigram LM on `ref`: ONE
+    * bigram-keyed corpus aggregate (persisted), two vocab-keyed folds of
+    * it, and two driver scalars. `discount` is the absolute discount D
+    * (0.75 — the Ney/Essen/Kneser standard); fixed rather than estimated
+    * from count-of-counts so both engines derive the identical model. */
+  def trainKn(ref: DataFrame, discount: Double = 0.75): KnLm = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0, 1), got $discount")
+    val c2 = docBigrams(ref)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n12"))
+      .persist()
+    val ctx = c2.groupBy(col("w1"))
+      .agg(sum(col("_n12")).as("_n1"), count(lit(1)).as("_nf"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("_nc"))
+    val types = c2.count()
+    val vocab = ref.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    KnLm(c2, ctx, cont, types, vocab, discount)
+  }
+
+  /** Score pre-exploded bigrams under a frozen KN model. Seen context:
+    * `P(w2|w1) = (max(c12-D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)`; unseen
+    * context backs off fully to the continuation distribution. `Pcont`
+    * is add-one smoothed over bigram types —
+    * `(N1+(·w2) + 1) / (types + V)` — so words never seen as a
+    * continuation (or at all) still carry mass and the frozen model is
+    * total over any scoring batch, the [[scoreBigrams]] contract. */
+  private def scoreBigramsKn(bg: DataFrame, lm: KnLm): DataFrame = {
+    val pcont = (coalesce(col("_nc"), lit(0L)) + lit(1)).cast("double") /
+      lit(lm.bigramTypes + lm.vocab).cast("double")
+    val seen = (greatest(coalesce(col("_n12"), lit(0L)).cast("double") -
+        lit(lm.discount), lit(0.0)) +
+      lit(lm.discount) * col("_nf") * pcont) / col("_n1").cast("double")
+    bg
+      .join(lm.counts, Seq("w1", "w2"), "left")
+      .join(NearDup.broadcastIfSmall(lm.contexts, sizeProxy = Some(lm.contexts)),
+        Seq("w1"), "left")
+      .join(NearDup.broadcastIfSmall(lm.cont, sizeProxy = Some(lm.cont)),
+        Seq("w2"), "left")
+      .select(col("doc_id"),
+        when(col("_n1").isNotNull, log(seen)).otherwise(log(pcont)).as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("_lp")) / count(lit(1))), 6).as("ppl"))
+  }
+
+  /** Per-document perplexity under a pre-trained (frozen) KN model —
+    * the production path: train on the reference corpus once, score
+    * every batch (or micro-batch: [[graft.streaming.StreamOps
+    * .knPerplexityStream]]) against it. */
+  def scoreWithKn(lm: KnLm, docs: DataFrame): DataFrame =
+    scoreBigramsKn(docBigrams(docs), lm)
+
+  /** Self-scored interpolated Kneser-Ney perplexity of the corpus —
+    * [[perplexity]]'s smoothing upgrade, same output shape
+    * (doc_id, n_bigrams, ppl). Unlike add-one, KN separates "frequent
+    * because versatile" from "frequent because one template repeats a
+    * phrase": boilerplate bigrams are discounted toward their
+    * continuation mass, sharpening the head/tail contrast the tier cut
+    * consumes. */
+  def perplexityKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val lm = trainKn(docs, discount)
+    graft.AutoUnpersist.afterFirstUse(scoreWithKn(lm, docs), lm.counts)
+  }
+
   /** CCNet head/middle/tail tiers: split the scored corpus at the exact
     * discrete terciles of the (rounded) perplexity distribution —
     * `head` = ppl ≤ q(1/3), `tail` = ppl > q(2/3), `middle` between.

@@ -228,6 +228,57 @@ object Sampling {
       .drop("_h", "_hbucket")
   }
 
+  /** Curriculum ordering — the easy-to-hard training permutation: every
+    * row's EXACT global position (`0..n-1`) in (`difficulty` asc, `key`)
+    * order, the schedule curriculum-learning consumes (Bengio et al.
+    * 2009) with any difficulty signal: token count (short-first),
+    * perplexity ([[LangModel.perplexityKn]] — predictable-first), or a
+    * quality score. Deterministic: position is a pure function of the
+    * data, so shards cut from it are reproducible across engines and
+    * runs ([[shuffleOrder]]'s contract with a MEANINGFUL order instead
+    * of a hash).
+    *
+    * The sequential definition is a global row_number window — one task
+    * sees every row. This runs the range-shuffle two-pass instead
+    * (the [[graft.functions.Normalize.rankTransform]] shape): rows
+    * range-partition on (difficulty, key) so partitions tile the global
+    * order, per-partition counts fold to driver prefix offsets (one
+    * long per partition), and position = offset + in-partition
+    * row_number − 1. `key` must be unique per row (the total-order
+    * tiebreak) and `difficulty` non-null (a null sorts differently
+    * across engines — gate or fill first). */
+  def curriculumOrder(df: DataFrame, difficulty: Column, key: Column,
+      posCol: String = "curriculum_pos"): DataFrame = {
+    val reserved = Seq(posCol, "_diff", "_ckey", "_pid")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"curriculumOrder reserves ${reserved.mkString("/")}; input has ${clash.mkString(", ")}")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.withColumn("_diff", difficulty).withColumn("_ckey", key)
+      .repartitionByRange(parts, col("_diff"), col("_ckey"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // pass 1: per-partition row counts → driver prefix offsets (≤ one
+    // long per shuffle partition — bounded metadata)
+    val totals = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.zip(totals.scanLeft(0L)(_ + _._2))
+      .map { case ((pid, _), off) => pid -> off }
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("_pid"))
+    // pass 2: in-partition row_number over the tiled order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_diff"), col("_ckey"))
+    graft.AutoUnpersist.afterFirstUse(
+      ranged.withColumn(posCol, row_number().over(w) - 1 + offCol)
+        .drop("_diff", "_ckey", "_pid"),
+      ranged)
+  }
+
   /** Per-stratum token quota — "cap every source at `budget` tokens":
     * walk each stratum in md5(key) order and keep rows while the running
     * token total stays within budget (greedy deterministic fill). One

@@ -204,6 +204,21 @@ object StreamOps {
     graft.functions.LangModel.scoreWith(lm, docs)
   }
 
+  /** [[perplexityStream]] under the interpolated Kneser-Ney model
+    * ([[graft.functions.LangModel.trainKn]]) — the same frozen-artifact
+    * contract with KenLM-grade smoothing: unseen contexts back off to
+    * the continuation distribution (itself total via its add-one floor),
+    * so drifted micro-batches score high, never error. `trainKn` already
+    * persists the bigram table; the two folds persist here for the
+    * query's lifetime. */
+  def knPerplexityStream(docs: DataFrame, ref: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val lm = graft.functions.LangModel.trainKn(ref, discount)
+    lm.contexts.persist()
+    lm.cont.persist()
+    graft.functions.LangModel.scoreWithKn(lm, docs)
+  }
+
   /** Streaming face of the NB quality gate ([[graft.functions
     * .QualityClassifier]]): every arriving document scores its quality
     * log-odds under a model trained ONCE on the static reference corpus

@@ -35,6 +35,71 @@ class LangModelSpec extends SparkSpec {
     assert(LangModel.perplexity(docs.repartition(7)).collect().toSet == base)
   }
 
+  test("perplexityKn matches the hand-computed interpolated KN values") {
+    // c2: (a,b)=3, (b,a)=1; ctx: a=(3 tot, 1 distinct), b=(1, 1);
+    // cont: a=1, b=1; types T=2; V=3; D=0.75
+    // Pcont(a)=Pcont(b)=(1+1)/(2+3)=0.4
+    // P(b|a)=(max(3-.75,0)+.75*1*.4)/3=0.85; P(a|b)=(.25+.3)/1=0.55
+    val got = LangModel.perplexityKn(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pAB, pBA) = (math.log(0.85), math.log(0.55))
+    assert(got(1L) == ((3L, r6(math.exp(-(2 * pAB + pBA) / 3)))))
+    assert(got(2L) == ((1L, r6(math.exp(-pAB)))))
+    assert(!got.contains(3L))
+  }
+
+  test("frozen KN model: unseen bigram, context, and word all score mass") {
+    val lm = LangModel.trainKn(docs)
+    val held = Seq(
+      (10L, "a z"), // seen context a, unseen continuation z
+      (11L, "z a"), // unseen context z -> pure continuation back-off
+      (12L, "q z") // nothing seen anywhere
+    ).toDF("doc_id", "text")
+    val got = LangModel.scoreWithKn(lm, held)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Pcont(z)=Pcont(q)=(0+1)/(2+3)=0.2; Pcont(a)=0.4
+    assert(got(10L) == r6(1.0 / ((0.75 * 1 * 0.2) / 3))) // (0 + D*nf*Pcont)/n1
+    assert(got(11L) == r6(1.0 / 0.4))
+    assert(got(12L) == r6(1.0 / 0.2))
+    lm.unpersist()
+  }
+
+  test("KN conditionals sum to exactly 1 over the vocabulary, per context") {
+    // Proper-distribution identity of the estimator: Σ_{w2∈V} Pcont'(w2)
+    // = (T + V)/(T + V) = 1, so for a seen context the discounted mass
+    // D·nf exactly funds the continuation spend —
+    // Σ P(w2|w1) = [(n1 - D·nf) + D·nf·1]/n1 = 1 — and an unseen
+    // context's pure back-off sums to 1 trivially. A smoothing bug
+    // (wrong floor, wrong normalizer) breaks this equality.
+    val lm = LangModel.trainKn(docs)
+    val c2 = lm.counts.as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ctx = lm.contexts.as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val cont = lm.cont.as[(String, Long)].collect().toMap
+    val tv = (lm.bigramTypes + lm.vocab).toDouble
+    val vocabWords = Seq("a", "b", "x")
+    def pcont(w2: String) = (cont.getOrElse(w2, 0L) + 1).toDouble / tv
+    assert(math.abs(vocabWords.map(pcont).sum - 1.0) < 1e-12)
+    for ((w1, (n1, nf)) <- ctx) {
+      val total = vocabWords.map { w2 =>
+        (math.max(c2.getOrElse((w1, w2), 0L) - 0.75, 0.0) +
+          0.75 * nf * pcont(w2)) / n1
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $w1 mass $total != 1")
+    }
+    lm.unpersist()
+  }
+
+  test("perplexityKn is invariant to input partitioning") {
+    val base = LangModel.perplexityKn(docs).collect().toSet
+    assert(LangModel.perplexityKn(docs.repartition(7)).collect().toSet == base)
+  }
+
   test("tiers are a value-ordered partition of the scored corpus") {
     // 30 docs over a shared vocab with varying repetitiveness
     val many = (1L to 30L).map { i =>

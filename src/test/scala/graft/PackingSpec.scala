@@ -156,6 +156,29 @@ class PackingSpec extends SparkSpec {
       Sampling.shuffleOrder(df.withColumn("shuffle_pos", lit(1)), col("id")))
   }
 
+  test("curriculumOrder is the exact (difficulty, key) permutation, " +
+      "range-distributed") {
+    // non-uniform difficulty with heavy ties: difficulty = id % 7
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("id", "diff")
+    val got = Sampling.curriculumOrder(df, col("diff"), col("id"))
+      .select("id", "curriculum_pos").as[(Long, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq == (0L until 500L))
+    val expected = got.map(_._1).sortBy(id => (id % 7, id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    got.foreach { case (id, pos) => assert(pos == expected(id), s"id=$id") }
+    // partitioning-invariant (the range shuffle re-tiles any layout)
+    val re = Sampling.curriculumOrder(df.repartition(13), col("diff"), col("id"))
+      .select("id", "curriculum_pos").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, pos) => assert(re(id) == pos) }
+    // all-equal difficulty degrades to pure key order
+    val flat = Sampling.curriculumOrder(df, lit(0), col("id"))
+      .select("id", "curriculum_pos").as[(Long, Long)].collect()
+    flat.foreach { case (id, pos) => assert(pos == id - 1) }
+    intercept[IllegalArgumentException](
+      Sampling.curriculumOrder(df.withColumn("_pid", lit(1)), col("diff"), col("id")))
+    assert(Sampling.curriculumOrder(df.limit(0), col("diff"), col("id")).count() == 0)
+  }
+
   test("tokenQuota greedily fills each stratum to the budget in md5 order") {
     val df = (1 to 60).map(i => (i.toLong, s"s${i % 3}", 10L)).toDF("id", "g", "tok")
     // 20 rows x 10 tokens per stratum; budget 95 keeps exactly 9 per stratum

@@ -180,6 +180,10 @@ class PlanAuditSpec extends SparkSpec {
       // stats + two-stage top-k (bm25), or per-group shingle sets +
       // pairwise enumeration + sizes joined back (source overlap).
       else if (name == "retrieval_bm25" || name == "source_overlap") 8
+      // Kneser-Ney adds the continuation fold to the add-one LM's
+      // bigram agg + context fold + scoring join + per-doc reduction —
+      // one more vocab-bounded exchange by estimator design, measured 7.
+      else if (name == "kn_perplexity") 8
       else if (name == "source_overlap_sketch") 10
       // threshold sweep = the shared pair pipeline + the 7-way explode's
       // TWO aggregates (pairs, distinct docs) + the threshold join —

@@ -331,6 +331,22 @@ class ScalingSpec extends SparkSpec {
     assertNearLinear("nbQualityScore", one, eight)
   }
 
+  test("KN scoring: linear rows, near-linear shuffle bytes at 8x") {
+    // per-copy token renaming keeps the vocab (and so the KN tables)
+    // growing with the corpus — the worst case for the vocab-bounded
+    // claim; shuffle bytes must still track the input near-linearly
+    import graft.functions.LangModel
+    // lm.counts persists until the suite's afterAll cache clear — an
+    // early unpersist here would void the persist before measure's count
+    def pipe(d: DataFrame): DataFrame =
+      LangModel.scoreWithKn(LangModel.trainKn(d), d)
+    val one = measure(1)(pipe)
+    val eight = measure(8)(pipe)
+    assert(eight._2 == 8 * one._2,
+      s"scored rows must scale exactly linearly: ${one._2} -> ${eight._2}")
+    assertNearLinear("knScoring", one, eight)
+  }
+
   test("DSIR weights: linear rows, near-linear shuffle bytes at 8x; model stays bucket-bounded") {
     import graft.functions.Dsir
     def pipe(d: DataFrame): DataFrame =

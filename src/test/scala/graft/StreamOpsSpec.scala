@@ -830,6 +830,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knPerplexityStream: micro-batch union == batch scoreWithKn, " +
+      "drift backs off to continuation mass") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, "a b a b c"), (101L, "a b c a")).toDF("doc_id", "text")
+    val b1 = Seq(Doc(1L, "a b a", ts(1)), Doc(2L, "c a b", ts(2)))
+    val b2 = Seq(Doc(3L, "x y z", ts(3)), Doc(4L, "a", ts(4)))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.knPerplexityStream(
+        mem.toDF().select(col("doc_id"), col("text")), ref)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kn_ppl_out").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("kn_ppl_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val lm = graft.functions.LangModel.trainKn(ref)
+      val batch = graft.functions.LangModel.scoreWithKn(lm,
+          (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+        .as[(Long, Long, Double)].collect().toSet
+      lm.unpersist()
+      // ref types: (a,b) (b,a) (b,c) (c,a) -> T=4, V=3 — all-unseen
+      // bigrams back off to Pcont' = (0+1)/(4+3) = 1/7, so drift scores 7
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.find(_._1 == 3L).get._3 == 7.0,
+        "all-unseen drift must score the continuation-floor ceiling")
+      assert(!got.exists(_._1 == 4L), "a one-token doc carries no LM evidence")
+    } finally q.stop()
+  }
+
   test("decontaminateStream: micro-batch union == batch Contamination.report") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
