@@ -2867,6 +2867,38 @@ object Ext {
       "SELECT doc_id, n_bigrams, ppl FROM p ORDER BY doc_id")
   )
 
+  /** Published-model paths: one KN artifact per corpus plan, built once
+    * per JVM via [[graft.functions.ModelStore.saveKn]] (build metered as
+    * `kn_model_publish`). */
+  private val knModelDirs =
+    new graft.PlanCache[String](capacity = 4, durable = true,
+      onEvict = p => graft.TempDirs.delete(p))
+
+  /** `kn_perplexity` scored under a PUBLISHED model — train, save to a
+    * model dir ([[graft.functions.ModelStore]]), LOAD, score: the
+    * cross-job production topology. Same oracle as the in-JVM key, so a
+    * hash-match here pins the whole save/load round-trip (schemas,
+    * scalar precision, manifest) cross-engine. */
+  private val knPerplexityServed = QDef(
+    "kn_perplexity_served",
+    (s, d) => {
+      val docs = documents(s, d)
+      val dir = knModelDirs.getOrCompute(
+        graft.PlanCache.keyOf(docs, "kn-model"),
+        graft.BuildTimer.timed("kn_model_publish") {
+          val tmp = graft.TempDirs.create("graft_kn_model")
+          val lm = graft.functions.LangModel.trainKn(docs)
+          graft.functions.ModelStore.saveKn(lm, s"$tmp/m")
+          lm.unpersist()
+          s"$tmp/m"
+        })
+      graft.functions.LangModel.scoreWithKn(
+        graft.functions.ModelStore.loadKn(s, dir), docs)
+        .orderBy(col("doc_id"))
+    },
+    knPerplexity.oracle
+  )
+
   /** CCNet head/middle/tail corpus tiers at the exact perplexity
     * terciles ([[graft.functions.LangModel.perplexityTiers]]). Both
     * engines derive the cut points independently — Spark via the
@@ -4256,8 +4288,8 @@ object Ext {
     dedupStoreDelete,
     repetitionQ, dedupMinhash,
     dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
-    tfidfTop, unigramQ, ngramPerplexity, knPerplexity, perplexityTiersQ,
-    domainReweightQ,
+    tfidfTop, unigramQ, ngramPerplexity, knPerplexity, knPerplexityServed,
+    perplexityTiersQ, domainReweightQ,
     mixtureEpochsQ, splitLeakageSafeQ, splitLeakageSafeStoreQ,
     ngramTopRepeatedQ, cleanFunnelQ,
     vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,
