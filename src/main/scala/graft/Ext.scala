@@ -371,6 +371,33 @@ object Ext {
       "FROM dirty ORDER BY doc_id")
   )
 
+  /** HTML → text extraction ([[graft.functions.Text.stripHtml]]): each
+    * doc wrapped in a deterministic HTML shell (head/style block, a
+    * script block with tag-confusing `<` and quotes, heading, entities)
+    * and stripped back out. The oracle computes the EXPECTED prose
+    * directly from the construction — strip(wrap(text)) is pinned to a
+    * closed form, the `bpe_roundtrip` pattern — so a hash-match certifies
+    * block removal, tag-to-space, single-decode entity order, and
+    * whitespace collapse all at once. */
+  private val stripHtmlQ = QDef(
+    "strip_html",
+    (s, d) => {
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">p { color: red }</style>" +
+          "</head><body><script>if (1 < 2) { var x = \"a&b\"; }</script>" +
+          "<h1>Title</h1>\n<p>&quot;"),
+        col("text"),
+        lit("&quot; &amp;&nbsp;&#39;end&#39;</p></body></html>"))
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Text.stripHtml(html).as("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, trim(regexp_replace(" +
+      "'Title \"' || text || '\" & ''end''', '\\s+', ' ', 'g')) AS text " +
+      "FROM documents ORDER BY doc_id")
+  )
+
   /** Entity resolution ([[graft.functions.Fuzzy.resolveEntities]]):
     * every customer name labeled with the canonical (minimum) name of its
     * ≤1-edit transitive-closure cluster — fuzzy pairs chained into
@@ -4269,7 +4296,7 @@ object Ext {
     sessionize, sessionStatsQ, sentenceStatsQ, textStats, tokenCount, langIdQ, langIdEvalQ,
     qualityScore, fingerprintQ,
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
-    entityResolveQ, normalizeTextQ, retrievalHybridQ,
+    entityResolveQ, normalizeTextQ, stripHtmlQ, retrievalHybridQ,
     intradocDedupQ, sourceOverlapQ,
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,

@@ -258,6 +258,36 @@ object Text {
         regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
         longNumberPattern, "<NUM>").as("redacted"))
 
+  /** HTML → text extraction — the first pass every web-crawl pipeline
+    * runs before any quality/dedup stage: script and style blocks are
+    * dropped WITH their content (code is not prose), remaining tags
+    * become whitespace (so `<p>a</p><p>b</p>` keeps its word boundary),
+    * the six entities that dominate real HTML unescape (`&amp;` LAST —
+    * the single-decode convention, so `&amp;lt;` yields the literal
+    * `&lt;` rather than double-decoding to `<`), and whitespace
+    * collapses to single spaces, trimmed.
+    *
+    * All codegen'd `regexp_replace`/`replace` — per-row, zero shuffle.
+    * Regexes stay in the engine-portable subset ([[emailPattern]]'s
+    * rule) plus non-greedy `.*?` and inline `(?is)` flags, which Java
+    * regex and RE2 agree on; NO backreferences (RE2 lacks them — script
+    * and style close-tags are spelled out separately). Known limitation,
+    * shared with every regex-based extractor: a literal `>` inside a
+    * quoted attribute value ends the tag early — full DOM parsing is a
+    * codec-tier job ([[Multimodal]]'s mapPartitions pattern), not a
+    * per-row expression. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** URL span (scheme through the last path char) and its capture-group
     * domain form. Same engine-portable regex subset as [[emailPattern]]:
     * literal classes and quantifiers only, hyphen last inside classes. */

@@ -133,4 +133,28 @@ class TextRulesSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(got.forall(r => r._3 == 0L && r._4 == 0.0))
   }
+
+  test("stripHtml: blocks die with content, tags keep boundaries, " +
+      "entities decode once") {
+    def strip(s: String): String = Seq(("x", s)).toDF("k", "h")
+      .select(Text.stripHtml(col("h"))).as[String].head()
+    // script/style content is DROPPED (code is not prose), even with
+    // tag-confusing operators and quotes inside, across lines
+    assert(strip("<p>keep</p><script>\nif (a < b) { s = \"</div>\"; }\n" +
+      "</script><style>p { color: red }\n.c{x:1}</style><p>tail</p>")
+      == "keep tail")
+    // tags become word boundaries, never concatenation
+    assert(strip("<p>a</p><p>b</p>") == "a b")
+    assert(strip("line<br/>break") == "line break")
+    // entity single-decode: &amp;lt; is the LITERAL four chars "&lt;"
+    assert(strip("&quot;q&quot; &amp; &#39;s&#39; a&nbsp;b &lt;tag&gt; &amp;lt;")
+      == "\"q\" & 's' a b <tag> &lt;")
+    // whitespace (incl. newlines/tabs) collapses; ends trim
+    assert(strip("  a\n\n\tb  ") == "a b")
+    assert(strip("<html><body></body></html>") == "")
+    // attributes with slashes/uppercase, case-insensitive block tags
+    assert(strip("<SCRIPT src=\"/x.js\">dead()</SCRIPT>alive") == "alive")
+    // plain prose passes through untouched
+    assert(strip("no markup here") == "no markup here")
+  }
 }
