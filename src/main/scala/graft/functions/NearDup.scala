@@ -241,23 +241,51 @@ object NearDup {
     * EXACT — the choice moves candidate-join cost, never the output —
     * so callers (and the oracle) see identical rows either way.
     *
+    * The probe reads the SAME persisted shingle-hash array table the
+    * chosen pair pipeline then consumes — its marginal cost is one
+    * df aggregate over cached arrays, NOT a second shingle pass (a
+    * first cut re-shingled, which cost every pair-family bench key
+    * 2–4× before the arrays were shared).
+    *
     * `skewShare` is the top-shingle occurrence share above which the
     * probe declares skew. 0.02 separates the regimes by orders of
     * magnitude: a healthy shingled corpus tops out near 1/|distinct
-    * shingles| (~1e-5 even at sf0.01), while template skew puts whole
+    * shingles| (~1e-4 at sf0.01), while template skew puts whole
     * percents of all occurrences on one shingle. */
   def ngramJaccardPairsAuto(
       docs: DataFrame, threshold: Double, w: Int = 3,
-      skewShare: Double = 0.02): DataFrame =
-    if (topShingleDfShare(docs, w) >= skewShare)
-      ngramJaccardPairsRareFirst(docs, threshold, w)
-    else ngramJaccardPairs(docs, threshold, w)
+      skewShare: Double = 0.02): DataFrame = {
+    val arrs = shingleHashArrays(docs, w).persist()
+    // the probe action also materializes `arrs` into the cache, so the
+    // pair pipeline underneath starts from warmed arrays either way
+    val row = arrs.select(explode(col("arr")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("mx"), sum(col("df")).as("tot")).head()
+    val share =
+      if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
+      else row.getLong(0).toDouble / row.getLong(1)
+    val picked =
+      if (share >= skewShare) rareFirstFromArrs(arrs, threshold, Some(docs))
+      else pairsFromArrs(arrs, threshold, Some(docs))
+    graft.AutoUnpersist.afterFirstUse(picked, arrs)
+  }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
     // (doc_id, sorted distinct shingle-hash array, n) — persisted: feeds
     // the prefix branch, the verify branch, and the size lookups; released
     // after the result's first materialization (AutoUnpersist)
     val arrs = shingleHashArrays(docs, w).persist()
+    graft.AutoUnpersist.afterFirstUse(
+      pairsFromArrs(arrs, threshold, sizeProxy = Some(docs)), arrs)
+  }
+
+  /** Hash-ordered prefix-filter pair pipeline over a PRE-PERSISTED
+    * shingle-hash array table — the shared kernel of
+    * [[ngramJaccardPairs]] and [[ngramJaccardPairsAuto]] (which pays
+    * the shingle pass once for probe and pairs together). */
+  private def pairsFromArrs(
+      arrs: DataFrame, threshold: Double,
+      sizeProxy: Option[DataFrame]): DataFrame = {
     val prefixLen = (floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
       .cast("int")
     val prefix = arrs.select(col("doc_id"),
@@ -267,8 +295,7 @@ object NearDup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    graft.AutoUnpersist.afterFirstUse(
-      verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs)), arrs)
+    verifyJaccard(cand, arrs, threshold, sizeProxy)
   }
 
   /** Exact n-gram Jaccard with RAREST-FIRST prefix ordering: the global
@@ -284,6 +311,15 @@ object NearDup {
   def ngramJaccardPairsRareFirst(
       docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
     val arrs = shingleHashArrays(docs, w).persist()
+    graft.AutoUnpersist.afterFirstUse(
+      rareFirstFromArrs(arrs, threshold, sizeProxy = Some(docs)), arrs)
+  }
+
+  /** Rarest-first pair pipeline over a pre-persisted array table — see
+    * [[pairsFromArrs]]. */
+  private def rareFirstFromArrs(
+      arrs: DataFrame, threshold: Double,
+      sizeProxy: Option[DataFrame]): DataFrame = {
     val exploded = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
     val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc shingles sorted rarest-first: struct sort = (df asc, h asc),
@@ -302,8 +338,7 @@ object NearDup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    graft.AutoUnpersist.afterFirstUse(
-      verifyJaccard(cand, arrs, threshold, sizeProxy = Some(docs)), arrs)
+    verifyJaccard(cand, arrs, threshold, sizeProxy)
   }
 
   /** Naive variant (full shingle self-join) — the reference implementation
