@@ -2210,6 +2210,55 @@ object Ext {
         "FROM m WHERE n_shared >= 1 ORDER BY doc_id")
   )
 
+  /** SURGICAL decontamination ([[graft.functions.Contamination
+    * .removeContaminatedSpans]]): training docs re-materialized with
+    * every 5-token span that appears verbatim in the benchmark cut,
+    * instead of dropping whole docs. The bench is the eval slice
+    * (doc_id < 10) plus a PLANTED 12-token verbatim excerpt of train
+    * doc 42 — so the key certifies both the pass-through (untouched
+    * docs hash whole) and a guaranteed surgical cut, deterministically
+    * constructed in both engines. */
+  private val decontaminateSpansQ = QDef(
+    "decontaminate_spans",
+    (s, d) => {
+      val docs = documents(s, d)
+      val train = docs.filter(col("doc_id") >= 10)
+      val bench = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") === 42)
+          .select(lit(9990000L).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 12), " ").as("text")))
+      graft.functions.Contamination.removeContaminatedSpans(train, bench, l = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      "WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10), " +
+        "bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 10 " +
+        "UNION ALL SELECT 9990000, array_to_string(" +
+        "list_slice(string_split(text, ' '), 1, 12), ' ') " +
+        "FROM documents WHERE doc_id = 42), " +
+        "ttok AS (SELECT doc_id, string_split(text, ' ') AS t FROM train), " +
+        "btok AS (SELECT string_split(text, ' ') AS t FROM bench), " +
+        "bg AS (SELECT DISTINCT array_to_string(list_slice(t, pos, pos + 4), ' ') " +
+        "AS gram FROM (SELECT t, unnest(range(1, len(t) - 5 + 2)) AS pos " +
+        "FROM btok WHERE len(t) >= 5)), " +
+        "tg AS (SELECT doc_id, pos, array_to_string(list_slice(t, pos, pos + 4), ' ') " +
+        "AS gram FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5 + 2)) AS pos " +
+        "FROM ttok WHERE len(t) >= 5)), " +
+        "rem AS (SELECT DISTINCT tg.doc_id, pos + u AS p FROM tg " +
+        "JOIN bg USING (gram), unnest(range(0, 5)) v(u)), " +
+        "stream AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, " +
+        "unnest(t) AS w FROM ttok), " +
+        "kept AS (SELECT s.doc_id, s.p, s.w FROM stream s " +
+        "LEFT JOIN rem ON s.doc_id = rem.doc_id AND s.p = rem.p " +
+        "WHERE rem.p IS NULL) " +
+        "SELECT tr.doc_id, CAST(len(string_split(tr.text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(count(k.p) AS INT) AS n_kept, " +
+        "coalesce(string_agg(k.w, ' ' ORDER BY k.p), '') AS clean_text " +
+        "FROM train tr LEFT JOIN kept k USING (doc_id) " +
+        "GROUP BY tr.doc_id, tr.text ORDER BY doc_id")
+  )
+
   /** Gopher-style intra-doc repetition: top 2-gram share per document,
     * computed per-row with ZERO shuffle ([[Text.repetitionScore]] — the
     * relational explode→groupBy form would shuffle the whole gram
@@ -4307,7 +4356,7 @@ object Ext {
     dedupCollapse, dedupKeepBest, pageRankQ, pageRankDirectedQ,
     mixtureQ, shuffleQ, curriculumQ, quotaQ, embedCentroid,
     embedOutliersQ, embedKmeans,
-    decontaminate, corpusClean,
+    decontaminate, decontaminateSpansQ, corpusClean,
     dedupIncremental, dedupIncrementalStore, dedupIncrementalDeleted,
     dedupPairsStore, dedupClustersStore, dedupCollapseStore,
     dedupKeepBestStore, dedupReportStore, entityResolveStore,

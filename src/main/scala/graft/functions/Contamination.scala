@@ -64,4 +64,61 @@ object Contamination {
         (col("n_shared").cast(DoubleType) / col("n_shingles"))
           .as("overlap_frac"))
   }
+
+  /** SURGICAL decontamination — remove the contaminated SPANS, keep the
+    * document: every token position covered by an `l`-token window that
+    * appears verbatim in the benchmark is cut, and the doc re-materializes
+    * without it. The doc-level screen ([[report]] → drop) throws away a
+    * whole document over one quoted benchmark sentence; at training-corpus
+    * scale that's real data loss for popular benchmarks, and the span cut
+    * is what the published decontamination pipelines moved to. Exactness
+    * contract mirrors [[SubstringDedup.dedupSpansRemoved]] (the same
+    * windowed-gram machinery, pointed at an external corpus instead of the
+    * corpus itself): any shared run of ≥ l tokens contains a shared
+    * l-window, so the cut removes every ≥l-token verbatim overlap.
+    *
+    * Output: (doc_id, n_tokens, n_kept, clean_text); docs with no overlap
+    * pass through with `clean_text == text`.
+    *
+    * Scale shape: train-side gram stream is 8 bytes/token (hashes, never
+    * gram text); the bench gram set is eval-suite-sized by contract and
+    * size-gate-broadcast against it (shuffled semi-join fallback if a
+    * corpus is passed as "bench"); position explode + rebuild touch only
+    * contaminated docs' rows past the semi-join. */
+  def removeContaminatedSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      l: Int = 8
+  ): DataFrame = {
+    require(l > 1, s"gram length must exceed 1 token, got $l")
+    def gramsOf(df: DataFrame) = df
+      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") >= l)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(array_join(slice(col("_t"), col("pos"), lit(l)), " ")).as("_h"))
+    val base = train
+      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val benchGrams = NearDup.broadcastIfSmall(
+      gramsOf(bench).select(col("_h")).distinct(), sizeProxy = Some(bench))
+    val cut = gramsOf(train)
+      .join(benchGrams, Seq("_h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + l - 1)).as("_p"))
+      .distinct() // overlapping contaminated windows cover a position once
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("_p"))).as("_cut"))
+    base
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_n").as("n_tokens"),
+        (col("_n") - coalesce(size(col("_cut")), lit(0))).as("n_kept"),
+        array_join(
+          filter(col("_t"), (_, i) =>
+            !array_contains(
+              coalesce(col("_cut"), array().cast("array<int>")), i + 1)),
+          " ").as("clean_text"))
+  }
 }
