@@ -42,6 +42,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(NearDup.ngramJaccardPairs(noDocs, 0.5).count() == 0)
     assert(NearDup.minhashPairs(noDocs).count() == 0)
     assert(NearDup.simhashPairs(noDocs).count() == 0)
+    assert(NearDup.ngramJaccardPairsAuto(noDocs, 0.5).count() == 0)
+    assert(graft.functions.Contamination
+      .removeContaminatedSpans(noDocs, noDocs).count() == 0)
+    // empty bench -> every doc passes through whole
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(graft.functions.Contamination
+      .removeContaminatedSpans(one, noDocs, l = 2)
+      .select("clean_text").as[String].head() == "a b c")
   }
 
   test("blocklist screen on empty corpus / empty blocklist") {
