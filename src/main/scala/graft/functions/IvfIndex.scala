@@ -98,17 +98,28 @@ final class IvfIndex private (
   def appendBatchIdempotent(
       batch: DataFrame, idCol: String, vecCol: String): Long = {
     val b = batch.localCheckpoint(true)
-    val batchIds = b.select(col(idCol).cast("long").as("id")).distinct()
-    val stored = cells.select(col("id"))
-      .join(broadcast(batchIds), Seq("id"), "left_semi")
-    val fresh = b
-      .join(stored.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+    val fresh = screenFresh(b, idCol).localCheckpoint(true)
     val n = fresh.count()
     if (n > 0) appendBatch(fresh, idCol, vecCol)
     b.unpersist(blocking = false)
     fresh.unpersist(blocking = false)
     n
+  }
+
+  /** The already-indexed screen shared by [[appendBatchIdempotent]] and
+    * [[graft.streaming.StreamOps.ingestIvfStream]]: rows of `batch`
+    * whose id is NOT yet in the index. The index side projects the id
+    * column only (columnar — vector/code pages never read), semi-reduced
+    * by a BROADCAST of the batch's ids before the anti-join, so the
+    * index is scanned, never shuffled, and both join sides stay
+    * batch-sized. Callers own materialization (checkpoint/persist) —
+    * the plan must not stay lazy across an append to the paths it
+    * reads. */
+  private[graft] def screenFresh(batch: DataFrame, idCol: String): DataFrame = {
+    val batchIds = batch.select(col(idCol).cast("long").as("id")).distinct()
+    val stored = cells.select(col("id"))
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+    batch.join(stored.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
   /** Delete vectors by id — the retention path, CELL-pruned copy-on-

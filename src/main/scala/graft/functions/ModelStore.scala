@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   * manifest-last): model tables land as parquet under `dir/<table>/`,
   * scalars and the model kind land in the `dir/_MODEL` manifest, written
   * to a temp name and RENAMED as the single commit point — the rename
-  * refuses an existing destination, so a published model is immutable
-  * (republish to a fresh path) and two racing publishers resolve to
-  * exactly one winner. A crash before the rename leaves no `_MODEL`;
-  * [[loadKn]]/[[loadNb]]/... refuse the dir loudly, and the orphan
-  * parquet is safe to delete or overwrite by the retried publish.
+  * is pre-checked against an existing destination and READ BACK after
+  * publishing (a per-publish nonce makes the content ownable), so a
+  * published model is immutable (republish to a fresh path) and two
+  * racing publishers resolve to exactly one winner even on local
+  * filesystems whose rename replaces silently. A crash before the
+  * rename leaves no `_MODEL`; [[loadKn]]/[[loadNb]]/... refuse the dir
+  * loudly, and a RETRIED publish to the same dir converges: each save*
+  * first clears the crashed attempt's orphan tables ([[prepareDir]] —
+  * a dir with no manifest holds nothing committed).
   *
   * Model tables are vocabulary-/bucket-bounded by construction — the
   * artifacts are MBs, not corpus-sized; the parquet detour costs one
@@ -35,8 +39,38 @@ object ModelStore {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Publish `lines` as `dir/_MODEL` — temp write + refuse-existing
-    * rename (the [[PairStore]] commit shape, single version). */
+  /** Make `dir` publishable for a fresh attempt: refuse if a `_MODEL`
+    * manifest exists (published models are immutable), otherwise delete
+    * the named table dirs and stale tmp manifests a CRASHED earlier
+    * attempt left behind — with no manifest nothing in the dir is
+    * committed, so a retried publish converges instead of wedging on
+    * errorifexists forever. */
+  private def prepareDir(
+      spark: SparkSession, dir: String, tables: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(s"$dir/_MODEL")))
+      throw new java.util.ConcurrentModificationException(
+        s"ModelStore: $dir/_MODEL already exists — published models are " +
+          "immutable; publish to a fresh path or delete the dir first")
+    val root = new Path(dir)
+    if (fs.exists(root)) {
+      tables.foreach { t =>
+        val pth = new Path(s"$dir/$t")
+        if (fs.exists(pth)) fs.delete(pth, true)
+      }
+      fs.listStatus(root).toSeq
+        .filter(_.getPath.getName.startsWith(".tmp_MODEL_"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+  }
+
+  /** Publish `lines` as `dir/_MODEL` — temp write, refuse-existing
+    * pre-check, rename, then a READ-BACK VERIFY against a per-publish
+    * nonce: a local filesystem's rename REPLACES an existing destination
+    * silently (POSIX), so the exists pre-check alone is a TOCTOU window
+    * — the nonce read-back makes a lost same-dir publish race loud on
+    * every filesystem (the [[PairStore]] commit shape, single
+    * version). */
   private def commitManifest(
       spark: SparkSession, dir: String, lines: Seq[String]): Unit = {
     val fs = fsOf(spark, dir)
@@ -45,10 +79,12 @@ object ModelStore {
       throw new java.util.ConcurrentModificationException(
         s"ModelStore: $dst already exists — published models are " +
           "immutable; publish to a fresh path or delete the dir first")
-    val tmp = new Path(s"$dir/.tmp_MODEL_" +
-      java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue))
+    val nonce = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(1L, Long.MaxValue)
+    val tmp = new Path(s"$dir/.tmp_MODEL_$nonce")
     val out = fs.create(tmp, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((lines :+ s"nonce $nonce").mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(dst)) { fs.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
@@ -57,6 +93,26 @@ object ModelStore {
       throw new java.util.ConcurrentModificationException(
         s"ModelStore: rename to $dst failed (concurrent publish?) — " +
           "never overwriting a committed model") }
+    val back = readRawManifest(spark, dir)
+    if (!back.get("nonce").contains(nonce.toString))
+      throw new java.util.ConcurrentModificationException(
+        s"ModelStore: published $dst content is not ours — lost a " +
+          "same-dir publish race; the other publisher's model stands")
+  }
+
+  /** [[readManifest]] without the kind check — the commit read-back. */
+  private def readRawManifest(
+      spark: SparkSession, dir: String): Map[String, String] = {
+    val fs = fsOf(spark, dir)
+    val in = fs.open(new Path(s"$dir/_MODEL"))
+    val lines =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    lines.flatMap { l =>
+      val i = l.indexOf(' ')
+      if (i > 0) Some(l.substring(0, i) -> l.substring(i + 1)) else None
+    }.toMap
   }
 
   /** Parse `dir/_MODEL`, verifying the `kind` line — a missing manifest
@@ -93,6 +149,7 @@ object ModelStore {
     * ([[LangModel.trainKn]]). */
   def saveKn(lm: LangModel.KnLm, dir: String): Unit = {
     val spark = lm.counts.sparkSession
+    prepareDir(spark, dir, Seq("counts", "contexts", "cont"))
     lm.counts.write.mode("errorifexists").parquet(s"$dir/counts")
     lm.contexts.write.mode("errorifexists").parquet(s"$dir/contexts")
     lm.cont.write.mode("errorifexists").parquet(s"$dir/cont")
@@ -118,6 +175,7 @@ object ModelStore {
   /** Publish an add-one bigram LM ([[LangModel.train]]). */
   def saveBigram(lm: LangModel.BigramLm, dir: String): Unit = {
     val spark = lm.counts.sparkSession
+    prepareDir(spark, dir, Seq("counts", "contexts"))
     lm.counts.write.mode("errorifexists").parquet(s"$dir/counts")
     lm.contexts.write.mode("errorifexists").parquet(s"$dir/contexts")
     commitManifest(spark, dir, Seq(
@@ -136,6 +194,7 @@ object ModelStore {
   /** Publish an NB quality classifier ([[QualityClassifier.train]]). */
   def saveNb(m: QualityClassifier.NbModel, dir: String): Unit = {
     val spark = m.tokenCounts.sparkSession
+    prepareDir(spark, dir, Seq("token_counts"))
     m.tokenCounts.write.mode("errorifexists").parquet(s"$dir/token_counts")
     commitManifest(spark, dir, Seq(
       "kind nb_quality",
@@ -156,6 +215,7 @@ object ModelStore {
   /** Publish a DSIR importance model ([[Dsir.train]]) — the 256-row
     * log-ratio table. */
   def saveDsir(m: Dsir.DsirModel, dir: String): Unit = {
+    prepareDir(m.bucketLogRatio.sparkSession, dir, Seq("log_ratio"))
     m.bucketLogRatio.write.mode("errorifexists").parquet(s"$dir/log_ratio")
     commitManifest(m.bucketLogRatio.sparkSession, dir, Seq("kind dsir"))
   }
@@ -171,6 +231,7 @@ object ModelStore {
   def saveBpeMerges(
       spark: SparkSession, merges: Seq[(String, String)], dir: String): Unit = {
     import spark.implicits._
+    prepareDir(spark, dir, Seq("merges"))
     merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
       .toDF("rank", "left", "right")
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/merges")
@@ -195,6 +256,7 @@ object ModelStore {
   def saveUnigramPieces(
       spark: SparkSession, pieces: Seq[(String, Double)], dir: String): Unit = {
     import spark.implicits._
+    prepareDir(spark, dir, Seq("pieces"))
     pieces.zipWithIndex.map { case ((p, pr), i) => (i, p, pr) }
       .toDF("ord", "piece", "prob")
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/pieces")

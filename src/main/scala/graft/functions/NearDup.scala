@@ -257,17 +257,24 @@ object NearDup {
       skewShare: Double = 0.02): DataFrame = {
     val arrs = shingleHashArrays(docs, w).persist()
     // the probe action also materializes `arrs` into the cache, so the
-    // pair pipeline underneath starts from warmed arrays either way
-    val row = arrs.select(explode(col("arr")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .agg(max(col("df")).as("mx"), sum(col("df")).as("tot")).head()
+    // pair pipeline underneath starts from warmed arrays either way;
+    // the df table persists so the SKEWED branch reuses it instead of
+    // re-running the same aggregate (the uniform branch drops it)
+    val dfreq = arrs.select(explode(col("arr")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df")).persist()
+    val row = dfreq.agg(max(col("df")).as("mx"), sum(col("df")).as("tot")).head()
     val share =
       if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
       else row.getLong(0).toDouble / row.getLong(1)
-    val picked =
-      if (share >= skewShare) rareFirstFromArrs(arrs, threshold, Some(docs))
-      else pairsFromArrs(arrs, threshold, Some(docs))
-    graft.AutoUnpersist.afterFirstUse(picked, arrs)
+    if (share >= skewShare)
+      graft.AutoUnpersist.afterFirstUse(
+        rareFirstFromArrs(arrs, threshold, Some(docs), Some(dfreq)),
+        arrs, dfreq)
+    else {
+      dfreq.unpersist(blocking = false)
+      graft.AutoUnpersist.afterFirstUse(
+        pairsFromArrs(arrs, threshold, Some(docs)), arrs)
+    }
   }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
@@ -316,12 +323,17 @@ object NearDup {
   }
 
   /** Rarest-first pair pipeline over a pre-persisted array table — see
-    * [[pairsFromArrs]]. */
+    * [[pairsFromArrs]]. `dfreqIn`: a precomputed (h, df) document-
+    * frequency table (the skew probe already built one — recomputing it
+    * here would double the aggregate on exactly the path the probe
+    * selects). */
   private def rareFirstFromArrs(
       arrs: DataFrame, threshold: Double,
-      sizeProxy: Option[DataFrame]): DataFrame = {
+      sizeProxy: Option[DataFrame],
+      dfreqIn: Option[DataFrame] = None): DataFrame = {
     val exploded = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
-    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dfreq = dfreqIn.getOrElse(
+      exploded.groupBy(col("h")).agg(count(lit(1)).as("df")))
     // per-doc shingles sorted rarest-first: struct sort = (df asc, h asc),
     // a valid global total order (ties broken by the hash)
     val ranked = exploded.join(dfreq, "h")

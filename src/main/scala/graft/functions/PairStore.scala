@@ -206,7 +206,16 @@ object PairStore {
       shortcut: Boolean = false,
       maxPairFiles: Int = 64): Unit = {
     val spark = newNodes.sparkSession
-    recover(spark, dir)
+    // NO automatic recover here: recover() reaps every generation newer
+    // than the last committed manifest, which under concurrent writers
+    // is exactly the OTHER writer's in-flight salted staging — an
+    // implicit recover would let writer B destroy writer A's uncommitted
+    // dirs and turn the documented one-winner CAS race into a
+    // both-writers-abort. Crash-replay convergence never needed it
+    // (salted staging paths are unique per attempt, readers resolve
+    // through the manifest, and replays are idempotent); crashed
+    // leftovers are unreferenced garbage for an EXPLICIT
+    // recover()/vacuum() run when no writer is live.
     val fs = fsOf(spark, dir)
     val b = bucketCount(fs, dir)
     val man = currentManifest(fs, dir)
@@ -368,7 +377,7 @@ object PairStore {
       dstCol: String,
       shortcut: Boolean = false): Unit = {
     val spark = deletedNodes.sparkSession
-    recover(spark, dir)
+    // no automatic recover — same concurrent-writer hazard as append
     val fs = fsOf(spark, dir)
     val b = bucketCount(fs, dir)
     val man = currentManifest(fs, dir)
@@ -453,9 +462,13 @@ object PairStore {
     * label writes, uncommitted `g<v>b*` generations, an uncommitted
     * `pairs_g<v>` compaction, manifest tmp files. (Orphan pair files
     * from a crashed append are unreferenced and harmless; [[vacuum]]
-    * reaps them.) Safe on a healthy store — pure listing checks — and
-    * [[append]] runs it first, so a restarted ingest loop needs no
-    * extra step. */
+    * reaps them.) Safe on a healthy store — pure listing checks. Run it
+    * ONLY when no writer is live: it reaps every generation newer than
+    * the last committed manifest, which includes a concurrent writer's
+    * in-flight staging (the reason the writers do NOT call it
+    * implicitly — a restarted ingest loop needs no recover to converge;
+    * replays are idempotent and crashed leftovers are invisible
+    * manifest-unreferenced garbage until this explicit pass). */
   def recover(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val vMax = committedVersions(fs, dir).maxOption.getOrElse(return)
@@ -484,7 +497,7 @@ object PairStore {
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L << 20): Unit = {
-    recover(spark, dir)
+    // no automatic recover — same concurrent-writer hazard as append
     val fs = fsOf(spark, dir)
     val man = currentManifest(fs, dir)
     val v = man.version + 1

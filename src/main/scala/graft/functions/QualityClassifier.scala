@@ -164,10 +164,24 @@ object QualityClassifier {
   def calibration(docs: DataFrame, bins: Int = 10): DataFrame = {
     require(bins > 1, s"bins must exceed 1, got $bins")
     val labels = weakLabels(docs).persist()
+    val (_, cal) = scoredWithReliability(docs, labels, bins)
+    graft.AutoUnpersist.afterFirstUse(cal.orderBy(col("bin")), labels)
+  }
+
+  /** Shared core of [[calibration]] and [[calibratedWeightedSample]]:
+    * the round-6 predicted-probability frame and its per-bin reliability
+    * table, SINGLE-SOURCED so the published audit table and the
+    * weighting gate's branch input can never drift apart (a bin-edge or
+    * rounding change lands in both by construction). Caller owns
+    * `labels`' persist lifecycle. */
+  private def scoredWithReliability(
+      docs: DataFrame, labels: DataFrame, bins: Int)
+      : (DataFrame, DataFrame) = {
     val m = train(docs, labels)
-    val out = scoreWith(m, docs)
+    val scored = scoreWith(m, docs)
       .withColumn("p",
         round(lit(1.0) / (lit(1.0) + exp(-col("log_odds"))), 6))
+    val cal = scored
       .join(labels.select(col("doc_id"), col("pass")), Seq("doc_id"))
       .withColumn("bin",
         least(floor(col("p") * bins), lit(bins - 1L)).cast("int"))
@@ -179,8 +193,7 @@ object QualityClassifier {
           / count(lit(1)), 6).as("mean_pred"))
       .withColumn("pos_rate",
         round(col("n_pos").cast("double") / col("n"), 6))
-      .orderBy(col("bin"))
-    graft.AutoUnpersist.afterFirstUse(out, labels)
+    (scored, cal)
   }
 
   /** Calibration-GATED quality weighting — the consumer of
@@ -210,20 +223,7 @@ object QualityClassifier {
     require(maxGap > 0 && maxGap < 1, s"maxGap must be in (0,1), got $maxGap")
     require(bins > 1, s"bins must exceed 1, got $bins")
     val labels = weakLabels(docs).persist()
-    val m = train(docs, labels)
-    val scored = scoreWith(m, docs)
-      .withColumn("p",
-        round(lit(1.0) / (lit(1.0) + exp(-col("log_odds"))), 6))
-    val cal = scored
-      .join(labels.select(col("doc_id"), col("pass")), Seq("doc_id"))
-      .withColumn("bin",
-        least(floor(col("p") * bins), lit(bins - 1L)).cast("int"))
-      .groupBy(col("bin"))
-      .agg(
-        round(sum(col("p").cast("decimal(18,6)")).cast("double")
-          / count(lit(1)), 6).as("mean_pred"),
-        round(sum(when(col("pass"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1)), 6).as("pos_rate"))
+    val (scored, cal) = scoredWithReliability(docs, labels, bins)
     val gap = cal.agg(
       max(abs(col("mean_pred") - col("pos_rate"))).as("gap"))
     val out = scored

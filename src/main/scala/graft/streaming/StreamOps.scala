@@ -905,18 +905,17 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF().localCheckpoint(true)
-        val batchIds = b.select(col(idCol).cast("long").as("id")).distinct()
-        val stored = index.cells.select(col("id"))
-          .join(broadcast(batchIds), Seq("id"), "left_semi")
-        val fresh = b.join(stored.withColumnRenamed("id", idCol),
-            Seq(idCol), "left_anti").persist()
+        // the SAME screen kernel as appendBatchIdempotent (shared code,
+        // not a copy — the two paths must never drift); materialized
+        // here because onIndexed consumes it before the append
+        val fresh = index.screenFresh(b, idCol).localCheckpoint(true)
         try {
           onIndexed(fresh)
           // fresh is already screened — append directly (re-screening
           // inside appendBatchIdempotent would just rescan the id column)
           if (!fresh.isEmpty) index.appendBatch(fresh, idCol, vecCol)
         } finally {
-          fresh.unpersist()
+          fresh.unpersist(blocking = false)
           b.unpersist(blocking = false)
         }
         ()

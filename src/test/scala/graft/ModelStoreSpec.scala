@@ -94,6 +94,20 @@ class ModelStoreSpec extends SparkSpec {
     assert(k.getMessage.contains("kind"))
   }
 
+  test("a retried publish over crashed leftovers converges") {
+    val dir = tmp("graft_ms_retry")
+    // crashed first attempt: one table landed, no manifest committed
+    val lm = LangModel.trainKn(ref)
+    lm.counts.write.parquet(s"$dir/counts")
+    // the retry must clear the orphan and publish normally — not wedge
+    // on errorifexists forever
+    ModelStore.saveKn(lm, dir)
+    assert(rows(LangModel.scoreWithKn(ModelStore.loadKn(spark, dir), held)
+        .orderBy(col("doc_id"))) ==
+      rows(LangModel.scoreWithKn(lm, held).orderBy(col("doc_id"))))
+    lm.unpersist()
+  }
+
   test("published model dirs are immutable: republish refuses, model intact") {
     val dir = tmp("graft_ms_imm")
     val m = Dsir.train(ref, ref)

@@ -612,4 +612,35 @@ class PairStoreSpec extends SparkSpec {
     assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
       == before, "orphan lifecycle must never leak into the served labels")
   }
+
+  test("an in-flight writer's NEXT-version staging survives a concurrent " +
+      "append (writers never auto-recover)") {
+    val dir = tmpDir()
+    PairStore.build(Seq(1L, 2L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    // writer A mid-flight at version 1: salted staging root, a renamed
+    // salted generation, and a tmp manifest — none committed yet
+    val staged = s"$dir/labels/_staged_v1.7777"
+    val gen = s"$dir/labels/g1.7777b0"
+    val tmpMan = s"$dir/history/.tmp_v1_7777"
+    Seq((9L, 9L, 0)).toDF("id", "cluster_id", "cbucket")
+      .write.partitionBy("cbucket").parquet(staged)
+    Seq((9L, 9L)).toDF("id", "cluster_id").write.parquet(gen)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmpMan), "version 1\n")
+    // writer B's whole append runs to a successful commit meanwhile —
+    // it must NOT reap A's in-flight state (the old implicit recover
+    // did exactly that, turning the one-winner CAS into both-abort)
+    PairStore.append(Seq(3L).toDF("id"),
+      Seq((2L, 3L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+    assert(fs.exists(p(staged)) && fs.exists(p(gen)) && fs.exists(p(tmpMan)),
+      "a concurrent append must leave another writer's in-flight data alone")
+    assert(PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "B's append must commit normally around A's staging")
+    // A's commit now loses the CAS (version 1 was taken by B) — its
+    // leftovers become garbage for the EXPLICIT maintenance pass
+    PairStore.recover(spark, dir)
+    assert(!fs.exists(p(staged)) && !fs.exists(p(tmpMan)),
+      "explicit recover (no writer live) reaps staging and tmp manifests")
+  }
 }

@@ -52,8 +52,15 @@ def load(path):
 def compare(anchor, run):
     a, r = load(anchor), load(run)
     matched = sorted((set(a["min"]) & set(r["min"])) - a["errors"] - r["errors"])
-    new = sorted(set(r["min"]) - set(a["min"]))
-    removed = sorted(set(a["min"]) - set(r["min"]))
+    # Bench excludes errored keys from the queries maps entirely, so a
+    # key absent from one side may be a BREAKAGE, not an addition or a
+    # deliberate removal — classify by the other side's errors list
+    # first (regression-to-error must read as an error, never as
+    # "REMOVED (check this is intentional)").
+    new = sorted(set(r["min"]) - set(a["min"]) - a["errors"])
+    removed = sorted(set(a["min"]) - set(r["min"]) - r["errors"])
+    broke_in_run = sorted(set(a["min"]) & r["errors"])
+    fixed_in_run = sorted(set(r["min"]) & a["errors"])
 
     def ratio(basis):
         sa = sum(a[basis][k] for k in matched)
@@ -93,6 +100,8 @@ def compare(anchor, run):
         "new_keys": {k: r["min"][k] for k in new},
         "new_keys_sec": round(sum(r["min"][k] for k in new), 1),
         "removed_keys": {k: a["min"][k] for k in removed},
+        "broke_in_run": broke_in_run,
+        "fixed_in_run": fixed_in_run,
         "builds": {"anchor_sec": round(sum(a["builds"].values()), 1),
                    "run_sec": round(sum(r["builds"].values()), 1),
                    "anchor_n": len(a["builds"]), "run_n": len(r["builds"])},
@@ -119,6 +128,13 @@ def markdown(c):
     if c["removed_keys"]:
         lines.append("REMOVED keys (check this is intentional): " +
                      ", ".join(f"`{k}`" for k in c["removed_keys"]) + ".")
+    if c["broke_in_run"]:
+        lines.append("**BROKE in this run (passed in the anchor, errored "
+                     "now): " + ", ".join(f"`{k}`" for k in c["broke_in_run"])
+                     + ".**")
+    if c["fixed_in_run"]:
+        lines.append("Fixed in this run (errored in the anchor): " +
+                     ", ".join(f"`{k}`" for k in c["fixed_in_run"]) + ".")
     if c["regressions_over_1p3_med"]:
         lines.append(f"Median-basis regressions > {REGRESSION_X}x:")
         for e in c["regressions_over_1p3_med"]:
