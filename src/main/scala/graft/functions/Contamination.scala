@@ -115,10 +115,11 @@ object Contamination {
       .join(cut, Seq("doc_id"), "left")
       .select(col("doc_id"), col("_n").as("n_tokens"),
         (col("_n") - coalesce(size(col("_cut")), lit(0))).as("n_kept"),
+        // O(n + |cut|) sorted-merge rebuild (see [[SubstringDedup
+        // .dedupSpansRemoved]] — same kernel, same quadratic hazard)
         array_join(
-          filter(col("_t"), (_, i) =>
-            !array_contains(
-              coalesce(col("_cut"), array().cast("array<int>")), i + 1)),
+          graft.plans.DropSortedPositions.dropSortedPositions(col("_t"),
+            coalesce(col("_cut"), array().cast("array<int>"))),
           " ").as("clean_text"))
   }
 }

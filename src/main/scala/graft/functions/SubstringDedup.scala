@@ -68,10 +68,13 @@ object SubstringDedup {
       .join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("_n").as("n_tokens"),
         (col("_n") - coalesce(size(col("_cut")), lit(0))).as("n_kept"),
+        // O(n + |cut|) sorted-merge rebuild — the cut array is already
+        // sort_array-sorted; an array_contains scan per token position
+        // would be O(n·|cut|), worst-quadratic on a long heavily-
+        // duplicated document (one straggler task at 100 TB)
         array_join(
-          filter(col("_t"), (_, i) =>
-            !array_contains(
-              coalesce(col("_cut"), array().cast("array<int>")), i + 1)),
+          graft.plans.DropSortedPositions.dropSortedPositions(col("_t"),
+            coalesce(col("_cut"), array().cast("array<int>"))),
           " ").as("clean_text"))
   }
 

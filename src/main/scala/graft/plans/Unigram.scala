@@ -20,10 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * unrolled-DP replica): piece probabilities are round-6 doubles; a
   * path's likelihood is the IEEE product of its pieces' probabilities
   * folded LEFT TO RIGHT in segmentation order; ties break to the FEWER-
-  * piece path, then to the lexicographically smallest piece sequence
-  * (pieces joined with `chr(1)`, which sorts below every printable
-  * character). Both engines therefore compute identical candidate
-  * products in identical op order and pick identical argmaxes.
+  * piece path, then to the smallest piece sequence (pieces joined with
+  * `chr(1)`, which sorts below every printable character) under CODE
+  * POINT order — which is exactly UTF-8 byte order, DuckDB's string
+  * collation (Java's `String.compareTo` orders by UTF-16 code unit,
+  * which diverges for supplementary-plane characters: surrogates sort
+  * below U+E000..U+FFFF while their code points sort above all of the
+  * BMP). Both engines therefore compute identical candidate products in
+  * identical op order and pick identical argmaxes, for any vocabulary.
   *
   * Scale shape: per-row expression, ZERO shuffle; one static call per
   * row from whole-stage codegen (same pattern as [[BpeEncode]]). The
@@ -114,7 +118,7 @@ object Unigram {
             val better = prod(j) < 0 ||
               cProd > prod(j) ||
               (cProd == prod(j) && (cNp < np(j) ||
-                (cNp == np(j) && cSeg.compareTo(seg(j)) < 0)))
+                (cNp == np(j) && codePointCompare(cSeg, seg(j)) < 0)))
             if (better) { prod(j) = cProd; np(j) = cNp; seg(j) = cSeg }
           }
         }
@@ -128,6 +132,20 @@ object Unigram {
       while (k < n) { out(k) = String.valueOf(word.charAt(k)); k += 1 }
       out
     } else seg(n).split(Sep, -1)
+  }
+
+  /** Compare by Unicode CODE POINT — identical to UTF-8 BYTE order (UTF-8
+    * preserves code-point order), i.e. DuckDB's collation for the oracle's
+    * `seg ASC`. `String.compareTo` (UTF-16 code units) would diverge for
+    * supplementary-plane pieces. */
+  private[plans] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   /** Document → unigram piece stream; called from generated code. Words

@@ -361,4 +361,40 @@ class ScalingSpec extends SparkSpec {
       inflated(8).filter(col("doc_id") % 2 === 0))
       .bucketLogRatio.count() <= Dsir.Buckets)
   }
+
+  test("span-cut rebuild is linear on a long fully-contaminated document") {
+    // The round-13 hazard: a 1M-token fully-duplicated page whose rebuild
+    // was O(n·|cut|) — ~10¹² comparisons on one task. The sorted-merge
+    // kernel makes it O(n+k); gate it directly at n = k = 1M, where the
+    // linear walk is milliseconds and a quadratic regression would be
+    // hours. 5 s leaves two orders of magnitude of container-noise slack
+    // above linear while sitting three below quadratic.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = 1000000
+    val toks = new GenericArrayData(
+      Array.tabulate[Any](n)(i => UTF8String.fromString("tok" + i)))
+    val cut = new GenericArrayData(Array.tabulate[Any](n)(_ + 1))
+    val e = graft.plans.DropSortedPositions(
+      Literal(toks, ArrayType(StringType)),
+      Literal(cut, ArrayType(IntegerType)))
+    val t0 = System.nanoTime()
+    val out = e.eval(null).asInstanceOf[ArrayData]
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.numElements() == 0, "a fully-cut doc must rebuild empty")
+    assert(sec < 5.0,
+      f"fully-cut 1M-token rebuild took $sec%.1f s — quadratic regression?")
+    // and end-to-end through the real operator on a smaller long doc:
+    // one fully-contaminated 40k-token doc (bench = the doc itself)
+    import spark.implicits._
+    val words = (1 to 40000).map(i => s"w$i").mkString(" ")
+    val got = graft.functions.Contamination
+      .removeContaminatedSpans(
+        Seq((1L, words)).toDF("doc_id", "text"),
+        Seq((100L, words)).toDF("doc_id", "text"))
+      .as[(Long, Int, Int, String)].head()
+    assert(got == ((1L, 40000, 0, "")), s"got (${got._1},${got._2},${got._3},len=${got._4.length})")
+  }
 }
