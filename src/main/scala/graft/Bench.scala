@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   * from CPU contention, and back-to-back repeats share the same
   * contention window — interleaving decorrelates the repeats so min-of-3
   * converges on the real cost (round-5 min-of-2 showed untouched queries
-  * swinging 2-5× round-over-round).
+  * swinging 2-5× round-over-round). The emitted line additionally carries
+  * `vs_anchor` — the matched-set min/median ratios against the committed
+  * `bench_full.json` anchor (tools/bench_compare.py's rule) — so a single
+  * run's total is self-interpreting against the anchor's noise band.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -96,6 +99,56 @@ object Bench {
     // comma-decimal locale would emit invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Self-interpreting number: the committed anchor's single total and a
+    // fresh run's single total straddle the min↔median noise band on this
+    // container (±30-50%), so the driver-visible total alone can read as
+    // a 30% "regression" the matched set shows to be 1.0x. Emit the
+    // matched-set comparison (tools/bench_compare.py's rule: shared keys,
+    // errored excluded, min AND median bases) against the committed
+    // bench_full.json anchor right in the bench JSON. Absent or
+    // unreadable anchor → field omitted.
+    val vsAnchor: String = try {
+      val f = new java.io.File("bench_full.json")
+      lazy val root =
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      // only a like-for-like comparison is meaningful: the anchor is
+      // recorded at one scale factor (sf0.1); a dev run at another sf
+      // must not emit a ratio that reads as a 2x win/loss
+      def sfMatches: Boolean =
+        Option(root.get("sf")).map(_.asText()).contains(sfDir)
+      if (!f.exists() || !sfMatches) "" else {
+        def jmap(field: String): Map[String, Double] = {
+          val n = root.get(field)
+          if (n == null) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            val it = n.fields()
+            while (it.hasNext) {
+              val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
+          }
+        }
+        val aMin = jmap("queries")
+        val aMed = { val m = jmap("queries_med"); if (m.nonEmpty) m else aMin }
+        val aErr = {
+          val n = root.get("errors")
+          if (n == null) Set.empty[String]
+          else (0 until n.size()).map(n.get(_).asText()).toSet
+        }
+        val runMin = results.toMap
+        val runMed = medians.toMap
+        val matched = (aMin.keySet & runMin.keySet) -- aErr -- failed
+        if (matched.isEmpty) "" else {
+          def ratio(a: Map[String, Double], r: Map[String, Double]) = {
+            val sa = matched.toSeq.map(a).sum
+            if (sa > 0) matched.toSeq.map(r).sum / sa else Double.NaN
+          }
+          s""","vs_anchor":{"n":${matched.size},"min_ratio":${
+            fmt(ratio(aMin, runMin))},"med_ratio":${fmt(ratio(aMed, runMed))}}"""
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
     def qmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -125,18 +178,19 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       line(bySlowest, 0,
         s""","queries_med":${qmap(medians)},"queries_max":${qmap(maxima)}""" +
-          s""","builds":${qmap(builds)}""")
+          s""","builds":${qmap(builds)}$vsAnchor""")
         .getBytes("UTF-8"))
     val budget = 1600
     val fit =
-      if (line(bySlowest, 0).length <= budget) bySlowest
+      if (line(bySlowest, 0, vsAnchor).length <= budget) bySlowest
       else {
         var kept = bySlowest
-        while (kept.nonEmpty && line(kept, results.size - kept.size).length > budget)
+        while (kept.nonEmpty &&
+            line(kept, results.size - kept.size, vsAnchor).length > budget)
           kept = kept.dropRight(1)
         kept
       }
-    println(line(fit, results.size - fit.size))
+    println(line(fit, results.size - fit.size, vsAnchor))
     spark.stop()
   }
 }

@@ -1026,6 +1026,55 @@ object Ext {
       "WHERE vec_id % 5 = 0 AND vec_id < 100 ORDER BY qid")
   )
 
+  /** Rebuilt-index handles: the appended-drift regime, then a blue-green
+    * [[graft.functions.IvfIndex.rebuild]] — retrain on the combined
+    * corpus, one atomic manifest swap. Built ONCE per JVM. */
+  private val rebuiltIdx =
+    new graft.PlanCache[graft.functions.IvfIndex](capacity = 4, durable = true,
+      onEvict = i => graft.TempDirs.delete(i.path))
+
+  /** INDEX-HEALTH gate for the quantizer-drift RECOVERY path
+    * ([[graft.functions.IvfIndex.rebuild]] — blue-green retrain +
+    * atomic manifest swap, the operation `ann_ivf_appended_recall`'s
+    * scaladoc tells the ingest loop to run when its gate flips): the
+    * same shifted-batch regime, then a rebuild, so the served quantizer
+    * HAS trained on the shifted mode. Readers pinned to the old version
+    * keep serving until the swap (IvfIndexSpec pins old-or-new-never-mix
+    * and the synthetic drifted-recall restoration); this key gates the
+    * recovered index's recall at the family's bounds on real data —
+    * by construction it serves at least the appended path's recall, so
+    * 0.2/0.6 holds with the retrained quantizer's margin on top. */
+  private val annIvfRebuiltRecall = QDef(
+    "ann_ivf_rebuilt_recall",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val shifted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val combined = base.unionByName(shifted)
+      val q = shifted.filter(col("vec_id") < 100100L)
+      val exact = Similarity.bruteForceTopKCached(
+        combined, q, "vec_id", "embedding", k = 5)
+      val idx = rebuiltIdx.getOrCompute(
+        graft.PlanCache.keyOf2(base, shifted, "ivf16-rebuilt"),
+        graft.BuildTimer.timed("ivf_rebuilt_index") {
+          val dir = graft.TempDirs.create("graft_ivf_rebuilt")
+          val i = graft.functions.IvfIndex
+            .build(base, "vec_id", "embedding", nCells = 16, dir)
+          i.appendBatch(shifted, "vec_id", "embedding")
+          i.rebuild()
+          i
+        })
+      val ann = idx.topK(q, "vec_id", "embedding", k = 5, nProbe = 8)
+      recallBounds(Similarity.recallAtK(exact, ann, 5), 0.2, 0.6)
+    },
+    Some("SELECT CAST(vec_id + 100000 AS BIGINT) AS qid, " +
+      "true AS recall_ok, true AS macro_ok FROM embeddings " +
+      "WHERE vec_id % 5 = 0 AND vec_id < 100 ORDER BY qid")
+  )
+
   /** Deleted-index handles: built from the FULL corpus on a private dir
     * (the shared `ann_ivf_full` index must not be mutated), then the
     * `vec_id % 7 == 3` slice deleted ONCE per JVM. */
@@ -4349,7 +4398,7 @@ object Ext {
     intradocDedupQ, sourceOverlapQ,
     urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
-    annIvfAppendedRecall, annIvfStreamedRecall,
+    annIvfAppendedRecall, annIvfStreamedRecall, annIvfRebuiltRecall,
     annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram,
     dedupCrossSource, syndicationQ, dedupThresholdSweepQ, datacardQ,
     dedupClusters,

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,65 +34,141 @@ import org.apache.spark.sql.types._
   * [[Similarity.bruteForceTopK]]); its probed-cell set is collected
   * driver-side — O(queries·nProbe) ints — and pushed as a literal IN
   * filter so pruning is STATIC (no runtime DPP machinery needed).
+  *
+  * '''Layout & write contract''' ([[StoreCommit]] — the [[PairStore]]
+  * protocol): vectors+codes live in immutable salted cell-partitioned
+  * generation dirs `cells_g<v>.<salt>/cell=<c>/`; each quantizer lives in
+  * an immutable `quant_g<v>.<salt>/` dir; `history/v<N>` manifests map
+  * each committed version to its quantizer and its live (generation,
+  * cell) pairs. Every reader pins ONE manifest per call, so a racing
+  * append/delete/[[rebuild]] is invisible until its commit — readers see
+  * old-or-new, never a mix. Writers stage a complete generation, then
+  * CAS-commit: of N racing writers, EXACTLY ONE commits; the rest throw
+  * `ConcurrentModificationException` with the index unharmed, and
+  * replaying the loser converges ([[appendBatchIdempotent]] re-screens
+  * against the winner's head). Superseded and orphaned generations stay
+  * on disk for pinned readers until [[vacuum]] (run it only with no
+  * writer live — the store tier's rule).
+  *
+  * '''Quantizer lifecycle.''' [[appendBatch]] grows the index under the
+  * manifest's FROZEN quantizer (the standard IVF growth mode — append
+  * never silently changes what existing codes mean). When drift degrades
+  * partial-probe recall (the `ann_ivf_appended_recall` gate), [[rebuild]]
+  * is the blue-green recovery: retrain the quantizer on the CURRENT
+  * corpus, re-encode everything into a fresh generation, and swap both
+  * in with one atomic manifest commit.
   */
 final class IvfIndex private (
     spark: SparkSession,
-    private[graft] val path: String,
-    val centroids: Array[Array[Double]],
-    codebooksOpt: Option[Pq.Codebooks]) {
+    private[graft] val path: String) {
 
+  import IvfIndex._
+
+  /** One committed version, pinned: its quantizer dir and its live
+    * (generation dir, cell) pairs. */
+  private final case class Snap(
+      version: Long, quantDir: String, genCells: Seq[(String, Int)])
+
+  private def snapshot(): Snap = {
+    val fs = StoreCommit.fsOf(spark, path)
+    snapshotAt(StoreCommit.currentVersion(fs, path, Store))
+  }
+
+  private def snapshotAt(v: Long): Snap = {
+    val fs = StoreCommit.fsOf(spark, path)
+    var quant: Option[String] = None
+    val pairs = Seq.newBuilder[(String, Int)]
+    StoreCommit.readManifestLines(fs, path, v).foreach { l =>
+      l.split(" ") match {
+        case Array("version", _) | Array("nonce", _) => ()
+        case Array("quant", q)                       => quant = Some(q)
+        case Array("gen", g, c)                      => pairs += ((g, c.toInt))
+        case other => throw new IllegalStateException(
+          s"corrupt $Store manifest line '${other.mkString(" ")}' in $path/history/v$v")
+      }
+    }
+    Snap(v, quant.getOrElse(throw new IllegalStateException(
+      s"$Store manifest v$v at $path names no quantizer")), pairs.result())
+  }
+
+  private def quantOf(snap: Snap): Quantizer =
+    loadQuantizer(spark, s"$path/${snap.quantDir}")
+
+  /** The pinned snapshot's data — all cells, or only `probe`'s. Each
+    * generation is read by DIRECT manifest addressing of its live
+    * `cell=` leaf dirs (basePath keeps the partition column), so
+    * uncommitted generations, superseded cells, and unprobed cells are
+    * never listed, let alone scanned. */
+  private def cellsOf(snap: Snap, probe: Option[Set[Int]]): DataFrame = {
+    val live = probe match {
+      case Some(p) => snap.genCells.filter { case (_, c) => p(c) }
+      case None    => snap.genCells
+    }
+    val frames = live.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, cs) =>
+      spark.read.option("basePath", s"$path/$g")
+        .parquet(cs.map(_._2).sorted.map(c => s"$path/$g/cell=$c"): _*)
+        .select(col("id"), col("v"), col("codes"), col("cell"))
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], CellsSchema))
+  }
+
+  def version: Long = snapshot().version
   def nCells: Int = centroids.length
+  def centroids: Array[Array[Double]] = quantOf(snapshot()).centroids
 
   /** PQ codebooks persisted with the index (codebooks(mi)(ki) = sub-centroid). */
-  def codebooks: Pq.Codebooks = codebooksOpt.getOrElse(
-    throw new IllegalStateException(
-      s"index at $path has no PQ codebooks (built before PQ persistence?)"))
+  def codebooks: Pq.Codebooks = quantOf(snapshot()).codebooks
 
-  /** Cell-assigned corpus, read from the partitioned layout:
-    * (id BIGINT, v ARRAY<DOUBLE>, codes ARRAY<INT>, cell INT partition col). */
-  def cells: DataFrame = spark.read.parquet(s"$path/cells")
+  /** Cell-assigned corpus at the CURRENT committed version:
+    * (id BIGINT, v ARRAY<DOUBLE>, codes ARRAY<INT>, cell INT). */
+  def cells: DataFrame = cellsOf(snapshot(), None)
 
   /** Driver-side probed-cell set of a tagged query frame (tiny:
     * O(queries·nProbe) ints) — the static partition-pruning literal. */
   private def probedCells(q: DataFrame): Seq[Int] =
     q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
 
-  /** Incremental ingest: assign + encode a NEW batch with the index's
-    * FROZEN quantizer (centroids + codebooks unchanged — the standard IVF
-    * growth mode) and append it to the cell-partitioned layout. Cost is
-    * batch-sized: the existing corpus is never read or rewritten, and the
-    * new rows land in their cells' directories where every later probe
-    * finds them ([[cells]] re-reads the layout per serve call). Retraining
-    * the quantizer (after heavy drift) is [[IvfIndex.build]] to a fresh
-    * path — append never silently changes what existing codes mean. */
+  /** Incremental ingest: assign + encode a NEW batch with the current
+    * version's FROZEN quantizer and commit it as a new generation. Cost
+    * is batch-sized: the existing corpus is never read or rewritten.
+    * Retraining after heavy drift is [[rebuild]] — append never silently
+    * changes what existing codes mean. Of N appenders racing one index,
+    * exactly one commits (manifest CAS); losers throw with the index
+    * unharmed and replay via [[appendBatchIdempotent]]. */
   def appendBatch(batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cb = codebooks // fail fast on legacy PQ-less indexes
+    val fs = StoreCommit.fsOf(spark, path)
+    val snap = snapshot()
+    val quant = quantOf(snap)
+    val gen = StoreCommit.saltedGenDir("cells", snap.version + 1)
     NearDup.fanOut(batch)
-      .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
-      .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", Ivf.assignCellCol(col("v"), quant.centroids))
+      .withColumn("codes",
+        graft.plans.PqNative.encodeNative(col("v"), quant.codebooks))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
+    val written = listCells(fs, path, gen)
+    if (written.isEmpty) return // empty batch: nothing to commit
+    onBeforeCommit()
+    StoreCommit.commitManifest(fs, path, snap.version + 1,
+      manifestLines(snap.version + 1, snap.quantDir,
+        snap.genCells ++ written.map(gen -> _)), Store)
   }
 
   /** [[appendBatch]] made IDEMPOTENT under whole-batch replay — the
     * micro-batch ingest kernel [[graft.streaming.StreamOps
     * .ingestIvfStream]] runs per batch: ids already in the index are
     * screened out first, so a crashed-and-replayed delivery appends
-    * nothing the crash's partial write (or the completed earlier
-    * delivery) already landed. The screen is the [[PairStore.append]]
-    * shape: the index side projects the id column only (columnar —
-    * vector and code pages never read) and is semi-reduced by a
-    * BROADCAST of the batch's ids before the anti-join, so the index is
-    * scanned, never shuffled, and both join sides are batch-sized.
-    *
-    * The append itself is parquet-append of cell-partitioned files —
-    * data-first, no manifest to publish: a crash mid-write leaves whole
-    * well-formed part-files of ALREADY-SCREENED rows, which the replay
-    * then skips (their ids are now present), so convergence needs no
-    * recovery step. NOT safe for two concurrent writers racing the SAME
-    * ids (both screens can pass before either writes) — one ingest
-    * stream owns an index, the [[graft.streaming.StreamOps
-    * .ingestDedupStream]] single-writer contract.
+    * nothing a completed earlier delivery already landed (a crash BEFORE
+    * the manifest commit left nothing visible at all — the generation is
+    * unreferenced garbage for [[vacuum]]). Duplicate ids WITHIN one
+    * batch collapse to a single (arbitrary) row before the screen, so a
+    * self-duplicating batch can never double-insert either. Two writers
+    * racing the SAME ids both pass the screen, but the manifest CAS
+    * admits one — the loser replays, re-screens against the winner's
+    * head, and appends only the genuinely-missing remainder.
     *
     * @return the number of genuinely new rows appended (0 for a full
     *         replay — the cheap signal a restarted loop logs). */
@@ -107,77 +184,141 @@ final class IvfIndex private (
   }
 
   /** The already-indexed screen shared by [[appendBatchIdempotent]] and
-    * [[graft.streaming.StreamOps.ingestIvfStream]]: rows of `batch`
-    * whose id is NOT yet in the index. The index side projects the id
-    * column only (columnar — vector/code pages never read), semi-reduced
-    * by a BROADCAST of the batch's ids before the anti-join, so the
-    * index is scanned, never shuffled, and both join sides stay
-    * batch-sized. Callers own materialization (checkpoint/persist) —
-    * the plan must not stay lazy across an append to the paths it
-    * reads. */
+    * [[graft.streaming.StreamOps.ingestIvfStream]]: one row per id of
+    * `batch` NOT yet in the index (in-batch duplicate ids collapse
+    * first — whole-batch replay AND self-duplicating batches both screen
+    * to nothing new). The index side projects the id column only
+    * (columnar — vector/code pages never read), semi-reduced by a
+    * BROADCAST of the batch's ids before the anti-join, so the index is
+    * scanned, never shuffled, and both join sides stay batch-sized.
+    * Callers own materialization (checkpoint/persist) — the plan must
+    * not stay lazy across an append to the paths it reads. */
   private[graft] def screenFresh(batch: DataFrame, idCol: String): DataFrame = {
-    val batchIds = batch.select(col(idCol).cast("long").as("id")).distinct()
+    val uniq = batch.dropDuplicates(idCol)
+    val batchIds = uniq.select(col(idCol).cast("long").as("id")).distinct()
     val stored = cells.select(col("id"))
       .join(broadcast(batchIds), Seq("id"), "left_semi")
-    batch.join(stored.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    uniq.join(stored.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
   /** Delete vectors by id — the retention path, CELL-pruned copy-on-
     * write (the ANN mirror of [[PairStore.delete]]'s file pruning): one
     * columnar `(id, cell)` projection scan locates the cells holding
-    * deleted ids (vector and code pages never read), ONLY those cell
-    * directories are rewritten without the deleted rows (dynamic
-    * partition overwrite), and a fully-emptied cell's directory is
-    * removed outright. Untouched cells — `(nCells - touched)/nCells` of
-    * the corpus — are never read or written. The quantizer stays frozen
-    * ([[appendBatch]]'s contract): an empty cell is a valid probe
-    * target, and later appends may repopulate it.
-    *
-    * Not transactional, matching the layout's append semantics: a crash
-    * mid-delete can leave some touched cells rewritten and others not.
-    * Re-running the SAME delete converges (already-rewritten cells no
-    * longer match the id scan); a torn state never corrupts serving —
-    * every surviving row is a real corpus row. */
+    * deleted ids (vector and code pages never read), ONLY those cells'
+    * survivor rows are rewritten into a new generation, and the CAS
+    * commit swaps the touched cells over to it — a fully-emptied cell
+    * simply leaves the manifest (still a valid probe target; later
+    * appends may repopulate it). Untouched cells — `(nCells - touched)/
+    * nCells` of the corpus — are never read or written, and keep their
+    * physical files. The quantizer stays frozen ([[appendBatch]]'s
+    * contract). Superseded cell data stays on disk for pinned readers
+    * until [[vacuum]]; replaying a completed delete finds no touched
+    * cell and commits nothing. */
   def delete(ids: DataFrame, idCol: String): Unit = {
-    val del = ids.select(col(idCol).as("id")).distinct().localCheckpoint(true)
-    val touched = cells.select(col("id"), col("cell"))
+    val fs = StoreCommit.fsOf(spark, path)
+    val snap = snapshot()
+    val del = ids.select(col(idCol).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    val touched = cellsOf(snap, None).select(col("id"), col("cell"))
       .join(broadcast(del), Seq("id"), "left_semi")
-      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) { del.unpersist(blocking = false); return }
-    // materialize survivors BEFORE overwriting the very directories the
-    // plan reads (touched-cells-sized by construction)
-    val survivors = cells.filter(col("cell").isin(touched: _*))
+    val gen = StoreCommit.saltedGenDir("cells", snap.version + 1)
+    cellsOf(snap, Some(touched))
       .join(broadcast(del), Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val kept = survivors.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$path/cells")
-    // dynamic overwrite only replaces partitions PRESENT in the data —
-    // a cell whose every row was deleted must be removed explicitly
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(kept).foreach { c =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
-      if (fs.exists(p) && !fs.delete(p, true))
-        throw new IllegalStateException(s"IvfIndex: delete $p failed")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
+    val kept = listCells(fs, path, gen)
+    onBeforeCommit()
+    StoreCommit.commitManifest(fs, path, snap.version + 1,
+      manifestLines(snap.version + 1, snap.quantDir,
+        snap.genCells.filterNot { case (_, c) => touched(c) } ++
+          kept.map(gen -> _)), Store)
+    del.unpersist(blocking = false)
+  }
+
+  /** Blue-green quantizer rebuild — the drift recovery [[appendBatch]]'s
+    * frozen-quantizer contract defers to: retrain the coarse quantizer
+    * and PQ codebooks on the CURRENT corpus, re-encode every vector into
+    * one fresh generation, and publish both with a single atomic
+    * manifest commit. Readers pinned to the old version keep serving the
+    * old quantizer+layout until the swap lands (old generations stay on
+    * disk until [[vacuum]]); a reader arriving after sees only the new —
+    * never a mix of new centroids over old cell assignments. A writer
+    * racing the rebuild hits the manifest CAS: one of them loses loudly
+    * and replays. Full-probe exactness is invariant under rebuild (every
+    * vector lives in exactly one cell either way); partial-probe recall
+    * is what the retrain restores. */
+  def rebuild(
+      nCells: Int = 0, m: Int = 0, kCodes: Int = 0, seed: Long = 42L): Unit = {
+    val fs = StoreCommit.fsOf(spark, path)
+    val snap = snapshot()
+    val old = quantOf(snap)
+    val nc = if (nCells > 0) nCells else old.centroids.length
+    val nm = if (m > 0) m else old.codebooks.length
+    val nk = if (kCodes > 0) kCodes else old.codebooks(0).length
+    val corpus = cellsOf(snap, None).select(col("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = Ivf.trainCentroids(corpus, "v", nc, seed)
+    val cb = Pq.trainCodebooks(corpus, "v", nm, nk, seed)
+    val v = snap.version + 1
+    val quantDir = StoreCommit.saltedGenDir("quant", v)
+    writeQuantizer(spark, s"$path/$quantDir", centroids, cb)
+    val gen = StoreCommit.saltedGenDir("cells", v)
+    corpus
+      .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
+      .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
+    corpus.unpersist(blocking = false)
+    val written = listCells(fs, path, gen)
+    onBeforeCommit()
+    StoreCommit.commitManifest(fs, path, v,
+      manifestLines(v, quantDir, written.map(gen -> _)), Store)
+  }
+
+  /** Retire manifests older than the newest `keepLast` and delete the
+    * cell generations and quantizer dirs no retained manifest
+    * references — superseded deletes/rebuilds, crashed appends, losing
+    * racers. Run only with no writer live (the store tier's rule). */
+  def vacuum(keepLast: Int = 2): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = StoreCommit.fsOf(spark, path)
+    val versions = StoreCommit.committedVersions(fs, path).sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val snaps = keep.map(snapshotAt)
+    val liveQuant = snaps.map(_.quantDir).toSet
+    val liveCells: Set[(String, Int)] = snaps.flatMap(_.genCells).toSet
+    val liveGens = liveCells.map(_._1)
+    drop.foreach(dv =>
+      StoreCommit.deleteOrThrow(fs, new Path(s"$path/history/v$dv"), Store))
+    StoreCommit.fsOf(spark, path).listStatus(new Path(path)).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("quant_g") && !liveQuant(n))
+        StoreCommit.deleteOrThrow(fs, s.getPath, Store)
+      else if (n.startsWith("cells_g")) {
+        if (!liveGens(n)) StoreCommit.deleteOrThrow(fs, s.getPath, Store)
+        else fs.listStatus(s.getPath).toSeq
+          .filter(c => c.getPath.getName.startsWith("cell=") &&
+            !liveCells((n, c.getPath.getName.stripPrefix("cell=").toInt)))
+          .foreach(c => StoreCommit.deleteOrThrow(fs, c.getPath, Store))
+      }
     }
-    Seq(survivors, del).foreach(_.unpersist(blocking = false))
   }
 
   /** Top-k cosine neighbors of each query against the probed cells only,
     * re-ranking RAW vectors (the plain-IVF serve path).
     * `nProbe = nCells` probes everything → exact brute-force top-k (each
     * corpus vector lives in exactly one cell), which is what makes the
-    * index path oracle-checkable end-to-end. */
+    * index path oracle-checkable end-to-end. One snapshot pins the
+    * quantizer AND the data for the whole call. */
   def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int): DataFrame = {
+    val snap = snapshot()
+    val cents = quantOf(snap).centroids
     val q = queries.select(
       col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
-      .withColumn("cell", explode(Ivf.probeCellsCol(col("qv"), centroids, nProbe)))
+      .withColumn("cell", explode(Ivf.probeCellsCol(col("qv"), cents, nProbe)))
     val probed = probedCells(q)
-    val sims = cells.select(col("id"), col("cell"), col("v"))
+    val sims = cellsOf(snap, Some(probed.toSet)).select(col("id"), col("cell"), col("v"))
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(q), "cell")
       .filter(col("qid") =!= col("id"))
@@ -203,18 +344,22 @@ final class IvfIndex private (
     */
   def pqTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, rerank: Int): DataFrame = {
-    val cb = codebooks
+    val snap = snapshot()
+    val quant = quantOf(snap)
+    val cb = quant.codebooks
     val m = cb.length
     val kCodes = cb(0).length
     val q = queries.select(
       col(idCol).as("qid"), Similarity.asDouble(col(vecCol)).as("qv"))
-      .withColumn("cell", explode(Ivf.probeCellsCol(col("qv"), centroids, nProbe)))
+      .withColumn("cell",
+        explode(Ivf.probeCellsCol(col("qv"), quant.centroids, nProbe)))
       .withColumn("lut", graft.plans.PqNative.lutNative(col("qv"), cb))
     val probed = probedCells(q)
+    val probedData = cellsOf(snap, Some(probed.toSet))
 
     // Compressed-domain scan: the projection IS (id, codes) — columnar
     // pruning keeps the raw-vector pages on disk (plan-asserted).
-    val adc = cells.select(col("id"), col("cell"), col("codes"))
+    val adc = probedData.select(col("id"), col("cell"), col("codes"))
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(q), "cell")
       .filter(col("qid") =!= col("id"))
@@ -236,7 +381,7 @@ final class IvfIndex private (
 
     // Exact re-rank: raw vectors only for the shortlist ids, read from the
     // probed partitions only (every shortlist id lives in a probed cell).
-    val sims = cells.select(col("id"), col("cell"), col("v"))
+    val sims = probedData.select(col("id"), col("cell"), col("v"))
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(shortlist), "id")
       .join(broadcast(qVecs), "qid")
@@ -252,25 +397,67 @@ final class IvfIndex private (
 
 object IvfIndex {
 
-  /** Train on a sample, assign + PQ-encode, and persist the index at `path`
-    * (`path/cells` partitioned by cell with raw vectors AND codes;
-    * `path/centroids` the coarse quantizer; `path/codebooks` the PQ books). */
-  def build(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      path: String, seed: Long = 42L, m: Int = 8, kCodes: Int = 16): IvfIndex = {
-    val spark = corpus.sparkSession
-    val centroids = Ivf.trainCentroids(corpus, vecCol, nCells, seed)
-    val cb = Pq.trainCodebooks(corpus, vecCol, m, kCodes, seed)
-    NearDup.fanOut(corpus)
-      .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
-      .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  private val Store = "IvfIndex"
+
+  /** Test seam: invoked immediately before every manifest commit
+    * (append/delete/rebuild), so IvfIndexSpec can interleave a full
+    * competing write at exactly the CAS window. No-op in production. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  private[functions] final case class Quantizer(
+      centroids: Array[Array[Double]], codebooks: Pq.Codebooks)
+
+  private val CellsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("codes", ArrayType(IntegerType)),
+    StructField("cell", IntegerType)))
+
+  private def manifestLines(
+      v: Long, quantDir: String, genCells: Seq[(String, Int)]): Seq[String] =
+    Seq(s"version $v", s"quant $quantDir") ++
+      genCells.sortBy(gc => (gc._1, gc._2)).map { case (g, c) => s"gen $g $c" }
+
+  /** Cell ids present in a freshly-written generation dir. */
+  private def listCells(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      gen: String): Seq[Int] = {
+    val p = new Path(s"$path/$gen")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted
+  }
+
+  /** Quantizer dirs are immutable once referenced by a manifest — cache
+    * the collected matrices per absolute path, across handles (driver
+    * memory: O(nCells·dim + m·k·subDim) doubles per distinct quantizer). */
+  private val quantCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantizer]()
+
+  private def loadQuantizer(spark: SparkSession, dir: String): Quantizer =
+    quantCache.computeIfAbsent(dir, _ => {
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .collect().sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+      val rows = spark.read.parquet(s"$dir/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      require(rows.nonEmpty, s"codebooks at $dir exist but hold no rows" +
+        " (corrupt or half-written index?)")
+      val m = rows.map(_._1).max + 1
+      Quantizer(centroids,
+        Array.tabulate(m) { mi => rows.filter(_._1 == mi).sortBy(_._2).map(_._3) })
+    })
+
+  private def writeQuantizer(
+      spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]], cb: Pq.Codebooks): Unit = {
     val cRows = centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(cRows.toIndexedSeq, 1),
       StructType(Seq(StructField("cell", IntegerType),
         StructField("centroid", ArrayType(DoubleType)))))
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
     val cbRows = for {
       (book, mi) <- cb.zipWithIndex
       (c, ki) <- book.zipWithIndex
@@ -280,36 +467,47 @@ object IvfIndex {
       StructType(Seq(StructField("mi", IntegerType),
         StructField("ki", IntegerType),
         StructField("centroid", ArrayType(DoubleType)))))
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    new IvfIndex(spark, path, centroids, Some(cb))
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
-  /** Load a previously-built index: centroids and codebooks are
-    * O(nCells·dim + m·k·subDim) — driver-side literal matrices, like the
-    * LSH planes. Indexes built before PQ persistence load with no
-    * codebooks (topK works; pqTopK errors with a clear message). */
+  /** Train on a sample, assign + PQ-encode, and persist the index at
+    * `path` as manifest version 0 (the store's history starts over). */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      path: String, seed: Long = 42L, m: Int = 8, kCodes: Int = 16): IvfIndex = {
+    val spark = corpus.sparkSession
+    val fs = StoreCommit.fsOf(spark, path)
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path)).toSeq
+        .filter(s => s.getPath.getName.startsWith("cells_g") ||
+          s.getPath.getName.startsWith("quant_g") ||
+          s.getPath.getName == "history" ||
+          // pre-round-14 flat layout — a rebuild starts over
+          Seq("cells", "centroids", "codebooks").contains(s.getPath.getName))
+        .foreach(s => StoreCommit.deleteOrThrow(fs, s.getPath, Store))
+    val centroids = Ivf.trainCentroids(corpus, vecCol, nCells, seed)
+    val cb = Pq.trainCodebooks(corpus, vecCol, m, kCodes, seed)
+    val quantDir = StoreCommit.saltedGenDir("quant", 0L)
+    writeQuantizer(spark, s"$path/$quantDir", centroids, cb)
+    val gen = StoreCommit.saltedGenDir("cells", 0L)
+    NearDup.fanOut(corpus)
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
+      .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
+    StoreCommit.commitManifest(fs, path, 0L,
+      manifestLines(0L, quantDir, listCells(fs, path, gen).map(gen -> _)),
+      Store)
+    new IvfIndex(spark, path)
+  }
+
+  /** Open a previously-built index. The handle is version-free: every
+    * call pins the CURRENT committed manifest, so one long-lived handle
+    * always serves the newest committed state and never a torn one. */
   def load(spark: SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
-    // Only a genuinely ABSENT codebooks dir means "legacy index without PQ"
-    // — an existing-but-unreadable or empty one is corruption and must
-    // surface, not silently degrade to a PQ-less index.
-    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebooks")
-    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cbOpt =
-      if (!fs.exists(cbPath)) None
-      else {
-        val rows = spark.read.parquet(s"$path/codebooks").collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-        require(rows.nonEmpty, s"codebooks at $cbPath exist but hold no rows" +
-          " (corrupt or half-written index?)")
-        val m = rows.map(_._1).max + 1
-        Some(Array.tabulate(m) { mi =>
-          rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
-        }: Pq.Codebooks)
-      }
-    new IvfIndex(spark, path, centroids, cbOpt)
+    val fs = StoreCommit.fsOf(spark, path)
+    StoreCommit.currentVersion(fs, path, Store) // fail fast on non-stores
+    new IvfIndex(spark, path)
   }
 
   /** Per-JVM built-index cache for the registered queries: one build per

@@ -16,18 +16,21 @@ import org.apache.spark.sql.functions._
   * [[IvfIndex]].
   *
   * '''Layout & crash model''' (the store tier's convention, data-first /
-  * manifest-last): model tables land as parquet under `dir/<table>/`,
-  * scalars and the model kind land in the `dir/_MODEL` manifest, written
-  * to a temp name and RENAMED as the single commit point — the rename
-  * is pre-checked against an existing destination and READ BACK after
-  * publishing (a per-publish nonce makes the content ownable), so a
-  * published model is immutable (republish to a fresh path) and two
-  * racing publishers resolve to exactly one winner even on local
-  * filesystems whose rename replaces silently. A crash before the
-  * rename leaves no `_MODEL`; [[loadKn]]/[[loadNb]]/... refuse the dir
-  * loudly, and a RETRIED publish to the same dir converges: each save*
-  * first clears the crashed attempt's orphan tables ([[prepareDir]] —
-  * a dir with no manifest holds nothing committed).
+  * manifest-last): each publish stages its model tables under a SALTED
+  * per-publish subdir `t<nonce>/<table>/` that no other attempt can
+  * collide with, then commits the `dir/_MODEL` manifest (scalars, the
+  * model kind, the `tables` pointer, the nonce) through an atomic
+  * create-exclusive publish ([[StoreCommit.exclusiveMoveFile]]) plus a
+  * nonce read-back. Two publishers racing one dir therefore resolve to
+  * exactly one winner WHOSE OWN tables the winning manifest references —
+  * the loser's staging is unreferenced garbage, never a torn mix (the
+  * round-13 layout staged tables at fixed names, where a loser could
+  * rewrite a winner's tables between its table writes and its manifest
+  * commit). A crash before the manifest leaves no `_MODEL`; loads refuse
+  * the dir loudly, a RETRIED publish stages a fresh salted subdir and
+  * converges, and [[vacuumOrphans]] (run only with no publisher live)
+  * reaps the leftovers. Published models are immutable — republishing to
+  * a published dir refuses before writing anything.
   *
   * Model tables are vocabulary-/bucket-bounded by construction — the
   * artifacts are MBs, not corpus-sized; the parquet detour costs one
@@ -36,74 +39,62 @@ import org.apache.spark.sql.functions._
   * pruned and cheap; callers scoring many batches may persist). */
 object ModelStore {
 
+  private val Store = "ModelStore"
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Make `dir` publishable for a fresh attempt: refuse if a `_MODEL`
-    * manifest exists (published models are immutable), otherwise delete
-    * the named table dirs and stale tmp manifests a CRASHED earlier
-    * attempt left behind — with no manifest nothing in the dir is
-    * committed, so a retried publish converges instead of wedging on
-    * errorifexists forever. */
-  private def prepareDir(
-      spark: SparkSession, dir: String, tables: Seq[String]): Unit = {
-    val fs = fsOf(spark, dir)
+  /** Published models are immutable: refuse a publish into a dir that
+    * already holds a committed `_MODEL`. */
+  private def requireUnpublished(fs: FileSystem, dir: String): Unit =
     if (fs.exists(new Path(s"$dir/_MODEL")))
       throw new java.util.ConcurrentModificationException(
-        s"ModelStore: $dir/_MODEL already exists — published models are " +
+        s"$Store: $dir/_MODEL already exists — published models are " +
           "immutable; publish to a fresh path or delete the dir first")
-    val root = new Path(dir)
-    if (fs.exists(root)) {
-      tables.foreach { t =>
-        val pth = new Path(s"$dir/$t")
-        if (fs.exists(pth)) fs.delete(pth, true)
-      }
-      fs.listStatus(root).toSeq
-        .filter(_.getPath.getName.startsWith(".tmp_MODEL_"))
-        .foreach(st => fs.delete(st.getPath, false))
-    }
-  }
 
-  /** Publish `lines` as `dir/_MODEL` — temp write, refuse-existing
-    * pre-check, rename, then a READ-BACK VERIFY against a per-publish
-    * nonce: a local filesystem's rename REPLACES an existing destination
-    * silently (POSIX), so the exists pre-check alone is a TOCTOU window
-    * — the nonce read-back makes a lost same-dir publish race loud on
-    * every filesystem (the [[PairStore]] commit shape, single
-    * version). */
-  private def commitManifest(
-      spark: SparkSession, dir: String, lines: Seq[String]): Unit = {
+  /** Stage-then-commit shared by every save*: allocate the publish nonce,
+    * let `writeTables` stage under the salted `t<nonce>` subdir, then
+    * commit the manifest referencing it. */
+  private def publish(
+      spark: SparkSession, dir: String, kind: String,
+      scalars: Seq[String])(writeTables: String => Unit): Unit = {
     val fs = fsOf(spark, dir)
-    val dst = new Path(s"$dir/_MODEL")
-    if (fs.exists(dst))
-      throw new java.util.ConcurrentModificationException(
-        s"ModelStore: $dst already exists — published models are " +
-          "immutable; publish to a fresh path or delete the dir first")
+    requireUnpublished(fs, dir)
     val nonce = java.util.concurrent.ThreadLocalRandom.current()
       .nextLong(1L, Long.MaxValue)
+    writeTables(s"$dir/t$nonce")
+    commitManifest(fs, dir,
+      (s"kind $kind" +: scalars) :+ s"tables t$nonce", nonce)
+  }
+
+  /** Publish `lines` (+ the nonce line) as `dir/_MODEL` — temp write,
+    * atomic create-exclusive move ([[StoreCommit.exclusiveMoveFile]]:
+    * hard-link on local FS, where a bare rename REPLACES silently;
+    * refuse-existing rename elsewhere), then a READ-BACK VERIFY against
+    * the per-publish nonce. Exactly one of N same-dir publishers
+    * returns; the rest throw with the winner's model intact. */
+  private def commitManifest(
+      fs: FileSystem, dir: String, lines: Seq[String], nonce: Long): Unit = {
+    val dst = new Path(s"$dir/_MODEL")
+    requireUnpublished(fs, dir)
     val tmp = new Path(s"$dir/.tmp_MODEL_$nonce")
     val out = fs.create(tmp, true)
     try out.write(((lines :+ s"nonce $nonce").mkString("\n") + "\n")
       .getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dst)) { fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"ModelStore: $dst published concurrently — this publish loses") }
-    if (!fs.rename(tmp, dst)) { fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"ModelStore: rename to $dst failed (concurrent publish?) — " +
-          "never overwriting a committed model") }
-    val back = readRawManifest(spark, dir)
+    try StoreCommit.exclusiveMoveFile(fs, tmp, dst, Store)
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    val back = readRawManifest(fs, dir)
     if (!back.get("nonce").contains(nonce.toString))
       throw new java.util.ConcurrentModificationException(
-        s"ModelStore: published $dst content is not ours — lost a " +
-          "same-dir publish race; the other publisher's model stands")
+        s"$Store: published $dst content is not ours — lost a same-dir " +
+          "publish race; the other publisher's model stands")
   }
 
-  /** [[readManifest]] without the kind check — the commit read-back. */
+  /** [[readManifest]] without the kind check — the commit read-back and
+    * the [[list]] probe. */
   private def readRawManifest(
-      spark: SparkSession, dir: String): Map[String, String] = {
-    val fs = fsOf(spark, dir)
+      fs: FileSystem, dir: String): Map[String, String] = {
     val in = fs.open(new Path(s"$dir/_MODEL"))
     val lines =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
@@ -123,22 +114,62 @@ object ModelStore {
     val p = new Path(s"$dir/_MODEL")
     if (!fs.exists(p))
       throw new IllegalStateException(
-        s"ModelStore: $dir has no _MODEL manifest — not a committed " +
+        s"$Store: $dir has no _MODEL manifest — not a committed " +
           "model dir (crashed publish leftovers are safe to delete)")
-    val in = fs.open(p)
-    val lines =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      finally in.close()
-    val kv = lines.map { l =>
-      val i = l.indexOf(' ')
-      require(i > 0, s"ModelStore: malformed manifest line '$l' in $p")
-      l.substring(0, i) -> l.substring(i + 1)
-    }.toMap
+    val kv = readRawManifest(fs, dir)
     require(kv.get("kind").contains(kind),
-      s"ModelStore: $dir holds kind '${kv.getOrElse("kind", "?")}', " +
+      s"$Store: $dir holds kind '${kv.getOrElse("kind", "?")}', " +
         s"expected '$kind'")
     kv
+  }
+
+  /** The committed table root of a parsed manifest: the salted staging
+    * subdir it references (or the dir itself for round-13 flat-layout
+    * manifests without a `tables` line). */
+  private def tableRoot(dir: String, m: Map[String, String]): String =
+    m.get("tables").map(t => s"$dir/$t").getOrElse(dir)
+
+  /** Enumerate the COMMITTED models under `root`: one (path, kind,
+    * publish nonce) row per child dir holding a `_MODEL` manifest,
+    * path-sorted. Crashed publishes (no manifest) are invisible — the
+    * ops verb for the artifact tier ("what models exist here?"), and
+    * the safe way to discover dirs without knowing each name. */
+  def list(spark: SparkSession, root: String): Seq[(String, String, Long)] = {
+    val fs = fsOf(spark, root)
+    val r = new Path(root)
+    if (!fs.exists(r)) return Seq.empty
+    fs.listStatus(r).toSeq.filter(_.isDirectory).flatMap { s =>
+      val d = s.getPath.toString
+      if (!fs.exists(new Path(s"$d/_MODEL"))) None
+      else {
+        val m = readRawManifest(fs, d)
+        Some((d, m.getOrElse("kind", "?"),
+          m.get("nonce").map(_.toLong).getOrElse(0L)))
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Reap a model dir's unreferenced leftovers: stale `.tmp_MODEL_*`
+    * files and `t<nonce>` staging dirs the committed manifest does not
+    * reference (crashed or losing publishes), or ALL of them when the
+    * dir has no manifest at all. Run only when no publisher is live —
+    * the store tier's vacuum rule (a reap can race an in-flight publish
+    * into a loud abort). */
+  def vacuumOrphans(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    val live: Option[String] =
+      if (!fs.exists(new Path(s"$dir/_MODEL"))) None
+      else readRawManifest(fs, dir).get("tables")
+    fs.listStatus(root).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      val orphanTmp = n.startsWith(".tmp_MODEL_")
+      val orphanStage = n.startsWith("t") && n.drop(1).forall(_.isDigit) &&
+        !live.contains(n)
+      if (orphanTmp || orphanStage)
+        StoreCommit.deleteOrThrow(fs, s.getPath, Store)
+    }
   }
 
   // Doubles round-trip exactly through java.lang.Double.toString/parse —
@@ -147,82 +178,74 @@ object ModelStore {
 
   /** Publish an interpolated Kneser-Ney bigram LM
     * ([[LangModel.trainKn]]). */
-  def saveKn(lm: LangModel.KnLm, dir: String): Unit = {
-    val spark = lm.counts.sparkSession
-    prepareDir(spark, dir, Seq("counts", "contexts", "cont"))
-    lm.counts.write.mode("errorifexists").parquet(s"$dir/counts")
-    lm.contexts.write.mode("errorifexists").parquet(s"$dir/contexts")
-    lm.cont.write.mode("errorifexists").parquet(s"$dir/cont")
-    commitManifest(spark, dir, Seq(
-      "kind kn_bigram",
+  def saveKn(lm: LangModel.KnLm, dir: String): Unit =
+    publish(lm.counts.sparkSession, dir, "kn_bigram", Seq(
       s"types ${lm.bigramTypes}",
       s"vocab ${lm.vocab}",
-      s"discount ${d2s(lm.discount)}"))
-  }
+      s"discount ${d2s(lm.discount)}")) { t =>
+      lm.counts.write.mode("errorifexists").parquet(s"$t/counts")
+      lm.contexts.write.mode("errorifexists").parquet(s"$t/contexts")
+      lm.cont.write.mode("errorifexists").parquet(s"$t/cont")
+    }
 
   /** Load a published KN model; [[LangModel.scoreWithKn]] on the result
     * equals scoring under the in-JVM original ([[ModelStoreSpec]] pins
     * it; the `kn_perplexity_served` oracle pins it cross-engine). */
   def loadKn(spark: SparkSession, dir: String): LangModel.KnLm = {
     val m = readManifest(spark, dir, "kn_bigram")
+    val t = tableRoot(dir, m)
     LangModel.KnLm(
-      spark.read.parquet(s"$dir/counts"),
-      spark.read.parquet(s"$dir/contexts"),
-      spark.read.parquet(s"$dir/cont"),
+      spark.read.parquet(s"$t/counts"),
+      spark.read.parquet(s"$t/contexts"),
+      spark.read.parquet(s"$t/cont"),
       m("types").toLong, m("vocab").toLong, m("discount").toDouble)
   }
 
   /** Publish an add-one bigram LM ([[LangModel.train]]). */
-  def saveBigram(lm: LangModel.BigramLm, dir: String): Unit = {
-    val spark = lm.counts.sparkSession
-    prepareDir(spark, dir, Seq("counts", "contexts"))
-    lm.counts.write.mode("errorifexists").parquet(s"$dir/counts")
-    lm.contexts.write.mode("errorifexists").parquet(s"$dir/contexts")
-    commitManifest(spark, dir, Seq(
-      "kind addone_bigram",
-      s"vocab ${lm.vocab}"))
-  }
+  def saveBigram(lm: LangModel.BigramLm, dir: String): Unit =
+    publish(lm.counts.sparkSession, dir, "addone_bigram",
+      Seq(s"vocab ${lm.vocab}")) { t =>
+      lm.counts.write.mode("errorifexists").parquet(s"$t/counts")
+      lm.contexts.write.mode("errorifexists").parquet(s"$t/contexts")
+    }
 
   def loadBigram(spark: SparkSession, dir: String): LangModel.BigramLm = {
     val m = readManifest(spark, dir, "addone_bigram")
+    val t = tableRoot(dir, m)
     LangModel.BigramLm(
-      spark.read.parquet(s"$dir/counts"),
-      spark.read.parquet(s"$dir/contexts"),
+      spark.read.parquet(s"$t/counts"),
+      spark.read.parquet(s"$t/contexts"),
       m("vocab").toLong)
   }
 
   /** Publish an NB quality classifier ([[QualityClassifier.train]]). */
-  def saveNb(m: QualityClassifier.NbModel, dir: String): Unit = {
-    val spark = m.tokenCounts.sparkSession
-    prepareDir(spark, dir, Seq("token_counts"))
-    m.tokenCounts.write.mode("errorifexists").parquet(s"$dir/token_counts")
-    commitManifest(spark, dir, Seq(
-      "kind nb_quality",
+  def saveNb(m: QualityClassifier.NbModel, dir: String): Unit =
+    publish(m.tokenCounts.sparkSession, dir, "nb_quality", Seq(
       s"n_pos ${m.nPos}",
       s"n_neg ${m.nNeg}",
       s"vocab ${m.vocab}",
-      s"prior_log_odds ${d2s(m.priorLogOdds)}"))
-  }
+      s"prior_log_odds ${d2s(m.priorLogOdds)}")) { t =>
+      m.tokenCounts.write.mode("errorifexists").parquet(s"$t/token_counts")
+    }
 
   def loadNb(spark: SparkSession, dir: String): QualityClassifier.NbModel = {
     val m = readManifest(spark, dir, "nb_quality")
     QualityClassifier.NbModel(
-      spark.read.parquet(s"$dir/token_counts"),
+      spark.read.parquet(s"${tableRoot(dir, m)}/token_counts"),
       m("n_pos").toLong, m("n_neg").toLong, m("vocab").toLong,
       m("prior_log_odds").toDouble)
   }
 
   /** Publish a DSIR importance model ([[Dsir.train]]) — the 256-row
     * log-ratio table. */
-  def saveDsir(m: Dsir.DsirModel, dir: String): Unit = {
-    prepareDir(m.bucketLogRatio.sparkSession, dir, Seq("log_ratio"))
-    m.bucketLogRatio.write.mode("errorifexists").parquet(s"$dir/log_ratio")
-    commitManifest(m.bucketLogRatio.sparkSession, dir, Seq("kind dsir"))
-  }
+  def saveDsir(m: Dsir.DsirModel, dir: String): Unit =
+    publish(m.bucketLogRatio.sparkSession, dir, "dsir", Seq.empty) { t =>
+      m.bucketLogRatio.write.mode("errorifexists").parquet(s"$t/log_ratio")
+    }
 
   def loadDsir(spark: SparkSession, dir: String): Dsir.DsirModel = {
-    readManifest(spark, dir, "dsir")
-    Dsir.DsirModel(spark.read.parquet(s"$dir/log_ratio"))
+    val m = readManifest(spark, dir, "dsir")
+    Dsir.DsirModel(spark.read.parquet(s"${tableRoot(dir, m)}/log_ratio"))
   }
 
   /** Publish a BPE merge table ([[graft.plans.BpeTrain]] output) as
@@ -231,21 +254,21 @@ object ModelStore {
   def saveBpeMerges(
       spark: SparkSession, merges: Seq[(String, String)], dir: String): Unit = {
     import spark.implicits._
-    prepareDir(spark, dir, Seq("merges"))
-    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
-      .toDF("rank", "left", "right")
-      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/merges")
-    commitManifest(spark, dir, Seq("kind bpe_merges", s"n ${merges.size}"))
+    publish(spark, dir, "bpe_merges", Seq(s"n ${merges.size}")) { t =>
+      merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("errorifexists").parquet(s"$t/merges")
+    }
   }
 
   def loadBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val m = readManifest(spark, dir, "bpe_merges")
-    val rows = spark.read.parquet(s"$dir/merges")
+    val rows = spark.read.parquet(s"${tableRoot(dir, m)}/merges")
       .orderBy(col("rank"))
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     require(rows.size == m("n").toInt,
-      s"ModelStore: $dir merges table has ${rows.size} rows, manifest says ${m("n")}")
+      s"$Store: $dir merges table has ${rows.size} rows, manifest says ${m("n")}")
     rows
   }
 
@@ -256,22 +279,22 @@ object ModelStore {
   def saveUnigramPieces(
       spark: SparkSession, pieces: Seq[(String, Double)], dir: String): Unit = {
     import spark.implicits._
-    prepareDir(spark, dir, Seq("pieces"))
-    pieces.zipWithIndex.map { case ((p, pr), i) => (i, p, pr) }
-      .toDF("ord", "piece", "prob")
-      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/pieces")
-    commitManifest(spark, dir, Seq("kind unigram_pieces", s"n ${pieces.size}"))
+    publish(spark, dir, "unigram_pieces", Seq(s"n ${pieces.size}")) { t =>
+      pieces.zipWithIndex.map { case ((p, pr), i) => (i, p, pr) }
+        .toDF("ord", "piece", "prob")
+        .coalesce(1).write.mode("errorifexists").parquet(s"$t/pieces")
+    }
   }
 
   def loadUnigramPieces(
       spark: SparkSession, dir: String): Seq[(String, Double)] = {
     val m = readManifest(spark, dir, "unigram_pieces")
-    val rows = spark.read.parquet(s"$dir/pieces")
+    val rows = spark.read.parquet(s"${tableRoot(dir, m)}/pieces")
       .orderBy(col("ord"))
       .select(col("piece"), col("prob"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     require(rows.size == m("n").toInt,
-      s"ModelStore: $dir pieces table has ${rows.size} rows, manifest says ${m("n")}")
+      s"$Store: $dir pieces table has ${rows.size} rows, manifest says ${m("n")}")
     rows
   }
 }

@@ -277,6 +277,180 @@ object Multimodal {
         .map(i => renderAudioRow(i, seconds, sampleRate)),
       audioSchema)
 
+  // --------------------------------------- audio perceptual fingerprint
+
+  /** Probe frequencies (Hz) of the audio fingerprint — ABSOLUTE
+    * frequencies, not fractions of Nyquist, so a resampled copy of a
+    * recording probes the same spectral bands (all sit below the 4 kHz
+    * Nyquist of the lowest common speech rate, 8 kHz). Geometric-ish
+    * spacing like a chromaprint filterbank. */
+  private val FpFreqs: Array[Double] =
+    Array(250.0, 375.0, 520.0, 700.0, 920.0, 1200.0, 1550.0, 1950.0)
+
+  /** 64-bit perceptual audio fingerprint — the audio analog of
+    * [[aHash64]], chromaprint's band-energy-delta shape: the signal is
+    * mono-mixed, split into 9 equal-DURATION windows, each window's
+    * power at the 8 [[FpFreqs]] probe frequencies measured by the
+    * Goertzel recurrence (normalized by window length²), and bit
+    * (t, f) set when band f's power RISES from window t to t+1 — 8
+    * transitions × 8 bands = 64 bits of spectral-envelope shape.
+    *
+    * Invariances, mirroring aHash's exact-brightness-shift argument:
+    * a GAIN shift scales every power by g² and cancels in every
+    * comparison (exactly so for power-of-two gains — binary floats
+    * scale exactly); RESAMPLING preserves the windows (fractions of
+    * total duration) and the probed bands (absolute Hz), so powers stay
+    * proportional up to interpolation error and the delta bits are
+    * stable wherever adjacent windows differ decisively. Unrelated
+    * recordings land ~32 bits apart. */
+  private[functions] def audioFp64(
+      pcm: Array[Byte], channels: Int, sampleRate: Float): Long = {
+    val frameSize = channels * 2
+    val nFrames = if (frameSize > 0) pcm.length / frameSize else 0
+    if (nFrames == 0) return 0L
+    val x = new Array[Double](nFrames)
+    var fr = 0
+    while (fr < nFrames) {
+      var s = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = fr * frameSize + c * 2
+        s += ((pcm(o + 1) << 8) | (pcm(o) & 0xFF)).toShort / 32768.0
+        c += 1
+      }
+      x(fr) = s / channels
+      fr += 1
+    }
+    val nT = 9
+    val p = Array.ofDim[Double](nT, FpFreqs.length)
+    var t = 0
+    while (t < nT) {
+      val lo = (t.toLong * nFrames / nT).toInt
+      val hi = ((t + 1).toLong * nFrames / nT).toInt
+      val n = hi - lo
+      var k = 0
+      while (k < FpFreqs.length) {
+        val coeff = 2.0 * math.cos(2.0 * math.Pi * FpFreqs(k) / sampleRate)
+        var s1 = 0.0
+        var s2 = 0.0
+        var i = lo
+        while (i < hi) {
+          val s0 = x(i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        p(t)(k) =
+          if (n > 0) (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (n.toDouble * n)
+          else 0.0
+        k += 1
+      }
+      t += 1
+    }
+    var hash = 0L
+    var b = 0
+    t = 0
+    while (t < nT - 1) {
+      var k = 0
+      while (k < FpFreqs.length) {
+        if (p(t + 1)(k) > p(t)(k)) hash |= (1L << b)
+        b += 1; k += 1
+      }
+      t += 1
+    }
+    hash
+  }
+
+  /** (asset_id, afp) over decodable audio — REAL codec path
+    * ([[readAudio]] normalizes any WAV/AIFF layout to 16-bit LE PCM),
+    * per-partition amortized like every decode pass. Undecodable rows
+    * are absent (quarantine-sink material, [[decodeAudioInfo]]'s
+    * decoded=false contract). */
+  def audioFingerprintTable(audio: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long)]
+    audio.select(col("asset_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          readAudio(r.getAs[Array[Byte]](1)).map { case (fmt, pcm) =>
+            (r.getLong(0),
+              audioFp64(pcm, fmt.getChannels, fmt.getSampleRate))
+          }
+        }
+      }
+      .toDF("asset_id", "afp")
+  }
+
+  /** Perceptual near-dup audio pairs: [[audioFp64]] fingerprints through
+    * the shared Hamming banding core ([[NearDup.hammingBandedPairs]]) —
+    * exact by pigeonhole for `maxHamming < bands`, and only 16-byte
+    * fingerprint rows ever shuffle (the PCM stays at the scan). The
+    * audio analog of [[phashPairs]]; completes the family (text SimHash,
+    * image aHash, audio band-delta). */
+  def audioFingerprintPairs(
+      audio: DataFrame, maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    NearDup.hammingBandedPairs(
+      audioFingerprintTable(audio), "asset_id", "afp", maxHamming, bands)
+
+  /** Renders one band-mix WAV — content twins for the audio-fingerprint
+    * gate: asset `i`'s recording is 9 segments, each mixing all 8 probe
+    * bands at seeded per-(segment, band) amplitude LEVELS that always
+    * CHANGE between adjacent segments (odd stride through 4 power-of-two
+    * levels), so every delta bit is decisive (≥2× power steps) and the
+    * fingerprint survives gain shift and resampling. EXECUTOR-side like
+    * [[renderAudioRow]]. */
+  private def renderBandMixRow(
+      i: Long, gain: Double, sampleRate: Int, seconds: Double): Row = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val nT = 9
+    val nFrames = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](nFrames * 2)
+    val base = new Array[Long](FpFreqs.length)
+    val stride = new Array[Int](FpFreqs.length)
+    var k = 0
+    while (k < FpFreqs.length) {
+      val h = i * 1000003L + k * 7919L
+      base(k) = math.floorMod(h, 4L)
+      stride(k) = if (math.floorMod(h >> 8, 2L) == 0L) 1 else 3 // odd: level always changes
+      k += 1
+    }
+    var f = 0
+    while (f < nFrames) {
+      val t = math.min(nT - 1, f * nT / nFrames)
+      var s = 0.0
+      k = 0
+      while (k < FpFreqs.length) {
+        val level = ((base(k) + t.toLong * stride(k)) % 4).toInt
+        val amp = 0.01 * (1 << level) // 0.01 / 0.02 / 0.04 / 0.08
+        s += amp * math.sin(2 * math.Pi * FpFreqs(k) * f / sampleRate)
+        k += 1
+      }
+      val q = (s * gain * 32767).toShort
+      pcm(2 * f) = (q & 0xFF).toByte
+      pcm(2 * f + 1) = ((q >> 8) & 0xFF).toByte
+      f += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    Row(i, out.toByteArray, Row("wav", sampleRate, 1))
+  }
+
+  /** Deterministic band-mix audio table (REAL WAV bytes): asset `i`'s
+    * content is [[renderBandMixRow]]'s seeded 9-segment band mix — call
+    * with different `gain`/`sampleRate`/`idOffset` to plant gain-shifted
+    * and resampled twins of the same content ids. */
+  def syntheticBandMixAudio(
+      spark: SparkSession, n: Int, gain: Double = 0.5,
+      sampleRate: Int = 8000, seconds: Double = 0.45,
+      idOffset: Long = 0L): DataFrame =
+    spark.createDataFrame(
+      spark.range(0, n.toLong, 1, math.max(1, n / 20)).rdd
+        .map(i => renderBandMixRow(i, gain, sampleRate, seconds) match {
+          case Row(id: Long, media, meta) => Row(id + idOffset, media, meta)
+        }),
+      audioSchema)
+
   // ------------------------------------------------------------- video
 
   /** Canonical video-asset schema: id + container bytes + typed metadata. */

@@ -671,15 +671,22 @@ object PairStore {
     *     not-yet-committed generations; publishing a manifest that
     *     points at deleted dirs would corrupt the store, so that race
     *     also dies here instead. ≤ modulus exists-checks — cheap.
-    *  3. '''Exclusive publish''': full write to a tmp name, then a
-    *     rename that REFUSES an existing `history/v<N>` (HDFS rename
-    *     onto an existing file fails atomically; [[renameOrThrow]]
-    *     makes the local-FS clobber loud too), then a read-back that
-    *     verifies the committed content is OURS — the belt-and-braces
-    *     close of the local-FS check-then-rename window.
+    *  3. '''Exclusive publish''': full write to a tmp name, then an
+    *     atomic create-exclusive move onto `history/v<N>`
+    *     ([[StoreCommit.exclusiveMoveFile]] — a hard link on local
+    *     filesystems, where POSIX rename(2) would silently replace and
+    *     leave a stalled loser able to clobber an already-verified
+    *     winner; refuse-existing rename on HDFS, whose file rename
+    *     fails atomically), then a read-back that verifies the
+    *     committed content is OURS.
     *
     * Exactly one of N racing writers passes all three; the rest throw
-    * `ConcurrentModificationException` with the store unharmed. */
+    * `ConcurrentModificationException` with the store unharmed. The one
+    * race these guards do NOT close is a concurrent [[recover]]/
+    * [[vacuum]]: guard 2's exists-checks can pass just before a reap
+    * deletes the referenced dirs, publishing a manifest that points at
+    * deleted data — which is why recover/vacuum must only run with no
+    * writer live (the class-level rule). */
   private def commitManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
     val latest = committedVersions(fs, dir).maxOption
     if (latest.exists(_ >= m.version))
@@ -705,7 +712,8 @@ object PairStore {
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    try renameOrThrow(fs, tmp, new Path(s"$dir/history/v${m.version}"))
+    try StoreCommit.exclusiveMoveFile(
+      fs, tmp, new Path(s"$dir/history/v${m.version}"), "PairStore")
     catch { case e: Throwable => fs.delete(tmp, false); throw e }
     val back = readManifest(fs, dir, m.version)
     if (back.buckets != m.buckets || back.pairFiles.sorted != m.pairFiles.sorted)
@@ -834,13 +842,13 @@ object PairStore {
   /** Filesystems may report failure by RETURNING false (local FS renames
     * across devices, permission walls) — a silent false here corrupts
     * the store, so every structural move is checked and loud. An
-    * EXISTING destination is refused outright: every structural rename
-    * in this store targets a path no committed state may own (salted
-    * generation dirs, a fresh manifest version), so a pre-existing
-    * destination means a concurrent writer got there first — local
-    * filesystems would silently clobber it (POSIX rename(2) replaces),
-    * which is exactly the manifest-overwrite corruption this guard
-    * exists to make loud. */
+    * EXISTING destination is refused outright: every move through here
+    * targets a salted generation DIRECTORY no other attempt can name, so
+    * a pre-existing destination can only be same-salt lightning — refused
+    * rather than clobbered. (The exists-check→rename pair is not atomic
+    * on POSIX; for the MANIFEST — the one path concurrent writers race
+    * by design — the commit goes through [[StoreCommit
+    * .exclusiveMoveFile]]'s atomic create-exclusive publish instead.) */
   private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit = {
     if (fs.exists(dst))
       throw new java.util.ConcurrentModificationException(

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,8 +23,31 @@ import org.apache.spark.sql.functions._
   * doc survives iff it is its batch exact-group's keeper, its exact hash
   * is not already ingested, and it has no ≥threshold near-dup in the
   * store or earlier in the batch.
-  */
+  *
+  * '''Layout & write contract''' ([[StoreCommit]] — the [[PairStore]]
+  * protocol, applied verbatim): signature rows live in immutable salted
+  * `data_g<v>.<salt>/` generation dirs; `history/v<N>` manifests list the
+  * LIVE files of each committed version; readers resolve every path
+  * through the current manifest, so uncommitted and superseded files are
+  * invisible. [[append]] writes its generation completely, then
+  * CAS-commits — of N writers racing an append, EXACTLY ONE commits and
+  * the rest throw `ConcurrentModificationException` with the store
+  * unharmed (replaying the loser's batch converges: its docs either
+  * re-screen out or re-append fresh rows). [[delete]] is file-pruned
+  * copy-on-write at the manifest level: survivor rows of the dead files
+  * land in a new generation and the dead files leave the manifest —
+  * superseded files stay on disk for concurrent readers until
+  * [[vacuum]]. A crash before any commit leaves unreferenced garbage
+  * only. */
 object SignatureStore {
+
+  private val Store = "SignatureStore"
+
+  /** Test seam: invoked immediately before [[append]]'s /[[delete]]'s
+    * manifest commit, so SignatureStoreSpec can interleave a full
+    * competing write at exactly the CAS window, deterministically.
+    * No-op in production. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
 
   /** Signature frame for a doc table: (doc_id, exact_h, arr, n_shingles).
     * Docs shorter than `w` tokens get an empty array (they can never be
@@ -38,44 +62,114 @@ object SignatureStore {
         coalesce(col("n_shingles"), lit(0)).as("n_shingles"))
   }
 
-  /** Build (overwrite) the store from an initial corpus. */
-  def build(docs: DataFrame, dir: String, w: Int = 3): Unit =
-    signatures(docs, w).write.mode("overwrite").parquet(dir)
+  /** Build (overwrite) the store from an initial corpus: the store's
+    * history starts over at manifest v0. */
+  def build(docs: DataFrame, dir: String, w: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val fs = StoreCommit.fsOf(spark, dir)
+    if (fs.exists(new Path(dir)))
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(s => s.getPath.getName.startsWith("data_g") ||
+          s.getPath.getName == "history")
+        .foreach(s => StoreCommit.deleteOrThrow(fs, s.getPath, Store))
+    val gen = StoreCommit.saltedGenDir("data", 0L)
+    val sigs = signatures(docs, w)
+    sigs.write.mode("overwrite").parquet(s"$dir/$gen")
+    if (StoreCommit.listDataFiles(fs, dir, gen).isEmpty)
+      // an empty corpus can write zero part files; force one so every
+      // manifest lists a schema-bearing file and readers never fall back
+      // to directory listing
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigs.schema)
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/$gen")
+    StoreCommit.commitManifest(fs, dir, 0L,
+      manifestLines(0L, StoreCommit.listDataFiles(fs, dir, gen)), Store)
+  }
 
-  /** Append a batch's signatures (call after [[screenBatch]] accepts). */
-  def append(docs: DataFrame, dir: String, w: Int = 3): Unit =
-    signatures(docs, w).write.mode("append").parquet(dir)
+  /** Append a batch's signatures (call after [[screenBatch]] accepts):
+    * write a complete salted generation, then CAS-commit the grown file
+    * list. A loser of a concurrent-append race throws with the store
+    * unharmed; replaying its batch (screen + append) converges. */
+  def append(docs: DataFrame, dir: String, w: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val fs = StoreCommit.fsOf(spark, dir)
+    val v = StoreCommit.currentVersion(fs, dir, Store)
+    val old = liveFiles(fs, dir, v)
+    val gen = StoreCommit.saltedGenDir("data", v + 1)
+    signatures(docs, w).write.mode("overwrite").parquet(s"$dir/$gen")
+    val fresh = StoreCommit.listDataFiles(fs, dir, gen)
+    if (fresh.isEmpty) return // empty batch: nothing to commit
+    onBeforeCommit()
+    StoreCommit.commitManifest(fs, dir, v + 1,
+      manifestLines(v + 1, old ++ fresh), Store)
+  }
 
   /** Delete signatures by doc id — the retention pass: once a document
     * is forgotten, future batches must stop being screened against it
     * (a new doc that matches only a deleted one must now be ACCEPTED).
-    * File-pruned copy-on-write like [[PairStore.delete]]: one columnar
-    * `doc_id` scan tags the files holding deleted ids (the signature
-    * arrays' pages are never read), their survivor rows are appended as
-    * new files, then the dead files are removed. A crash between the
-    * two steps leaves duplicated survivor signatures — harmless to
-    * screening (every screen is an anti-join / distinct-candidate
-    * path), and reaped when a later delete touches those files. */
+    * File-pruned copy-on-write at the MANIFEST level: one columnar
+    * `doc_id` scan of the live files tags those holding deleted ids
+    * (the signature arrays' pages are never read), their survivor rows
+    * are written as a new salted generation, and the CAS commit swaps
+    * the dead files for the new ones. Superseded files stay on disk for
+    * racing readers until [[vacuum]]; a crash before the commit leaves
+    * only an unreferenced generation. Replaying a completed delete is a
+    * no-op (already-deleted ids match no live file). */
   def delete(spark: SparkSession, ids: DataFrame, dir: String): Unit = {
+    val fs = StoreCommit.fsOf(spark, dir)
+    val v = StoreCommit.currentVersion(fs, dir, Store)
+    val live = liveFiles(fs, dir, v)
     val del = ids.select(col(ids.columns.head).as("doc_id"))
       .distinct().localCheckpoint(true)
-    val dead = spark.read.parquet(dir)
+    val deadAbs = readFiles(spark, dir, live)
       .select(col("doc_id"), input_file_name().as("_f"))
       .join(broadcast(del), Seq("doc_id"), "left_semi")
       .select(col("_f")).distinct().collect().map(_.getString(0))
+    val dead = live.filter(f => deadAbs.exists(_.endsWith("/" + f))).toSet
     if (dead.isEmpty) { del.unpersist(blocking = false); return }
-    val survivors = spark.read.parquet(dead.toIndexedSeq: _*)
+    val gen = StoreCommit.saltedGenDir("data", v + 1)
+    readFiles(spark, dir, dead.toSeq.sorted)
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    if (!survivors.isEmpty) survivors.write.mode("append").parquet(dir)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dead.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      if (!fs.delete(p, false) && fs.exists(p))
-        throw new IllegalStateException(s"SignatureStore: delete $p failed")
-    }
-    Seq(survivors, del).foreach(_.unpersist(blocking = false))
+      .write.mode("overwrite").parquet(s"$dir/$gen")
+    onBeforeCommit()
+    StoreCommit.commitManifest(fs, dir, v + 1,
+      manifestLines(v + 1,
+        live.filterNot(dead) ++ StoreCommit.listDataFiles(fs, dir, gen)),
+      Store)
+    del.unpersist(blocking = false)
+  }
+
+  /** Retire manifests older than the newest `keepLast` and delete the
+    * data files no retained manifest references — superseded delete
+    * targets, crashed appends' orphans, and losing racers' generations.
+    * Run it only when no writer is live (the PairStore rule: a reap can
+    * race a not-yet-committed generation into a loud commit abort). */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = StoreCommit.fsOf(spark, dir)
+    val versions = StoreCommit.committedVersions(fs, dir).sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val liveSet: Set[String] = keep.flatMap(liveFiles(fs, dir, _)).toSet
+    drop.foreach(dv =>
+      StoreCommit.deleteOrThrow(fs, new Path(s"$dir/history/v$dv"), Store))
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("data_g"))
+      .foreach { s =>
+        val sub = s.getPath.getName
+        StoreCommit.listDataFiles(fs, dir, sub).filterNot(liveSet)
+          .foreach(f => StoreCommit.deleteOrThrow(fs, new Path(s"$dir/$f"), Store))
+        if (StoreCommit.listDataFiles(fs, dir, sub).isEmpty)
+          StoreCommit.deleteOrThrow(fs, s.getPath, Store)
+      }
+  }
+
+  /** The stored signature table at the CURRENT committed version — a
+    * consistent snapshot that stays valid while appends/deletes race
+    * ahead (until [[vacuum]] retires it). */
+  def stored(spark: SparkSession, dir: String): DataFrame = {
+    val fs = StoreCommit.fsOf(spark, dir)
+    readFiles(spark, dir,
+      liveFiles(fs, dir, StoreCommit.currentVersion(fs, dir, Store)))
   }
 
   /** Surviving doc ids of a new batch screened against the store:
@@ -86,7 +180,7 @@ object SignatureStore {
   def screenBatch(
       spark: SparkSession, batch: DataFrame, dir: String,
       threshold: Double, w: Int = 3): DataFrame = {
-    val store = spark.read.parquet(dir)
+    val store = stored(spark, dir)
     val batchSigs = signatures(batch, w).persist()
     val keepers = batchSigs.groupBy(col("exact_h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -113,5 +207,28 @@ object SignatureStore {
         .join(ndBatch, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id")),
       batchSigs)
+  }
+
+  // ------------------------------------------------------------------ //
+
+  private def manifestLines(v: Long, files: Seq[String]): Seq[String] =
+    s"version $v" +: files.sorted.map(f => s"file $f")
+
+  private def liveFiles(fs: FileSystem, dir: String, v: Long): Seq[String] =
+    StoreCommit.readManifestLines(fs, dir, v).flatMap { l =>
+      l.split(" ", 2) match {
+        case Array("file", f)    => Some(f)
+        case Array("version", _) => None
+        case Array("nonce", _)   => None
+        case other => throw new IllegalStateException(
+          s"corrupt $Store manifest line '${other.mkString(" ")}' in $dir/history/v$v")
+      }
+    }
+
+  private def readFiles(
+      spark: SparkSession, dir: String, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty,
+      s"$Store $dir manifest lists no files — corrupt store?")
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 }

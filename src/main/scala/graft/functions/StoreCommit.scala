@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The store tier's shared manifest-commit protocol — the mechanics
+  * [[PairStore]] proved out (salted immutable data generations, one small
+  * versioned manifest file as the single commit point, version CAS,
+  * exclusive publish, read-back ownership verify), factored out so
+  * [[SignatureStore]] and [[IvfIndex]] commit under the SAME contract
+  * instead of re-deriving it. Layout convention under a store `dir`:
+  *
+  *   - data lands in salted generation dirs no two attempts can collide
+  *     on (`<prefix>_g<salt>`), written completely BEFORE any commit;
+  *   - `history/v<N>` is the version-N manifest: newline-separated
+  *     `key value...` lines, including a per-commit `nonce` line that
+  *     makes the published content ownable;
+  *   - publishing the manifest IS the commit. A crash before it leaves
+  *     unreferenced garbage (reaped by the store's vacuum); a loser of a
+  *     racing commit throws `ConcurrentModificationException` with the
+  *     store unharmed.
+  *
+  * '''Exclusive publish.''' HDFS `rename` onto an existing file fails
+  * atomically, but POSIX rename(2) REPLACES — so on local filesystems the
+  * exists-precheck + rename protocol has a residual window where a
+  * stalled loser clobbers a winner that already read-back-verified. Here
+  * the local-FS publish goes through `Files.createLink` (hard link,
+  * atomic create-exclusive at the kernel level) instead of rename, which
+  * closes that window completely: of N same-version publishers, the
+  * filesystem itself admits exactly one.
+  */
+private[functions] object StoreCommit {
+
+  def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed manifest versions under `dir/history`. */
+  def committedVersions(fs: FileSystem, dir: String): Seq[Long] = {
+    val hist = new Path(s"$dir/history")
+    if (!fs.exists(hist)) Seq.empty
+    else fs.listStatus(hist).toSeq
+      .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong))
+  }
+
+  /** Newest committed version, or a loud failure naming the store. */
+  def currentVersion(fs: FileSystem, dir: String, store: String): Long =
+    committedVersions(fs, dir).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not a $store (no committed manifest) — run build() first"))
+
+  /** Non-empty trimmed lines of manifest `v` (throws if never committed). */
+  def readManifestLines(fs: FileSystem, dir: String, v: Long): Seq[String] = {
+    val in = fs.open(new Path(s"$dir/history/v$v"))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Publish `lines` (plus a generated `nonce` line) as version `v` of
+    * the store at `dir` — the CAS commit point. Guards, in order:
+    *
+    *  1. '''Version CAS''': any committed version ≥ `v` means another
+    *     writer advanced the store since this commit's manifest was read
+    *     — abort loudly; the caller's batch replays against the new head.
+    *  2. '''Exclusive publish''': full write to a salted tmp name, then
+    *     an atomic create-exclusive move onto `history/v<N>`
+    *     ([[exclusiveMoveFile]] — hard-link on local FS, refuse-existing
+    *     rename elsewhere).
+    *  3. '''Read-back ownership verify''': the committed content must
+    *     carry OUR nonce — belt-and-braces for filesystems whose rename
+    *     semantics we can't prove exclusive.
+    *
+    * Exactly one of N same-version racers returns; the rest throw
+    * `ConcurrentModificationException` with the store unharmed. */
+  def commitManifest(
+      fs: FileSystem, dir: String, v: Long, lines: Seq[String],
+      store: String): Unit = {
+    val latest = committedVersions(fs, dir).maxOption
+    if (latest.exists(_ >= v))
+      throw new java.util.ConcurrentModificationException(
+        s"$store commit v$v aborted: version ${latest.get} was committed " +
+          "by a concurrent writer since this batch began — replay the " +
+          "batch against the new head")
+    val nonce = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(1L, Long.MaxValue)
+    val all = lines :+ s"nonce $nonce"
+    val tmp = new Path(s"$dir/history/.tmp_v${v}_$nonce")
+    fs.mkdirs(new Path(s"$dir/history"))
+    val out = fs.create(tmp, true)
+    try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    try exclusiveMoveFile(fs, tmp, new Path(s"$dir/history/v$v"), store)
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    val back = readManifestLines(fs, dir, v)
+    if (!back.contains(s"nonce $nonce"))
+      throw new java.util.ConcurrentModificationException(
+        s"$store commit v$v: published manifest content is not ours — " +
+          "lost a same-version publish race; replay the batch")
+  }
+
+  /** Move FILE `src` onto `dst`, failing (never clobbering) if `dst`
+    * exists. On local filesystems this is `Files.createLink` — an atomic
+    * O_EXCL-grade create that closes the POSIX check-then-rename window;
+    * elsewhere (HDFS and friends, whose file rename refuses an existing
+    * destination atomically) it is exists-precheck + rename. */
+  def exclusiveMoveFile(
+      fs: FileSystem, src: Path, dst: Path, store: String): Unit = {
+    def refused() = throw new java.util.ConcurrentModificationException(
+      s"$store: publish $src -> $dst refused — destination already exists " +
+        "(concurrent writer?); never overwriting committed state")
+    if ("file".equals(fs.getUri.getScheme)) {
+      val s = java.nio.file.Paths.get(src.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try java.nio.file.Files.createLink(d, s)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => refused()
+        case _: UnsupportedOperationException =>
+          // no hard links on this volume — fall back to the precheck path
+          if (fs.exists(dst)) refused()
+          if (!fs.rename(src, dst))
+            throw new IllegalStateException(s"$store: rename $src -> $dst failed")
+          return
+      }
+      // link landed; drop the tmp name (via the Hadoop FS so checksum
+      // sidecars written by LocalFileSystem go with it)
+      fs.delete(src, false)
+    } else {
+      if (fs.exists(dst)) refused()
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"$store: rename $src -> $dst failed")
+    }
+  }
+
+  /** Salted generation-dir name: unique per attempt, so racing writers
+    * stage disjoint paths and a loser's data is unreferenced garbage. */
+  def saltedGenDir(prefix: String, v: Long): String = {
+    val salt = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(1L, 1L << 20)
+    s"${prefix}_g$v.$salt"
+  }
+
+  /** Relative paths of the parquet data files directly under `dir/<sub>`
+    * (recursing one partition level — `cell=N/part-…` layouts). */
+  def listDataFiles(fs: FileSystem, dir: String, sub: String): Seq[String] = {
+    val p = new Path(s"$dir/$sub")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.flatMap { s =>
+      if (s.isFile && s.getPath.getName.startsWith("part-"))
+        Seq(s"$sub/${s.getPath.getName}")
+      else if (s.isDirectory && s.getPath.getName.contains("="))
+        listDataFiles(fs, dir, s"$sub/${s.getPath.getName}")
+      else Seq.empty
+    }.sorted
+  }
+
+  def deleteOrThrow(fs: FileSystem, p: Path, store: String): Unit =
+    if (!fs.delete(p, true) && fs.exists(p))
+      throw new IllegalStateException(s"$store: delete $p failed")
+}

@@ -130,20 +130,20 @@ class IvfIndexSpec extends SparkSpec {
       == expected)
   }
 
-  test("delete: a fully-emptied cell's directory is removed and stays probeable") {
+  test("delete: a fully-emptied cell leaves the manifest, stays probeable, " +
+      "and vacuum reaps its superseded data") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_del_all").toString
     val idx = IvfIndex.build(e, "vec_id", "embedding", nCells = 4, dir)
     // wipe one whole cell (victim ids collected FIRST — a lazy plan over
-    // the cells layout would re-list the deleted directory afterwards)
+    // the cells layout would re-list the deleted state afterwards)
     val cellToKill = idx.cells.select("cell").distinct().as[Int].collect().min
     val victims = idx.cells.filter(col("cell") === cellToKill)
       .select(col("id").cast("long")).as[Long].collect().toSeq
       .toDF("vec_id")
     idx.delete(victims, "vec_id")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cells/cell=$cellToKill")),
-      "an emptied cell directory must be removed")
+    assert(!idx.cells.select("cell").distinct().as[Int].collect()
+      .contains(cellToKill),
+      "an emptied cell must leave the committed manifest")
     // probing everything still serves (the empty cell is a valid target)
     val rem = e.join(victims, Seq("vec_id"), "left_anti")
     val served = idx.topK(rem.filter(col("vec_id") < 8),
@@ -151,6 +151,133 @@ class IvfIndexSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(rem,
       rem.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
     assert(rows(served) == rows(exact))
+    // vacuum to the current version only: the superseded cell data (and
+    // the pre-delete manifest) disappear, serving is unchanged
+    idx.vacuum(keepLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("cells_g"))
+      .flatMap(g => fs.listStatus(g.getPath).toSeq.map(_.getPath.getName))
+      .filter(_.startsWith("cell="))
+    assert(!leaves.contains(s"cell=$cellToKill"),
+      s"vacuum must reap the emptied cell's superseded data: $leaves")
+    assert(rows(idx.topK(rem.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 3, nProbe = 4)) == rows(exact))
+  }
+
+  test("interleaved appenders: exactly one commits, the loser fails loudly, " +
+      "its idempotent replay appends only the missing remainder") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_race").toString
+    val idx = IvfIndex.build(e.filter(col("vec_id") < 400),
+      "vec_id", "embedding", nCells = 8, dir)
+    // A and B race OVERLAPPING id ranges — the screen-then-append TOCTOU:
+    // both screens pass before either writes; the manifest CAS must still
+    // admit exactly one, and the loser's replay appends only what's missing
+    val batchA = e.filter(col("vec_id") >= 400 && col("vec_id") < 460)
+    val batchB = e.filter(col("vec_id") >= 430 && col("vec_id") < 480)
+    val err = try {
+      IvfIndex.onBeforeCommit = () => {
+        IvfIndex.onBeforeCommit = () => () // B must not recurse
+        idx.appendBatchIdempotent(batchB, "vec_id", "embedding")
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        idx.appendBatchIdempotent(batchA, "vec_id", "embedding")
+      }
+    } finally IvfIndex.onBeforeCommit = () => ()
+    assert(err.getMessage.contains("concurrent writer"), err.getMessage)
+    // exactly B's commit landed — no duplicate ids, no A rows
+    val afterB = idx.cells.select(col("id")).as[Long].collect().toSeq
+    assert(afterB.distinct.size == afterB.size, "duplicate ids after the race")
+    assert(afterB.toSet ==
+      e.filter(col("vec_id") < 400 || (col("vec_id") >= 430 && col("vec_id") < 480))
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet)
+    // the loser replays: only [400,430) is genuinely new now
+    val appended = idx.appendBatchIdempotent(batchA, "vec_id", "embedding")
+    assert(appended == batchA.join(batchB, Seq("vec_id"), "left_anti").count(),
+      s"replay must append only the missing remainder, appended $appended")
+    val ids = idx.cells.select(col("id")).as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size, "duplicate ids after the replay")
+    // and the union serves exactly
+    val live = e.filter(col("vec_id") < 480)
+    val exact = Similarity.bruteForceTopK(live, q, "vec_id", "embedding", 5)
+    assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == rows(exact))
+  }
+
+  test("in-batch duplicate ids collapse to one row before the append") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dupb").toString
+    val idx = IvfIndex.build(e.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nCells = 4, dir)
+    val batch = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val n = idx.appendBatchIdempotent(batch.unionAll(batch), "vec_id", "embedding")
+    assert(n == 10, s"self-duplicating batch must insert each id once, got $n")
+    val ids = idx.cells.select(col("id")).as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size, "duplicate rows reached the index")
+  }
+
+  test("blue-green rebuild: atomic swap, exactness invariant, drifted recall restored") {
+    // Provable drift fixture: two well-separated training clusters A, B;
+    // the appended cluster C sits exactly BETWEEN their centroids, so the
+    // frozen quantizer splits C's members ~half/half across the two cells
+    // by noise sign. A C query probing 1 cell then finds only its half of
+    // C (recall ~0.5) — the drift regime appendBatch's frozen-quantizer
+    // contract defers to. rebuild(nCells = 3) gives C its own cell and
+    // restores recall to ~1.
+    def cluster(cx: Double, cy: Double, idBase: Long, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 20).map { i =>
+        (idBase + i, Seq(cx + rnd.nextDouble() - 0.5,
+          cy + rnd.nextDouble() - 0.5, rnd.nextDouble() - 0.5,
+          rnd.nextDouble() - 0.5))
+      }
+    }
+    val a = cluster(10, 0, 0L, 1)
+    val b = cluster(0, 10, 100L, 2)
+    val c = cluster(5, 5, 200L, 3)
+    val trained = (a ++ b).toDF("vec_id", "embedding")
+    val all = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val cq = c.take(6).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    val idx = IvfIndex.build(trained, "vec_id", "embedding", nCells = 2, dir,
+      m = 2, kCodes = 8) // dim-4 fixture: 2 PQ subspaces of 2 dims
+    idx.appendBatch(c.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val v1 = idx.version
+    def recallAt1: Double = {
+      val exact = Similarity.bruteForceTopK(all, cq, "vec_id", "embedding", 5)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      val ann = idx.topK(cq, "vec_id", "embedding", 5, nProbe = 1)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      (exact & ann).size.toDouble / exact.size
+    }
+    val drifted = recallAt1
+    assert(drifted <= 0.85,
+      s"fixture must actually drift (C split across cells), got recall $drifted")
+    idx.rebuild(nCells = 3)
+    assert(idx.version == v1 + 1, "rebuild must commit exactly one version")
+    // full-probe exactness is invariant under rebuild (both serve paths)
+    val exact = Similarity.bruteForceTopK(all, cq, "vec_id", "embedding", 5)
+    assert(rows(idx.topK(cq, "vec_id", "embedding", 5, nProbe = 3)) == rows(exact))
+    assert(rows(idx.pqTopK(cq, "vec_id", "embedding", 5, nProbe = 3,
+      rerank = 1000)) == rows(exact))
+    // the retrained quantizer gives C its own cell — recall restored
+    val rebuilt = recallAt1
+    assert(rebuilt >= 0.95 && rebuilt > drifted,
+      s"rebuild must restore recall: drifted $drifted -> rebuilt $rebuilt")
+    // the rebuilt index contains every id exactly once
+    val ids = idx.cells.select(col("id")).as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size && ids.size == all.count())
+    // a racing writer hitting the rebuild's commit window loses loudly
+    // and the committed delete survives the aborted rebuild
+    val err = try {
+      IvfIndex.onBeforeCommit = () => {
+        IvfIndex.onBeforeCommit = () => ()
+        idx.delete(Seq(7L).toDF("vec_id"), "vec_id")
+      }
+      intercept[java.util.ConcurrentModificationException](idx.rebuild())
+    } finally IvfIndex.onBeforeCommit = () => ()
+    assert(err.getMessage.contains("concurrent writer"), err.getMessage)
+    assert(!idx.cells.select(col("id")).as[Long].collect().contains(7L),
+      "the racing delete's committed state must stand")
   }
 
   test("load() round-trips the persisted codebooks") {

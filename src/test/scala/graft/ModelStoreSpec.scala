@@ -114,10 +114,53 @@ class ModelStoreSpec extends SparkSpec {
     ModelStore.saveDsir(m, dir)
     val before = rows(ModelStore.loadDsir(spark, dir).bucketLogRatio
       .orderBy(col("b")))
-    // the parquet errorifexists guard fires first; the manifest CAS
-    // backs it up — either way the publish refuses and the model stands
+    // the publish refuses BEFORE writing anything (requireUnpublished);
+    // the manifest's exclusive create backs it up — the model stands
     intercept[Exception](ModelStore.saveDsir(Dsir.train(ref, ref), dir))
     assert(rows(ModelStore.loadDsir(spark, dir).bucketLogRatio
       .orderBy(col("b"))) == before)
+  }
+
+  test("list(): committed models enumerated with their kinds, crashed publishes invisible") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ms_list").toString
+    ModelStore.saveDsir(Dsir.train(ref, ref), s"$root/dsir_a")
+    ModelStore.saveBpeMerges(spark, Seq(("a", "b")), s"$root/bpe_b")
+    // crashed publish: staged tables, no manifest — must be invisible
+    ref.limit(1).write.parquet(s"$root/crashed/t123/counts")
+    val got = ModelStore.list(spark, root)
+    assert(got.map(e => (e._1.split('/').last, e._2))
+      == Seq(("bpe_b", "bpe_merges"), ("dsir_a", "dsir")), got.toString)
+    assert(got.forall(_._3 > 0L), "publish nonces must be recorded")
+    // a dir that is no model store at all lists empty, not loudly
+    assert(ModelStore.list(spark, s"$root/nowhere") == Seq.empty)
+  }
+
+  test("two publishers racing one dir: one winner, winner's tables intact, " +
+      "orphans vacuumable") {
+    // The round-13 hazard: staging at FIXED table names let a loser
+    // delete/rewrite the winner's tables after the winner wrote them but
+    // before its manifest landed. Salted staging makes the writes
+    // disjoint: simulate the worst interleaving by staging B's tables
+    // while A publishes completely, then letting B's commit race.
+    val dir = tmp("graft_ms_race")
+    val mA = Dsir.train(ref, ref.filter(col("doc_id") =!= 2L))
+    val mB = Dsir.train(ref, ref.filter(col("doc_id") =!= 3L))
+    ModelStore.saveDsir(mA, dir) // A wins
+    val wantA = rows(ModelStore.loadDsir(spark, dir).bucketLogRatio
+      .orderBy(col("b")))
+    // B arrives late: must refuse without touching A's committed tables
+    intercept[Exception](ModelStore.saveDsir(mB, dir))
+    assert(rows(ModelStore.loadDsir(spark, dir).bucketLogRatio
+      .orderBy(col("b"))) == wantA, "loser damaged the winner's model")
+    // a crashed/losing attempt's staging dir is reaped by vacuumOrphans,
+    // and the committed tables survive it
+    mB.bucketLogRatio.write.parquet(s"$dir/t999/log_ratio")
+    ModelStore.vacuumOrphans(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t999")),
+      "orphan staging must be reaped")
+    assert(rows(ModelStore.loadDsir(spark, dir).bucketLogRatio
+      .orderBy(col("b"))) == wantA, "vacuum reaped the committed tables")
   }
 }

@@ -143,6 +143,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSet == brute.toSet)
   }
 
+  test("audio fingerprint: gain-shifted and resampled twins recovered through " +
+      "the real WAV codec, unrelated recordings distant") {
+    val n = 6
+    // same seeded band-mix CONTENT per (id % 100): base at gain 0.5/8 kHz,
+    // a 0.25-gain twin, and an 11025 Hz resampled twin
+    val base = Multimodal.syntheticBandMixAudio(spark, n)
+    val gained = Multimodal.syntheticBandMixAudio(spark, n,
+      gain = 0.25, idOffset = 100L)
+    val resampled = Multimodal.syntheticBandMixAudio(spark, n,
+      sampleRate = 11025, idOffset = 200L)
+    val all = base.unionByName(gained).unionByName(resampled)
+    val fps = Multimodal.audioFingerprintTable(all)
+      .as[(Long, Long)].collect().toMap
+    assert(fps.size == 3 * n, "every rendered WAV must decode and fingerprint")
+    // gain shift is exact (power-of-two gain scales every band power
+    // proportionally); resampling may wobble a few delta bits
+    for (i <- 0L until n) {
+      assert(java.lang.Long.bitCount(fps(i) ^ fps(i + 100)) <= 2,
+        s"asset $i vs its gain twin: ${java.lang.Long.bitCount(fps(i) ^ fps(i + 100))} bits")
+      assert(java.lang.Long.bitCount(fps(i) ^ fps(i + 200)) <= 6,
+        s"asset $i vs its resampled twin: ${java.lang.Long.bitCount(fps(i) ^ fps(i + 200))} bits")
+    }
+    val dists = for { i <- 0L until n; j <- (i + 1) until n }
+      yield java.lang.Long.bitCount(fps(i) ^ fps(j))
+    assert(dists.min > 12,
+      s"independent band mixes must be distant, got min ${dists.min}")
+    // the banded pair join recovers exactly the same-content pairs
+    val pairs = Multimodal.audioFingerprintPairs(all, maxHamming = 6, bands = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.forall { case (a, b, _) => a % 100 == b % 100 },
+      s"cross-content pair leaked: $pairs")
+    val want = (0L until n).flatMap(i =>
+      Seq((i, i + 100), (i, i + 200), (i + 100, i + 200))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == want,
+      s"missing twin pairs: ${want -- pairs.map(p => (p._1, p._2)).toSet}")
+  }
+
   test("video features: mean of real per-frame histograms, L1-normalized") {
     val feats = Multimodal.videoFeatures(video, everyN = 4, dim = 16).cache()
     assert(feats.count() == 8)

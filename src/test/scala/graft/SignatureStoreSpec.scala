@@ -105,10 +105,71 @@ class SignatureStoreSpec extends SparkSpec {
     val dir = tmp()
     SignatureStore.build(existing, dir)
     SignatureStore.delete(spark, Seq(1L).toDF("doc_id"), dir)
-    val left = spark.read.parquet(dir).select("doc_id")
+    val left = SignatureStore.stored(spark, dir).select("doc_id")
       .as[Long].collect().sorted.toSeq
     assert(left == Seq(2L, 3L),
       "survivor rows sharing a rewritten file must be preserved")
+  }
+
+  test("interleaved appenders: exactly one commits, the loser fails loudly, " +
+      "its replayed screen+append converges") {
+    val a = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bA = Seq((10L, "one two three four")).toDF("doc_id", "text")
+    val bB = Seq((20L, "five six seven eight")).toDF("doc_id", "text")
+    val dir = tmp()
+    SignatureStore.build(a, dir)
+    // Appender A stages its generation; at A's CAS window the hook runs
+    // appender B's ENTIRE append (committing the next version). A must
+    // abort without touching B's committed state.
+    val err = try {
+      SignatureStore.onBeforeCommit = () => {
+        SignatureStore.onBeforeCommit = () => () // B must not recurse
+        SignatureStore.append(bB, dir)
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        SignatureStore.append(bA, dir)
+      }
+    } finally SignatureStore.onBeforeCommit = () => ()
+    assert(err.getMessage.contains("concurrent writer"), err.getMessage)
+    // exactly B's commit landed
+    assert(SignatureStore.stored(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 20L))
+    // the loser replays (screen + append) against the new head → converges
+    val accepted = SignatureStore.screenBatch(spark, bA, dir, 0.5)
+      .as[Long].collect().toSeq
+    assert(accepted == Seq(10L))
+    SignatureStore.append(bA, dir)
+    assert(SignatureStore.stored(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 10L, 20L))
+    // vacuum reaps the loser's orphan generation without disturbing state
+    SignatureStore.vacuum(spark, dir, keepLast = 1)
+    assert(SignatureStore.stored(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 10L, 20L))
+  }
+
+  test("append/delete race a competing delete: CAS aborts, state unharmed") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "one two three four"),
+      (3L, "five six seven eight")).toDF("doc_id", "text")
+    val dir = tmp()
+    SignatureStore.build(docs, dir)
+    val err = try {
+      SignatureStore.onBeforeCommit = () => {
+        SignatureStore.onBeforeCommit = () => ()
+        SignatureStore.delete(spark, Seq(3L).toDF("doc_id"), dir)
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        SignatureStore.delete(spark, Seq(2L).toDF("doc_id"), dir)
+      }
+    } finally SignatureStore.onBeforeCommit = () => ()
+    assert(err.getMessage.contains("concurrent writer"), err.getMessage)
+    assert(SignatureStore.stored(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "only the inner delete may have committed")
+    // replaying the losing delete converges
+    SignatureStore.delete(spark, Seq(2L).toDF("doc_id"), dir)
+    assert(SignatureStore.stored(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L))
   }
 
   test("property: random append/delete interleavings screen like the surviving corpus") {

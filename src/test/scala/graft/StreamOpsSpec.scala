@@ -63,7 +63,7 @@ class StreamOpsSpec extends SparkSpec {
     assert(acceptedIds.toSet == Set(22L), s"got $acceptedIds")
     // the store grew by exactly the accepted doc's signatures
     assert(graft.functions.SignatureStore // 2 ingested + doc 22
-      .signatures(ingested).sparkSession.read.parquet(storeDir)
+      .stored(spark, storeDir)
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 22L))
     // sequential batch-mode reference over the same three batches
     val storeDir2 = java.nio.file.Files
@@ -120,8 +120,8 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
     assert(acceptedIds.toSet == Set(33L, 35L, 37L), s"got $acceptedIds")
     // the store grew by exactly the accepted docs' signatures
-    assert(spark.read.parquet(storeDir).select("doc_id")
-      .as[Long].collect().toSet == Set(1L, 33L, 35L, 37L))
+    assert(graft.functions.SignatureStore.stored(spark, storeDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 33L, 35L, 37L))
     // sequential batch-mode reference: same four screens per batch
     val storeDir2 = java.nio.file.Files
       .createTempDirectory("graft_cleanbatch").toString
