@@ -236,6 +236,32 @@ final class IvfIndex private (
     del.unpersist(blocking = false)
   }
 
+  /** Fold every live generation into ONE — the small-files compaction a
+    * long micro-batch ingest history needs (each [[appendBatch]] commit
+    * adds a generation; thousands of micro-batches mean thousands of
+    * small files per cell and a thousand-line manifest). The quantizer
+    * is UNCHANGED — this is a physical rewrite with identical logical
+    * content (cell assignments and codes are carried, not recomputed),
+    * so serving is bit-identical before and after. One O(live rows)
+    * pass, CAS-committed like every other write; superseded generations
+    * stay for pinned readers until [[vacuum]]. Explicit, never
+    * auto-triggered: unlike [[PairStore]]'s edge-sized pair compaction,
+    * this rewrite is corpus-sized — an ingest loop schedules it, an
+    * append must not silently pay it. */
+  def compact(): Unit = {
+    val fs = StoreCommit.fsOf(spark, path)
+    val snap = snapshot()
+    if (snap.genCells.map(_._1).distinct.size <= 1) return // already compact
+    val gen = StoreCommit.saltedGenDir("cells", snap.version + 1)
+    cellsOf(snap, None)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
+    val written = listCells(fs, path, gen)
+    onBeforeCommit()
+    StoreCommit.commitManifest(fs, path, snap.version + 1,
+      manifestLines(snap.version + 1, snap.quantDir, written.map(gen -> _)),
+      Store)
+  }
+
   /** Blue-green quantizer rebuild — the drift recovery [[appendBatch]]'s
     * frozen-quantizer contract defers to: retrain the coarse quantizer
     * and PQ codebooks on the CURRENT corpus, re-encode every vector into

@@ -139,6 +139,32 @@ object SignatureStore {
     del.unpersist(blocking = false)
   }
 
+  /** Fold the live signature files into ~`targetFileBytes` outputs as a
+    * new committed version — the small-files compaction a long
+    * micro-batch ingest history needs (every [[append]] adds a
+    * generation). Logical content identical; superseded files stay for
+    * pinned readers until [[vacuum]]. Explicit, never auto-triggered
+    * ([[PairStore]]'s auto-compaction folds edge-sized pair files; the
+    * signature table carries the full shingle-hash arrays, so this
+    * rewrite is signature-corpus-sized and an ingest loop schedules
+    * it). */
+  def compact(
+      spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val fs = StoreCommit.fsOf(spark, dir)
+    val v = StoreCommit.currentVersion(fs, dir, Store)
+    val live = liveFiles(fs, dir, v)
+    val bytes = live.map(f =>
+      fs.getFileStatus(new Path(s"$dir/$f")).getLen).sum
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val gen = StoreCommit.saltedGenDir("data", v + 1)
+    readFiles(spark, dir, live).repartition(parts)
+      .write.mode("overwrite").parquet(s"$dir/$gen")
+    onBeforeCommit()
+    StoreCommit.commitManifest(fs, dir, v + 1,
+      manifestLines(v + 1, StoreCommit.listDataFiles(fs, dir, gen)), Store)
+  }
+
   /** Retire manifests older than the newest `keepLast` and delete the
     * data files no retained manifest references — superseded delete
     * targets, crashed appends' orphans, and losing racers' generations.

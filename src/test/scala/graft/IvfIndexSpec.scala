@@ -204,6 +204,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == rows(exact))
   }
 
+  test("compact: generations fold to one, serving bit-identical, vacuum reaps") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    val idx = IvfIndex.build(e.filter(col("vec_id") < 200),
+      "vec_id", "embedding", nCells = 8, dir)
+    idx.appendBatch(e.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+      "vec_id", "embedding")
+    idx.appendBatch(e.filter(col("vec_id") >= 350), "vec_id", "embedding")
+    val before = rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8))
+    val gensBefore = idx.cells.inputFiles
+      .map(_.split("/cells_g")(1).split("/")(0)).distinct.length
+    assert(gensBefore == 3, s"fixture expects 3 generations, got $gensBefore")
+    idx.compact()
+    assert(idx.cells.inputFiles
+      .map(_.split("/cells_g")(1).split("/")(0)).distinct.length == 1,
+      "compact must fold to one generation")
+    assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == before,
+      "compaction must not change served results")
+    // a second compact is a no-op (already one generation)
+    val v = idx.version
+    idx.compact()
+    assert(idx.version == v)
+    // vacuum reaps the superseded generations' files
+    idx.vacuum(keepLast = 1)
+    assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == before)
+  }
+
   test("in-batch duplicate ids collapse to one row before the append") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_dupb").toString
     val idx = IvfIndex.build(e.filter(col("vec_id") < 100),

@@ -172,6 +172,30 @@ class SignatureStoreSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L))
   }
 
+  test("compact: files fold, screening identical, vacuum reaps the old files") {
+    val base = docs(sf0001).filter(col("doc_id") < 20)
+    val b1 = docs(sf0001).filter(col("doc_id") >= 20 && col("doc_id") < 35)
+    val b2 = docs(sf0001).filter(col("doc_id") >= 35 && col("doc_id") < 50)
+    val probe = docs(sf0001).filter(col("doc_id") >= 50)
+    val dir = tmp()
+    SignatureStore.build(base, dir)
+    SignatureStore.append(b1, dir)
+    SignatureStore.append(b2, dir)
+    val before = SignatureStore.screenBatch(spark, probe, dir, 0.5)
+      .as[Long].collect().toSeq
+    val filesBefore = SignatureStore.stored(spark, dir).inputFiles.length
+    SignatureStore.compact(spark, dir)
+    val filesAfter = SignatureStore.stored(spark, dir).inputFiles.length
+    assert(filesAfter < filesBefore && filesAfter >= 1,
+      s"compact must fold files: $filesBefore -> $filesAfter")
+    assert(SignatureStore.screenBatch(spark, probe, dir, 0.5)
+      .as[Long].collect().toSeq == before,
+      "compaction must not change screening")
+    SignatureStore.vacuum(spark, dir, keepLast = 1)
+    assert(SignatureStore.screenBatch(spark, probe, dir, 0.5)
+      .as[Long].collect().toSeq == before)
+  }
+
   test("property: random append/delete interleavings screen like the surviving corpus") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
