@@ -60,7 +60,8 @@ import org.apache.spark.sql.types._
   */
 final class IvfIndex private (
     spark: SparkSession,
-    private[graft] val path: String) {
+    private[graft] val path: String,
+    pin: Option[Long] = None) {
 
   import IvfIndex._
 
@@ -69,10 +70,35 @@ final class IvfIndex private (
   private final case class Snap(
       version: Long, quantDir: String, genCells: Seq[(String, Int)])
 
-  private def snapshot(): Snap = {
-    val fs = StoreCommit.fsOf(spark, path)
-    snapshotAt(StoreCommit.currentVersion(fs, path, Store))
+  private def snapshot(): Snap = pin match {
+    case Some(v) =>
+      val fs = StoreCommit.fsOf(spark, path)
+      require(fs.exists(new Path(s"$path/history/v$v")),
+        s"$Store $path has no committed version $v (never written, or " +
+          "vacuumed past retention)")
+      snapshotAt(v)
+    case None =>
+      val fs = StoreCommit.fsOf(spark, path)
+      snapshotAt(StoreCommit.currentVersion(fs, path, Store))
   }
+
+  /** A read-only handle PINNED at committed version `v` — the
+    * [[PairStore.snapshotAt]] symmetry: every serve call (topK, pqTopK,
+    * cells, centroids) resolves version `v`'s quantizer and layout no
+    * matter how far appends/deletes/rebuilds have advanced the store
+    * (until [[vacuum]] retires it — then reads fail loudly). Writers
+    * ([[appendBatch]], [[delete]], [[rebuild]], [[compact]],
+    * [[vacuum]]) refuse on a pinned handle: a pin is a reproducible
+    * VIEW, never a write target. */
+  def at(v: Long): IvfIndex = new IvfIndex(spark, path, Some(v))
+
+  /** The pinned version, if this handle is a [[at]] view. */
+  def pinnedVersion: Option[Long] = pin
+
+  private def requireWritable(op: String): Unit =
+    require(pin.isEmpty,
+      s"$Store: $op refused on a handle pinned at version ${pin.get} — " +
+        "pins are reproducible views; write through an unpinned handle")
 
   private def snapshotAt(v: Long): Snap = {
     val fs = StoreCommit.fsOf(spark, path)
@@ -138,6 +164,7 @@ final class IvfIndex private (
     * exactly one commits (manifest CAS); losers throw with the index
     * unharmed and replay via [[appendBatchIdempotent]]. */
   def appendBatch(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    requireWritable("appendBatch")
     val fs = StoreCommit.fsOf(spark, path)
     val snap = snapshot()
     val quant = quantOf(snap)
@@ -215,6 +242,7 @@ final class IvfIndex private (
     * until [[vacuum]]; replaying a completed delete finds no touched
     * cell and commits nothing. */
   def delete(ids: DataFrame, idCol: String): Unit = {
+    requireWritable("delete")
     val fs = StoreCommit.fsOf(spark, path)
     val snap = snapshot()
     val del = ids.select(col(idCol).cast("long").as("id"))
@@ -249,6 +277,7 @@ final class IvfIndex private (
     * this rewrite is corpus-sized — an ingest loop schedules it, an
     * append must not silently pay it. */
   def compact(): Unit = {
+    requireWritable("compact")
     val fs = StoreCommit.fsOf(spark, path)
     val snap = snapshot()
     if (snap.genCells.map(_._1).distinct.size <= 1) return // already compact
@@ -276,6 +305,7 @@ final class IvfIndex private (
     * is what the retrain restores. */
   def rebuild(
       nCells: Int = 0, m: Int = 0, kCodes: Int = 0, seed: Long = 42L): Unit = {
+    requireWritable("rebuild")
     val fs = StoreCommit.fsOf(spark, path)
     val snap = snapshot()
     val old = quantOf(snap)
@@ -306,6 +336,7 @@ final class IvfIndex private (
     * references — superseded deletes/rebuilds, crashed appends, losing
     * racers. Run only with no writer live (the store tier's rule). */
   def vacuum(keepLast: Int = 2): Unit = {
+    requireWritable("vacuum")
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = StoreCommit.fsOf(spark, path)
     val versions = StoreCommit.committedVersions(fs, path).sorted

@@ -194,9 +194,26 @@ object SignatureStore {
     * ahead (until [[vacuum]] retires it). */
   def stored(spark: SparkSession, dir: String): DataFrame = {
     val fs = StoreCommit.fsOf(spark, dir)
-    readFiles(spark, dir,
-      liveFiles(fs, dir, StoreCommit.currentVersion(fs, dir, Store)))
+    storedAt(spark, dir, StoreCommit.currentVersion(fs, dir, Store))
   }
+
+  /** The signature table PINNED at a specific committed version — the
+    * [[PairStore.snapshotAt]] symmetry the versioned manifests buy:
+    * "screen this batch against the store AS OF version V" is what makes
+    * an ingest decision reproducible after the store has moved on.
+    * Throws if `version` was never committed or has been vacuumed past
+    * retention. */
+  def storedAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val fs = StoreCommit.fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/history/v$version")),
+      s"$Store $dir has no committed version $version (never written, or " +
+        "vacuumed past retention)")
+    readFiles(spark, dir, liveFiles(fs, dir, version))
+  }
+
+  /** Committed versions, ascending (the audit/ops verb). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    StoreCommit.committedVersions(StoreCommit.fsOf(spark, dir), dir).sorted
 
   /** Surviving doc ids of a new batch screened against the store:
     * batch-exact-keeper ∧ exact hash unseen ∧ no near-dup vs store ∧ no

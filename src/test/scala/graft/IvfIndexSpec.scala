@@ -204,6 +204,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == rows(exact))
   }
 
+  test("at(v): pinned reads serve the old version across mutations; writes refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pin").toString
+    val old = e.filter(col("vec_id") < 300)
+    val idx = IvfIndex.build(old, "vec_id", "embedding", nCells = 8, dir)
+    val v0 = idx.version
+    val want = rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8))
+    idx.appendBatch(e.filter(col("vec_id") >= 300), "vec_id", "embedding")
+    idx.delete(Seq(5L).toDF("vec_id"), "vec_id")
+    // the unpinned handle sees the mutations; the pin still serves v0
+    assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) != want)
+    val pinned = idx.at(v0)
+    assert(pinned.pinnedVersion.contains(v0))
+    assert(rows(pinned.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == want,
+      "a pinned handle must serve exactly the pinned version")
+    assert(pinned.cells.count() == old.count())
+    // writes refuse on a pin
+    val err = intercept[IllegalArgumentException](
+      pinned.delete(Seq(1L).toDF("vec_id"), "vec_id"))
+    assert(err.getMessage.contains("pinned"), err.getMessage)
+    intercept[IllegalArgumentException](pinned.rebuild())
+    // vacuum past retention makes the pin fail loudly, not serve a mix
+    idx.vacuum(keepLast = 1)
+    val gone = intercept[IllegalArgumentException](pinned.cells)
+    assert(gone.getMessage.contains("vacuumed"), gone.getMessage)
+  }
+
   test("compact: generations fold to one, serving bit-identical, vacuum reaps") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
     val idx = IvfIndex.build(e.filter(col("vec_id") < 200),

@@ -172,6 +172,29 @@ class SignatureStoreSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L))
   }
 
+  test("storedAt: pinned snapshot unchanged across append+delete; vacuum past " +
+      "retention fails it loudly") {
+    val base = docs(sf0001).filter(col("doc_id") < 20)
+    val b1 = docs(sf0001).filter(col("doc_id") >= 20 && col("doc_id") < 30)
+    val dir = tmp()
+    SignatureStore.build(base, dir)
+    val v0 = SignatureStore.versions(spark, dir).max
+    val want = SignatureStore.storedAt(spark, dir, v0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    SignatureStore.append(b1, dir)
+    SignatureStore.delete(spark, Seq(3L).toDF("doc_id"), dir)
+    assert(SignatureStore.storedAt(spark, dir, v0)
+      .select("doc_id").as[Long].collect().sorted.toSeq == want,
+      "the pinned version must not see later appends/deletes")
+    assert(SignatureStore.stored(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq != want)
+    assert(SignatureStore.versions(spark, dir).size == 3)
+    SignatureStore.vacuum(spark, dir, keepLast = 1)
+    val gone = intercept[IllegalArgumentException](
+      SignatureStore.storedAt(spark, dir, v0))
+    assert(gone.getMessage.contains("vacuumed"), gone.getMessage)
+  }
+
   test("compact: files fold, screening identical, vacuum reaps the old files") {
     val base = docs(sf0001).filter(col("doc_id") < 20)
     val b1 = docs(sf0001).filter(col("doc_id") >= 20 && col("doc_id") < 35)
