@@ -165,8 +165,18 @@ final class IvfIndex private (
     * unharmed and replay via [[appendBatchIdempotent]]. */
   def appendBatch(batch: DataFrame, idCol: String, vecCol: String): Unit = {
     requireWritable("appendBatch")
+    appendFrom(snapshot(), batch, idCol, vecCol)
+  }
+
+  /** Stage + CAS-commit `batch` as a new generation ON TOP OF `snap` —
+    * the version the CALLER observed. Threading the observed snapshot
+    * into the commit is what makes screen-then-append safe: a concurrent
+    * commit landing anywhere after the caller's read (screen included)
+    * moves the head past `snap.version` and this commit's CAS aborts,
+    * instead of silently stacking on the interloper. */
+  private def appendFrom(
+      snap: Snap, batch: DataFrame, idCol: String, vecCol: String): Unit = {
     val fs = StoreCommit.fsOf(spark, path)
-    val snap = snapshot()
     val quant = quantOf(snap)
     val gen = StoreCommit.saltedGenDir("cells", snap.version + 1)
     NearDup.fanOut(batch)
@@ -193,39 +203,48 @@ final class IvfIndex private (
     * unreferenced garbage for [[vacuum]]). Duplicate ids WITHIN one
     * batch collapse to a single (arbitrary) row before the screen, so a
     * self-duplicating batch can never double-insert either. Two writers
-    * racing the SAME ids both pass the screen, but the manifest CAS
-    * admits one — the loser replays, re-screens against the winner's
-    * head, and appends only the genuinely-missing remainder.
+    * racing the SAME ids both pass the screen, but ONE manifest snapshot
+    * spans each writer's screen AND commit ([[ingestBatch]]), so any
+    * concurrent commit landing after the screen aborts this writer's CAS
+    * — the loser replays, re-screens against the winner's head, and
+    * appends only the genuinely-missing remainder.
     *
     * @return the number of genuinely new rows appended (0 for a full
     *         replay — the cheap signal a restarted loop logs). */
   def appendBatchIdempotent(
-      batch: DataFrame, idCol: String, vecCol: String): Long = {
-    val b = batch.localCheckpoint(true)
-    val fresh = screenFresh(b, idCol).localCheckpoint(true)
-    val n = fresh.count()
-    if (n > 0) appendBatch(fresh, idCol, vecCol)
-    b.unpersist(blocking = false)
-    fresh.unpersist(blocking = false)
-    n
-  }
+      batch: DataFrame, idCol: String, vecCol: String): Long =
+    ingestBatch(batch, idCol, vecCol)(_ => ())
 
-  /** The already-indexed screen shared by [[appendBatchIdempotent]] and
-    * [[graft.streaming.StreamOps.ingestIvfStream]]: one row per id of
-    * `batch` NOT yet in the index (in-batch duplicate ids collapse
-    * first — whole-batch replay AND self-duplicating batches both screen
-    * to nothing new). The index side projects the id column only
-    * (columnar — vector/code pages never read), semi-reduced by a
-    * BROADCAST of the batch's ids before the anti-join, so the index is
-    * scanned, never shuffled, and both join sides stay batch-sized.
-    * Callers own materialization (checkpoint/persist) — the plan must
-    * not stay lazy across an append to the paths it reads. */
-  private[graft] def screenFresh(batch: DataFrame, idCol: String): DataFrame = {
-    val uniq = batch.dropDuplicates(idCol)
-    val batchIds = uniq.select(col(idCol).cast("long").as("id")).distinct()
-    val stored = cells.select(col("id"))
-      .join(broadcast(batchIds), Seq("id"), "left_semi")
-    uniq.join(stored.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  /** The screen-then-append kernel under ONE pinned manifest snapshot
+    * (shared with [[graft.streaming.StreamOps.ingestIvfStream]], whose
+    * `onFresh` consumes the genuinely-new rows before they append).
+    * The screen's index side projects the id column only (columnar —
+    * vector/code pages never read), semi-reduced by a BROADCAST of the
+    * batch's ids before the anti-join, so the index is scanned, never
+    * shuffled, and both join sides stay batch-sized. Checkpointed
+    * frames release on every exit path — losing a CAS race is a normal
+    * flow here, and a contended ingest loop must not leak executor
+    * blocks per lost race. */
+  private[graft] def ingestBatch(batch: DataFrame, idCol: String,
+      vecCol: String)(onFresh: DataFrame => Unit): Long = {
+    requireWritable("ingestBatch")
+    val b = batch.localCheckpoint(true)
+    try {
+      val snap = snapshot()
+      val uniq = b.dropDuplicates(idCol)
+      val batchIds = uniq.select(col(idCol).cast("long").as("id")).distinct()
+      val stored = cellsOf(snap, None).select(col("id"))
+        .join(broadcast(batchIds), Seq("id"), "left_semi")
+      val fresh = uniq
+        .join(stored.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val n = fresh.count()
+        onFresh(fresh)
+        if (n > 0) appendFrom(snap, fresh, idCol, vecCol)
+        n
+      } finally fresh.unpersist(blocking = false)
+    } finally b.unpersist(blocking = false)
   }
 
   /** Delete vectors by id — the retention path, CELL-pruned copy-on-
@@ -247,21 +266,24 @@ final class IvfIndex private (
     val snap = snapshot()
     val del = ids.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
-    val touched = cellsOf(snap, None).select(col("id"), col("cell"))
-      .join(broadcast(del), Seq("id"), "left_semi")
-      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { del.unpersist(blocking = false); return }
-    val gen = StoreCommit.saltedGenDir("cells", snap.version + 1)
-    cellsOf(snap, Some(touched))
-      .join(broadcast(del), Seq("id"), "left_anti")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
-    val kept = listCells(fs, path, gen)
-    onBeforeCommit()
-    StoreCommit.commitManifest(fs, path, snap.version + 1,
-      manifestLines(snap.version + 1, snap.quantDir,
-        snap.genCells.filterNot { case (_, c) => touched(c) } ++
-          kept.map(gen -> _)), Store)
-    del.unpersist(blocking = false)
+    // try/finally: losing a CAS race throws out of the commit, and the
+    // checkpointed delete set must release on that path too
+    try {
+      val touched = cellsOf(snap, None).select(col("id"), col("cell"))
+        .join(broadcast(del), Seq("id"), "left_semi")
+        .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
+      val gen = StoreCommit.saltedGenDir("cells", snap.version + 1)
+      cellsOf(snap, Some(touched))
+        .join(broadcast(del), Seq("id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
+      val kept = listCells(fs, path, gen)
+      onBeforeCommit()
+      StoreCommit.commitManifest(fs, path, snap.version + 1,
+        manifestLines(snap.version + 1, snap.quantDir,
+          snap.genCells.filterNot { case (_, c) => touched(c) } ++
+            kept.map(gen -> _)), Store)
+    } finally del.unpersist(blocking = false)
   }
 
   /** Fold every live generation into ONE — the small-files compaction a
@@ -487,13 +509,19 @@ object IvfIndex {
   }
 
   /** Quantizer dirs are immutable once referenced by a manifest — cache
-    * the collected matrices per absolute path, across handles (driver
-    * memory: O(nCells·dim + m·k·subDim) doubles per distinct quantizer). */
+    * the collected matrices per (session, absolute path), across handles
+    * (driver memory: O(nCells·dim + m·k·subDim) doubles per distinct
+    * quantizer). A bounded [[graft.PlanCache]] rather than a bare map: a
+    * long-lived ingest service running periodic [[IvfIndex.rebuild]]s
+    * mints a fresh quantizer dir per rebuild, and an unbounded map would
+    * grow for the process lifetime (vacuumed dirs included). Durable —
+    * quantizers are offline-built artifacts. */
   private val quantCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Quantizer]()
+    new graft.PlanCache[Quantizer](capacity = 32, durable = true)
 
   private def loadQuantizer(spark: SparkSession, dir: String): Quantizer =
-    quantCache.computeIfAbsent(dir, _ => {
+    quantCache.getOrCompute(
+      graft.PlanCache.Key(spark, "quantizer", dir), {
       val centroids = spark.read.parquet(s"$dir/centroids")
         .collect().sortBy(_.getInt(0))
         .map(_.getSeq[Double](1).toArray)

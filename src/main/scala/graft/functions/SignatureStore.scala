@@ -76,9 +76,12 @@ object SignatureStore {
     val sigs = signatures(docs, w)
     sigs.write.mode("overwrite").parquet(s"$dir/$gen")
     if (StoreCommit.listDataFiles(fs, dir, gen).isEmpty)
-      // an empty corpus can write zero part files; force one so every
-      // manifest lists a schema-bearing file and readers never fall back
-      // to directory listing
+      // Cross-version insurance, not a reachable path on the shipped
+      // Spark 4.1.2 (which always emits one schema-bearing part file
+      // even for an empty non-partitioned write): should a future Spark/
+      // AQE combination write zero files, force one so every manifest
+      // lists a schema-bearing file and readers never fall back to
+      // directory listing.
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigs.schema)
         .repartition(1).write.mode("overwrite").parquet(s"$dir/$gen")
@@ -121,22 +124,25 @@ object SignatureStore {
     val live = liveFiles(fs, dir, v)
     val del = ids.select(col(ids.columns.head).as("doc_id"))
       .distinct().localCheckpoint(true)
-    val deadAbs = readFiles(spark, dir, live)
-      .select(col("doc_id"), input_file_name().as("_f"))
-      .join(broadcast(del), Seq("doc_id"), "left_semi")
-      .select(col("_f")).distinct().collect().map(_.getString(0))
-    val dead = live.filter(f => deadAbs.exists(_.endsWith("/" + f))).toSet
-    if (dead.isEmpty) { del.unpersist(blocking = false); return }
-    val gen = StoreCommit.saltedGenDir("data", v + 1)
-    readFiles(spark, dir, dead.toSeq.sorted)
-      .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$dir/$gen")
-    onBeforeCommit()
-    StoreCommit.commitManifest(fs, dir, v + 1,
-      manifestLines(v + 1,
-        live.filterNot(dead) ++ StoreCommit.listDataFiles(fs, dir, gen)),
-      Store)
-    del.unpersist(blocking = false)
+    // try/finally: losing a CAS race throws out of the commit, and the
+    // checkpointed delete set must release on that path too
+    try {
+      val deadAbs = readFiles(spark, dir, live)
+        .select(col("doc_id"), input_file_name().as("_f"))
+        .join(broadcast(del), Seq("doc_id"), "left_semi")
+        .select(col("_f")).distinct().collect().map(_.getString(0))
+      val dead = live.filter(f => deadAbs.exists(_.endsWith("/" + f))).toSet
+      if (dead.isEmpty) return
+      val gen = StoreCommit.saltedGenDir("data", v + 1)
+      readFiles(spark, dir, dead.toSeq.sorted)
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$dir/$gen")
+      onBeforeCommit()
+      StoreCommit.commitManifest(fs, dir, v + 1,
+        manifestLines(v + 1,
+          live.filterNot(dead) ++ StoreCommit.listDataFiles(fs, dir, gen)),
+        Store)
+    } finally del.unpersist(blocking = false)
   }
 
   /** Fold the live signature files into ~`targetFileBytes` outputs as a

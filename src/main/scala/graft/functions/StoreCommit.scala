@@ -132,10 +132,16 @@ private[functions] object StoreCommit {
   }
 
   /** Salted generation-dir name: unique per attempt, so racing writers
-    * stage disjoint paths and a loser's data is unreferenced garbage. */
+    * stage disjoint paths and a loser's data is unreferenced garbage.
+    * 62 bits of salt (the manifest nonce's range): generation staging
+    * writes with mode("overwrite"), so a salt collision between two
+    * same-version racers would silently replace the first racer's staged
+    * files — the collision probability has to be negligible, not merely
+    * small (a 20-bit salt's ~1e-6 per race is a real event at fleet
+    * scale). */
   def saltedGenDir(prefix: String, v: Long): String = {
     val salt = java.util.concurrent.ThreadLocalRandom.current()
-      .nextLong(1L, 1L << 20)
+      .nextLong(1L, Long.MaxValue)
     s"${prefix}_g$v.$salt"
   }
 

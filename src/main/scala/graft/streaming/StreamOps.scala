@@ -904,20 +904,11 @@ object StreamOps {
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.toDF().localCheckpoint(true)
-        // the SAME screen kernel as appendBatchIdempotent (shared code,
-        // not a copy — the two paths must never drift); materialized
-        // here because onIndexed consumes it before the append
-        val fresh = index.screenFresh(b, idCol).localCheckpoint(true)
-        try {
-          onIndexed(fresh)
-          // fresh is already screened — append directly (re-screening
-          // inside appendBatchIdempotent would just rescan the id column)
-          if (!fresh.isEmpty) index.appendBatch(fresh, idCol, vecCol)
-        } finally {
-          fresh.unpersist(blocking = false)
-          b.unpersist(blocking = false)
-        }
+        // the SAME screen-then-append kernel as appendBatchIdempotent
+        // (shared code, not a copy — the two paths must never drift, and
+        // one manifest snapshot must span the screen AND the commit);
+        // onIndexed consumes the screened rows before they append
+        index.ingestBatch(batch.toDF(), idCol, vecCol)(onIndexed)
         ()
       }
       .start()

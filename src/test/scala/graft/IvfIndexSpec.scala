@@ -256,6 +256,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(idx.topK(q, "vec_id", "embedding", 5, nProbe = 8)) == before)
   }
 
+  test("same-id race: one snapshot spans screen AND commit, so a duplicate " +
+      "id can never stack on an interloper") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sameid").toString
+    val idx = IvfIndex.build(e.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nCells = 4, dir)
+    val batch = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    // B lands the IDENTICAL batch inside A's screen-to-commit window: A
+    // must CAS-abort (its screen is stale), never commit a second copy
+    val err = try {
+      IvfIndex.onBeforeCommit = () => {
+        IvfIndex.onBeforeCommit = () => ()
+        idx.appendBatchIdempotent(batch, "vec_id", "embedding")
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        idx.appendBatchIdempotent(batch, "vec_id", "embedding")
+      }
+    } finally IvfIndex.onBeforeCommit = () => ()
+    assert(err.getMessage.contains("concurrent writer"), err.getMessage)
+    // A's replay against the new head appends nothing — B landed it all
+    assert(idx.appendBatchIdempotent(batch, "vec_id", "embedding") == 0L)
+    val ids = idx.cells.select(col("id")).as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size, "duplicate ids reached the index")
+    assert(ids.size == 120)
+  }
+
   test("in-batch duplicate ids collapse to one row before the append") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_dupb").toString
     val idx = IvfIndex.build(e.filter(col("vec_id") < 100),
