@@ -33,7 +33,15 @@ import org.apache.spark.sql.functions._
   * CAS-commits — of N writers racing an append, EXACTLY ONE commits and
   * the rest throw `ConcurrentModificationException` with the store
   * unharmed (replaying the loser's batch converges: its docs either
-  * re-screen out or re-append fresh rows). [[delete]] is file-pruned
+  * re-screen out or re-append fresh rows). Note what the CAS does and
+  * does not give: it SERIALIZES commits (no lost or torn writes), but
+  * screening stays a caller-side read — two INDEPENDENT ingest streams
+  * sharing one store can each accept a doc that near-dups the other's
+  * in-flight batch, because neither screen saw the other's uncommitted
+  * rows. Screening SEMANTICS therefore keep the single-ingest-stream
+  * contract ([[graft.streaming.StreamOps.ingestDedupStream]]'s serial
+  * foreachBatch); the CAS makes the multi-writer case safe, not
+  * duplicate-proof. [[delete]] is file-pruned
   * copy-on-write at the manifest level: survivor rows of the dead files
   * land in a new generation and the dead files leave the manifest —
   * superseded files stay on disk for concurrent readers until

@@ -362,6 +362,46 @@ class ScalingSpec extends SparkSpec {
       .bucketLogRatio.count() <= Dsir.Buckets)
   }
 
+  test("ivf-index idempotent append: shuffle bytes stay batch-proportional " +
+      "as the stored corpus grows 8x") {
+    import graft.functions.IvfIndex
+    // the screen's index side is a columnar id scan semi-reduced by a
+    // BROADCAST of the batch ids — growing the stored corpus 8x must
+    // grow scan bytes, never shuffle bytes (both join sides batch-sized)
+    def corpus(f: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      (0 until f).map(i =>
+        base.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ union _)
+    }
+    val batch = corpus(1).select((col("vec_id") + 9000000L).as("vec_id"),
+      col("embedding")).limit(40)
+    def appendBytes(f: Int): Long = {
+      val idx = IvfIndex.build(corpus(f), "vec_id", "embedding", nCells = 16,
+        TempDirs.create("graft_scaling_ivfappend"))
+      val sc = spark.sparkContext
+      var bytes = 0L
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          bytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
+      sc.addSparkListener(listener)
+      try {
+        idx.appendBatchIdempotent(batch, "vec_id", "embedding")
+        org.apache.spark.sql.graftsql.Bridge.waitForListeners(spark)
+        bytes
+      } finally sc.removeSparkListener(listener)
+    }
+    val b1 = appendBytes(1)
+    val b8 = appendBytes(8)
+    assert(b1 > 0, "no shuffle bytes measured — listener broken?")
+    val ratio = b8.toDouble / b1
+    assert(ratio < 3.0,
+      s"append shuffle grew ${ratio}x when ONLY the stored corpus grew 8x — " +
+        "the screen must stay batch-sized (broadcast semi + anti-join)")
+  }
+
   test("span-cut rebuild is linear on a long fully-contaminated document") {
     // The round-13 hazard: a 1M-token fully-duplicated page whose rebuild
     // was O(n·|cut|) — ~10¹² comparisons on one task. The sorted-merge
