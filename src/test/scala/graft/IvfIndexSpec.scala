@@ -367,6 +367,72 @@ class IvfIndexSpec extends SparkSpec {
       == rows(built.pqTopK(q, "vec_id", "embedding", 3, 8, 1000)))
   }
 
+  test("property: random CONCURRENT op scripts (append/delete racing at the " +
+      "CAS window, losers replayed) converge to the sequential reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Each step is an op that may be AMBUSHED: a second full op runs
+    // inside its commit window (the onBeforeCommit seam), so the outer
+    // op loses the CAS and is replayed — the documented contended-ingest
+    // flow. The surviving-id set must equal applying the ambush first,
+    // then the replayed op (which is what replay-after-loss means), and
+    // full-probe serving must stay exact over the survivors.
+    val ranges = Vector((100L, 140L), (140L, 180L), (180L, 220L), (220L, 260L))
+    val gen = Gen.listOfN(3, Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0, 3), Gen.oneOf(true, false)))
+    for (seed <- 1 to 2) {
+      val script = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivf_race_prop$seed").toString
+      val idx = IvfIndex.build(e.filter(col("vec_id") < 100),
+        "vec_id", "embedding", nCells = 8, dir)
+      var live = (0L until 100L).toSet
+      def batchOf(r: Int) = {
+        val (lo, hi) = ranges(r)
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      }
+      def applyOp(isAppend: Boolean, r: Int): Unit = {
+        val (lo, hi) = ranges(r)
+        if (isAppend) {
+          idx.appendBatchIdempotent(batchOf(r), "vec_id", "embedding")
+          live ++= (lo until hi)
+        } else {
+          val ids = live.filter(i => i >= lo && i < hi)
+          if (ids.nonEmpty) idx.delete(ids.toSeq.toDF("vec_id"), "vec_id")
+          live --= ids
+        }
+      }
+      script.zipWithIndex.foreach { case ((rOuter, rAmbush, outerIsAppend), k) =>
+        // the ambush op commits first (inside the outer's CAS window)
+        var ambushed = false
+        try {
+          IvfIndex.onBeforeCommit = () => {
+            IvfIndex.onBeforeCommit = () => ()
+            ambushed = true
+            applyOp(!outerIsAppend, rAmbush) // opposite kind, full op
+          }
+          applyOp(outerIsAppend, rOuter)
+          // no commit window was reached (e.g. replay/no-op): clear seam
+          IvfIndex.onBeforeCommit = () => ()
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            IvfIndex.onBeforeCommit = () => ()
+            applyOp(outerIsAppend, rOuter) // the loser replays
+        }
+        val got = idx.cells.select(col("id")).as[Long].collect().toSeq
+        assert(got.distinct.size == got.size,
+          s"seed $seed step $k: duplicate ids (ambushed=$ambushed)")
+        assert(got.toSet == live,
+          s"seed $seed step $k: ids diverged (ambushed=$ambushed)")
+        val liveDf = e.filter(col("vec_id").isin(live.toSeq: _*))
+        val qs = liveDf.orderBy(col("vec_id")).limit(5)
+        assert(rows(idx.topK(qs, "vec_id", "embedding", 4, nProbe = 8)) ==
+          rows(Similarity.bruteForceTopK(liveDf, qs, "vec_id", "embedding", 4)),
+          s"seed $seed step $k: serve != brute force over survivors")
+      }
+    }
+  }
+
   test("property: random append/delete interleavings stay exact at full probe") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
