@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Queries.QDef
-import graft.functions.{Dedup, NearDup, Similarity, Text}
+import graft.functions.{Dedup, NearDup, Privacy, Similarity, Text}
 import graft.operators.Sessions
 
 /** EXT-tier query registry: the LLM-data-pipeline operators grounded in the
@@ -580,6 +580,60 @@ object Ext {
         "array_to_string(domains, ',') AS domains, " +
         "len(list_filter(domains, x -> x IN ('site3.example.com', 'mirror1.example.org'))) > 0 AS blocked " +
         "FROM d ORDER BY doc_id")
+  )
+
+  /** URL-keyed exact dedup ([[graft.functions.Text.urlDedup]] over
+    * [[graft.functions.Text.canonicalizeUrl]]) — the crawl pipeline's
+    * "same page fetched twice" collapse. Each group of 4 consecutive
+    * doc_ids is planted as the SAME page under 4 fetch variants (host
+    * case, `www.`, `:443` + `utm_*` params, trailing slash + fragment),
+    * so every canonicalization rule is load-bearing in the oracle match:
+    * a missed rule splits a group and changes the row set. */
+  private val dedupUrlQ = QDef(
+    "dedup_url",
+    (s, d) => {
+      val grp = floor(col("doc_id") / 4).cast("long")
+      val h = (grp % 7).cast("string")
+      val g = grp.cast("string")
+      val v = col("doc_id") % 4
+      val url = when(v === 0,
+          concat(lit("HTTPS://Site"), h, lit(".Example.com/Page/"), g))
+        .when(v === 1,
+          concat(lit("https://www.site"), h, lit(".example.com/Page/"), g))
+        .when(v === 2,
+          concat(lit("https://site"), h, lit(".example.com:443/Page/"), g,
+            lit("?utm_source=x&utm_medium=y")))
+        .otherwise(
+          concat(lit("https://site"), h, lit(".example.com/Page/"), g,
+            lit("/#frag")))
+      Text.urlDedup(
+        documents(s, d).select(col("doc_id"), url.as("url")))
+        .orderBy(col("canonical_url"))
+    },
+    Some(
+      "WITH u0 AS (SELECT doc_id, CAST(floor(doc_id / 4) AS BIGINT) AS grp FROM documents), " +
+        "u1 AS (SELECT doc_id, CAST(grp % 7 AS VARCHAR) AS h, " +
+        "CAST(grp AS VARCHAR) AS g, doc_id % 4 AS v FROM u0), " +
+        "u AS (SELECT doc_id, CASE " +
+        "WHEN v = 0 THEN 'HTTPS://Site' || h || '.Example.com/Page/' || g " +
+        "WHEN v = 1 THEN 'https://www.site' || h || '.example.com/Page/' || g " +
+        "WHEN v = 2 THEN 'https://site' || h || '.example.com:443/Page/' || g || '?utm_source=x&utm_medium=y' " +
+        "ELSE 'https://site' || h || '.example.com/Page/' || g || '/#frag' END AS url FROM u1), " +
+        "c AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u), " +
+        "p AS (SELECT doc_id, " +
+        "lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS scheme, " +
+        "regexp_replace(lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host1, " +
+        "regexp_extract(nofrag, '^[a-zA-Z]+://[^/?#]+(.*)$', 1) AS rest0 FROM c), " +
+        "q AS (SELECT doc_id, scheme, " +
+        "CASE WHEN scheme = 'http' THEN regexp_replace(host1, ':80$', '') " +
+        "WHEN scheme = 'https' THEN regexp_replace(host1, ':443$', '') " +
+        "ELSE host1 END AS host, " +
+        "regexp_replace(regexp_replace(regexp_replace(rest0, " +
+        "'utm_[a-zA-Z]+=[^&#]*&?', '', 'g'), '[?&]$', ''), '/$', '') AS rest FROM p), " +
+        "k AS (SELECT doc_id, scheme || '://' || host || rest AS canonical_url FROM q) " +
+        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url, " +
+        "CAST(count(*) AS BIGINT) AS n_dups " +
+        "FROM k GROUP BY canonical_url ORDER BY canonical_url")
   )
 
   /** The blocklist used by `blocklist_flags`: mixed 1/2/3-token phrases
@@ -3921,6 +3975,104 @@ object Ext {
     }
   )
 
+  /** Deterministic high-entropy planted doc for `compression_quality`: a
+    * SHA-256 hex chain (16 symbols/char ≈ 4 bits/byte of entropy, so
+    * DEFLATE lands ≈0.58 — measurably above natural prose's ≈0.49 median
+    * yet below the in-range ceiling). Driver-built literal, no RNG. */
+  private def hexNoiseDoc(blocks: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sb = new StringBuilder
+    var x = "seed".getBytes("UTF-8")
+    (0 until blocks).foreach { _ =>
+      x = md.digest(x)
+      sb.append(x.map("%02x".format(_)).mkString)
+    }
+    sb.toString
+  }
+
+  /** Compression-ratio quality signal ([[graft.functions.Text
+    * .compressionRatio]], codegen'd [[graft.plans.DeflateLen]] kernel):
+    * the RefinedWeb/Dolma-style spam/noise heuristic. DEFLATE lengths are
+    * zlib-native (not SQL-expressible in DuckDB), so — the
+    * `dedup_simhash_bounds` pattern — the oracle asserts corpus-level
+    * booleans the plan computes over the REAL documents plus two planted
+    * sentinels: a hyper-repetitive doc must compress below 0.05 and below
+    * every natural doc; a planted hex-noise doc must sit above the
+    * natural median; every ratio lands in (0, 1.5]. Per-doc exactness of
+    * the kernel itself is pinned JVM-vs-JVM in DeflateLenSpec. */
+  private val compressionQualityQ = QDef(
+    "compression_quality",
+    (s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (-1L, Seq.fill(400)("lorem ipsum dolor").mkString(" ")),
+        (-2L, hexNoiseDoc(256))).toDF("doc_id", "text")
+      val r = Text.compressionRatio(
+        documents(s, d).select(col("doc_id"), col("text")).union(planted))
+      val natural = r.filter(col("doc_id") >= 0)
+      natural.agg(
+          min(col("compress_ratio")).as("nat_min"),
+          percentile_approx(col("compress_ratio"), lit(0.5), lit(10000))
+            .as("nat_med"),
+          count(lit(1)).as("n_nat"))
+        .crossJoin(r.filter(col("doc_id") === -1L)
+          .select(col("compress_ratio").as("rep_ratio")))
+        .crossJoin(r.filter(col("doc_id") === -2L)
+          .select(col("compress_ratio").as("noise_ratio")))
+        .crossJoin(r.agg(
+          min(col("compress_ratio")).as("all_min"),
+          max(col("compress_ratio")).as("all_max")))
+        .select(
+          (col("rep_ratio") < 0.05 && col("rep_ratio") < col("nat_min"))
+            .as("rep_hyper_compressible"),
+          (col("noise_ratio") > col("nat_med")).as("noise_above_median"),
+          (col("all_min") > 0.0 && col("all_max") <= 1.5).as("all_in_range"),
+          (col("n_nat") > 0).as("nonempty"))
+    },
+    Some("SELECT true AS rep_hyper_compressible, true AS noise_above_median, " +
+      "true AS all_in_range, true AS nonempty")
+  )
+
+  /** k-anonymity audit over the customer quasi-identifiers
+    * (nation × market segment — the classic linkage-attack pair): the
+    * equivalence-class size histogram ([[graft.functions.Privacy
+    * .kAnonymityProfile]]). One shuffle on the QI tuple. */
+  private val kAnonymityProfileQ = QDef(
+    "k_anonymity_profile",
+    (s, d) => Privacy.kAnonymityProfile(
+      customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10),
+    Some(
+      "WITH cls AS (SELECT c_nationkey, c_mktsegment, " +
+        "CAST(count(*) AS BIGINT) AS class_size FROM customer GROUP BY 1, 2) " +
+        "SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes, " +
+        "CAST(sum(class_size) AS BIGINT) AS n_rows, class_size < 10 AS below_k " +
+        "FROM cls GROUP BY class_size ORDER BY class_size")
+  )
+
+  /** Suppression-based k-anonymisation of the customer table
+    * ([[graft.functions.Privacy.kAnonymize]], k=10): rows in
+    * under-populated (nation, segment) classes get both quasi-identifiers
+    * replaced by '*', and the pooled residual class is itself dropped
+    * unless it reaches k. Two window passes, no self-join. */
+  private val kAnonymizeQ = QDef(
+    "k_anonymize",
+    (s, d) => Privacy.kAnonymize(
+        customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10)
+      .orderBy(col("c_custkey")),
+    Some(
+      "WITH a AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, " +
+        "count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS _cs FROM customer), " +
+        "m AS (SELECT c_custkey, c_name, " +
+        "CASE WHEN _cs >= 10 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS c_nationkey, " +
+        "c_acctbal, " +
+        "CASE WHEN _cs >= 10 THEN c_mktsegment ELSE '*' END AS c_mktsegment, " +
+        "_cs < 10 AS suppressed FROM a), " +
+        "f AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, suppressed, " +
+        "CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS class_size " +
+        "FROM m) " +
+        "SELECT * FROM f WHERE class_size >= 10 ORDER BY c_custkey")
+  )
+
   /** Shared oracle CTE: tokenized docs + Gopher weak labels — the same
     * rule conjunction the `gopher_rules` oracle emits, folded to one
     * (doc_id, pass) relation. Prefix of the classifier and DSIR
@@ -4396,7 +4548,7 @@ object Ext {
     redactPii, retrievalBm25, snapshotDiffQ, cdcUpsert, scd2Q, fuzzyPairsQ,
     entityResolveQ, normalizeTextQ, stripHtmlQ, retrievalHybridQ,
     intradocDedupQ, sourceOverlapQ,
-    urlFilterQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
+    urlFilterQ, dedupUrlQ, ngramNoveltyQ, sourceOverlapSketchQ, blocklistQ,
     dedupExact, simTopK, annLshRecall, annIvfRecall, annIvfIndexedRecall,
     annIvfAppendedRecall, annIvfStreamedRecall, annIvfRebuiltRecall,
     annIvfFull, annIvfDeletedFull, annPqRecall, annPqFull, dedupNgram,
@@ -4426,7 +4578,8 @@ object Ext {
     contrastivePairsQ, contrastiveTripletsQ,
     contrastivePairsIvfFullQ, contrastivePairsIvfRecall,
     dedupSubstring, dedupSpansQ,
-    gopherRulesQ, nbQualityScoreQ, nbQualityTopQ, nbCalibrationQ,
+    gopherRulesQ, compressionQualityQ, kAnonymityProfileQ, kAnonymizeQ,
+    nbQualityScoreQ, nbQualityTopQ, nbCalibrationQ,
     qualityWeightedQ, lshTuneQ,
     dsirWeightsQ, dsirSelectQ,
     resampleQ, resampleInterpQ, weightedSampleQ, packTexts, winsorizeQ,

@@ -154,6 +154,27 @@ object Text {
           col("len_score") * 0.2).as("quality"))
   }
 
+  /** Compression-ratio quality signal: per-doc
+    * `deflate_len(text) / octet_length(text)` via the codegen'd
+    * [[graft.plans.DeflateLen]] kernel — the corpus-filter heuristic
+    * complementing the Gopher rules (RefinedWeb / Dolma style): a ratio
+    * near 0 is boilerplate/repetition spam, a ratio near (or above) 1 is
+    * high-entropy noise; natural prose sits in a stable mid band. Zero
+    * shuffle, O(bytes) per row inside whole-stage codegen; `ratio` is a
+    * single IEEE divide of two exact ints. Empty text → null ratio (no
+    * evidence either way — don't let a 0-byte doc masquerade as spam). */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.plans.DeflateLen.deflateLen(col("text")).as("deflate_len"),
+      octet_length(col("text")).cast("long").as("raw_len"))
+      // second projection so the deflate kernel is bound ONCE (the alias
+      // is multiply-referenced and non-cheap, so CollapseProject keeps it)
+      .select(col("doc_id"), col("deflate_len"), col("raw_len"),
+        when(col("raw_len") > 0,
+          col("deflate_len").cast(DoubleType) /
+            col("raw_len").cast(DoubleType)).as("compress_ratio"))
+
   /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) — the
     * published multi-criteria document filter, as per-rule booleans plus
     * the conjunction: token count within bounds, mean token length within
@@ -321,6 +342,49 @@ object Text {
         if (blockedDomains.isEmpty) lit(false)
         else exists(col("domains"), d => d.isin(blockedDomains: _*)))
   }
+
+  /** Canonical URL form for provenance dedup — the crawl-pipeline
+    * normalization applied before "same page fetched twice" collapse:
+    * fragment dropped, scheme and host lowercased, `www.` and the
+    * scheme's default port stripped, `utm_*` tracking params removed
+    * (with their dangling `?`/`&`), trailing path slash removed. Path
+    * case is PRESERVED (paths are case-sensitive; only authority parts
+    * are normalized). Engine-portable regex subset only — every step has
+    * a 1:1 DuckDB `regexp_replace(..., 'g')` mirror. Zero shuffle,
+    * codegen'd per row. Non-URL input (no `scheme://`) canonicalizes to
+    * `"://"`-prefixed garbage rather than null — callers filter upstream. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
+    val host1 = regexp_replace(
+      lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val rest = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
+          "utm_[a-zA-Z]+=[^&#]*&?", ""),
+        "[?&]$", ""),
+      "/$", "")
+    concat(scheme, lit("://"), host, rest)
+  }
+
+  /** URL-keyed exact dedup (the CommonCrawl "seen this page" collapse):
+    * group on [[canonicalizeUrl]], keep the smallest doc_id per canonical
+    * URL, report the collapse count. One hash shuffle on the canonical
+    * key with map-side combine; the canonicalization itself is per-row.
+    * Same keep-first convention as `Dedup.exact`. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .select(col("doc_id"), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("canonical_url"), col("n_dups"))
 
   /** N-gram novelty — per-document fraction of its distinct w-grams that
     * occur in NO other document. The memorization/contamination lens on a

@@ -52,6 +52,16 @@ class EmptyInputSpec extends SparkSpec {
       .select("clean_text").as[String].head() == "a b c")
   }
 
+  test("compression ratio, url dedup, k-anonymity on empty inputs") {
+    assert(Text.compressionRatio(noDocs).count() == 0)
+    assert(Text.urlDedup(
+      Seq.empty[(Long, String)].toDF("doc_id", "url")).count() == 0)
+    assert(graft.functions.Privacy
+      .kAnonymityProfile(noRows, Seq("k", "i"), k = 3).count() == 0)
+    assert(graft.functions.Privacy
+      .kAnonymize(noRows, Seq("k", "i"), k = 3).count() == 0)
+  }
+
   test("blocklist screen on empty corpus / empty blocklist") {
     val phrases = Seq("a b").toDF("phrase")
     assert(graft.functions.Blocklist.phraseHits(noDocs, phrases, "phrase")
