@@ -138,14 +138,21 @@ object Bench {
         }
         val runMin = results.toMap
         val runMed = medians.toMap
-        val matched = (aMin.keySet & runMin.keySet) -- aErr -- failed
-        if (matched.isEmpty) "" else {
-          def ratio(a: Map[String, Double], r: Map[String, Double]) = {
-            val sa = matched.toSeq.map(a).sum
-            if (sa > 0) matched.toSeq.map(r).sum / sa else Double.NaN
-          }
+        // matched = keys present in EVERY map the ratios read — a partial
+        // or older-schema anchor (queries_med missing a key `queries`
+        // has) must narrow the set, not throw and silently drop the
+        // whole field
+        val matched =
+          (aMin.keySet & aMed.keySet & runMin.keySet & runMed.keySet) --
+            aErr -- failed
+        val saMin = matched.toSeq.map(aMin).sum
+        val saMed = matched.toSeq.map(aMed).sum
+        // both denominators must be positive: 0/0 would print literal
+        // NaN, which is not valid JSON
+        if (matched.isEmpty || saMin <= 0 || saMed <= 0) "" else {
           s""","vs_anchor":{"n":${matched.size},"min_ratio":${
-            fmt(ratio(aMin, runMin))},"med_ratio":${fmt(ratio(aMed, runMed))}}"""
+            fmt(matched.toSeq.map(runMin).sum / saMin)},"med_ratio":${
+            fmt(matched.toSeq.map(runMed).sum / saMed)}}"""
         }
       }
     } catch { case scala.util.control.NonFatal(_) => "" }

@@ -628,8 +628,9 @@ object Ext {
         "CASE WHEN scheme = 'http' THEN regexp_replace(host1, ':80$', '') " +
         "WHEN scheme = 'https' THEN regexp_replace(host1, ':443$', '') " +
         "ELSE host1 END AS host, " +
-        "regexp_replace(regexp_replace(regexp_replace(rest0, " +
-        "'utm_[a-zA-Z]+=[^&#]*&?', '', 'g'), '[?&]$', ''), '/$', '') AS rest FROM p), " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest0, " +
+        "'[?&]utm_[a-zA-Z_]+=[^&#]*', '', 'g'), '^([^?&]*)&', '\\1?'), " +
+        "'[?&]$', ''), '/$', '') AS rest FROM p), " +
         "k AS (SELECT doc_id, scheme || '://' || host || rest AS canonical_url FROM q) " +
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url, " +
         "CAST(count(*) AS BIGINT) AS n_dups " +
@@ -4068,7 +4069,7 @@ object Ext {
         "CASE WHEN _cs >= 10 THEN c_mktsegment ELSE '*' END AS c_mktsegment, " +
         "_cs < 10 AS suppressed FROM a), " +
         "f AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, suppressed, " +
-        "CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS class_size " +
+        "CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, suppressed) AS BIGINT) AS class_size " +
         "FROM m) " +
         "SELECT * FROM f WHERE class_size >= 10 ORDER BY c_custkey")
   )

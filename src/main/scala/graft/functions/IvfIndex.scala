@@ -336,17 +336,21 @@ final class IvfIndex private (
     val nk = if (kCodes > 0) kCodes else old.codebooks(0).length
     val corpus = cellsOf(snap, None).select(col("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = Ivf.trainCentroids(corpus, "v", nc, seed)
-    val cb = Pq.trainCodebooks(corpus, "v", nm, nk, seed)
-    val v = snap.version + 1
-    val quantDir = StoreCommit.saltedGenDir("quant", v)
-    writeQuantizer(spark, s"$path/$quantDir", centroids, cb)
-    val gen = StoreCommit.saltedGenDir("cells", v)
-    corpus
-      .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
-      .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
-    corpus.unpersist(blocking = false)
+    // unpersist in finally: a failed retrain/write must not pin a
+    // corpus-sized cache for the session (the delete()/ingestBatch() rule)
+    val gen = StoreCommit.saltedGenDir("cells", snap.version + 1)
+    val (quantDir, v) = try {
+      val centroids = Ivf.trainCentroids(corpus, "v", nc, seed)
+      val cb = Pq.trainCodebooks(corpus, "v", nm, nk, seed)
+      val nv = snap.version + 1
+      val qd = StoreCommit.saltedGenDir("quant", nv)
+      writeQuantizer(spark, s"$path/$qd", centroids, cb)
+      corpus
+        .withColumn("cell", Ivf.assignCellCol(col("v"), centroids))
+        .withColumn("codes", graft.plans.PqNative.encodeNative(col("v"), cb))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
+      (qd, nv)
+    } finally corpus.unpersist(blocking = false)
     val written = listCells(fs, path, gen)
     onBeforeCommit()
     StoreCommit.commitManifest(fs, path, v,
@@ -369,6 +373,7 @@ final class IvfIndex private (
     val liveGens = liveCells.map(_._1)
     drop.foreach(dv =>
       StoreCommit.deleteOrThrow(fs, new Path(s"$path/history/v$dv"), Store))
+    StoreCommit.reapManifestTmp(fs, path, Store)
     StoreCommit.fsOf(spark, path).listStatus(new Path(path)).toSeq.foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith("quant_g") && !liveQuant(n))

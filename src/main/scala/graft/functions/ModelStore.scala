@@ -42,7 +42,7 @@ object ModelStore {
   private val Store = "ModelStore"
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreCommit.fsOf(spark, dir)
 
   /** Published models are immutable: refuse a publish into a dir that
     * already holds a committed `_MODEL`. */

@@ -521,6 +521,7 @@ object PairStore {
       .flatMap(m => m.buckets.toSeq.map { case (bk, g) => (g, bk) }).toSet
     val livePairs: Set[String] = kept.flatMap(_.pairFiles).toSet
     drop.foreach(dv => deleteOrThrow(fs, new Path(s"$dir/history/v$dv")))
+    StoreCommit.reapManifestTmp(fs, dir, "PairStore")
     val labelsRoot = new Path(s"$dir/labels")
     if (fs.exists(labelsRoot))
       fs.listStatus(labelsRoot).toSeq.foreach { s =>

@@ -59,7 +59,11 @@ object Privacy {
     * rows are then re-checked as ONE residual class and dropped entirely
     * if even that class is below k. Non-QI columns pass through
     * unchanged. `suppressed` marks rewritten rows; `class_size` is the
-    * PUBLISHED class's size (the residual class's for suppressed rows). */
+    * PUBLISHED class's size (the residual class's for suppressed rows).
+    * The re-check partitions on the rewritten identifiers AND the
+    * `suppressed` flag, so genuine `"*"` data colliding with the sentinel
+    * cannot smuggle a sub-k group through: the flag is released, hence
+    * it is an identifier, hence it is in the partition key. */
   def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
     val qiSet = qiCols.toSet
     val raw = df.withColumn("_cs", classSize(qiCols))
@@ -70,11 +74,15 @@ object Privacy {
             .otherwise(lit("*")).as(c)
         else col(c)
       } :+ (col("_cs") < k).as("suppressed"): _*)
-    // Re-count over the REWRITTEN identifiers: survivors keep their
-    // original class size; the suppressed rows pool into (*,…,*) and that
-    // pooled class must itself clear k to be published.
+    // Re-count over the REWRITTEN identifiers PLUS the published
+    // `suppressed` flag: the flag is visible in the released table, so it
+    // is part of the effective identifier tuple — counting without it
+    // would let a genuine (*,…,*) class pad the pooled residual past k
+    // while the flag still splits them apart for an attacker. With it,
+    // survivors keep their original class size, the residual pool is
+    // counted alone, and BOTH must clear k to be published.
     masked
-      .withColumn("class_size", classSize(qiCols))
+      .withColumn("class_size", classSize(qiCols :+ "suppressed"))
       .filter(col("class_size") >= k)
   }
 }

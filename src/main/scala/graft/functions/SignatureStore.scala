@@ -192,6 +192,7 @@ object SignatureStore {
     val liveSet: Set[String] = keep.flatMap(liveFiles(fs, dir, _)).toSet
     drop.foreach(dv =>
       StoreCommit.deleteOrThrow(fs, new Path(s"$dir/history/v$dv"), Store))
+    StoreCommit.reapManifestTmp(fs, dir, Store)
     fs.listStatus(new Path(dir)).toSeq
       .filter(_.getPath.getName.startsWith("data_g"))
       .foreach { s =>

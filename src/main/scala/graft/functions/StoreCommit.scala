@@ -131,6 +131,23 @@ private[functions] object StoreCommit {
     }
   }
 
+  /** Reap orphaned manifest tmp files (`history/.tmp_v*`): leftovers of
+    * publishers that crashed between staging and the exclusive move, of
+    * CAS losers that died before their cleanup ran, and of the
+    * best-effort tmp delete after a landed hard link (whose return value
+    * is advisory). They can never become manifests on their own — only
+    * [[exclusiveMoveFile]] publishes — but they accumulate in the one
+    * directory the vacuum verbs promise to keep clean. Safe ONLY under
+    * the store tier's vacuum contract (no writer live): an in-flight
+    * publisher's tmp is indistinguishable from garbage. */
+  def reapManifestTmp(fs: FileSystem, dir: String, store: String): Unit = {
+    val hist = new Path(s"$dir/history")
+    if (!fs.exists(hist)) return
+    fs.listStatus(hist).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp_v"))
+      .foreach(s => deleteOrThrow(fs, s.getPath, store))
+  }
+
   /** Salted generation-dir name: unique per attempt, so racing writers
     * stage disjoint paths and a loser's data is unreferenced garbage.
     * 62 bits of salt (the manifest nonce's range): generation staging

@@ -362,11 +362,19 @@ object Text {
     val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
       .when(scheme === "https", regexp_replace(host1, ":443$", ""))
       .otherwise(host1)
+    // utm params are matched WITH their leading separator (a bare
+    // `utm_...=` pattern would also fire mid-name inside `?xutm_a=1` and
+    // corrupt a non-utm param); the follow-up anchored rewrite gives the
+    // first surviving param its `?` back when the original `?utm_...`
+    // was consumed. Both repairs can match at most once (anchored), so
+    // Spark's replace-all and DuckDB's default replace-first agree.
     val rest = regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
-          "utm_[a-zA-Z]+=[^&#]*&?", ""),
+          regexp_replace(
+            regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
+            "[?&]utm_[a-zA-Z_]+=[^&#]*", ""),
+          "^([^?&]*)&", "$1?"),
         "[?&]$", ""),
       "/$", "")
     concat(scheme, lit("://"), host, rest)

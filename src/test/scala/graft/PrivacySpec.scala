@@ -56,6 +56,23 @@ class PrivacySpec extends SparkSpec {
     assert(out.filter(col("suppressed")).count() == 0)
   }
 
+  test("genuine '*' data cannot pad the suppressed residual class past k") {
+    // 3 genuine ('*','*') rows (a real class, >= k alone) + 2 singletons
+    // that suppress to the same tuple. The released `suppressed` flag
+    // still separates them for an attacker, so the residual pool of 2
+    // must be judged ALONE — and dropped — while the genuine class
+    // publishes untouched.
+    val data = Seq(
+      (1L, "*", "*", 1.0), (2L, "*", "*", 2.0), (3L, "*", "*", 3.0),
+      (4L, "US", "A", 4.0), (5L, "DE", "B", 5.0)
+    ).toDF("id", "country", "segment", "score")
+    val out = Privacy.kAnonymize(data, Seq("country", "segment"), k = 3)
+      .orderBy(col("id")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(!_.getBoolean(4)))
+    assert(out.forall(_.getLong(5) == 3L))
+  }
+
   test("k=1 is the identity publish (nothing suppressed, nothing dropped)") {
     val out = Privacy.kAnonymize(fixture, Seq("country", "segment"), k = 1)
     assert(out.count() == 15 && out.filter(col("suppressed")).count() == 0)

@@ -219,6 +219,21 @@ class SignatureStoreSpec extends SparkSpec {
       .as[Long].collect().toSeq == before)
   }
 
+  test("vacuum reaps orphaned manifest tmp files, committed manifests untouched") {
+    val dir = tmp()
+    SignatureStore.build(docs(sf0001).filter(col("doc_id") < 20), dir)
+    SignatureStore.append(
+      docs(sf0001).filter(col("doc_id") >= 20 && col("doc_id") < 30), dir)
+    // a crashed publisher's leftover: staged but never moved onto v<N>
+    val orphan = java.nio.file.Paths.get(dir, "history", ".tmp_v9_12345")
+    java.nio.file.Files.writeString(orphan, "v 9\nnonce 12345\n")
+    SignatureStore.vacuum(spark, dir, keepLast = 1)
+    assert(!java.nio.file.Files.exists(orphan),
+      "vacuum must reap history/.tmp_* orphans")
+    // the retained manifest still serves
+    assert(SignatureStore.stored(spark, dir).count() > 0)
+  }
+
   test("property: random append/delete interleavings screen like the surviving corpus") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

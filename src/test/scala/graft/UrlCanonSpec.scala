@@ -32,6 +32,16 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("https://e.com/p?a=1&utm_x=2&b=3") == "https://e.com/p?a=1&b=3")
   }
 
+  test("utm matching is separator-anchored: non-utm params survive intact") {
+    // 'xutm_a' merely CONTAINS 'utm_' — an unanchored pattern would strip
+    // its tail and collapse distinct pages
+    assert(canon("https://e.com/p?xutm_a=1") == "https://e.com/p?xutm_a=1")
+    assert(canon("https://e.com/p?xutm_a=1&q=2") == "https://e.com/p?xutm_a=1&q=2")
+    // multi-word utm param names are stripped too
+    assert(canon("https://e.com/p?utm_source_platform=web&q=1") ==
+      "https://e.com/p?q=1")
+  }
+
   test("path case is preserved; composition of all rules at once") {
     assert(canon("https://e.com/CaseSensitive/Path") ==
       "https://e.com/CaseSensitive/Path")
