@@ -95,21 +95,32 @@ object StreamOps {
             // invoked with hasTimedOut=false, so events > gap apart (within
             // one micro-batch or across data-carrying batches) must split
             // here or they'd collapse into one session, diverging from
-            // session_window semantics.
+            // session_window semantics. The walk is an INTERVAL merge over
+            // (open session ++ batch events) sorted by start: an in-horizon
+            // out-of-order event EARLIER than the open session merges only
+            // when within the gap of its start — a plain forward fold would
+            // stretch the session backward across an arbitrarily large
+            // internal gap. The latest interval stays open in state; earlier
+            // ones close immediately (the same data-path-closure
+            // approximation the forward split already makes: a yet-later
+            // straggler for a closed session starts a new one).
             val gapMs = gapMinutes * 60000L
-            val sorted = rows.toArray.sortBy(_._2.getTime)
+            val items = (state.getOption.toSeq ++
+              rows.map { case (_, t, v) =>
+                SessionAcc(t.getTime, t.getTime, 1L, v)
+              }).sortBy(a => (a.startMs, a.endMs))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-            var acc = state.getOption.orNull
-            sorted.foreach { case (_, t, v) =>
-              val ms = t.getTime
-              if (acc == null) acc = SessionAcc(ms, ms, 1L, v)
-              else if (ms > acc.endMs + gapMs) {
+            var acc: SessionAcc = null
+            items.foreach { it =>
+              if (acc == null) acc = it
+              else if (it.startMs > acc.endMs + gapMs) {
                 closed += SessionSummary(user,
                   new java.sql.Timestamp(acc.startMs),
                   new java.sql.Timestamp(acc.endMs), acc.cnt, acc.total)
-                acc = SessionAcc(ms, ms, 1L, v)
-              } else acc = SessionAcc(math.min(acc.startMs, ms),
-                math.max(acc.endMs, ms), acc.cnt + 1, acc.total + v)
+                acc = it
+              } else acc = SessionAcc(acc.startMs,
+                math.max(acc.endMs, it.endMs), acc.cnt + it.cnt,
+                acc.total + it.total)
             }
             state.update(acc)
             state.setTimeoutTimestamp(acc.endMs + gapMs)
@@ -157,7 +168,22 @@ object StreamOps {
     * has no meaning — absence from the update stream is the clean
     * signal, and each doc arrives whole in one row, so its single
     * update is final). The phrase table stays persisted for the
-    * query's lifetime (blocklist-sized, bounded). */
+    * query's lifetime (blocklist-sized, bounded).
+    *
+    * `flagged` is true on EVERY emitted row by construction (clean docs
+    * emit no row) — it exists for schema parity with the batch
+    * `phraseHits` face so consumers can union/compare the two; never
+    * filter a stream on `!flagged`, filter on absence.
+    *
+    * STATE CONTRACT (shared by all six per-doc screens/scorers here —
+    * blocklist, decontaminate, perplexity ×2, NB quality, DSIR): the
+    * per-doc groupBy keeps one small state row per DISTINCT doc_id for
+    * the query's lifetime. That is bounded by corpus size, not stream
+    * duration — right for replays, backfills, and bounded ingest runs.
+    * A 24×7 unbounded ingest should run the [[ingestCleanStream]] /
+    * [[ingestDedupStream]] foreachBatch loop instead: its screens are
+    * per-micro-batch plans against DURABLE stores, so the streaming
+    * state store holds nothing per doc. */
   def blocklistStream(
       docs: DataFrame,
       phrases: DataFrame,
@@ -176,7 +202,9 @@ object StreamOps {
     * contaminated-docs-only contract as the batch report (and the same
     * shared core, `Contamination.reportRows`), minus its presentation
     * sort — a stream has no final order. Each training doc arrives
-    * whole in one row, so its single update is the batch answer. */
+    * whole in one row, so its single update is the batch answer.
+    * (State: one row per distinct doc_id for the query's lifetime —
+    * see the shared per-doc state contract on [[blocklistStream]].) */
   def decontaminateStream(
       train: DataFrame,
       bench: DataFrame,
@@ -196,7 +224,9 @@ object StreamOps {
     * exactly the signal a drift monitor alerts on. Emits
     * `(doc_id, n_bigrams, ppl)` in update mode; each doc arrives whole
     * in one row, so its single update equals the batch
-    * [[graft.functions.LangModel.scoreWith]] answer. */
+    * [[graft.functions.LangModel.scoreWith]] answer.
+    * (State: one row per distinct doc_id for the query's lifetime —
+    * see the shared per-doc state contract on [[blocklistStream]].) */
   def perplexityStream(docs: DataFrame, ref: DataFrame): DataFrame = {
     val lm = graft.functions.LangModel.train(ref)
     lm.counts.persist()
@@ -210,7 +240,9 @@ object StreamOps {
     * the continuation distribution (itself total via its add-one floor),
     * so drifted micro-batches score high, never error. `trainKn` already
     * persists the bigram table; the two folds persist here for the
-    * query's lifetime. */
+    * query's lifetime.
+    * (State: one row per distinct doc_id for the query's lifetime —
+    * see the shared per-doc state contract on [[blocklistStream]].) */
   def knPerplexityStream(docs: DataFrame, ref: DataFrame,
       discount: Double = 0.75): DataFrame = {
     val lm = graft.functions.LangModel.trainKn(ref, discount)
@@ -227,7 +259,9 @@ object StreamOps {
     * lifetime; tokens unseen at train time score smoothing mass. The
     * scorer is a single stateful aggregation by construction (see
     * scoreWith), so it runs in update mode; each doc arrives whole in
-    * one row, so its single update equals the batch answer. */
+    * one row, so its single update equals the batch answer.
+    * (State: one row per distinct doc_id for the query's lifetime —
+    * see the shared per-doc state contract on [[blocklistStream]].) */
   def nbQualityStream(docs: DataFrame, ref: DataFrame): DataFrame = {
     val m = graft.functions.QualityClassifier.train(ref)
     m.tokenCounts.persist()
@@ -241,7 +275,9 @@ object StreamOps {
     * distribution. The 256-row model persists and broadcasts; buckets
     * absent from training score their smoothing mass. Single stateful
     * aggregation → update mode; one whole doc per row → each update
-    * equals the batch [[graft.functions.Dsir.scoreWith]] answer. */
+    * equals the batch [[graft.functions.Dsir.scoreWith]] answer.
+    * (State: one row per distinct doc_id for the query's lifetime —
+    * see the shared per-doc state contract on [[blocklistStream]].) */
   def dsirStream(docs: DataFrame, raw: DataFrame, target: DataFrame): DataFrame = {
     val m = graft.functions.Dsir.train(raw, target)
     m.bucketLogRatio.persist()
@@ -281,10 +317,29 @@ object StreamOps {
     implicit val encKey: Encoder[String] = Encoders.STRING
     implicit val encSt: Encoder[(Long, String, String)] =
       Encoders.product[(Long, String, String)]
+    // The state encoder needs a fixed-width order key. A bare
+    // cast("long") would TRUNCATE timestamps to seconds (two changes
+    // 100ms apart spuriously "collide") and null out non-numeric order
+    // columns (encoder NPE) — dispatch on the type instead, and refuse
+    // loudly what can't be ordered losslessly.
+    val ordExpr = changes.schema(orderCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(orderCol))
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        col(orderCol).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"applyChangesStream: orderCol '$orderCol' has type ${dt.sql}; " +
+          "supported order types are integral and timestamp (batch " +
+          "Cdc.applyChanges orders by the raw column and accepts more)")
+    }
     val updated = changes
       .select(
         col(keyCol).cast("string").as("_k"),
-        col(orderCol).cast("long").as("_ord"),
+        ordExpr.as("_ord"),
         col(opCol).cast("string").as("_op"),
         to_json(struct(changes.columns.map(col).toIndexedSeq: _*)).as("_js"))
       .as[(String, Long, String, String)]
@@ -295,15 +350,22 @@ object StreamOps {
           var (bestOrd, bestOp, bestJs) =
             state.getOption.getOrElse((Long.MinValue, "", ""))
           var seeded = state.exists
+          // A tie is fatal only at the WINNING order (the batch
+          // operator's rule: it asserts rank-1 vs rank-2 of the final
+          // ordering). Throwing mid-scan would make the same multiset
+          // pass or crash depending on iterator order — {5, 5, 7} must
+          // resolve to 7, not die on the redelivered 5.
+          var dupAtBest = false
           for ((_, ord, op, js) <- rows) {
-            if (seeded && ord == bestOrd)
-              throw new IllegalStateException(
-                s"CDC order collision: two changes tied at $orderCol=$ord " +
-                  s"for $keyCol=$k — $orderCol must be unique per key")
-            if (ord > bestOrd || !seeded) {
+            if (!seeded || ord > bestOrd) {
               bestOrd = ord; bestOp = op; bestJs = js; seeded = true
-            }
+              dupAtBest = false
+            } else if (ord == bestOrd) dupAtBest = true
           }
+          if (dupAtBest)
+            throw new IllegalStateException(
+              s"CDC order collision: two changes tied at $orderCol=$bestOrd " +
+                s"for $keyCol=$k — $orderCol must be unique per key")
           state.update((bestOrd, bestOp, bestJs))
           (k, bestOrd, bestOp, bestJs)
       }
@@ -311,8 +373,10 @@ object StreamOps {
       .select(from_json(col("_js"), schema).as("_r"),
         col("_ord").as("_cdc_order"),
         (col("_op") === deleteOp).as("_cdc_deleted"))
-      .select((schema.fieldNames.map(f => col(s"_r.$f")).toIndexedSeq
-        :+ col("_cdc_order") :+ col("_cdc_deleted")): _*)
+      // getField, not col("_r.<name>"): a field name containing a dot
+      // would otherwise parse as a nested path and fail analysis
+      .select((schema.fieldNames.map(f => col("_r").getField(f).as(f))
+        .toIndexedSeq :+ col("_cdc_order") :+ col("_cdc_deleted")): _*)
   }
 
   /** Streaming face of the as-of join ([[graft.operators.Joins
@@ -348,6 +412,10 @@ object StreamOps {
     val arrCol = "_asof_ts_arr"
     require(!stream.columns.contains(arrCol),
       s"asofAgainstStatic reserves the internal column $arrCol; rename it first")
+    require(!stream.columns.contains(asofCol),
+      s"asofCol '$asofCol' already exists on the stream side — withColumn " +
+        "would silently overwrite it and the output would carry the name " +
+        "twice; pick a fresh output name")
     val compacted = staticRight
       .groupBy(col(key))
       .agg(sort_array(collect_list(col(tsCol))).as(arrCol))
@@ -376,7 +444,7 @@ object StreamOps {
     * way). */
   final case class CadenceStats(
       user_id: Long, event_type: String, n_gaps: Long,
-      sum_gap_us: Long, min_gap_s: Double, max_gap_s: Double)
+      sum_gap_us: Long, min_gap_s: Option[Double], max_gap_s: Option[Double])
 
   /** Streaming inter-arrival cadence: per (user, event_type), the gap
     * to the previous same-key event accumulated across micro-batches
@@ -420,9 +488,13 @@ object StreamOps {
               }
           }
           state.update(acc)
+          // null (not NaN) for gapless keys: Spark treats NaN as GREATER
+          // than every double, so a NaN sentinel would poison the
+          // documented per-type max rollup; nulls are skipped by min/max
+          // aggregates, matching the batch operator's filtered gaps
           CadenceStats(key._1, key._2, acc.nGaps, acc.sumUs,
-            if (acc.nGaps == 0) Double.NaN else acc.minUs.toDouble / 1000000.0,
-            if (acc.nGaps == 0) Double.NaN else acc.maxUs.toDouble / 1000000.0)
+            if (acc.nGaps == 0) None else Some(acc.minUs.toDouble / 1000000.0),
+            if (acc.nGaps == 0) None else Some(acc.maxUs.toDouble / 1000000.0))
       }
   }
 
@@ -561,11 +633,16 @@ object StreamOps {
             // always strictly ahead of the current watermark.
             state.setTimeoutTimestamp((win + winUs) / 1000L)
             val total = m.values.sum
-            m.toSeq.sortBy(_._1).map { case (c, n) =>
+            // iterate baseline ∪ observed: a baseline category that
+            // received ZERO events this window (the feed died) must still
+            // emit its cell — disappearance is drift too, and it would be
+            // invisible if only observed categories produced rows
+            (baseline.keySet ++ m.keySet).toSeq.sorted.flatMap { c =>
+              val n = m.getOrElse(c, 0L)
               val e = baseline.getOrElse(c, 0.0) * total
-              val chi =
-                if (e > 0) (n - e) * (n - e) / e else Double.PositiveInfinity
-              DriftCell(win, c, n, total, e, chi)
+              if (n == 0L && e == 0.0) None
+              else Some(DriftCell(win, c, n, total, e,
+                if (e > 0) (n - e) * (n - e) / e else Double.PositiveInfinity))
             }.iterator
           }
       }
@@ -724,6 +801,10 @@ object StreamOps {
     implicit val encKey: Encoder[Long] = Encoders.scalaLong
     implicit val encSt: Encoder[FunnelEvents] = Encoders.product[FunnelEvents]
     implicit val encOut: Encoder[FunnelProgress] = Encoders.product[FunnelProgress]
+    // same preconditions as the batch operator (Funnel.funnel): silently
+    // accepting a degenerate stage list would diverge from the twin
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
     val stageSet = stages.toSet
     events
       .select(col("user_id"), col("event_type"),

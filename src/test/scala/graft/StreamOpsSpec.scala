@@ -995,4 +995,145 @@ final case class Vec(vec_id: Long, embedding: Seq[Double])
 
 final case class CadEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
+/** Regression tests for the streaming self-review fixes: order-column
+  * precision and tie semantics in the CDC twin, backward out-of-order
+  * events in the custom-state session op, NaN-free cadence rollups,
+  * disappearance cells in the drift monitor, and the loud-precondition
+  * parity of the funnel/as-of twins. */
+class StreamOpsFixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("applyChangesStream orders timestamps at full precision (100ms apart is not a collision)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = StreamOps.applyChangesStream(
+        mem.toDF().toDF("id", "seq", "op", "val"),
+        keyCol = "id", orderCol = "seq", opCol = "op")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_ts_out").start()
+    val t0 = ts(1)
+    val t1 = new Timestamp(t0.getTime + 100) // same second, 100ms later
+    try {
+      mem.addData((1L, t0, "I", 1.0)); q.processAllAvailable()
+      mem.addData((1L, t1, "U", 2.0)); q.processAllAvailable()
+      val last = spark.table("cdc_ts_out")
+        .orderBy(org.apache.spark.sql.functions.col("_cdc_order").desc)
+        .select("val").as[Double].head()
+      assert(last == 2.0, "the 100ms-later update must win, not collide")
+    } finally q.stop()
+  }
+
+  test("applyChangesStream: an in-batch superseded tie resolves to the winner") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamOps.applyChangesStream(
+        mem.toDF().toDF("id", "seq", "op", "val"),
+        keyCol = "id", orderCol = "seq", opCol = "op")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_tie_out").start()
+    try {
+      // {5, 5, 7} in ONE batch: the tie at 5 is superseded by 7 — the
+      // batch operator accepts this multiset (no tie at the final max),
+      // so the stream must too, in every iterator order
+      mem.addData((1L, 5L, "I", 1.0), (1L, 5L, "U", 2.0), (1L, 7L, "U", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("cdc_tie_out")
+        .select("seq", "val").as[(Long, Double)].collect().toSet
+      assert(got == Set((7L, 3.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("applyChangesStream refuses a non-orderable orderCol type loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double)]
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyChangesStream(
+        mem.toDF().toDF("id", "seq", "op", "val"),
+        keyCol = "id", orderCol = "seq", opCol = "op")
+    }
+    assert(e.getMessage.contains("orderCol"), e.getMessage)
+  }
+
+  test("sessionTotalsWithTimeout: a backward out-of-order event beyond the gap " +
+      "closes as its own session instead of stretching the open one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionTotalsWithTimeout(
+        mem.toDF(), gapMinutes = 30, watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_back_out").start()
+    try {
+      mem.addData(Ev(0, ts(50), 1, 1.0)); q.processAllAvailable()
+      // 49 minutes EARLIER than the open session's start (> 30-min gap),
+      // still inside the 2h watermark so it reaches the state function
+      mem.addData(Ev(1, ts(1), 1, 5.0)); q.processAllAvailable()
+      val got = rows(spark.table("sess_back_out")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value"))
+      assert(got == Seq(Seq(1L, ts(1), ts(1), 1L, 5.0)),
+        s"the late lone event must close as its own session, got $got")
+    } finally q.stop()
+  }
+
+  test("interArrivalStream: gapless keys emit null min/max, and rollups ignore them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CadEv]
+    val q = StreamOps.interArrivalStream(mem.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cad_null_out").start()
+    try {
+      mem.addData(CadEv(0, ts(1), 1, "a"), CadEv(1, ts(3), 1, "a"),
+        CadEv(2, ts(2), 1, "b"))
+      q.processAllAvailable()
+      val gapless = spark.table("cad_null_out")
+        .filter(org.apache.spark.sql.functions.col("event_type") === "b")
+        .select("min_gap_s", "max_gap_s").collect()(0)
+      assert(gapless.isNullAt(0) && gapless.isNullAt(1),
+        "gapless key must emit nulls (NaN would poison max rollups)")
+      val rolledMax = spark.table("cad_null_out")
+        .agg(org.apache.spark.sql.functions.max("max_gap_s"))
+        .collect()(0).getDouble(0)
+      assert(rolledMax == 120.0, s"rollup must ignore gapless keys, got $rolledMax")
+    } finally q.stop()
+  }
+
+  test("categoryDriftStream emits a disappearance cell for an unobserved baseline category") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Map("view" -> 0.5, "click" -> 0.5)
+    val mem = MemoryStream[CadEv]
+    val q = StreamOps.categoryDriftStream(mem.toDF(), windowMinutes = 10, baseline)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("drift_zero_out").start()
+    try {
+      // the click feed is dead: 4 view events, zero click
+      mem.addData((0 to 3).map(i => CadEv(i, ts(i + 1), 1, "view")): _*)
+      q.processAllAvailable()
+      val click = spark.table("drift_zero_out")
+        .filter(org.apache.spark.sql.functions.col("category") === "click")
+        .select("n_obs", "expected", "chi2_term")
+        .as[(Long, Double, Double)].collect()
+      assert(click.nonEmpty, "a dead baseline category must still emit its cell")
+      assert(click.head == ((0L, 2.0, 2.0)), s"got ${click.head}")
+    } finally q.stop()
+  }
+
+  test("streamingFunnel and asofAgainstStatic enforce the batch twins' preconditions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CadEv]
+    intercept[IllegalArgumentException] {
+      StreamOps.streamingFunnel(mem.toDF(), Seq("view", "view"))
+    }
+    intercept[IllegalArgumentException] {
+      StreamOps.streamingFunnel(mem.toDF(), Seq("view"))
+    }
+    val stream = Seq((1L, ts(1))).toDF("user_id", "ts")
+    val dim = Seq((1L, ts(0))).toDF("user_id", "ts")
+    intercept[IllegalArgumentException] {
+      StreamOps.asofAgainstStatic(stream, dim, "user_id", "ts", asofCol = "ts")
+    }
+  }
+}
+
 final case class LocfEv(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
