@@ -96,14 +96,24 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if j.resolved && !hasCrossEquiKey(
           splitConjunctivePredicates(cond), left, right) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val w = Literal(conf.getConfString(BAND_WIDTH_KEY, "1024").toLong)
+      // validate eagerly: width 0 would make every IntegralDivide null
+      // under non-ANSI mode and the rewritten join silently EMPTY; a
+      // non-numeric string would otherwise surface as a bare
+      // NumberFormatException from inside the optimizer
+      val wRaw = conf.getConfString(BAND_WIDTH_KEY, "1024")
+      val wVal = try wRaw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$BAND_WIDTH_KEY must be a positive long, got '$wRaw'")
+      }
+      require(wVal > 0, s"$BAND_WIDTH_KEY must be positive, got $wVal")
+      val w = Literal(wVal)
       // points left / intervals right, then the mirrored orientation
       val oriented =
         extractRange(conjuncts, left, right).map(t => (left, right, t, false))
           .orElse(extractRange(conjuncts, right, left)
             .map(t => (right, left, t, true)))
       oriented match {
-        case Some((pts, iv, (point, lo, hi), _)) =>
+        case Some((pts, iv, (point, lo, hi), mirrored)) =>
           val pBand = Alias(IntegralDivide(asLong(point), w), "_graft_band_p")()
           val ptsBanded = Project(pts.output :+ pBand, pts)
           // Sequence is TimeZoneAware: built outside the analyzer, it must
@@ -121,8 +131,15 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             outer = false, qualifier = None,
             generatorOutput = Seq(bandAttr), child = ivNonEmpty)
           val bandEq = EqualTo(pBand.toAttribute, bandAttr)
+          // in the mirrored orientation the children swap sides, so the
+          // per-side hints must swap with them — or a broadcast hint on
+          // the small intervals table would broadcast the points table
+          val orientedHint =
+            if (mirrored) hint.copy(leftHint = hint.rightHint,
+              rightHint = hint.leftHint)
+            else hint
           val rewritten = Join(ptsBanded, ivBanded, Inner,
-            Some(conjuncts.foldLeft[Expression](bandEq)(And(_, _))), hint)
+            Some(conjuncts.foldLeft[Expression](bandEq)(And(_, _))), orientedHint)
           // restore the original output (schema AND attribute order)
           Project(j.output, rewritten)
         case None => j

@@ -46,8 +46,11 @@ case class BottomKByHash(
     new java.util.TreeMap[String, String]()
 
   private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // per-thread reused digest (the DeflateLen rule): getInstance per row
+    // would pay JCA provider lookup + allocation once per scanned row
+    val md = BottomKByHash.md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < d.length) {
@@ -136,6 +139,11 @@ case class BottomKByHash(
 }
 
 object BottomKByHash {
+  private[plans] val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Column-API entry point: value is cast to STRING by the caller. */
   def bottomK(value: Column, k: Int): Column =
     Bridge.toColumn(BottomKByHash(Bridge.toExpression(value), k)

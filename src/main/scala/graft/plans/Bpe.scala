@@ -83,7 +83,14 @@ object Bpe {
       word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
     var syms = new java.util.ArrayList[String](word.length + 1)
     var i = 0
-    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    // split by CODE POINT, not UTF-16 unit: a lone surrogate piece would
+    // be mangled to '?' by UTF8String.fromString at encode time, breaking
+    // the decode(encode(text)) == text contract on supplementary-plane
+    // text (emoji, rare CJK)
+    while (i < word.length) {
+      val w = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + w)); i += w
+    }
     syms.add(Marker)
     var done = false
     while (!done && syms.size() > 1) {

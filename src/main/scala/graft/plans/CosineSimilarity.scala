@@ -30,10 +30,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  // null on MISMATCHED lengths even when both inputs are present — the
+  // HOF composition this kernel mirrors returns null there (zip_with
+  // pads the shorter side with nulls), and silently truncating to the
+  // common prefix would hide a corrupt/mixed-dimension embedding behind
+  // a plausible similarity
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -46,15 +54,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // block-scoped locals: see SortedIntersectCount — unbraced inlining
+      // of two instances would redeclare them
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |{
+         |  int n = $a.numElements();
+         |  if ($b.numElements() != n) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double dot = 0.0, na = 0.0, nb = 0.0;
+         |    for (int i = 0; i < n; i++) {
+         |      double xi = $a.getDouble(i);
+         |      double yi = $b.getDouble(i);
+         |      dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |    }
+         |    ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |  }
          |}
-         |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
        """.stripMargin
     })
 

@@ -34,7 +34,12 @@ object PqKernels {
     var s = 0.0
     var i = 0
     while (i < n) { val v = x.getDouble(i); out(i) = v; s += v * v; i += 1 }
-    // HOF reference: transform(v, _ / sqrt(aggregate(v², +))) — same order
+    // HOF reference: transform(v, _ / sqrt(aggregate(v², +))) — same
+    // order. DOCUMENTED DIVERGENCE for the all-zero vector: the HOF form
+    // yields NaN components (0/0) and NaN-ordering-dependent codes; this
+    // kernel keeps the zero vector and picks a definite argmin — defined
+    // behavior for a padding/failed-ingest row beats mirroring NaN. The
+    // bit-for-bit claim holds for every nonzero vector.
     val norm = math.sqrt(s)
     if (norm > 0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
     out
@@ -126,6 +131,15 @@ object PqKernels {
       while (ci < n) {
         if (!used(ci) && scores(ci) > bestS) { bestS = scores(ci); best = ci }
         ci += 1
+      }
+      if (best < 0) {
+        // every remaining score is NaN (a corrupt vector or centroid):
+        // `NaN > x` is false for all x, so the scan selected nothing.
+        // Fall back to the lowest-index unused cell — deterministic and
+        // total, so one bad row degrades its own result instead of
+        // killing the task with used(-1)
+        ci = 0
+        while (best < 0 && ci < n) { if (!used(ci)) best = ci; ci += 1 }
       }
       used(best) = true
       out(t) = best

@@ -60,7 +60,10 @@ case class SignLshBuckets(
     nullSafeCodeGen(ctx, ev, v => {
       val planesRef = ctx.addReferenceObj("planes", planes, "double[][][]")
       val arrayData = classOf[GenericArrayData].getName
+      // block-scoped locals: see SortedIntersectCount — unbraced inlining
+      // of two instances would redeclare them
       s"""
+         |{
          |double[][][] tables = $planesRef;
          |long[] out = new long[tables.length];
          |for (int t = 0; t < tables.length; t++) {
@@ -79,6 +82,7 @@ case class SignLshBuckets(
          |  out[t] = bucket;
          |}
          |${ev.value} = new $arrayData(out);
+         |}
        """.stripMargin
     })
 

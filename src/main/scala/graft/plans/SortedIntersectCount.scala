@@ -37,16 +37,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // the body is a BLOCK: with non-nullable children nullSafeCodeGen
+      // inlines this code unbraced, and two instances in one generated
+      // function would redeclare the scratch locals (Janino error →
+      // silent fallback to interpreted projection)
       s"""
-         |int nx = $a.numElements(), ny = $b.numElements();
-         |int i = 0, j = 0, c = 0;
-         |while (i < nx && j < ny) {
-         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
-         |  if (xi == yj) { c++; i++; j++; }
-         |  else if (xi < yj) i++;
-         |  else j++;
+         |{
+         |  int nx = $a.numElements(), ny = $b.numElements();
+         |  int i = 0, j = 0, c = 0;
+         |  while (i < nx && j < ny) {
+         |    long xi = $a.getLong(i); long yj = $b.getLong(j);
+         |    if (xi == yj) { c++; i++; j++; }
+         |    else if (xi < yj) i++;
+         |    else j++;
+         |  }
+         |  ${ev.value} = c;
          |}
-         |${ev.value} = c;
        """.stripMargin
     })
 

@@ -127,10 +127,16 @@ object Unigram {
       j += 1
     }
     if (prod(n) < 0) {
-      val out = new Array[String](n)
+      // unsegmentable fallback splits by CODE POINT, not UTF-16 unit —
+      // a lone-surrogate piece would be mangled to '?' downstream (the
+      // same rule as Bpe.applyMerges)
+      val out = new java.util.ArrayList[String](n)
       var k = 0
-      while (k < n) { out(k) = String.valueOf(word.charAt(k)); k += 1 }
-      out
+      while (k < n) {
+        val w = Character.charCount(word.codePointAt(k))
+        out.add(word.substring(k, k + w)); k += w
+      }
+      out.toArray(new Array[String](out.size()))
     } else seg(n).split(Sep, -1)
   }
 

@@ -21,6 +21,18 @@ class BpeSpec extends SparkSpec {
     assert(encodePieces("ab c", Nil) == Seq("a", "b", "</w>", "c", "</w>"))
   }
 
+  test("supplementary-plane text survives the roundtrip (code-point split)") {
+    // UTF-16-unit splitting would cut the surrogate pairs into lone
+    // surrogates that UTF8String mangles to '?', breaking the roundtrip
+    val emoji = "hi 😀 ok 🤖x"
+    assert(encodePieces("😀", Nil) == Seq("😀", "</w>"))
+    val merges = Text.bpeMerges(docs("the cat sat on the mat"), nMerges = 16)
+    val rt = docs(emoji)
+      .select(Text.bpeDecode(Text.bpeEncode(col("text"), merges)).as("rt"))
+      .as[String].collect().head
+    assert(rt == emoji, s"roundtrip mangled supplementary text: '$rt'")
+  }
+
   test("merges apply in rank order, all occurrences per step") {
     // rank0 joins "a b" everywhere first; THEN rank1 can see "ab ab"
     val merges = Seq(("a", "b"), ("ab", "ab"))

@@ -20,6 +20,23 @@ class PqSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("probeCells degrades deterministically on an all-NaN score row") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val halfNorms = centroids.map(c => c.map(x => x * x).sum / 2)
+    val nanVec = new GenericArrayData(Array[Any](Double.NaN, Double.NaN))
+    // NaN never wins a '>' comparison — the probe must fall back to the
+    // lowest-index unused cells instead of used(-1) AIOOBE
+    val got = graft.plans.PqKernels
+      .probeCells(nanVec, centroids, halfNorms, nProbe = 2)
+    assert((0 until got.numElements()).map(got.getInt).toSeq == Seq(0, 1))
+    // a healthy vector is unaffected
+    val ok = new GenericArrayData(Array[Any](1.0, 0.0))
+    val top = graft.plans.PqKernels
+      .probeCells(ok, centroids, halfNorms, nProbe = 1)
+    assert(top.getInt(0) == 0)
+  }
+
   test("ADC of a vector against its own codes is the quantization floor") {
     // For every corpus vector: the ADC distance between the vector and its
     // own code sequence equals the summed sub-quantization error, which

@@ -96,4 +96,40 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(rows(auto) == explicit)
     }
   }
+
+  test("mirrored orientation carries per-side hints with the swapped children") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    withRule {
+      // intervals on the ORIGINAL LEFT with a broadcast hint: the rule
+      // mirrors the sides (points become the left child), so the hint
+      // must travel to the right child or the huge points side would be
+      // broadcast instead of the small intervals table
+      val joined = iv.hint("broadcast")
+        .join(pts, col("p") >= col("lo") && col("p") <= col("hi"))
+      val hints = joined.queryExecution.optimizedPlan.collect {
+        case j: Join => j.hint
+      }
+      assert(hints.exists(h =>
+        h.rightHint.exists(_.strategy.isDefined) && h.leftHint.isEmpty),
+        s"broadcast hint did not follow the intervals side: $hints")
+      assert(rows(joined.orderBy("pid", "iid")).size ==
+        rows(pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))).size)
+    }
+  }
+
+  test("zero or garbage band width is refused loudly, not silently empty") {
+    withRule {
+      Seq("0", "-5", "wat").foreach { bad =>
+        spark.conf.set("spark.graft.rangeJoin.bandWidth", bad)
+        try {
+          val e = intercept[Exception] {
+            pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi")).collect()
+          }
+          assert(e.getMessage != null &&
+            e.getMessage.contains("spark.graft.rangeJoin.bandWidth"),
+            s"for '$bad': ${e.getMessage}")
+        } finally spark.conf.unset("spark.graft.rangeJoin.bandWidth")
+      }
+    }
+  }
 }

@@ -23,6 +23,18 @@ class SimilarityNativeSpec extends SparkSpec {
     assert(diff == 0L, s"$diff pairs differ between native and HOF cosine")
   }
 
+  test("mismatched-dimension vectors yield null, matching the HOF composition") {
+    // zip_with pads the shorter side with nulls → the HOF cosine is null;
+    // truncating to the common prefix would hide a corrupt embedding
+    // behind a plausible similarity
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      s"expected null/null, got ${r.get(0)} / ${r.get(1)}")
+  }
+
   test("native cosine of identical vectors is exactly 1-ish and self-consistent") {
     val v = Seq((1L, Array(0.6, 0.8)), (2L, Array(3.0, 4.0))).toDF("id", "v")
     val got = v.as("a").join(v.as("b"), col("a.id") <= col("b.id"))

@@ -49,6 +49,13 @@ class UnigramSpec extends SparkSpec {
     assert(encodePieces("axb", v) == Seq("a", "x", "b", "</w>"))
   }
 
+  test("unsegmentable supplementary-plane word falls back per CODE POINT") {
+    val v = Seq("a" -> 1.0) // cannot cover the emoji → fallback path
+    assert(encodePieces("a😀b", v) ==
+      Seq("a", "😀", "b", "</w>"),
+      "fallback must not split surrogate pairs")
+  }
+
   test("decode∘encode ≡ id — incl. empty text, space runs, unseen chars") {
     val model = UnigramTrain.learnedPieces(
       docs("the cat sat on the mat the cat"), col("text"), vocabSize = 64)
