@@ -1345,11 +1345,14 @@ object Rel {
     Some("WITH u AS (SELECT user_id, " +
       "max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS conv " +
       "FROM events GROUP BY 1), " +
+      // ((x % 2) + 2) % 2 = Spark's pmod: both engines' bare % keep the
+      // dividend's sign, so the positive-modulus form must be spelled out
+      // on both sides for negative (signed-hash) user ids
       "a AS (SELECT " +
-      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
-      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
-      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv0, " +
-      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv1 FROM u) " +
+      "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv0, " +
+      "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv1 FROM u) " +
       "SELECT n0, n1, conv0, conv1, " +
       "CAST(conv0 AS DOUBLE) / n0 AS p0, CAST(conv1 AS DOUBLE) / n1 AS p1, " +
       "((CAST(conv1 AS DOUBLE) / n1) - (CAST(conv0 AS DOUBLE) / n0)) / " +
@@ -1376,7 +1379,9 @@ object Rel {
       "CAST(actives - coalesce(retained, 0) AS BIGINT) AS churned, " +
       "CAST(actives - coalesce(retained, 0) AS DOUBLE) / actives AS churn_rate " +
       "FROM w LEFT JOIN ret ON w.day = ret.day " +
-      "WHERE EXISTS (SELECT 1 FROM w w2 WHERE w2.day = w.day + 1) " +
+      // ANY later event day (not day+1 specifically): a calendar gap must
+      // not delete the interior 100%-churn rows — same rule as the Spark op
+      "WHERE EXISTS (SELECT 1 FROM w w2 WHERE w2.day > w.day) " +
       "ORDER BY day")
   )
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Event-log analytics beyond windows-and-groupbys (EXT tier — the
   * reference has no event surface at all): exact cumulative distinct
@@ -127,6 +127,10 @@ object EventStats {
   ): DataFrame = {
     require(len >= 2, s"path length must be >= 2, got $len")
     require(k >= 1, s"k must be >= 1, got $k")
+    // CONTRACT: event types must not contain the '>' delimiter — paths
+    // are counted by their rendered string, so "a>b"+"c" and "a"+"b>c"
+    // would collide. (Escaping would change the published path format;
+    // callers with '>' in type names should pre-map them.)
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieBreak))
     val steps = (0 until len).map {
@@ -202,7 +206,13 @@ object EventStats {
       .groupBy(col(typeCol))
       .agg(
         count(lit(1)).as("n_gaps"),
-        ((sum(col("_gap")).cast(DoubleType) / count(lit(1))) / lit(1000000.0))
+        // decimal sum: per-KEY gap sums telescope to (last - first) and
+        // can't overflow, but this per-TYPE rollup adds one span per
+        // user — 10⁹ users × a month is past Long range. Decimal(38)
+        // matches DuckDB's HUGEINT sum exactly; the one final cast to
+        // double is the same value both engines produce
+        ((sum(col("_gap").cast(DecimalType(38, 0))).cast(DoubleType) /
+          count(lit(1))) / lit(1000000.0))
           .as("mean_gap_s"),
         (min(col("_gap")).cast(DoubleType) / lit(1000000.0)).as("min_gap_s"),
         (max(col("_gap")).cast(DoubleType) / lit(1000000.0)).as("max_gap_s"))
@@ -232,7 +242,10 @@ object EventStats {
       .agg(max(
         when(col(typeCol) === convType && col(valueCol) > threshold, 1)
           .otherwise(0)).as("_conv"))
-      .withColumn("_arm", col(userCol) % 2)
+      // pmod, not %: Spark's remainder keeps the dividend's sign, so a
+      // negative (e.g. signed-hash) user id would land in arm -1 and be
+      // silently counted in NEITHER arm
+      .withColumn("_arm", pmod(col(userCol), lit(2)))
     val a = u.agg(
       sum(when(col("_arm") === 0, 1).otherwise(0)).as("n0"),
       sum(when(col("_arm") === 1, 1).otherwise(0)).as("n1"),
@@ -277,8 +290,12 @@ object EventStats {
       .agg(count(lit(1)).as("actives"), sum(col("_ret")).as("retained"))
     val allDays = events.select(to_date(col(tsCol)).as("_next")).distinct()
     perDay
-      .join(broadcast(allDays), date_add(col("day"), 1) === col("_next"),
-        "left_semi")
+      // ANY later event day qualifies — requiring day+1 specifically to
+      // be an event day would silently drop interior 100%-churn days
+      // whenever the calendar has a gap, biasing aggregate churn down.
+      // The day table is tiny and broadcast, so the inequality semi-join
+      // is a broadcast nested loop over (days × days), never corpus-sized
+      .join(broadcast(allDays), col("day") < col("_next"), "left_semi")
       .select(
         col("day"),
         col("actives"),
@@ -308,8 +325,15 @@ object EventStats {
     val keyed = df
       .withColumn("_rs_key", orderKey.cast(LongType))
       .withColumn("_rs_val", valueCol.cast(LongType))
-    val bounds = keyed.agg(min(col("_rs_key")), max(col("_rs_key"))).collect().head
+    val bounds = keyed.agg(min(col("_rs_key")), max(col("_rs_key")),
+      sum(when(col("_rs_key").isNull, 1L).otherwise(0L))).collect().head
     if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(null).cast(LongType))
+    // a PARTIALLY-null key column would bucket those rows to null and the
+    // totals collect below would NPE on the driver with no context — the
+    // check rides the same bounds aggregate, no extra pass
+    require(bounds.getLong(2) == 0L,
+      s"runningSum: orderKey is null on ${bounds.getLong(2)} row(s) — " +
+        "the running order is undefined there; filter or coalesce first")
     val (minKey, maxKey) = (bounds.getLong(0), bounds.getLong(1))
     val span =
       try Math.addExact(Math.subtractExact(maxKey, minKey), 1L)
@@ -319,7 +343,10 @@ object EventStats {
     val bucketed = keyed.withColumn("_rs_bucket",
       expr(s"(_rs_key - ${minKey}L) div ${width}L"))
     val totals = bucketed.groupBy(col("_rs_bucket"))
-      .agg(sum(col("_rs_val")).as("_t"))
+      // coalesce: a bucket whose values are ALL null sums to null, and
+      // getLong would NPE — sum-skips-nulls semantics make 0 the right
+      // contribution (the window pass below skips them identically)
+      .agg(coalesce(sum(col("_rs_val")), lit(0L)).as("_t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val prefixes = {
       var acc = 0L

@@ -129,6 +129,8 @@ object Multimodal {
 
   /** Partition-wise frame sampling (video → every n-th frame; stub codec). */
   def sampleFrames(media: DataFrame, everyN: Int = 10, frameSize: Int = 256): Dataset[MediaFrames] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
     implicit val enc = Encoders.product[MediaFrames]
     media.select(col("asset_id"), col("media"))
       .mapPartitions { rows =>
@@ -141,8 +143,9 @@ object Multimodal {
 
   /** REAL resize: decode → bilinear rescale to w×h → re-encode PNG, with
     * the metadata struct rewritten to match. Runs per-partition (codec
-    * state amortized). Undecodable rows keep their bytes and only update
-    * metadata. Output conforms to [[mediaSchema]]. */
+    * state amortized). Undecodable rows pass through untouched — bytes
+    * AND metadata (target dims on an unresized payload would be
+    * self-contradictory). Output conforms to [[mediaSchema]]. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     implicit val enc = Encoders.row(mediaSchema)
     media.select(col("asset_id"), col("media"), col("meta"))
@@ -150,7 +153,7 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val meta = r.getStruct(2)
-          val (outBytes, format) = readImage(bytes) match {
+          val (outBytes, outMeta) = readImage(bytes) match {
             case Some(img) =>
               val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
               val g = scaled.createGraphics()
@@ -158,10 +161,13 @@ object Multimodal {
                 java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
               g.drawImage(img, 0, 0, w, h, null)
               g.dispose()
-              (encodePng(scaled), "png")
-            case None => (bytes, meta.getString(0))
+              (encodePng(scaled), Row("png", w, h))
+            // undecodable: bytes pass through UNCHANGED, so the meta must
+            // too — target dims on an unresized payload would be
+            // self-contradictory metadata
+            case None => (bytes, meta)
           }
-          Row(r.getLong(0), outBytes, Row(format, w, h))
+          Row(r.getLong(0), outBytes, outMeta)
         }
       }.toDF("asset_id", "media", "meta")
   }
@@ -423,7 +429,10 @@ object Multimodal {
         s += amp * math.sin(2 * math.Pi * FpFreqs(k) * f / sampleRate)
         k += 1
       }
-      val q = (s * gain * 32767).toShort
+      // clamp, don't wrap: Double.toShort wraps past ±32767, and the
+      // wrap-around harmonics would break the gain-invariance the
+      // fingerprint twins rely on once gain * peak exceeds full scale
+      val q = math.max(-32768.0, math.min(32767.0, s * gain * 32767)).toInt.toShort
       pcm(2 * f) = (q & 0xFF).toByte
       pcm(2 * f + 1) = ((q >> 8) & 0xFF).toByte
       f += 1
@@ -500,16 +509,25 @@ object Multimodal {
       in.readFully(magic)
       if (!java.util.Arrays.equals(magic, VideoMagic)) return None
       val n = in.readInt()
-      val fps = in.readInt() / 1000f
+      val fpsMillis = in.readInt()
       if (n < 0 || n > 1000000) return None
+      // fps <= 0 would make every sampled timestamp Infinity/NaN — an
+      // invalid container quarantines like any other undecodable row
+      if (fpsMillis <= 0) return None
+      val fps = fpsMillis / 1000f
       val frames = Array.fill(n) {
         val len = in.readInt()
+        // a corrupt length must quarantine, not allocate: negative would
+        // throw NegativeArraySizeException past an IOException-only catch,
+        // and a huge positive one would attempt a multi-GB allocation
+        if (len < 0 || len > bytes.length)
+          throw new java.io.IOException(s"frame length $len out of range")
         val f = new Array[Byte](len)
         in.readFully(f)
         f
       }
       Some((fps, frames))
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-wise frame sampling over the GVID container: every n-th
     * frame, exploded to one typed row per frame with its timestamp. The
@@ -517,6 +535,7 @@ object Multimodal {
     * containers contribute zero rows — quarantine them with an anti-join
     * against [[decodeInfo]]-style probes at scale. */
   def sampleVideoFrames(video: DataFrame, everyN: Int = 10): Dataset[VideoFrame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     implicit val enc = Encoders.product[VideoFrame]
     video.select(col("asset_id"), col("media"))
       .mapPartitions { rows =>
@@ -544,6 +563,7 @@ object Multimodal {
     * other engine, which is what makes the whole demux+decode path
     * end-to-end checkable against a SQL oracle. */
   def videoFrameInfo(video: DataFrame, everyN: Int = 10): Dataset[VideoFrameInfo] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     implicit val enc = Encoders.product[VideoFrameInfo]
     sampleVideoFrames(video, everyN).mapPartitions { frames =>
       frames.map { vf =>
@@ -562,6 +582,8 @@ object Multimodal {
     * [[Similarity]] search like any other embedding column. */
   def videoFeatures(
       video: DataFrame, everyN: Int = 10, dim: Int = 64): Dataset[VideoFeature] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     implicit val enc = Encoders.product[VideoFeature]
     video.select(col("asset_id"), col("media"))
       .mapPartitions { rows =>

@@ -37,6 +37,43 @@ class EventStatsSpec extends SparkSpec {
     assert(EventStats.runningSum(df, col("k"), col("v"), "cum").count() == 0L)
   }
 
+  test("runningSum refuses a partially-null order key with an actionable error") {
+    val df = Seq((Some(1L), 1L), (None, 2L), (Some(3L), 3L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      EventStats.runningSum(df, col("k"), col("v"), "cum").count()
+    }
+    assert(e.getMessage.contains("orderKey is null"), e.getMessage)
+  }
+
+  test("dailyChurn keeps interior 100%-churn days across calendar gaps") {
+    // events on Jan 1 and Jan 5 only: Jan 1 is a full-churn day (nobody
+    // returns on Jan 2) and a LATER event day exists — it must be a row,
+    // not silently vanish because Jan 2 itself has no events
+    val df = Seq(
+      (1L, ts(1, 0)), (2L, ts(1, 5)), (1L, ts(5, 0))
+    ).toDF("user_id", "ts")
+    val got = EventStats.dailyChurn(df, "user_id", "ts")
+      .orderBy("day")
+      .select("day", "actives", "retained", "churned")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 0L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("abTestZ buckets negative user ids into real arms (pmod, not %)") {
+    val df = Seq(
+      (-1L, "purchase", 200.0), (-2L, "purchase", 100.0),
+      (3L, "view", 0.0), (4L, "purchase", 160.0)
+    ).toDF("user_id", "event_type", "value")
+    val r = EventStats.abTestZ(df, "user_id", "event_type", "value",
+      "purchase", 150.0).collect()(0)
+    // arms: pmod(-1)=1, pmod(-2)=0, pmod(3)=1, pmod(4)=0 → n0=n1=2, every
+    // user is counted in exactly one arm
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L,
+      s"n0=${r.getLong(0)} n1=${r.getLong(1)} — negative ids dropped?")
+    assert(r.getLong(2) + r.getLong(3) == 2L) // conversions: -1 and 4
+  }
+
   test("cumulativeDistinctUsers == brute-force distinct recount per day") {
     for (seed <- 1 to 6) {
       val evs = evGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))

@@ -180,6 +180,62 @@ class MultimodalSpec extends SparkSpec {
       s"missing twin pairs: ${want -- pairs.map(p => (p._1, p._2)).toSet}")
   }
 
+  test("corrupt GVID containers quarantine instead of crashing the task") {
+    val good = Multimodal.syntheticVideo(spark, 1, nFrames = 2)
+      .select("media").as[Array[Byte]].head()
+    def corrupt(patch: (java.nio.ByteBuffer) => Unit): Array[Byte] = {
+      val b = good.clone(); patch(java.nio.ByteBuffer.wrap(b)); b
+    }
+    val negLen = corrupt(_.putInt(12, -1))          // first frame length -1
+    val hugeLen = corrupt(_.putInt(12, Int.MaxValue)) // 2 GB "frame"
+    val zeroFps = corrupt(_.putInt(8, 0))           // fps 0 → Infinity ts
+    val truncated = good.take(good.length / 2)
+    for ((bad, what) <- Seq(negLen -> "negative frame length",
+        hugeLen -> "huge frame length", zeroFps -> "zero fps",
+        truncated -> "truncated container")) {
+      val rows = Multimodal.sampleVideoFrames(
+        Seq((9L, bad)).toDF("asset_id", "media"), everyN = 1).count()
+      assert(rows == 0L, s"$what must quarantine (zero rows), got $rows")
+    }
+    // end-to-end: one corrupt row alongside a good one → only the good
+    // asset's frames come out, no task failure
+    val mixed = Seq((0L, good), (1L, negLen)).toDF("asset_id", "media")
+    val ids = Multimodal.sampleVideoFrames(mixed, everyN = 1)
+      .select("asset_id").as[Long].collect().toSet
+    assert(ids == Set(0L), s"corrupt asset leaked or crashed: $ids")
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleVideoFrames(mixed, everyN = 0)
+    }
+  }
+
+  test("resize keeps original metadata on undecodable rows (no self-contradiction)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val junk = Array[Byte](1, 2, 3, 4)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7L, junk, Row("webp", 640, 480))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resize(df, 16, 16).collect()(0)
+    val meta = out.getStruct(2)
+    assert(out.getAs[Array[Byte]](1).sameElements(junk))
+    assert((meta.getString(0), meta.getInt(1), meta.getInt(2)) ==
+      (("webp", 640, 480)),
+      "undecodable row's metadata must stay the original, not the target dims")
+  }
+
+  test("band-mix rendering clamps at full scale — loud gain twins still collide") {
+    // gain 2.0 drives peaks past 16-bit full scale; wrap-around would
+    // distort the band powers and break the twin collision
+    val base = Multimodal.syntheticBandMixAudio(spark, 2)
+    val loud = Multimodal.syntheticBandMixAudio(spark, 2,
+      gain = 2.0, idOffset = 100L)
+    val fps = Multimodal.audioFingerprintTable(base.unionByName(loud))
+      .as[(Long, Long)].collect().toMap
+    for (i <- 0L until 2L)
+      assert(java.lang.Long.bitCount(fps(i) ^ fps(i + 100)) <= 6,
+        s"asset $i vs clipped-gain twin: ${java.lang.Long.bitCount(fps(i) ^ fps(i + 100))} bits")
+  }
+
   test("video features: mean of real per-frame histograms, L1-normalized") {
     val feats = Multimodal.videoFeatures(video, everyN = 4, dim = 16).cache()
     assert(feats.count() == 8)
