@@ -3420,9 +3420,11 @@ object Ext {
   )
 
   /** Temperature-flattened source mix ([[graft.functions.Sampling
-    * .temperatureMix]]): keep rate ∝ sqrt(source size), largest source
-    * keeps 50%. sqrt is IEEE exactly-rounded, so the per-row keep
-    * decision hash-matches DuckDB bit-for-bit. */
+    * .temperatureMix]]): kept rows ∝ sqrt(source size) — keep RATE
+    * ∝ 1/sqrt(source size), largest source keeps 50%, smaller sources
+    * keep proportionally more (clamped at keep-all). sqrt is IEEE
+    * exactly-rounded, so the per-row keep decision hash-matches DuckDB
+    * bit-for-bit. */
   private val temperatureMixQ = QDef(
     "temperature_mix",
     (s, d) => graft.functions.Sampling.temperatureMix(
@@ -3433,7 +3435,7 @@ object Ext {
       ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n " +
         "FROM documents GROUP BY 1), " +
         "m AS (SELECT max(n) AS maxn FROM c), " +
-        "r AS (SELECT source, 0.5 * sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(maxn AS DOUBLE)) AS rate " +
+        "r AS (SELECT source, 0.5 * sqrt(CAST(maxn AS DOUBLE)) / sqrt(CAST(n AS DOUBLE)) AS rate " +
         "FROM c CROSS JOIN m) " +
         "SELECT doc_id, d.source FROM documents d JOIN r USING (source) " +
         "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +

@@ -66,11 +66,19 @@ object LangModel {
   /** Score pre-exploded bigrams under `lm`. LEFT joins + coalesce(0):
     * a bigram or context unseen at train time scores pure smoothing
     * mass (1/(c1+V), or 1/V for an unseen context) instead of dropping
-    * — the frozen-LM contract the streaming twin relies on. */
+    * — the frozen-LM contract the streaming twin relies on.
+    *
+    * The context/continuation tables get NO sizeProxy: they are
+    * aggregates of an unbounded vocabulary, so no source scan stands in
+    * for their size (passing the table itself would be a no-op). If
+    * Catalyst's post-aggregate estimate overshoots the broadcast
+    * threshold, the join falls back to a shuffle and AQE re-converts it
+    * to broadcast at runtime from the ACTUAL size — the safe direction
+    * at 100 TB, where a web-scale vocabulary genuinely may not fit. */
   private def scoreBigrams(bg: DataFrame, lm: BigramLm): DataFrame =
     bg
       .join(lm.counts, Seq("w1", "w2"), "left")
-      .join(NearDup.broadcastIfSmall(lm.contexts, sizeProxy = Some(lm.contexts)),
+      .join(NearDup.broadcastIfSmall(lm.contexts),
         Seq("w1"), "left")
       .select(col("doc_id"),
         log((coalesce(col("_n12"), lit(0L)) + lit(1)).cast("double") /
@@ -165,9 +173,9 @@ object LangModel {
       lit(lm.discount) * col("_nf") * pcont) / col("_n1").cast("double")
     bg
       .join(lm.counts, Seq("w1", "w2"), "left")
-      .join(NearDup.broadcastIfSmall(lm.contexts, sizeProxy = Some(lm.contexts)),
+      .join(NearDup.broadcastIfSmall(lm.contexts),
         Seq("w1"), "left")
-      .join(NearDup.broadcastIfSmall(lm.cont, sizeProxy = Some(lm.cont)),
+      .join(NearDup.broadcastIfSmall(lm.cont),
         Seq("w2"), "left")
       .select(col("doc_id"),
         when(col("_n1").isNotNull, log(seen)).otherwise(log(pcont)).as("_lp"))
@@ -207,6 +215,21 @@ object LangModel {
     * three-row summary. */
   def perplexityTiers(docs: DataFrame): DataFrame = {
     val ppl = perplexity(docs).persist()
+    // a corpus with no 2+-token documents has no perplexities at all:
+    // return the EMPTY three-column summary instead of letting the
+    // quantile machinery throw its unrelated-looking "no non-null
+    // values" — the empty-input convention of every other operator
+    if (ppl.limit(1).count() == 0L) {
+      ppl.unpersist(blocking = false)
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      return docs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("tier", StringType),
+          StructField("n_docs", LongType),
+          StructField("min_ppl", DoubleType),
+          StructField("max_ppl", DoubleType))))
+    }
     // two rows (q, value) — the bounded driver-side collect of this op
     val cuts = Quantiles.exactQuantilesGlobal(
         ppl, "ppl", Seq(1.0 / 3, 2.0 / 3))

@@ -68,8 +68,17 @@ object Packing {
     // with width = ceil(span/nBuckets) cannot overflow (key-min < span),
     // stays monotone, and provably lands in [0, nBuckets). Span overflow
     // itself fails loudly via addExact/subtractExact.
-    val Array(minKey, maxKey) = keyed.agg(min(col("_key")), max(col("_key")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val boundsRow = keyed.agg(min(col("_key")), max(col("_key")),
+      sum(when(col("_key").isNull, 1L).otherwise(0L))).collect().head
+    // a non-numeric orderKey (string/md5 keys) casts to null SILENTLY and
+    // would surface as a cryptic driver NPE on the bucket totals — catch
+    // it here with context, riding the same bounds aggregate
+    require(boundsRow.isNullAt(2) || boundsRow.getLong(2) == 0L,
+      s"packSequences: orderKey casts to null on ${boundsRow.getLong(2)} " +
+        "row(s) — the key must be integral (numeric, unique); hash string " +
+        "keys to a number first (e.g. xxhash64)")
+    val Array(minKey, maxKey) =
+      boundsRow.toSeq.take(2).map(_.asInstanceOf[Long]).toArray
     val span =
       try Math.addExact(Math.subtractExact(maxKey, minKey), 1L)
       catch { case _: ArithmeticException => throw new IllegalArgumentException(
@@ -122,8 +131,12 @@ object Packing {
         count(lit(1)).as("n_docs"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col(keyCol), col(textCol)))),
-            x => x.getField(textCol)),
+            // sort by the CAST key — packSequences laid out stream
+            // offsets in numeric key order, and a raw string-typed key
+            // would concatenate '10' before '9', contradicting them
+            array_sort(collect_list(struct(
+              col(keyCol).cast(LongType).as("_k"), col(textCol).as("_t")))),
+            x => x.getField("_t")),
           " ").as("bin_text"))
 
   /** Bin-level packing stats over [[packSequences]] output: documents per

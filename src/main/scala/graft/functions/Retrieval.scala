@@ -14,14 +14,22 @@ import org.apache.spark.sql.types.DecimalType
   * function (Robertson & Walker 1994) over whitespace tokens.
   *
   * Bit-reproducibility (the engine's oracle contract): two deviations
-  * from the textbook form, both documented and rank-preserving:
+  * from the textbook form, both documented:
   *
   *   - idf is the LOG-FREE rational form `(N - df + 0.5) / (df + 0.5)` —
   *     the argument of the standard `ln(...)` idf, without the `ln`.
-  *     `ln` is strictly monotone, so per-term score ORDER is unchanged;
+  *     `ln` is strictly monotone, so PER-TERM score order is unchanged;
   *     dropping it removes the one transcendental whose last-ulp varies
   *     across libm implementations (same trick as
-  *     [[Text.tfidfTopTerms]]).
+  *     [[Text.tfidfTopTerms]]). NOTE the limit of that argument: a
+  *     MULTI-term document score sums per-term partials, and a monotone
+  *     per-term map does not commute with the sum — rare terms weigh
+  *     ~N here vs ~ln N under textbook BM25, so multi-term rankings can
+  *     differ from ln-idf BM25 (rare-term matches rank relatively
+  *     higher). This is a deliberate member of the BM25 variant family
+  *     (cross-engine exactness over ln-idf fidelity), not a
+  *     rank-preserving rewrite of it; callers needing ln-idf ranking
+  *     should apply `ln` per partial and accept last-ulp engine skew.
   *   - the per-document score sums its per-term partials as
   *     `DECIMAL(28,10)` — decimal addition is EXACT and therefore
   *     order-invariant, where a double sum would depend on Spark's
@@ -266,7 +274,10 @@ object Retrieval {
     * be mirrored step-for-step by a SQL oracle. Shortlists are
     * contractually small (≤ tens of rows per query), so k·3 bounded
     * shuffles over shortlist-sized tables is noise next to candidate
-    * generation.
+    * generation. Each step's one-row-per-query pick is materialized via
+    * `localCheckpoint` (k tiny eager jobs): as a plan LEAF it keeps the
+    * unrolled recursion linear — inlined, pick_i would re-embed the whole
+    * prior step twice and the plan would grow O(2^k).
     *
     * Arithmetic is bit-reproducible: `rel` and `sim` arrive
     * bit-identical (exact integer dots, fixed-form IEEE), a missing
@@ -291,12 +302,18 @@ object Retrieval {
     val cand = candidates.select(col("query_id"), col("doc_id"), col("rel"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr").desc, col("doc_id"))
-    // step 1: empty selected set, max-sim term is 0 — argmax of λ·rel
+    // step 1: empty selected set, max-sim term is 0 — argmax of λ·rel.
+    // Each step's pick is LOCALCHECKPOINTED (one row per query — tiny):
+    // without the cut, pick_i re-embeds remaining_{i-1}, which re-embeds
+    // pick_{i-1} AND remaining_{i-2} — an O(2^k) plan that stalls
+    // analysis long before execution. With leaf picks, the remaining
+    // chain is a linear k-deep anti-join over the shortlist.
     var selected = cand
       .select(col("query_id"), col("doc_id"),
         (lit(lambda) * col("rel") - lit(1 - lambda) * lit(0.0)).as("mmr"))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("query_id"), col("doc_id"), col("mmr"), lit(1).as("rank"))
+      .localCheckpoint(true)
     var remaining = cand.join(selected.select("query_id", "doc_id"),
       Seq("query_id", "doc_id"), "left_anti")
     for (step <- 2 to k) {
@@ -315,6 +332,7 @@ object Retrieval {
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("query_id"), col("doc_id"), col("mmr"),
           lit(step).as("rank"))
+        .localCheckpoint(true)
       selected = selected.unionByName(pick)
       remaining = remaining.join(pick.select("query_id", "doc_id"),
         Seq("query_id", "doc_id"), "left_anti")

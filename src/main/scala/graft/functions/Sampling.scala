@@ -22,6 +22,11 @@ object Sampling {
   /** Adds a `split` column ("test" for ~`testPct`/256ths of rows by hash,
     * else "train"). */
   def trainTestSplit(df: DataFrame, key: Column, testBytes: Int = 26): DataFrame = {
+    // out-of-range values corrupt SILENTLY through %02x: 256 formats to
+    // "100" (≈6.6% test, not 100%), -1 to a widening hex string (all
+    // test) — the clamp-or-require convention of the other samplers
+    require(testBytes >= 0 && testBytes <= 255,
+      s"testBytes must be in [0, 255] (256ths of rows), got $testBytes")
     val th = f"$testBytes%02x"
     df.withColumn("split",
       when(substring(md5(key), 1, 2) < th, lit("test")).otherwise(lit("train")))
@@ -53,6 +58,8 @@ object Sampling {
       labels: DataFrame,
       clusterCol: String,
       testBytes: Int = 26): DataFrame = {
+    require(testBytes >= 0 && testBytes <= 255,
+      s"testBytes must be in [0, 255] (256ths of rows), got $testBytes")
     val th = f"$testBytes%02x"
     labels.withColumn("split",
       when(substring(md5(col(clusterCol).cast("string")), 1, 2) < th,
@@ -117,16 +124,25 @@ object Sampling {
   }
 
   /** Temperature-flattened corpus mix (the T5/LLaMA mixing step at
-    * temperature 2): per-stratum keep rate ∝ sqrt(stratum size),
-    * normalized so the LARGEST stratum keeps `maxRate` — small sources
-    * are over-represented relative to proportional sampling, large ones
-    * flattened. Composes [[weightedSample]] with a rate computed from the
-    * stratum-count table (group-cardinality-sized, broadcast by AQE).
-    * Deterministic across engines: sqrt is IEEE exactly-rounded and the
-    * rate quantizes to 1/65536ths before the hash compare — no pow(). */
+    * temperature 2): KEPT rows per stratum ∝ sqrt(stratum size), i.e.
+    * keep RATE ∝ 1/sqrt(stratum size), anchored so the LARGEST stratum
+    * keeps `maxRate` — small sources are over-represented relative to
+    * proportional sampling (their rate rises toward the keep-everything
+    * clamp), large ones flattened. (A rate ∝ +sqrt(n) would do the
+    * OPPOSITE — amplify the skew — since kept = rate·n.) Composes
+    * [[weightedSample]] with a rate computed from the stratum-count table
+    * (group-cardinality-sized, broadcast by AQE); rates ≥ 1 ride
+    * weightedSample's keep-always clamp. Deterministic across engines:
+    * sqrt is IEEE exactly-rounded and the rate quantizes to 1/65536ths
+    * before the hash compare — no pow(). */
   def temperatureMix(df: DataFrame, stratum: Column, key: Column,
       maxRate: Double = 0.5): DataFrame = {
     require(maxRate > 0 && maxRate <= 1, s"maxRate must be in (0,1], got $maxRate")
+    val reserved = Seq("_stratum", "_n", "_maxn", "_rate")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"temperatureMix reserves ${reserved.mkString("/")}; input already " +
+        s"has ${clash.mkString(", ")} — rename first")
     val counts = df.groupBy(stratum.as("_stratum"))
       .agg(count(lit(1)).as("_n"))
     val maxN = counts.agg(max(col("_n")).as("_maxn"))
@@ -134,8 +150,8 @@ object Sampling {
       .join(counts, stratum === col("_stratum"))
       .crossJoin(broadcast(maxN))
       .withColumn("_rate",
-        lit(maxRate) * sqrt(col("_n").cast("double"))
-          / sqrt(col("_maxn").cast("double")))
+        lit(maxRate) * sqrt(col("_maxn").cast("double"))
+          / sqrt(col("_n").cast("double")))
     weightedSample(rated, key, col("_rate"))
       .drop("_stratum", "_n", "_maxn", "_rate")
   }

@@ -47,6 +47,26 @@ class PackingSpec extends SparkSpec {
     assert(e.getMessage.contains("span"))
   }
 
+  test("a null-casting order key fails with context, not a cryptic NPE") {
+    // (a plain non-numeric STRING key already fails loudly under ANSI
+    // mode's cast check; the silent path is a genuinely null key)
+    val df = Seq((Some(1L), 3L), (None, 4L)).toDF("k", "n")
+    val e = intercept[IllegalArgumentException](
+      Packing.packSequences(df, col("k"), col("n"), budget = 10L).count())
+    assert(e.getMessage.contains("casts to null"), e.getMessage)
+  }
+
+  test("binTexts orders string-NUMERIC keys numerically, matching the offsets") {
+    // '9' sorts after '10' lexicographically — the concat must follow the
+    // same numeric order the stream offsets were laid out in
+    val packed = Seq((2L, "two", 0L, 0L), (9L, "nine", 0L, 0L), (10L, "ten", 0L, 0L))
+      .toDF("k", "text", "bin", "stream_offset")
+      .withColumn("k", col("k").cast("string"))
+    val got = Packing.binTexts(packed, "k", "text")
+      .select("bin_text").as[String].head()
+    assert(got == "two nine ten", s"got '$got'")
+  }
+
   test("reserved output columns in the input fail fast") {
     val df = Seq((1L, 2L)).toDF("k", "n_tokens")
     val e = intercept[IllegalArgumentException](

@@ -64,14 +64,37 @@ class ResampleSpec extends SparkSpec {
     val kept = Sampling.temperatureMix(df, col("src"), col("id").cast("string"))
       .groupBy("src").count()
       .as[(String, Long)].collect().toMap
-    // big keeps ~50% (0.5*sqrt(800/800)); small keeps ~25% (0.5*sqrt(200/800))
+    // T=2 flattening: kept ∝ sqrt(n). big keeps ~50% (the maxRate
+    // anchor); small's rate 0.5*sqrt(800/200) = 1.0 clamps to keep-ALL —
+    // the 4:1 input skew flattens to ~2:1 kept (rate ∝ +sqrt(n) would
+    // AMPLIFY it to 8:1, the round-14 inversion this pins against)
     assert(kept("big") > 320 && kept("big") < 480, s"big=${kept("big")}")
-    assert(kept("small") > 28 && kept("small") < 72, s"small=${kept("small")}")
+    assert(kept("small") == 200, s"small=${kept("small")}")
+    assert(kept("big").toDouble / kept("small") < 2.5,
+      s"skew must flatten below the 4:1 input, got ${kept("big")}:${kept("small")}")
     // determinism: same inputs, same rows
     val again = Sampling.temperatureMix(df, col("src"), col("id").cast("string"))
       .as[(Long, String)].collect().toSet
     assert(again == Sampling.temperatureMix(df, col("src"), col("id").cast("string"))
       .as[(Long, String)].collect().toSet)
+  }
+
+  test("samplers validate their knobs loudly") {
+    val df = Seq((1L, "a")).toDF("id", "src")
+    intercept[IllegalArgumentException] {
+      Sampling.trainTestSplit(df, col("id").cast("string"), testBytes = 256)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.trainTestSplit(df, col("id").cast("string"), testBytes = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(df, "id", testBytes = 300)
+    }
+    // reserved-column clash is a clear refusal, not an ambiguous-ref error
+    val clash = Seq((1L, "a", 2L)).toDF("id", "src", "_n")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(clash, col("src"), col("id").cast("string"))
+    }
   }
 
   test("funnel requires strict stage order and propagates drop-out nulls") {
