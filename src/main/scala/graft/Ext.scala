@@ -4304,9 +4304,17 @@ object Ext {
         "array_to_string(list_slice(t, pos, pos + 7), ' ') AS gram FROM gr), " +
         "own AS (SELECT gram, min(doc_id) AS owner FROM g2 GROUP BY gram " +
         "HAVING min(doc_id) <> max(doc_id)), " +
-        "rem AS (SELECT DISTINCT g2.doc_id, pos + u AS p FROM g2 " +
+        "rem0 AS (SELECT DISTINCT g2.doc_id, pos + u AS p FROM g2 " +
         "JOIN own USING (gram), unnest(range(0, 8)) v(u) " +
         "WHERE g2.doc_id <> own.owner), " +
+        // owner-span exemption — same rule as the Spark op: positions
+        // under a gram this doc OWNS are never cut
+        "ownp AS (SELECT DISTINCT g2.doc_id, pos + u AS p FROM g2 " +
+        "JOIN own USING (gram), unnest(range(0, 8)) v(u) " +
+        "WHERE g2.doc_id = own.owner), " +
+        "rem AS (SELECT r.doc_id, r.p FROM rem0 r " +
+        "LEFT JOIN ownp o ON r.doc_id = o.doc_id AND r.p = o.p " +
+        "WHERE o.p IS NULL), " +
         "stream AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS p, " +
         "unnest(t) AS w FROM tok), " +
         "kept AS (SELECT s.doc_id, s.p, s.w FROM stream s " +
@@ -4510,7 +4518,8 @@ object Ext {
          |dl AS (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
          | FROM src)
          |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-         |FROM dl GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+         |FROM dl WHERE length(line) > 0
+         |GROUP BY line HAVING count(DISTINCT doc_id) >= 10
          |ORDER BY line""".stripMargin.replace('\n', ' '))
   )
 

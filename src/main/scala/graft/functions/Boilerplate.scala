@@ -42,6 +42,10 @@ object Boilerplate {
     docs.select(col(idCol).as("_id"),
         explode(array_distinct(split(col(textCol), java.util.regex.Pattern.quote(sep))))
           .as("line"))
+      // same non-empty rule as the removal face: empty lines are document
+      // STRUCTURE, never boilerplate — a report topped by "" that removal
+      // will never cut would mislead anyone tuning minDocs off it
+      .filter(length(col("line")) > 0)
       .groupBy(col("line"))
       .agg(countDistinct(col("_id")).as("n_docs"))
 

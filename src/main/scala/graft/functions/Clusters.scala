@@ -168,6 +168,11 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
+    // try/finally: a mid-loop job failure or the non-convergence throw
+    // below must not leave the round table (or sym) pinned in executor
+    // storage for the session — only a CONVERGED labels table survives,
+    // and that one is the return value
+    try {
     while (!converged && iter < maxIter) {
       // min label among each node's neighbors, joined back onto the node.
       // The round's change flag rides along in the same projection, so the
@@ -226,7 +231,10 @@ object Clusters {
       labels = next
       iter += 1
     }
-    sym.unpersist()
+    } finally {
+      sym.unpersist(blocking = false)
+      if (!converged) labels.unpersist(blocking = false)
+    }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
@@ -240,17 +248,22 @@ object Clusters {
     * id (deterministic, partition-invariant). This is what production
     * dedup actually ships: min-id collapse ([[graft.Ext]]
     * `dedup_collapse`) keeps an arbitrary representative; keep-best
-    * keeps the longest/cleanest duplicate. One `max_by` aggregate over a
-    * (score, -id) struct — cluster-sized state is one struct, never the
-    * member list. */
+    * keeps the longest/cleanest duplicate. One per-cluster top-1 window
+    * (score desc, id asc) — the tie-break works for ANY orderable id
+    * type, where the previous `max_by(struct(score, -id))` trick
+    * required a NEGATABLE id (string ids failed analysis, Long.MinValue
+    * overflowed under ANSI negation). */
   def keepBestPerCluster(
       labeled: DataFrame,
       idCol: String,
       scoreCol: String
-  ): DataFrame =
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
     labeled
-      .groupBy(col("cluster_id"))
-      .agg(max_by(col(idCol),
-        struct(col(scoreCol), (-col(idCol)).as("_neg_id"))).as(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
       .select(col(idCol))
+  }
 }

@@ -91,14 +91,8 @@ object Contamination {
       l: Int = 8
   ): DataFrame = {
     require(l > 1, s"gram length must exceed 1 token, got $l")
-    def gramsOf(df: DataFrame) = df
-      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
-      .withColumn("_n", size(col("_t")))
-      .filter(col("_n") >= l)
-      .select(col("doc_id"), col("_t"),
-        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(array_join(slice(col("_t"), col("pos"), lit(l)), " ")).as("_h"))
+    // shared gram-stream kernel — one definition across the span ops
+    def gramsOf(df: DataFrame) = SubstringDedup.gramStream(df, l)
     val base = train
       .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
       .withColumn("_n", size(col("_t")))
@@ -108,7 +102,9 @@ object Contamination {
       .join(benchGrams, Seq("_h"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + l - 1)).as("_p"))
-      .distinct() // overlapping contaminated windows cover a position once
+      // overlapping contaminated windows cover a position once —
+      // collect_set dedups on its own (a distinct pre-pass would add a
+      // second full shuffle of the position stream for nothing)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("_p"))).as("_cut"))
     base

@@ -185,8 +185,14 @@ object NearDup {
   private[functions] def acrossArrays(
       la: DataFrame, ra: DataFrame, threshold: Double,
       proxyA: Option[DataFrame] = None, proxyB: Option[DataFrame] = None): DataFrame = {
-    val prefixLen = (floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
-      .cast("int")
+    // n - ceil(t·n) + 1, NOT floor((1-t)·n)+1: algebraically equal, but
+    // (1-t) is inexact in double for t like 0.8/0.9 and the floor form
+    // can deflate the prefix by one — silently losing an exactly-at-
+    // threshold pair. The ceil form's rounding errs only toward LONGER
+    // prefixes (more candidates, never a lost pair).
+    val prefixLen =
+      (col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1)
+        .cast("int")
     def prefix(arrs: DataFrame, id: String) = arrs.select(
       col("doc_id").as(id), explode(slice(col("arr"), lit(1), prefixLen)).as("h"))
     val cand = prefix(la, "id_a").join(prefix(ra, "id_b"), "h")
@@ -311,8 +317,14 @@ object NearDup {
   private def pairsFromArrs(
       arrs: DataFrame, threshold: Double,
       sizeProxy: Option[DataFrame]): DataFrame = {
-    val prefixLen = (floor((lit(1.0) - threshold) * col("n_shingles")) + 1)
-      .cast("int")
+    // n - ceil(t·n) + 1, NOT floor((1-t)·n)+1: algebraically equal, but
+    // (1-t) is inexact in double for t like 0.8/0.9 and the floor form
+    // can deflate the prefix by one — silently losing an exactly-at-
+    // threshold pair. The ceil form's rounding errs only toward LONGER
+    // prefixes (more candidates, never a lost pair).
+    val prefixLen =
+      (col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1)
+        .cast("int")
     val prefix = arrs.select(col("doc_id"),
       explode(slice(col("arr"), lit(1), prefixLen)).as("h"))
     val cand = prefix.as("a")
@@ -361,7 +373,8 @@ object NearDup {
     val prefix = ranked.select(col("doc_id"),
       explode(transform(
         slice(col("ordered"), lit(1),
-          (floor((lit(1.0) - threshold) * col("n_sh")) + 1).cast("int")),
+          // ceil form for FP-safety — see pairsFromArrs
+          (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")),
         s => s.getField("h"))).as("h"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h")
@@ -468,10 +481,14 @@ object NearDup {
     * dedup pipeline (banded signatures prune the pair space, the exact
     * row-local intersect confirms), and the oracle-checkable face of
     * minhash: with r=2 rows per band × 16 bands, a true pair at Jaccard
-    * ≥ t is a candidate with probability 1-(1-t²)^16 (≈ 1-1e-7 at t=0.8),
-    * so the verified output equals the exact-Jaccard pair set, which DuckDB
-    * can reproduce — turning the engine-native signature pipeline into a
-    * hash-matching correctness check rather than a rows-only count.
+    * ≥ t is a candidate with probability 1-(1-t²)^16 — ≈ 1-1e-7 at
+    * t=0.8, but only ≈ 0.99 at the 0.5 default, so equality with the
+    * exact-Jaccard pair set is PROBABILISTIC near the threshold: the
+    * salts are fixed, making the outcome deterministic per corpus (the
+    * oracle-pinned key rides that determinism on the shipped corpus),
+    * but a different corpus holding a just-at-threshold pair can lose
+    * the ~1% banding draw and emit a strict subset. Run t ≥ ~0.7 (or
+    * more bands) when set-equality with exact Jaccard is the contract.
     * Signatures are derived from the SAME shingle-hash arrays the verify
     * step uses (hash once, reuse everywhere).
     */
@@ -516,7 +533,10 @@ object NearDup {
         (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
       when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // null text -> null fingerprint (NOT 0L): the native kernel and the
+    // aggregate table form treat null as absent, and a 0L sentinel would
+    // Hamming-band against genuinely all-zero fingerprints
+    when(text.isNotNull, bits.reduce(_ + _))
   }
 
   /** (doc_id, sh) SimHash table computed as 64 bit-sum aggregates over the

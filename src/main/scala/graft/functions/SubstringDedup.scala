@@ -42,26 +42,47 @@ object SubstringDedup {
     * table carries the per-gram min doc (already computed by the same
     * aggregate). The text rebuild sorts each doc's KEPT positions — a
     * per-doc array fold, no window over the stream. */
+  /** The (doc_id, pos, _h) l-gram hash stream every span operator here
+    * (and [[Contamination.removeContaminatedSpans]]) starts from — ONE
+    * definition so a change to gram hashing or the length guard cannot
+    * silently diverge between the operators. */
+  private[functions] def gramStream(docs: DataFrame, l: Int): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") >= l)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(array_join(slice(col("_t"), col("pos"), lit(l)), " ")).as("_h"))
+
   def dedupSpansRemoved(docs: DataFrame, l: Int = 8): DataFrame = {
     require(l > 1, s"gram length must exceed 1 token, got $l")
     val base = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
       .withColumn("_n", size(col("_t")))
-    val grams = base.filter(col("_n") >= l)
-      .select(col("doc_id"), col("_t"),
-        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(array_join(slice(col("_t"), col("pos"), lit(l)), " ")).as("_h"))
+    val grams = gramStream(docs, l)
     val dupOwned = grams.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("_owner"), max(col("doc_id")).as("_hi"))
       .filter(col("_owner") =!= col("_hi"))
       .select(col("_h"), col("_owner"))
-    // positions covered by a dup gram owned ELSEWHERE
-    val removed = grams.join(dupOwned, Seq("_h"))
+    // positions covered by a dup gram owned ELSEWHERE...
+    val cutRaw = grams.join(dupOwned, Seq("_h"))
       .filter(col("doc_id") =!= col("_owner"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + l - 1)).as("_p"))
-      .distinct()
+    // ...EXEMPTING positions under a gram this doc OWNS: without the
+    // exemption, an overlapping dup gram with a different owner could cut
+    // into the owner's protected span and the duplicated text would
+    // survive verbatim NOWHERE — the exemption is what makes the
+    // documented all-but-one guarantee actually hold. (collect_set
+    // dedups, so no distinct pre-pass — one shuffle, not two.)
+    val ownedPos = grams.join(dupOwned, Seq("_h"))
+      .filter(col("doc_id") === col("_owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + l - 1)).as("_p"))
+    val removed = cutRaw
+      .join(ownedPos, Seq("doc_id", "_p"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("_p"))).as("_cut"))
     base
@@ -123,11 +144,7 @@ object SubstringDedup {
     val base = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
       .withColumn("_n", size(col("_t")))
-    val grams = base.filter(col("_n") >= l)
-      .select(col("doc_id"), col("_t"),
-        explode(sequence(lit(1), col("_n") - l + 1)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(array_join(slice(col("_t"), col("pos"), lit(l)), " ")).as("_h"))
+    val grams = gramStream(docs, l)
     // repeated across documents ⇔ two distinct doc ids share the hash
     val dup = grams.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("_lo"), max(col("doc_id")).as("_hi"))

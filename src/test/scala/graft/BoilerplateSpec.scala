@@ -66,6 +66,15 @@ class BoilerplateSpec extends SparkSpec {
     assert(freq === Seq("x" -> 2L, "y" -> 1L))
   }
 
+  test("lineFrequencies excludes empty lines, agreeing with the removal face") {
+    // blank separator lines sit in every doc; a report topped by "" that
+    // removeDupLines will never cut would mislead threshold tuning
+    val freq = Boilerplate.lineFrequencies(
+      corpus(1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf"))
+      .collect().map(_.getString(0)).toSeq
+    assert(!freq.contains(""), s"empty line leaked into the report: $freq")
+  }
+
   test("extra columns pass through unchanged") {
     import spark.implicits._
     val df = Seq((1L, "HDR\na", "en"), (2L, "HDR\nb", "fr"), (3L, "HDR\nc", "de"))

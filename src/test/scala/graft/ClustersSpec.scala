@@ -147,4 +147,14 @@ class ClustersSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(repart == got)
   }
+
+  test("keepBestPerCluster works over STRING ids (tie-break needs no negation)") {
+    val labeled = Seq(
+      ("doc-b", 1L, 9L), ("doc-a", 1L, 9L), ("doc-c", 1L, 5L),
+      ("doc-z", 2L, 1L)
+    ).toDF("doc_id", "cluster_id", "score")
+    val got = Clusters.keepBestPerCluster(labeled, "doc_id", "score")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("doc-a", "doc-z")) // tie 9 -> smallest id "doc-a"
+  }
 }

@@ -56,6 +56,36 @@ class NearDupSpec extends SparkSpec {
       rows(NearDup.ngramJaccardPairsNaive(docs, 0.5)))
   }
 
+  test("exactly-at-threshold pairs survive the prefix filter at t=0.8 " +
+      "(FP-safe prefix length)") {
+    // 200 planted pairs at Jaccard EXACTLY 8/10 = 0.8: y_i's shingles are
+    // a subset of x_i's. floor((1-0.8)*10) under-computes to 1 in double
+    // arithmetic (prefix 2 instead of the required 3), which loses a
+    // pair whenever x's two non-shared hashes happen to be its two
+    // smallest (~1/45 per pair — near-certain across 200). The ceil-form
+    // prefix must keep every one.
+    val planted = (0 until 200).flatMap { i =>
+      val toks = (0 until 12).map(j => s"t${i}_$j")
+      Seq((2L * i, toks.mkString(" ")),
+        (2L * i + 1, toks.take(10).mkString(" ")))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.8, 0.9)) {
+      val fast = rows(NearDup.ngramJaccardPairs(planted, t))
+      val naive = rows(NearDup.ngramJaccardPairsNaive(planted, t))
+      assert(fast == naive, s"prefix filter lost at-threshold pairs at t=$t")
+      val rare = rows(NearDup.ngramJaccardPairsRareFirst(planted, t))
+      assert(rare == naive, s"rare-first prefix lost at-threshold pairs at t=$t")
+    }
+  }
+
+  test("simhash64 column form: null text yields null, not a 0L sentinel") {
+    val got = Seq((1L, Some("a b c")), (2L, None))
+      .toDF("doc_id", "text")
+      .select(NearDup.simhash64(col("text")).as("s")).collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0),
+      "null text must fingerprint to null (the native kernel's rule)")
+  }
+
   test("rarest-first prefix ordering is lossless too (equals naive)") {
     val d = Tables.documents(spark, sf0001)
     for (t <- Seq(0.3, 0.8)) {

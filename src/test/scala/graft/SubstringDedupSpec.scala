@@ -69,6 +69,17 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got(1L) == (7, 0, ""))
   }
 
+  test("overlapping grams with different owners cannot mutilate an owned span") {
+    // gram "a b" is owned by doc1, gram "q a" by doc0. doc1's copy of
+    // "q a" overlaps its OWNED "a b" span: only the non-overlapping 'q'
+    // may be cut — without the owner exemption, "a b" would survive
+    // verbatim in NO document (doc1 cut to "p b", doc2 emptied).
+    val got = removed(Seq("q a", "p q a b", "a b"), l = 2)
+    assert(got(0L) == (2, 2, "q a"))   // owner of "q a": untouched
+    assert(got(1L) == (4, 3, "p a b")) // owned "a b" span survives verbatim
+    assert(got(2L) == (2, 0, ""))      // the non-owner copy of "a b" cuts
+  }
+
   test("span removal leaves dup-free corpora untouched") {
     val texts = Seq("a b c d e", "f g h i j")
     val got = removed(texts, l = 4)
