@@ -186,8 +186,9 @@ object Ext {
         "CAST(len(list_filter(string_split(text, ' '), t -> t IN (" +
         Text.stopwords.map(w => s"'$w'").mkString(", ") + "))) AS DOUBLE) " +
         " / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CASE WHEN length(text) > 0 THEN " +
         "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) " +
-        " / length(text) AS alpha_ratio, " +
+        " / length(text) ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio, " +
         "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(200.0 AS DOUBLE), " +
         " CAST(1.0 AS DOUBLE)) AS len_score FROM documents) " +
         "SELECT doc_id, stop_ratio, alpha_ratio, len_score, " +
@@ -628,9 +629,11 @@ object Ext {
         "CASE WHEN scheme = 'http' THEN regexp_replace(host1, ':80$', '') " +
         "WHEN scheme = 'https' THEN regexp_replace(host1, ':443$', '') " +
         "ELSE host1 END AS host, " +
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest0, " +
-        "'[?&]utm_[a-zA-Z_]+=[^&#]*', '', 'g'), '^([^?&]*)&', '\\1?'), " +
-        "'[?&]$', ''), '/$', '') AS rest FROM p), " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest0, " +
+        "'&utm_[a-zA-Z_]+=[^&#]*', '', 'g'), " +
+        "'\\?utm_[a-zA-Z_]+=[^&#]*&', '?'), " +
+        "'\\?utm_[a-zA-Z_]+=[^&#]*$', ''), " +
+        "'[?&]$', ''), '^([^?]*)/$', '\\1') AS rest FROM p), " +
         "k AS (SELECT doc_id, scheme || '://' || host || rest AS canonical_url FROM q) " +
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url, " +
         "CAST(count(*) AS BIGINT) AS n_dups " +
@@ -2401,8 +2404,9 @@ object Ext {
         "CAST(len(list_filter(string_split(text, ' '), t -> t IN (" +
         Text.stopwords.map(w => s"'$w'").mkString(", ") + "))) AS DOUBLE) " +
         " / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CASE WHEN length(text) > 0 THEN " +
         "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) " +
-        " / length(text) AS alpha_ratio, " +
+        " / length(text) ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio, " +
         "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(200.0 AS DOUBLE), " +
         " CAST(1.0 AS DOUBLE)) AS len_score FROM documents), " +
         "q AS (SELECT doc_id, stop_ratio * CAST(0.5 AS DOUBLE) " +
@@ -3254,8 +3258,9 @@ object Ext {
         "CAST(len(list_filter(string_split(text, ' '), t -> t IN (" +
         Text.stopwords.map(w => s"'$w'").mkString(", ") + "))) AS DOUBLE) " +
         " / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CASE WHEN length(text) > 0 THEN " +
         "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) " +
-        " / length(text) AS alpha_ratio, " +
+        " / length(text) ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio, " +
         "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(200.0 AS DOUBLE), " +
         " CAST(1.0 AS DOUBLE)) AS len_score FROM documents), " +
         "q AS (SELECT doc_id, stop_ratio * CAST(0.5 AS DOUBLE) " +

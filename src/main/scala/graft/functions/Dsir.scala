@@ -53,7 +53,7 @@ object Dsir {
     * attribute first (per-element re-eval caveat, [[NearDup.shinglesOf]]). */
   def features(docs: DataFrame): DataFrame = {
     val toks = NearDup.fanOut(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("_t"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("_t"))
     val bigrams = transform(
       slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
       (w, i) => concat(w, lit(" "), element_at(col("_t"), i + lit(2))))
@@ -93,8 +93,20 @@ object Dsir {
     require(totR > 0, "DSIR raw corpus produced no features")
     require(totT > 0,
       "DSIR target corpus produced no features — empty or unmatched target")
+    // DENSIFY over all 256 buckets: a full join of the two count tables
+    // only covers buckets seen in raw OR target, and scoreWith's
+    // coalesce(log_ratio, 0.0) would then score an unseen bucket 0
+    // instead of the documented add-one smoothing mass — wrong for every
+    // NEW doc scored under a frozen model whose training corpora left
+    // buckets uncovered. With all 256 rows present the coalesce is dead
+    // belt-and-braces.
+    val s = raw.sparkSession
+    import s.implicits._
+    val allB = (0 until Buckets).map(i => f"$i%02x").toDF("b")
     DsirModel(
-      rawN.join(tgtN, Seq("b"), "full")
+      allB
+        .join(rawN, Seq("b"), "left")
+        .join(tgtN, Seq("b"), "left")
         .select(col("b"),
           (logP(col("_nt"), totT) - logP(col("n"), totR)).as("log_ratio")))
   }

@@ -62,7 +62,7 @@ object QualityClassifier {
     * counts occurrences, not presence). */
   private def docTokens(docs: DataFrame): DataFrame =
     NearDup.fanOut(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
 
   /** Train on `docs` with `labels` = (doc_id, pass: boolean): one
     * token-keyed aggregate counting both classes at once, one

@@ -138,9 +138,12 @@ object Text {
     val nTok = size(col("_t")).cast(DoubleType)
     val stopRatio =
       size(filter(col("_t"), x => x.isin(stopwords.map(lit): _*))) / nTok
-    val alphaRatio =
+    // zero-length guard: x/0 is a fatal DIVIDE_BY_ZERO under default ANSI
+    // mode — an empty doc scores 0 alpha evidence, it must not kill the
+    // cleaning stage (the compressionRatio convention)
+    val alphaRatio = when(length(col("text")) > 0,
       length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
-        length(col("text"))
+        length(col("text"))).otherwise(lit(0.0))
     val lenScore = least(nTok / 200.0, lit(1.0))
     toks
       .select(
@@ -364,19 +367,27 @@ object Text {
       .otherwise(host1)
     // utm params are matched WITH their leading separator (a bare
     // `utm_...=` pattern would also fire mid-name inside `?xutm_a=1` and
-    // corrupt a non-utm param); the follow-up anchored rewrite gives the
-    // first surviving param its `?` back when the original `?utm_...`
-    // was consumed. Both repairs can match at most once (anchored), so
-    // Spark's replace-all and DuckDB's default replace-first agree.
+    // corrupt a non-utm param). `&`-led utm params just vanish; a
+    // `?`-led utm param hands its `?` to the successor param (or drops
+    // it when it was the last) — rewriting the FIRST `&` after the fact
+    // would corrupt a literal `&` in a query-less path (`/a&b`, a legal
+    // RFC 3986 sub-delim). The `?`-led patterns can match at most once
+    // (one `?` per URL), so Spark's replace-all and DuckDB's
+    // replace-first agree on them; only the `&`-led removal needs 'g'.
+    // The trailing-slash strip is PATH-scoped: `^([^?]*)/$` can only
+    // match when the rest has no query at all, so a slash ending a
+    // query-parameter VALUE survives.
     val rest = regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
-            "[?&]utm_[a-zA-Z_]+=[^&#]*", ""),
-          "^([^?&]*)&", "$1?"),
+            regexp_replace(
+              regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
+              "&utm_[a-zA-Z_]+=[^&#]*", ""),
+            "\\?utm_[a-zA-Z_]+=[^&#]*&", "?"),
+          "\\?utm_[a-zA-Z_]+=[^&#]*$", ""),
         "[?&]$", ""),
-      "/$", "")
+      "^([^?]*)/$", "$1")
     concat(scheme, lit("://"), host, rest)
   }
 
@@ -635,14 +646,23 @@ object Text {
     val sents = split(col("text"), "\\. ")
     val lens = transform(sents, s =>
       when(length(s) === 0, lit(0)).otherwise(size(split(s, " "))))
-    docs.select(
-      col("doc_id"),
-      size(sents).cast("long").as("n_sentences"),
-      aggregate(lens, lit(0L), (a, x) => a + x).as("n_sent_tokens"),
-      (aggregate(lens, lit(0L), (a, x) => a + x).cast("double") /
-        size(sents)).as("mean_sent_tokens"),
-      array_min(lens).cast("long").as("min_sent_tokens"),
-      array_max(lens).cast("long").as("max_sent_tokens"))
+    // bind the per-sentence length array and its fold ONCE (the
+    // textStats/langId convention): inlined, the transform+split would
+    // re-evaluate per consuming expression — the measured 4×-retokenize
+    // class this file's other operators already avoid
+    docs
+      .select(col("doc_id"), sents.as("_s"), lens.as("_lens"))
+      .select(col("doc_id"), col("_lens"),
+        size(col("_s")).cast("long").as("n_sentences"),
+        aggregate(col("_lens"), lit(0L), (a, x) => a + x).as("n_sent_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_sentences"),
+        col("n_sent_tokens"),
+        (col("n_sent_tokens").cast("double") / col("n_sentences"))
+          .as("mean_sent_tokens"),
+        array_min(col("_lens")).cast("long").as("min_sent_tokens"),
+        array_max(col("_lens")).cast("long").as("max_sent_tokens"))
   }
 
   /** Per-document out-of-vocabulary rate against the corpus's own
@@ -665,12 +685,17 @@ object Text {
     val dl = docs.select(col("doc_id"), tokens(col("text")).as("_l"))
     val inVocab = filter(col("_l"), t => array_contains(col("_vocab"), t))
     val nOov = size(col("_l")) - size(inVocab)
+    // bind the membership scan ONCE: nOov inlined into two output
+    // columns would run the O(tokens·vocab) filter twice per row
     dl.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        size(col("_l")).cast("long").as("n_tokens"),
+        nOov.cast("long").as("n_oov"))
       .select(
         col("doc_id"),
-        size(col("_l")).cast("long").as("n_tokens"),
-        nOov.cast("long").as("n_oov"),
-        (nOov.cast("double") / size(col("_l"))).as("oov_rate"))
+        col("n_tokens"),
+        col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
   // ---- Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) ----
@@ -701,7 +726,18 @@ object Text {
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
-      ((w.map(String.valueOf) :+ graft.plans.Bpe.Marker).toArray, n)
+      // split by CODE POINT (the encode kernel's alphabet, Bpe
+      // .applyMerges): a UTF-16 split would learn lone-surrogate merges
+      // the encoder can never apply — wasted merge budget and a fixture
+      // that mangles to '?' on write
+      val cps = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      var i = 0
+      while (i < w.length) {
+        val cw = Character.charCount(w.codePointAt(i))
+        cps += w.substring(i, i + cw); i += cw
+      }
+      cps += graft.plans.Bpe.Marker
+      (cps.toArray, n)
     }
     val merges = Seq.newBuilder[(String, String)]
     var round = 0

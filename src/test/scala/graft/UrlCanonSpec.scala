@@ -42,6 +42,17 @@ class UrlCanonSpec extends SparkSpec {
       "https://e.com/p?q=1")
   }
 
+  test("literal '&' in a query-less path and slashes in query values survive") {
+    // '&' is a legal RFC 3986 path sub-delim — the separator repair must
+    // not invent a '?' where no query ever existed
+    assert(canon("https://e.com/a&b") == "https://e.com/a&b")
+    assert(canon("https://e.com/a&b?utm_x=1&c=2") == "https://e.com/a&b?c=2")
+    // the trailing-slash rule is PATH-scoped: a '/' ending a query value
+    // is content, not structure
+    assert(canon("https://e.com/p?r=/x/") == "https://e.com/p?r=/x/")
+    assert(canon("https://e.com/p?") == "https://e.com/p")
+  }
+
   test("path case is preserved; composition of all rules at once") {
     assert(canon("https://e.com/CaseSensitive/Path") ==
       "https://e.com/CaseSensitive/Path")
