@@ -630,9 +630,9 @@ object Ext {
         "WHEN scheme = 'https' THEN regexp_replace(host1, ':443$', '') " +
         "ELSE host1 END AS host, " +
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest0, " +
-        "'&utm_[a-zA-Z_]+=[^&#]*', '', 'g'), " +
-        "'\\?utm_[a-zA-Z_]+=[^&#]*&', '?'), " +
-        "'\\?utm_[a-zA-Z_]+=[^&#]*$', ''), " +
+        "'&utm_[a-zA-Z0-9_]+=[^&#]*', '', 'g'), " +
+        "'\\?utm_[a-zA-Z0-9_]+=[^&#]*&', '?'), " +
+        "'\\?utm_[a-zA-Z0-9_]+=[^&#]*$', ''), " +
         "'[?&]$', ''), '^([^?]*)/$', '\\1') AS rest FROM p), " +
         "k AS (SELECT doc_id, scheme || '://' || host || rest AS canonical_url FROM q) " +
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url, " +
@@ -2573,6 +2573,28 @@ object Ext {
   private val dedupMinhashVerified = QDef(
     "dedup_minhash_verified",
     (s, d) => NearDup.minhashVerifiedPairs(documents(s, d), threshold = 0.5),
+    Some(ngramJaccardSql(0.5))
+  )
+
+  /** MinHash-LSH with the TUNER-SELECTED banding: [[graft.functions
+    * .NearDup.lshTune]]'s top-ranked (bands, rows_per_band) factoring at
+    * (k=32, t=0.5) — measured (8, 4), the S-curve cost minimum — is
+    * wired straight into the verified-pair pipeline, making `lsh_tune`'s
+    * output LOAD-BEARING instead of advisory: this key must emit the
+    * same exact-Jaccard pair set as `dedup_minhash_verified` (identical
+    * oracle), so a tuner regression that picked a recall-losing curve
+    * fails the hash gate instead of silently reordering a report. The
+    * pick is a one-row head() of a ≤ 6-row arithmetic frame — no corpus
+    * access before the choice, exactly how a 100 TB run would plan. */
+  private val dedupMinhashTuned = QDef(
+    "dedup_minhash_tuned",
+    (s, d) => {
+      val pick = graft.functions.NearDup
+        .lshTune(s, k = 32, threshold = 0.5, gridN = 40)
+        .select(col("bands")).head.getInt(0)
+      NearDup.minhashVerifiedPairs(
+        documents(s, d), threshold = 0.5, k = 32, bands = pick)
+    },
     Some(ngramJaccardSql(0.5))
   )
 
@@ -4581,7 +4603,8 @@ object Ext {
     dedupClustersIncr, dedupStoreStats, dedupSnapshotPinned, dedupStoreVacuum,
     dedupStoreDelete,
     repetitionQ, dedupMinhash,
-    dedupMinhashVerified, dedupSimhash, dedupSimhashBounds, dedupEmbed, windowAgg, vocabTopK,
+    dedupMinhashVerified, dedupMinhashTuned, dedupSimhash, dedupSimhashBounds,
+    dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, ngramPerplexity, knPerplexity, knPerplexityServed,
     perplexityTiersQ, domainReweightQ,
     mixtureEpochsQ, splitLeakageSafeQ, splitLeakageSafeStoreQ,

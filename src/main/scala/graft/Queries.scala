@@ -44,6 +44,32 @@ object Queries {
     Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber")
   )
 
+  /** §2.1 #1 fromTable — the delimited-text front door, round-tripped
+    * through the CSV sink and re-read with the strict FAILFAST parse
+    * (reference `dataframe.d:108-126` / `toCsv` `dataframe.d:128-149`).
+    * The query WRITES the fixture it reads: nation goes out through
+    * [[graft.sources.Io.writeCsv]] to a fixed path and comes back
+    * through [[graft.sources.Io.readTable]] with the caller-supplied
+    * schema (the reference's "you must know your types" contract); the
+    * oracle reads the very same CSV files with DuckDB's `read_csv`
+    * under the same explicit column types — so the whole sink→scan
+    * round-trip is what the hash gate checks, not just the scan. */
+  private val scanCsv = QDef(
+    "scan_csv",
+    (s, d) => {
+      val out = "/tmp/graft_scan_csv"
+      val n = nation(s, d)
+      graft.sources.Io.writeCsv(n, out, sep = ",", writeHeader = true)
+      graft.sources.Io
+        .readTable(s, out, n.schema, sep = ",", headerLines = 1)
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM " +
+      "read_csv('/tmp/graft_scan_csv/*.csv', header=true, delim=',', " +
+      "columns={'n_nationkey':'INTEGER','n_name':'VARCHAR'," +
+      "'n_regionkey':'INTEGER'}) ORDER BY n_nationkey")
+  )
+
   /** §2.1 #7 length/shape. */
   private val rowCount = QDef(
     "row_count",
@@ -324,7 +350,7 @@ object Queries {
   )
 
   val core: Seq[QDef] = Seq(
-    scanParquet, rowCount, filterEq, filterCmpQ, filterMask, projectCol,
+    scanParquet, scanCsv, rowCount, filterEq, filterCmpQ, filterMask, projectCol,
     projectSubset, addColumn, sortMulti, sortAllQ, limitHead, distinctRows,
     distinctCol, unionAll, concatQ, applyCol, applyRow,
     groupbyCount, groupbyFirst, groupbySum, groupbyMean, groupbyMin,

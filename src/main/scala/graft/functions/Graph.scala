@@ -60,7 +60,14 @@ object Graph {
       .distinct().persist()
 
     val base = 15L * scale / 100L
+    // per-iteration localCheckpoint, same as the directed twin and the
+    // Clusters loop: at the default 5 iterations a lazy chain is merely
+    // wasteful (each action re-executes the full join chain), but any
+    // caller raising `iterations` would pay a linearly deeper plan and
+    // re-execution per reference — truncate the lineage every round so
+    // plan size and per-action cost stay constant in the iteration count
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val summed = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
@@ -68,6 +75,7 @@ object Graph {
       ranks = nodes.join(summed, nodes("node") === summed("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
     }
     graft.AutoUnpersist.afterFirstUse(ranks, ed, nodes)
   }

@@ -104,7 +104,9 @@ final class IvfIndex private (
     val fs = StoreCommit.fsOf(spark, path)
     var quant: Option[String] = None
     val pairs = Seq.newBuilder[(String, Int)]
-    StoreCommit.readManifestLines(fs, path, v).foreach { l =>
+    // serve path: memoized — committed manifests are immutable, so a
+    // pinned or re-resolved version pays the manifest open ONCE per JVM
+    StoreCommit.readManifestLinesCached(fs, path, v).foreach { l =>
       l.split(" ") match {
         case Array("version", _) | Array("nonce", _) => ()
         case Array("quant", q)                       => quant = Some(q)
@@ -131,7 +133,9 @@ final class IvfIndex private (
       case None    => snap.genCells
     }
     val frames = live.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, cs) =>
-      spark.read.option("basePath", s"$path/$g")
+      // explicit schema: the layout is ours by construction, so schema
+      // inference's per-call footer read is pure serve-path overhead
+      spark.read.option("basePath", s"$path/$g").schema(CellsSchema)
         .parquet(cs.map(_._2).sorted.map(c => s"$path/$g/cell=$c"): _*)
         .select(col("id"), col("v"), col("codes"), col("cell"))
     }
@@ -189,10 +193,18 @@ final class IvfIndex private (
     val written = listCells(fs, path, gen)
     if (written.isEmpty) return // empty batch: nothing to commit
     onBeforeCommit()
+    val all = snap.genCells ++ written.map(gen -> _)
     StoreCommit.commitManifest(fs, path, snap.version + 1,
-      manifestLines(snap.version + 1, snap.quantDir,
-        snap.genCells ++ written.map(gen -> _)), Store)
+      manifestLines(snap.version + 1, snap.quantDir, all), Store,
+      referenced = referencedPaths(snap.quantDir, all))
   }
+
+  /** On-disk paths a manifest references — the commit-time existence
+    * verify's target list (see [[StoreCommit.commitManifest]] guard 2). */
+  private def referencedPaths(
+      quantDir: String, genCells: Seq[(String, Int)]): Seq[Path] =
+    new Path(s"$path/$quantDir") +:
+      genCells.map { case (g, c) => new Path(s"$path/$g/cell=$c") }
 
   /** [[appendBatch]] made IDEMPOTENT under whole-batch replay — the
     * micro-batch ingest kernel [[graft.streaming.StreamOps
@@ -279,10 +291,11 @@ final class IvfIndex private (
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$gen")
       val kept = listCells(fs, path, gen)
       onBeforeCommit()
+      val all = snap.genCells.filterNot { case (_, c) => touched(c) } ++
+        kept.map(gen -> _)
       StoreCommit.commitManifest(fs, path, snap.version + 1,
-        manifestLines(snap.version + 1, snap.quantDir,
-          snap.genCells.filterNot { case (_, c) => touched(c) } ++
-            kept.map(gen -> _)), Store)
+        manifestLines(snap.version + 1, snap.quantDir, all), Store,
+        referenced = referencedPaths(snap.quantDir, all))
     } finally del.unpersist(blocking = false)
   }
 
@@ -310,7 +323,8 @@ final class IvfIndex private (
     onBeforeCommit()
     StoreCommit.commitManifest(fs, path, snap.version + 1,
       manifestLines(snap.version + 1, snap.quantDir, written.map(gen -> _)),
-      Store)
+      Store,
+      referenced = referencedPaths(snap.quantDir, written.map(gen -> _)))
   }
 
   /** Blue-green quantizer rebuild — the drift recovery [[appendBatch]]'s
@@ -354,7 +368,8 @@ final class IvfIndex private (
     val written = listCells(fs, path, gen)
     onBeforeCommit()
     StoreCommit.commitManifest(fs, path, v,
-      manifestLines(v, quantDir, written.map(gen -> _)), Store)
+      manifestLines(v, quantDir, written.map(gen -> _)), Store,
+      referenced = referencedPaths(quantDir, written.map(gen -> _)))
   }
 
   /** Retire manifests older than the newest `keepLast` and delete the
@@ -371,6 +386,9 @@ final class IvfIndex private (
     val liveQuant = snaps.map(_.quantDir).toSet
     val liveCells: Set[(String, Int)] = snaps.flatMap(_.genCells).toSet
     val liveGens = liveCells.map(_._1)
+    // abort loudly (deleting nothing) if a publish landed since the reap
+    // set was computed — see StoreCommit.assertVersionsUnchanged
+    StoreCommit.assertVersionsUnchanged(fs, path, versions, Store)
     drop.foreach(dv =>
       StoreCommit.deleteOrThrow(fs, new Path(s"$path/history/v$dv"), Store))
     StoreCommit.reapManifestTmp(fs, path, Store)

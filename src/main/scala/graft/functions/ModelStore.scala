@@ -159,17 +159,28 @@ object ModelStore {
     val fs = fsOf(spark, dir)
     val root = new Path(dir)
     if (!fs.exists(root)) return
-    val live: Option[String] =
+    def liveRef: Option[String] =
       if (!fs.exists(new Path(s"$dir/_MODEL"))) None
       else readRawManifest(fs, dir).get("tables")
-    fs.listStatus(root).toSeq.foreach { s =>
+    val live = liveRef
+    val victims = fs.listStatus(root).toSeq.filter { s =>
       val n = s.getPath.getName
-      val orphanTmp = n.startsWith(".tmp_MODEL_")
-      val orphanStage = n.startsWith("t") && n.drop(1).forall(_.isDigit) &&
-        !live.contains(n)
-      if (orphanTmp || orphanStage)
-        StoreCommit.deleteOrThrow(fs, s.getPath, Store)
+      n.startsWith(".tmp_MODEL_") ||
+        (n.startsWith("t") && n.drop(1).forall(_.isDigit) && !live.contains(n))
     }
+    if (victims.isEmpty) return
+    // publish-race guard (the store tier's vacuum rule, detector form —
+    // see StoreCommit.assertVersionsUnchanged): a publish landing after
+    // the victim scan would have its freshly-referenced staging dir in
+    // the victim list; re-read the manifest AFTER computing it and abort
+    // with nothing deleted if the committed reference moved.
+    StoreCommit.onBeforeReap()
+    if (liveRef != live)
+      throw new java.util.ConcurrentModificationException(
+        s"$Store vacuum of $dir aborted: the committed manifest changed " +
+          "while the orphan set was being computed — a publisher is live; " +
+          "nothing was deleted, re-run once publishers are quiesced")
+    victims.foreach(s => StoreCommit.deleteOrThrow(fs, s.getPath, Store))
   }
 
   // Doubles round-trip exactly through java.lang.Double.toString/parse —

@@ -128,6 +128,22 @@ object NearDup {
           transform(shinglesOf(col("_toks"), w), s => xxhash64(s)))).as("arr"))
       .withColumn("n_shingles", size(col("arr")))
 
+  /** PPJoin prefix length `n - ⌈t·n⌉ + 1` as a column — the shared,
+    * FP-SAFE form all three prefix-filter pipelines use.
+    *
+    * `n - ceil(t·n) + 1`, NOT `floor((1-t)·n)+1`: algebraically equal,
+    * but (1-t) is inexact in double for t like 0.8/0.9 and the floor
+    * form can deflate the prefix by one — silently losing an exactly-
+    * at-threshold pair. The ceil itself needs one more guard: binary
+    * doubles can round an exact integer product UP (t=0.56 × n=25 →
+    * 14.000000000000002, ceil → 15), which would SHORTEN the prefix by
+    * one and reintroduce the same at-threshold false negative from the
+    * other side. Subtracting an epsilon far below 1 ulp of any real
+    * (t·n) before the ceil makes FP rounding err only toward LONGER
+    * prefixes (more candidates, never a lost pair). */
+  private def prefixLenCol(n: Column, threshold: Double): Column =
+    (n - ceil(lit(threshold) * n - lit(1e-9)) + 1).cast("int")
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
     * per-doc shingle-hash arrays: row-local sorted-intersect (no explode,
     * no per-pair groupBy), size-gated broadcast of the O(docs) array table
@@ -185,14 +201,7 @@ object NearDup {
   private[functions] def acrossArrays(
       la: DataFrame, ra: DataFrame, threshold: Double,
       proxyA: Option[DataFrame] = None, proxyB: Option[DataFrame] = None): DataFrame = {
-    // n - ceil(t·n) + 1, NOT floor((1-t)·n)+1: algebraically equal, but
-    // (1-t) is inexact in double for t like 0.8/0.9 and the floor form
-    // can deflate the prefix by one — silently losing an exactly-at-
-    // threshold pair. The ceil form's rounding errs only toward LONGER
-    // prefixes (more candidates, never a lost pair).
-    val prefixLen =
-      (col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1)
-        .cast("int")
+    val prefixLen = prefixLenCol(col("n_shingles"), threshold)
     def prefix(arrs: DataFrame, id: String) = arrs.select(
       col("doc_id").as(id), explode(slice(col("arr"), lit(1), prefixLen)).as("h"))
     val cand = prefix(la, "id_a").join(prefix(ra, "id_b"), "h")
@@ -317,14 +326,7 @@ object NearDup {
   private def pairsFromArrs(
       arrs: DataFrame, threshold: Double,
       sizeProxy: Option[DataFrame]): DataFrame = {
-    // n - ceil(t·n) + 1, NOT floor((1-t)·n)+1: algebraically equal, but
-    // (1-t) is inexact in double for t like 0.8/0.9 and the floor form
-    // can deflate the prefix by one — silently losing an exactly-at-
-    // threshold pair. The ceil form's rounding errs only toward LONGER
-    // prefixes (more candidates, never a lost pair).
-    val prefixLen =
-      (col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1)
-        .cast("int")
+    val prefixLen = prefixLenCol(col("n_shingles"), threshold)
     val prefix = arrs.select(col("doc_id"),
       explode(slice(col("arr"), lit(1), prefixLen)).as("h"))
     val cand = prefix.as("a")
@@ -372,9 +374,7 @@ object NearDup {
         count(lit(1)).as("n_sh"))
     val prefix = ranked.select(col("doc_id"),
       explode(transform(
-        slice(col("ordered"), lit(1),
-          // ceil form for FP-safety — see pairsFromArrs
-          (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")),
+        slice(col("ordered"), lit(1), prefixLenCol(col("n_sh"), threshold)),
         s => s.getField("h"))).as("h"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h")

@@ -520,6 +520,9 @@ object PairStore {
     val liveGens: Set[(Long, Int)] = kept
       .flatMap(m => m.buckets.toSeq.map { case (bk, g) => (g, bk) }).toSet
     val livePairs: Set[String] = kept.flatMap(_.pairFiles).toSet
+    // abort loudly (deleting nothing) if a publish landed since the reap
+    // set was computed — see StoreCommit.assertVersionsUnchanged
+    StoreCommit.assertVersionsUnchanged(fs, dir, versions, "PairStore")
     drop.foreach(dv => deleteOrThrow(fs, new Path(s"$dir/history/v$dv")))
     StoreCommit.reapManifestTmp(fs, dir, "PairStore")
     val labelsRoot = new Path(s"$dir/labels")

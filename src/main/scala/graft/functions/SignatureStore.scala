@@ -93,8 +93,9 @@ object SignatureStore {
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigs.schema)
         .repartition(1).write.mode("overwrite").parquet(s"$dir/$gen")
-    StoreCommit.commitManifest(fs, dir, 0L,
-      manifestLines(0L, StoreCommit.listDataFiles(fs, dir, gen)), Store)
+    val files = StoreCommit.listDataFiles(fs, dir, gen)
+    StoreCommit.commitManifest(fs, dir, 0L, manifestLines(0L, files), Store,
+      referenced = files.map(f => new Path(s"$dir/$f")))
   }
 
   /** Append a batch's signatures (call after [[screenBatch]] accepts):
@@ -112,7 +113,8 @@ object SignatureStore {
     if (fresh.isEmpty) return // empty batch: nothing to commit
     onBeforeCommit()
     StoreCommit.commitManifest(fs, dir, v + 1,
-      manifestLines(v + 1, old ++ fresh), Store)
+      manifestLines(v + 1, old ++ fresh), Store,
+      referenced = (old ++ fresh).map(f => new Path(s"$dir/$f")))
   }
 
   /** Delete signatures by doc id — the retention pass: once a document
@@ -146,10 +148,11 @@ object SignatureStore {
         .join(broadcast(del), Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$dir/$gen")
       onBeforeCommit()
+      val survivors =
+        live.filterNot(dead) ++ StoreCommit.listDataFiles(fs, dir, gen)
       StoreCommit.commitManifest(fs, dir, v + 1,
-        manifestLines(v + 1,
-          live.filterNot(dead) ++ StoreCommit.listDataFiles(fs, dir, gen)),
-        Store)
+        manifestLines(v + 1, survivors), Store,
+        referenced = survivors.map(f => new Path(s"$dir/$f")))
     } finally del.unpersist(blocking = false)
   }
 
@@ -175,8 +178,10 @@ object SignatureStore {
     readFiles(spark, dir, live).repartition(parts)
       .write.mode("overwrite").parquet(s"$dir/$gen")
     onBeforeCommit()
+    val folded = StoreCommit.listDataFiles(fs, dir, gen)
     StoreCommit.commitManifest(fs, dir, v + 1,
-      manifestLines(v + 1, StoreCommit.listDataFiles(fs, dir, gen)), Store)
+      manifestLines(v + 1, folded), Store,
+      referenced = folded.map(f => new Path(s"$dir/$f")))
   }
 
   /** Retire manifests older than the newest `keepLast` and delete the
@@ -190,6 +195,9 @@ object SignatureStore {
     val versions = StoreCommit.committedVersions(fs, dir).sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
     val liveSet: Set[String] = keep.flatMap(liveFiles(fs, dir, _)).toSet
+    // abort loudly (deleting nothing) if a publish landed since the reap
+    // set was computed — see StoreCommit.assertVersionsUnchanged
+    StoreCommit.assertVersionsUnchanged(fs, dir, versions, Store)
     drop.foreach(dv =>
       StoreCommit.deleteOrThrow(fs, new Path(s"$dir/history/v$dv"), Store))
     StoreCommit.reapManifestTmp(fs, dir, Store)
@@ -273,7 +281,10 @@ object SignatureStore {
     s"version $v" +: files.sorted.map(f => s"file $f")
 
   private def liveFiles(fs: FileSystem, dir: String, v: Long): Seq[String] =
-    StoreCommit.readManifestLines(fs, dir, v).flatMap { l =>
+    // memoized: committed manifests are immutable; any commit at `dir`
+    // invalidates its entries (StoreCommit.commitManifest), so the serve
+    // path pays the manifest open once per (dir, version) per JVM
+    StoreCommit.readManifestLinesCached(fs, dir, v).flatMap { l =>
       l.split(" ", 2) match {
         case Array("file", f)    => Some(f)
         case Array("version", _) => None
@@ -283,10 +294,24 @@ object SignatureStore {
       }
     }
 
+  /** Schema per store, memoized by the FIRST live file's full path:
+    * part files are immutable once committed (salted generation dirs),
+    * and a rebuilt/compacted store mints new salted paths — so the key
+    * can never alias two different schemas, and the per-call footer
+    * read schema inference pays otherwise disappears from the serve
+    * path. Durable: a store's layout is an offline-built artifact. */
+  private val schemaMemo =
+    new graft.PlanCache[org.apache.spark.sql.types.StructType](
+      capacity = 64, durable = true)
+
   private def readFiles(
       spark: SparkSession, dir: String, files: Seq[String]): DataFrame = {
     require(files.nonEmpty,
       s"$Store $dir manifest lists no files — corrupt store?")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    val paths = files.map(f => s"$dir/$f")
+    val schema = schemaMemo.getOrCompute(
+      graft.PlanCache.Key(spark, s"$Store.schema", paths.head),
+      spark.read.parquet(paths.head).schema)
+    spark.read.schema(schema).parquet(paths: _*)
   }
 }

@@ -28,7 +28,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * closes that window completely: of N same-version publishers, the
   * filesystem itself admits exactly one.
   */
-private[functions] object StoreCommit {
+private[graft] object StoreCommit {
 
   def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -48,13 +48,71 @@ private[functions] object StoreCommit {
       throw new IllegalStateException(
         s"$dir is not a $store (no committed manifest) — run build() first"))
 
-  /** Non-empty trimmed lines of manifest `v` (throws if never committed). */
+  /** Non-empty trimmed lines of manifest `v` (throws if never committed).
+    * Always a PHYSICAL read — [[commitManifest]]'s read-back ownership
+    * verify depends on seeing the actual on-disk bytes. Serve paths go
+    * through [[readManifestLinesCached]]. */
   def readManifestLines(fs: FileSystem, dir: String, v: Long): Seq[String] = {
+    manifestFileReads.incrementAndGet()
     val in = fs.open(new Path(s"$dir/history/v$v"))
     try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     finally in.close()
   }
+
+  /** Physical manifest-file reads performed by this JVM — the test seam
+    * pinning that pinned-version serve reads hit the memo (no second
+    * open of `history/vN`), the memo-equivalent of [[onBeforeCommit]]-
+    * style seams elsewhere in the store tier. */
+  private[graft] val manifestFileReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** [[readManifestLines]] through a per-JVM memo — the SERVE path.
+    *
+    * Committed manifests are immutable by the protocol (publish is
+    * create-exclusive; nothing ever rewrites `history/vN` in place), so
+    * (dir, version) → lines is a pure function and every query against a
+    * pinned or current version can skip the open+read after the first —
+    * measured at +0.3–0.6 s/query across the ANN/IVF serve family when
+    * each probe re-resolved its manifest (round-14 drift). Two staleness
+    * edges, both handled:
+    *
+    *   - a REBUILT store (build() restarts history at v0 in the same
+    *     dir) would alias old content under a recycled (dir, v) key —
+    *     [[commitManifest]] drops the dir's memo entries on every
+    *     commit, and commits are the only way (dir, v) content can
+    *     change;
+    *   - a VACUUMED version's entry outlives its file, but every read
+    *     path gates on `fs.exists(history/vN)` / [[currentVersion]]
+    *     BEFORE resolving, so retired pins still fail loudly.
+    *
+    * Bounded LRU (manifests are small, but a fleet of temp stores in one
+    * long JVM must not accumulate forever). */
+  def readManifestLinesCached(
+      fs: FileSystem, dir: String, v: Long): Seq[String] =
+    manifestMemo.synchronized {
+      val k = (dir, v)
+      val hit = manifestMemo.get(k)
+      if (hit != null) hit
+      else {
+        val lines = readManifestLines(fs, dir, v)
+        manifestMemo.put(k, lines)
+        lines
+      }
+    }
+
+  private val manifestMemo =
+    new java.util.LinkedHashMap[(String, Long), Seq[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+        this.size() > 1024
+    }
+
+  private def invalidateManifestMemo(dir: String): Unit =
+    manifestMemo.synchronized {
+      val it = manifestMemo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    }
 
   /** Publish `lines` (plus a generated `nonce` line) as version `v` of
     * the store at `dir` — the CAS commit point. Guards, in order:
@@ -62,11 +120,19 @@ private[functions] object StoreCommit {
     *  1. '''Version CAS''': any committed version ≥ `v` means another
     *     writer advanced the store since this commit's manifest was read
     *     — abort loudly; the caller's batch replays against the new head.
-    *  2. '''Exclusive publish''': full write to a salted tmp name, then
+    *  2. '''Referenced-data verify''': every path in `referenced` must
+    *     exist on disk — a concurrent vacuum may have reaped this
+    *     writer's staged-but-uncommitted generation (it is unreferenced
+    *     until the commit lands, which is exactly what a reap set is
+    *     computed from); publishing a manifest that points at deleted
+    *     data would corrupt the store, so that race dies HERE, loudly,
+    *     and the caller replays. (The vacuum side narrows the same
+    *     window from its end with [[assertVersionsUnchanged]].)
+    *  3. '''Exclusive publish''': full write to a salted tmp name, then
     *     an atomic create-exclusive move onto `history/v<N>`
     *     ([[exclusiveMoveFile]] — hard-link on local FS, refuse-existing
     *     rename elsewhere).
-    *  3. '''Read-back ownership verify''': the committed content must
+    *  4. '''Read-back ownership verify''': the committed content must
     *     carry OUR nonce — belt-and-braces for filesystems whose rename
     *     semantics we can't prove exclusive.
     *
@@ -74,13 +140,18 @@ private[functions] object StoreCommit {
     * `ConcurrentModificationException` with the store unharmed. */
   def commitManifest(
       fs: FileSystem, dir: String, v: Long, lines: Seq[String],
-      store: String): Unit = {
+      store: String, referenced: Seq[Path] = Seq.empty): Unit = {
     val latest = committedVersions(fs, dir).maxOption
     if (latest.exists(_ >= v))
       throw new java.util.ConcurrentModificationException(
         s"$store commit v$v aborted: version ${latest.get} was committed " +
           "by a concurrent writer since this batch began — replay the " +
           "batch against the new head")
+    referenced.find(!fs.exists(_)).foreach(p =>
+      throw new java.util.ConcurrentModificationException(
+        s"$store commit v$v aborted: referenced $p is missing (a " +
+          "concurrent vacuum reaped this writer's uncommitted " +
+          "generation?) — replay the batch"))
     val nonce = java.util.concurrent.ThreadLocalRandom.current()
       .nextLong(1L, Long.MaxValue)
     val all = lines :+ s"nonce $nonce"
@@ -96,6 +167,10 @@ private[functions] object StoreCommit {
       throw new java.util.ConcurrentModificationException(
         s"$store commit v$v: published manifest content is not ours — " +
           "lost a same-version publish race; replay the batch")
+    // every commit drops the dir's memoized manifests: a build() that
+    // restarted history at this dir must not serve pre-rebuild content
+    // under a recycled (dir, version) key
+    invalidateManifestMemo(dir)
   }
 
   /** Move FILE `src` onto `dst`, failing (never clobbering) if `dst`
@@ -129,6 +204,37 @@ private[functions] object StoreCommit {
       if (!fs.rename(src, dst))
         throw new IllegalStateException(s"$store: rename $src -> $dst failed")
     }
+  }
+
+  /** Test seam: invoked inside [[assertVersionsUnchanged]] immediately
+    * before the re-listing, so a spec can land a full competing publish
+    * at exactly the window the guard closes. No-op in production. */
+  private[graft] var onBeforeReap: () => Unit = () => ()
+
+  /** Vacuum's publish-race guard. A vacuum computes its reap set from
+    * the committed versions it observed at entry; a publish landing
+    * AFTER that observation may reference generations the reap set
+    * calls garbage (the staged-but-uncommitted window
+    * [[commitManifest]]'s referenced-dir exists-check cannot close from
+    * the writer's side). Calling this with the entry-time observation
+    * AFTER the reap set is computed and BEFORE the first delete turns
+    * that silent corruption into a loud abort: if any commit advanced
+    * or retired the history since, the vacuum throws with the store
+    * untouched (garbage simply waits for the next vacuum). Residual
+    * window: a publish landing between this check and the deletes —
+    * which is exactly why the store tier's "no writer live during
+    * vacuum" rule still stands; this guard is the detector for
+    * violations of it, not a license to race. */
+  def assertVersionsUnchanged(
+      fs: FileSystem, dir: String, observed: Seq[Long], store: String): Unit = {
+    onBeforeReap()
+    val now = committedVersions(fs, dir).sorted
+    if (now != observed.sorted)
+      throw new java.util.ConcurrentModificationException(
+        s"$store vacuum aborted: committed versions changed while the reap " +
+          s"set was being computed (${observed.sorted.mkString(",")} -> " +
+          s"${now.mkString(",")}) — a writer is live; nothing was deleted, " +
+          "re-run the vacuum once writers are quiesced")
   }
 
   /** Reap orphaned manifest tmp files (`history/.tmp_v*`): leftovers of

@@ -367,6 +367,10 @@ object Text {
       .otherwise(host1)
     // utm params are matched WITH their leading separator (a bare
     // `utm_...=` pattern would also fire mid-name inside `?xutm_a=1` and
+    // — name class includes digits (`utm_campaign2` is in the wild);
+    // uppercase variants are deliberately NOT collapsed (tracking params
+    // are conventionally lowercase, and a case-insensitive flag would
+    // need mirroring into the DuckDB oracle's regexp dialect) —
     // corrupt a non-utm param). `&`-led utm params just vanish; a
     // `?`-led utm param hands its `?` to the successor param (or drops
     // it when it was the last) — rewriting the FIRST `&` after the fact
@@ -383,9 +387,9 @@ object Text {
           regexp_replace(
             regexp_replace(
               regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
-              "&utm_[a-zA-Z_]+=[^&#]*", ""),
-            "\\?utm_[a-zA-Z_]+=[^&#]*&", "?"),
-          "\\?utm_[a-zA-Z_]+=[^&#]*$", ""),
+              "&utm_[a-zA-Z0-9_]+=[^&#]*", ""),
+            "\\?utm_[a-zA-Z0-9_]+=[^&#]*&", "?"),
+          "\\?utm_[a-zA-Z0-9_]+=[^&#]*$", ""),
         "[?&]$", ""),
       "^([^?]*)/$", "$1")
     concat(scheme, lit("://"), host, rest)

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Level 6 (zlib default), `nowrap` (raw stream, no 6-byte zlib framing)
   * so tiny inputs aren't dominated by header bytes. Empty input deflates
   * to a small positive stub; callers deriving a ratio should guard the
-  * zero-length denominator (see `Text.compressionProfile`).
+  * zero-length denominator (see `Text.compressionRatio`).
   */
 case class DeflateLen(child: Expression) extends UnaryExpression {
 

@@ -299,9 +299,10 @@ object StreamOps {
     * so the operator stays schema-generic (the same trick a binary
     * encoder would need, minus a custom codec). Order collisions at a
     * key's latest value throw, mirroring the batch operator's
-    * `assert_true` (silent tie-breaking is how replicas diverge) — note
-    * an at-least-once source that REDELIVERS a change verbatim trips
-    * this too, by design: dedup upstream ([[dedupWithinWatermark]]). */
+    * `assert_true` (silent tie-breaking is how replicas diverge). A
+    * verbatim redelivery of the winning change (same order, same
+    * payload — the at-least-once norm) is tolerated as an idempotent
+    * no-op; only payload-DIVERGENT ties at the winning order throw. */
   def applyChangesStream(
       changes: DataFrame,
       keyCol: String,
@@ -355,12 +356,19 @@ object StreamOps {
           // ordering). Throwing mid-scan would make the same multiset
           // pass or crash depending on iterator order — {5, 5, 7} must
           // resolve to 7, not die on the redelivered 5.
+          // A verbatim redelivery of the winner (same ord AND same
+          // payload) is an idempotent no-op, not a collision: an
+          // at-least-once source whose log duplicates a record must not
+          // kill the query when replaying the exact change it already
+          // applied — only PAYLOAD-DIVERGENT ties at the winning order
+          // are unresolvable and fatal.
           var dupAtBest = false
           for ((_, ord, op, js) <- rows) {
             if (!seeded || ord > bestOrd) {
               bestOrd = ord; bestOp = op; bestJs = js; seeded = true
               dupAtBest = false
-            } else if (ord == bestOrd) dupAtBest = true
+            } else if (ord == bestOrd && !(op == bestOp && js == bestJs))
+              dupAtBest = true
           }
           if (dupAtBest)
             throw new IllegalStateException(

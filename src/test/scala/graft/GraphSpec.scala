@@ -69,6 +69,24 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pageRank plan size is constant in the iteration count (per-round " +
+    "localCheckpoint truncates lineage — both variants)") {
+    // without the per-iteration checkpoint, each round's plan embeds the
+    // previous round's whole tree and node count grows linearly (directed:
+    // doubles — the dangling broadcast references ranks twice per round)
+    val e = both(Seq((1L, 2L), (2L, 3L), (3L, 1L))).toDF("src", "dst")
+    def nodesOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n => n }.size
+    val u2 = nodesOf(Graph.pageRank(e, "src", "dst", 2))
+    val u6 = nodesOf(Graph.pageRank(e, "src", "dst", 6))
+    assert(u2 === u6,
+      s"undirected plan grew with iterations: $u2 -> $u6 nodes")
+    val d2 = nodesOf(Graph.pageRankDirected(e, "src", "dst", 2))
+    val d6 = nodesOf(Graph.pageRankDirected(e, "src", "dst", 6))
+    assert(d2 === d6,
+      s"directed plan grew with iterations: $d2 -> $d6 nodes")
+  }
+
   test("total rank mass is conserved up to truncation") {
     // undirected graph: Σ ranks ≤ N·scale, shortfall only from the two
     // integer divs (< 1 + deg per node per iteration)

@@ -80,6 +80,42 @@ class ScalingSpec extends SparkSpec {
     assertNearLinear("ngramJaccardPairs 8x->64x", eight, sixtyFour)
   }
 
+  test("SHARED pair pipeline (the skew-probed production entry): shuffle " +
+    "bytes grow <= linearly 8x -> 64x, measured exponent logged") {
+    // ngramJaccardPairsShared is what the whole dedup family consumes —
+    // the heart of the 100 TB claim. Measure COMPUTE, not a cache serve:
+    // the shared pair cache must miss (fresh corpus per factor; clear
+    // anyway so an earlier suite's entry can never alias).
+    //
+    // Broadcast OFF for the measurement: the verify join's size gate
+    // flips from broadcast (zero shuffle bytes) to shuffled somewhere
+    // inside this octave, and an exponent measured across a REGIME
+    // CHANGE reads as fake superlinearity (measured 1.30 with the gate
+    // on). At 100 TB both endpoints live in the shuffled regime — pin
+    // that regime at both scales so the exponent is the asymptote.
+    def fresh(f: Int): (Long, Long) = {
+      PlanCache.clearShared()
+      measure(f)(d => NearDup.ngramJaccardPairsShared(d, threshold = 0.5))
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (eight, sixtyFour) =
+      try { spark.conf.set(key, "-1"); (fresh(8), fresh(64)) }
+      finally spark.conf.set(key, saved)
+    assert(sixtyFour._2 == 8 * eight._2,
+      s"pair rows must scale exactly linearly: ${eight._2} -> ${sixtyFour._2}")
+    assert(eight._1 > 0, "no shuffle bytes measured at 8x — listener broken?")
+    // growth exponent: bytes ∝ corpus^e over the 8x->64x octave triple;
+    // e = 1 is perfectly linear, fixed overhead pulls it BELOW 1, any
+    // candidate/join blowup pushes it decisively above
+    val e = math.log(sixtyFour._1.toDouble / eight._1) / math.log(8.0)
+    info(f"shuffle-byte growth exponent 8x->64x: $e%.4f " +
+      f"(${eight._1}%,d B -> ${sixtyFour._1}%,d B)")
+    assert(e <= 1.1,
+      f"shared pair pipeline shuffle bytes grew with exponent $e%.4f " +
+        f"(> linear) on the 8x->64x octave: ${eight._1} -> ${sixtyFour._1}")
+  }
+
   test("pairs + connected components: linear labels, near-linear shuffle bytes at 8x") {
     def cc(d: DataFrame): DataFrame = {
       val pairs = NearDup.ngramJaccardPairs(d, threshold = 0.5)

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{IvfIndex, PairStore, SignatureStore, StoreCommit}
+
+/** The store tier's SHARED commit protocol ([[graft.functions.StoreCommit]])
+  * exercised across stores at once: the serve-path manifest memo (pinned
+  * reads pay the manifest open once per JVM, rebuilds invalidate), the
+  * vacuum-vs-publish guard from BOTH ends (vacuum aborts when a publish
+  * lands inside its reap window; a publish aborts when a vacuum reaped its
+  * staged generation), and a randomized cross-store interleave pinning that
+  * racing writers + vacuums on sibling stores under one root never
+  * cross-talk through StoreCommit's JVM-level state and never commit a
+  * manifest referencing deleted paths. */
+class StoreCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docsRange(lo: Int, hi: Int): DataFrame =
+    (lo until hi).map(i => (i.toLong,
+      s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e tok${i}f"))
+      .toDF("doc_id", "text")
+
+  private def vecsRange(lo: Int, hi: Int): DataFrame =
+    (lo until hi).map(i => (i.toLong,
+      Array(i * 1.0, (i % 7) * 1.0, (i % 3) * 1.0, 1.0,
+        (i % 5) * 1.0, (i % 2) * 1.0, (i % 11) * 1.0, 2.0)))
+      .toDF("id", "v")
+
+  // ------------------------------------------------------------ memo
+
+  test("pinned-version serve reads hit the manifest memo: no second " +
+    "physical open of history/vN") {
+    val dir = tmp("sc_memo_ivf")
+    IvfIndex.build(vecsRange(0, 40), "id", "v", nCells = 2, dir)
+    val pinned = IvfIndex.load(spark, dir).at(0L)
+    val q = vecsRange(0, 2)
+    // warm: first read pays the one physical manifest open
+    pinned.topK(q, "id", "v", k = 2, nProbe = 2).collect()
+    val before = StoreCommit.manifestFileReads.get()
+    pinned.topK(q, "id", "v", k = 2, nProbe = 2).collect()
+    assert(StoreCommit.manifestFileReads.get() == before,
+      "a pinned-version serve read re-opened history/vN — the manifest " +
+        "memo is not being hit")
+    // same contract for the signature store's pinned reader
+    val sdir = tmp("sc_memo_sig")
+    SignatureStore.build(docsRange(0, 10), sdir)
+    SignatureStore.storedAt(spark, sdir, 0L).count()
+    val before2 = StoreCommit.manifestFileReads.get()
+    SignatureStore.storedAt(spark, sdir, 0L).count()
+    assert(StoreCommit.manifestFileReads.get() == before2,
+      "a pinned SignatureStore read re-opened history/vN")
+  }
+
+  test("a rebuild at the same dir invalidates the memo: readers see the " +
+    "new v0, never the pre-rebuild content") {
+    val dir = tmp("sc_memo_inval")
+    SignatureStore.build(docsRange(0, 5), dir)
+    assert(SignatureStore.stored(spark, dir).count() == 5)
+    // same dir, same version number (history restarts at v0), new content
+    SignatureStore.build(docsRange(0, 12), dir)
+    assert(SignatureStore.stored(spark, dir).count() == 12,
+      "the manifest memo served stale pre-rebuild lines for (dir, v0)")
+  }
+
+  // ------------------------------------------------- vacuum vs publish
+
+  test("vacuum aborts with NOTHING deleted when a publish lands after its " +
+    "reap set is computed (SignatureStore)") {
+    val dir = tmp("sc_vac_sig")
+    SignatureStore.build(docsRange(0, 10), dir)
+    SignatureStore.append(docsRange(10, 20), dir) // v1
+    StoreCommit.onBeforeReap = () => {
+      StoreCommit.onBeforeReap = () => () // fire once
+      SignatureStore.append(docsRange(20, 30), dir) // v2 lands in the window
+    }
+    try
+      intercept[java.util.ConcurrentModificationException](
+        SignatureStore.vacuum(spark, dir, keepLast = 1))
+    finally StoreCommit.onBeforeReap = () => ()
+    // invariant: no retained manifest references a deleted path, and the
+    // store serves the union of all three batches
+    assert(SignatureStore.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(SignatureStore.stored(spark, dir).count() == 30)
+  }
+
+  test("vacuum aborts with NOTHING deleted when a publish lands after its " +
+    "reap set is computed (IvfIndex)") {
+    val dir = tmp("sc_vac_ivf")
+    IvfIndex.build(vecsRange(0, 30), "id", "v", nCells = 2, dir)
+    val ix = IvfIndex.load(spark, dir)
+    ix.appendBatch(vecsRange(30, 40), "id", "v") // v1
+    StoreCommit.onBeforeReap = () => {
+      StoreCommit.onBeforeReap = () => ()
+      ix.appendBatch(vecsRange(40, 50), "id", "v") // v2 lands in the window
+    }
+    try
+      intercept[java.util.ConcurrentModificationException](
+        ix.vacuum(keepLast = 1))
+    finally StoreCommit.onBeforeReap = () => ()
+    assert(ix.version == 2L)
+    assert(ix.cells.count() == 50,
+      "an aborted vacuum must leave every committed generation intact")
+  }
+
+  test("a publish whose staged generation was vacuumed aborts loudly " +
+    "instead of committing a manifest that references deleted paths") {
+    val dir = tmp("sc_pub_vac")
+    SignatureStore.build(docsRange(0, 10), dir)
+    SignatureStore.append(docsRange(10, 20), dir) // v1 — gives vacuum work
+    // interleave a vacuum at exactly the CAS window: the appender's
+    // staged generation is unreferenced at that instant, so the reap
+    // deletes it — the commit's referenced-data verify must catch that
+    SignatureStore.onBeforeCommit = () => {
+      SignatureStore.onBeforeCommit = () => ()
+      SignatureStore.vacuum(spark, dir, keepLast = 1)
+    }
+    try
+      intercept[java.util.ConcurrentModificationException](
+        SignatureStore.append(docsRange(20, 30), dir))
+    finally SignatureStore.onBeforeCommit = () => ()
+    // the store is unharmed and the loser's replay converges
+    assert(SignatureStore.stored(spark, dir).count() == 20)
+    SignatureStore.append(docsRange(20, 30), dir)
+    assert(SignatureStore.stored(spark, dir).count() == 30)
+  }
+
+  // ------------------------------------------- cross-store interleave
+
+  test("property: PairStore appends, IVF appends, and vacuums racing on " +
+    "sibling stores under one root keep each manifest chain independent " +
+    "and never reference deleted paths") {
+    val root = tmp("sc_cross")
+    val pairDir = s"$root/pairs"
+    val ivfDir = s"$root/ivf"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairDir))
+    // seed both stores
+    PairStore.build(
+      nodes = (0L until 10L).toDF("id"),
+      pairs = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b"),
+      pairDir, "id", "id_a", "id_b")
+    IvfIndex.build(vecsRange(0, 30), "id", "v", nCells = 2, ivfDir)
+
+    def retrying(n: Int)(body: => Unit): Unit = {
+      var left = n
+      while (left > 0)
+        try { body; left = 0 }
+        catch {
+          case _: java.util.ConcurrentModificationException if left > 1 =>
+            left -= 1
+        }
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    val rnd = new scala.util.Random(42)
+    val sleeps = Seq.fill(8)(rnd.nextInt(40))
+    val ts = Seq(
+      thread {
+        for (b <- 0 until 3) {
+          Thread.sleep(sleeps(b).toLong)
+          val lo = 10 + b * 5
+          retrying(5)(PairStore.append(
+            (lo.toLong until (lo + 5).toLong).toDF("id"),
+            Seq((lo.toLong, lo + 1L)).toDF("id_a", "id_b"),
+            pairDir, "id", "id_a", "id_b"))
+        }
+      },
+      thread {
+        for (b <- 0 until 3) {
+          Thread.sleep(sleeps(3 + b).toLong)
+          val lo = 30 + b * 10
+          retrying(5)(IvfIndex.load(spark, ivfDir)
+            .appendBatchIdempotent(vecsRange(lo, lo + 10), "id", "v"))
+        }
+      },
+      thread {
+        for (b <- 0 until 2) {
+          Thread.sleep(sleeps(6 + b).toLong)
+          // racing vacuums may legitimately abort on the publish guard —
+          // the property is that they never corrupt, not that they win
+          try PairStore.vacuum(spark, pairDir, keepLast = 2)
+          catch { case _: java.util.ConcurrentModificationException => () }
+          try IvfIndex.load(spark, ivfDir).vacuum(keepLast = 2)
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+      })
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"unexpected failure in race: ${errs.peek()}")
+
+    // each chain advanced independently: exactly its own commits
+    assert(PairStore.snapshot(spark, pairDir).version == 3L,
+      "PairStore chain gained/lost a version from a sibling store's commits")
+    assert(IvfIndex.load(spark, ivfDir).version == 3L,
+      "IvfIndex chain gained/lost a version from a sibling store's commits")
+    // no committed manifest references a deleted path, and content is
+    // exactly the union of the committed batches
+    val labels = PairStore.labels(spark, pairDir)
+    assert(labels.count() == 25, "PairStore lost or duplicated label rows")
+    val ivf = IvfIndex.load(spark, ivfDir)
+    assert(ivf.cells.count() == 60, "IvfIndex lost or duplicated rows")
+    // full-probe read of the final state must succeed end-to-end (every
+    // manifest-referenced cell dir exists and scans)
+    assert(ivf.topK(vecsRange(0, 2), "id", "v", k = 3, nProbe = 2)
+      .count() > 0)
+  }
+}
