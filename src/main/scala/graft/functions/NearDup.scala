@@ -141,7 +141,7 @@ object NearDup {
     * other side. Subtracting an epsilon far below 1 ulp of any real
     * (t·n) before the ceil makes FP rounding err only toward LONGER
     * prefixes (more candidates, never a lost pair). */
-  private def prefixLenCol(n: Column, threshold: Double): Column =
+  private[graft] def prefixLenCol(n: Column, threshold: Double): Column =
     (n - ceil(lit(threshold) * n - lit(1e-9)) + 1).cast("int")
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the

@@ -719,20 +719,32 @@ object PairStore {
     try StoreCommit.exclusiveMoveFile(
       fs, tmp, new Path(s"$dir/history/v${m.version}"), "PairStore")
     catch { case e: Throwable => fs.delete(tmp, false); throw e }
-    val back = readManifest(fs, dir, m.version)
+    val back = readManifestPhysical(fs, dir, m.version)
     if (back.buckets != m.buckets || back.pairFiles.sorted != m.pairFiles.sorted)
       throw new java.util.ConcurrentModificationException(
         s"PairStore commit v${m.version}: published manifest content is not " +
           "ours — lost a same-version publish race; replay the batch")
+    // every commit drops the dir's memoized manifests (the build()-
+    // restarts-history-at-v0 staleness edge — same rule as StoreCommit)
+    StoreCommit.invalidateManifestMemo(dir)
   }
 
-  private def readManifest(fs: FileSystem, dir: String, v: Long): Manifest = {
-    val p = new Path(s"$dir/history/v$v")
-    val in = fs.open(p)
-    val lines =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      finally in.close()
+  /** Serve-path manifest read — memoized per (dir, version) via
+    * [[StoreCommit.readManifestLinesCached]] (manifests are immutable
+    * once committed; [[commitManifest]] invalidates the dir's entries on
+    * every commit, so a rebuilt store can't serve stale lines under a
+    * recycled version number). */
+  private def readManifest(fs: FileSystem, dir: String, v: Long): Manifest =
+    parseManifest(dir, v, StoreCommit.readManifestLinesCached(fs, dir, v))
+
+  /** PHYSICAL manifest read — the commit read-back verify's form (it
+    * must see actual on-disk bytes, never a memo). */
+  private def readManifestPhysical(
+      fs: FileSystem, dir: String, v: Long): Manifest =
+    parseManifest(dir, v, StoreCommit.readManifestLines(fs, dir, v))
+
+  private def parseManifest(
+      dir: String, v: Long, lines: Seq[String]): Manifest = {
     val buckets = Map.newBuilder[Int, Long]
     val files = Seq.newBuilder[String]
     lines.foreach { l =>
@@ -741,7 +753,8 @@ object PairStore {
         case Array("bucket", bk, g)  => buckets += (bk.toInt -> g.toLong)
         case Array("pairfile", f)    => files += f
         case other => throw new IllegalStateException(
-          s"corrupt PairStore manifest line '${other.mkString(" ")}' in $p")
+          s"corrupt PairStore manifest line '${other.mkString(" ")}' in " +
+            s"$dir/history/v$v")
       }
     }
     Manifest(v, buckets.result(), files.result())

@@ -108,7 +108,7 @@ private[graft] object StoreCommit {
         this.size() > 1024
     }
 
-  private def invalidateManifestMemo(dir: String): Unit =
+  private[functions] def invalidateManifestMemo(dir: String): Unit =
     manifestMemo.synchronized {
       val it = manifestMemo.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == dir) it.remove()

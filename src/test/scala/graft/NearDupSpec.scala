@@ -78,6 +78,25 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("prefix length is FP-safe when t*n rounds ABOVE an exact integer " +
+    "(ceil-epsilon form)") {
+    // t=0.56, n=25: the true product is exactly 14, but the double
+    // computes 14.000000000000002 — a bare ceil reads 15 and SHORTENS
+    // the prefix to 11, reintroducing the at-threshold false-negative
+    // window from the other side. The epsilon form must yield 12; spot
+    // checks around other exact-product and non-integer points pin the
+    // formula against a driver-side BigDecimal reference.
+    val cases = Seq((0.56, 25, 12), (0.8, 10, 3), (0.9, 20, 3),
+      (0.5, 7, 4), (0.75, 16, 5), (0.07, 100, 94))
+    val got = cases.map { case (t, n, _) =>
+      Seq(n).toDF("n").select(NearDup.prefixLenCol(col("n"), t))
+        .head.getInt(0)
+    }
+    assert(got == cases.map(_._3),
+      s"prefix lengths ${cases.map(c => (c._1, c._2)).zip(got)} != expected " +
+        cases.map(_._3))
+  }
+
   test("simhash64 column form: null text yields null, not a 0L sentinel") {
     val got = Seq((1L, Some("a b c")), (2L, None))
       .toDF("doc_id", "text")

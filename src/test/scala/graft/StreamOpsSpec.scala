@@ -557,6 +557,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyChangesStream: a verbatim redelivery of the WINNING change is " +
+    "an idempotent no-op (only payload-divergent ties throw)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamOps.applyChangesStream(
+        mem.toDF().toDF("id", "seq", "op", "val"),
+        keyCol = "id", orderCol = "seq", opCol = "op")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_redeliver_out").start()
+    try {
+      mem.addData((1L, 5L, "U", 2.0)); q.processAllAvailable()
+      // an at-least-once source replays the SAME record in a later
+      // micro-batch — identical (op, payload) at the stored winning order
+      // must not kill the query
+      mem.addData((1L, 5L, "U", 2.0)); q.processAllAvailable()
+      // ...and again alongside a genuinely newer change
+      mem.addData((1L, 5L, "U", 2.0), (1L, 6L, "U", 3.0))
+      q.processAllAvailable()
+      val latest = spark.table("cdc_redeliver_out")
+        .collect().maxBy(_.getLong(4)) // _cdc_order
+      assert(latest.getLong(1) == 6L && latest.getDouble(3) == 3.0,
+        s"newest change must win after redeliveries: $latest")
+    } finally q.stop()
+  }
+
   test("asofAgainstStatic == batch asofJoinWithin across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // Static signup snapshot: per-user signup timestamps (user 3 has none;
