@@ -2577,20 +2577,30 @@ object Ext {
   )
 
   /** MinHash-LSH with the TUNER-SELECTED banding: [[graft.functions
-    * .NearDup.lshTune]]'s top-ranked (bands, rows_per_band) factoring at
-    * (k=32, t=0.5) — measured (8, 4), the S-curve cost minimum — is
-    * wired straight into the verified-pair pipeline, making `lsh_tune`'s
-    * output LOAD-BEARING instead of advisory: this key must emit the
-    * same exact-Jaccard pair set as `dedup_minhash_verified` (identical
-    * oracle), so a tuner regression that picked a recall-losing curve
-    * fails the hash gate instead of silently reordering a report. The
-    * pick is a one-row head() of a ≤ 6-row arithmetic frame — no corpus
-    * access before the choice, exactly how a 100 TB run would plan. */
+    * .NearDup.lshTune]]'s (bands, rows_per_band) table is consumed on
+    * the FN AXIS — cheapest factoring whose false-negative mass is
+    * ≈ zero (fn ≤ 0.001) — because this is a VERIFY-AFTER pipeline:
+    * exact-Jaccard verification recovers every false positive but can
+    * never resurrect a candidate banding failed to produce, so the
+    * equal-loss cost minimum ((8,4) at t=0.5 — fn 0.073, i.e. tens of
+    * percent miss probability for just-above-threshold pairs) is the
+    * right pick only for UNVERIFIED screening. The constrained pick is
+    * (16,2): fn 0.0004, candidate recall ≈ 1 at every similarity the
+    * threshold admits — so the key must emit the same exact-Jaccard
+    * pair set as `dedup_minhash_verified` (identical oracle) on ANY
+    * corpus, not just one whose pairs happen to sit far from the
+    * threshold. `lsh_tune`'s output is thereby LOAD-BEARING: a tuner
+    * regression that misprices the S-curve's fn column picks a
+    * recall-losing banding and fails the hash gate. The pick is a
+    * one-row head() of a ≤ 6-row arithmetic frame — no corpus access
+    * before the choice, exactly how a 100 TB run would plan. */
   private val dedupMinhashTuned = QDef(
     "dedup_minhash_tuned",
     (s, d) => {
       val pick = graft.functions.NearDup
         .lshTune(s, k = 32, threshold = 0.5, gridN = 40)
+        .filter(col("fn") <= 0.001)
+        .orderBy(col("cost"), col("bands"))
         .select(col("bands")).head.getInt(0)
       NearDup.minhashVerifiedPairs(
         documents(s, d), threshold = 0.5, k = 32, bands = pick)

@@ -53,11 +53,21 @@ object Queries {
     * schema (the reference's "you must know your types" contract); the
     * oracle reads the very same CSV files with DuckDB's `read_csv`
     * under the same explicit column types — so the whole sink→scan
-    * round-trip is what the hash gate checks, not just the scan. */
+    * round-trip is what the hash gate checks, not just the scan.
+    *
+    * The fixture path is FIXED because `oracleSql` is a static map (the
+    * SQL can't vary with sfDir) — repo-owned (`target/`, gitignored)
+    * rather than world-shared `/tmp`, so no other user's files can
+    * collide with the overwrite. Interleaved runs at different scale
+    * factors are byte-identical by construction: nation is a fixed-size
+    * TPC-H dimension, the same 25 rows at every sf (and the single tiny
+    * parquet file reads as one partition → one part file at every sf),
+    * so a Bench rewrite between Verify's dump and the driver's DuckDB
+    * compare reproduces the exact bytes the dump hashed. */
   private val scanCsv = QDef(
     "scan_csv",
     (s, d) => {
-      val out = "/tmp/graft_scan_csv"
+      val out = "/root/repo/target/scan_csv_fixture"
       val n = nation(s, d)
       graft.sources.Io.writeCsv(n, out, sep = ",", writeHeader = true)
       graft.sources.Io
@@ -65,8 +75,8 @@ object Queries {
         .orderBy(col("n_nationkey"))
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM " +
-      "read_csv('/tmp/graft_scan_csv/*.csv', header=true, delim=',', " +
-      "columns={'n_nationkey':'INTEGER','n_name':'VARCHAR'," +
+      "read_csv('/root/repo/target/scan_csv_fixture/*.csv', header=true, " +
+      "delim=',', columns={'n_nationkey':'INTEGER','n_name':'VARCHAR'," +
       "'n_regionkey':'INTEGER'}) ORDER BY n_nationkey")
   )
 

@@ -63,6 +63,16 @@ object ModelStore {
     val nonce = java.util.concurrent.ThreadLocalRandom.current()
       .nextLong(1L, Long.MaxValue)
     writeTables(s"$dir/t$nonce")
+    // referenced-data verify (StoreCommit guard 2's form): a vacuum
+    // racing this publish saw t<nonce> as an unreferenced orphan — on a
+    // first publish there is no _MODEL for its manifest recheck to see
+    // move — so the reap window closes from the WRITER's side: if the
+    // staging dir is gone, abort loudly and let the caller republish
+    // instead of committing a manifest that references deleted tables.
+    if (!fs.exists(new Path(s"$dir/t$nonce")))
+      throw new java.util.ConcurrentModificationException(
+        s"$Store: staged tables t$nonce at $dir vanished before the " +
+          "commit (a concurrent vacuum reaped them?) — republish")
     commitManifest(fs, dir,
       (s"kind $kind" +: scalars) :+ s"tables t$nonce", nonce)
   }
@@ -170,10 +180,12 @@ object ModelStore {
     }
     if (victims.isEmpty) return
     // publish-race guard (the store tier's vacuum rule, detector form —
-    // see StoreCommit.assertVersionsUnchanged): a publish landing after
-    // the victim scan would have its freshly-referenced staging dir in
-    // the victim list; re-read the manifest AFTER computing it and abort
-    // with nothing deleted if the committed reference moved.
+    // see StoreCommit.assertVersionsUnchanged): a publish that COMMITS
+    // between the victim scan and this recheck moves the manifest's
+    // `tables` reference — abort with nothing deleted. The other
+    // interleave (vacuum reaps a staged t<nonce> BEFORE its publish
+    // commits) is closed from the writer's side: publish() verifies its
+    // staging dir still exists immediately before committing.
     StoreCommit.onBeforeReap()
     if (liveRef != live)
       throw new java.util.ConcurrentModificationException(

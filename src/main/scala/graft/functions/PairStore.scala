@@ -701,7 +701,11 @@ object PairStore {
     m.buckets.toSeq.sortBy(_._1).foreach { case (bk, g) =>
       val p = new Path(s"$dir/labels/${genDirName(g, bk)}")
       if (!fs.exists(p))
-        throw new IllegalStateException(
+        // ConcurrentModificationException, the same type as every other
+        // replay-the-batch abort in the store tier (and StoreCommit's
+        // identical guard 2) — retry-on-CME callers must see this race
+        // as a replay signal, not an unclassified failure
+        throw new java.util.ConcurrentModificationException(
           s"PairStore commit v${m.version} aborted: referenced $p is " +
             "missing (a concurrent recover/vacuum reaped this writer's " +
             "uncommitted generation?) — replay the batch")
@@ -726,7 +730,7 @@ object PairStore {
           "ours — lost a same-version publish race; replay the batch")
     // every commit drops the dir's memoized manifests (the build()-
     // restarts-history-at-v0 staleness edge — same rule as StoreCommit)
-    StoreCommit.invalidateManifestMemo(dir)
+    StoreCommit.invalidateManifestMemo(fs, dir)
   }
 
   /** Serve-path manifest read — memoized per (dir, version) via

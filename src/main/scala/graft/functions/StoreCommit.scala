@@ -89,30 +89,38 @@ private[graft] object StoreCommit {
     * Bounded LRU (manifests are small, but a fleet of temp stores in one
     * long JVM must not accumulate forever). */
   def readManifestLinesCached(
-      fs: FileSystem, dir: String, v: Long): Seq[String] =
-    manifestMemo.synchronized {
-      val k = (dir, v)
-      val hit = manifestMemo.get(k)
-      if (hit != null) hit
-      else {
-        val lines = readManifestLines(fs, dir, v)
-        manifestMemo.put(k, lines)
-        lines
-      }
-    }
+      fs: FileSystem, dir: String, v: Long): Seq[String] = {
+    val k = (memoDir(fs, dir), v)
+    // ConcurrentHashMap.computeIfAbsent: a miss's physical read blocks
+    // only that key's bin, never JVM-wide hits on other stores (a
+    // global lock held across a slow-FS open would serialize every
+    // concurrent serve path behind one store's manifest I/O)
+    val lines = manifestMemo.computeIfAbsent(k,
+      _ => readManifestLines(fs, dir, v))
+    // crude bound, precise enough for a memo: on overflow drop the lot
+    // (manifests rebuild from disk on the next read) rather than track
+    // LRU order under concurrency
+    if (manifestMemo.size() > 1024) manifestMemo.clear()
+    lines
+  }
 
   private val manifestMemo =
-    new java.util.LinkedHashMap[(String, Long), Seq[String]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
-        this.size() > 1024
-    }
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
 
-  private[functions] def invalidateManifestMemo(dir: String): Unit =
-    manifestMemo.synchronized {
-      val it = manifestMemo.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == dir) it.remove()
-    }
+  /** Memo key for a store dir: the FS-qualified path string, so
+    * `/a/b`, `/a/b/` and `file:///a/b` address ONE entry set — both the
+    * cache key and commit-time invalidation must agree or a reader
+    * keyed under a variant spelling would survive a rebuild's
+    * invalidation and serve pre-rebuild lines. */
+  private def memoDir(fs: FileSystem, dir: String): String =
+    fs.makeQualified(new Path(dir)).toString
+
+  private[functions] def invalidateManifestMemo(
+      fs: FileSystem, dir: String): Unit = {
+    val d = memoDir(fs, dir)
+    val it = manifestMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == d) it.remove()
+  }
 
   /** Publish `lines` (plus a generated `nonce` line) as version `v` of
     * the store at `dir` — the CAS commit point. Guards, in order:
@@ -170,7 +178,7 @@ private[graft] object StoreCommit {
     // every commit drops the dir's memoized manifests: a build() that
     // restarted history at this dir must not serve pre-rebuild content
     // under a recycled (dir, version) key
-    invalidateManifestMemo(dir)
+    invalidateManifestMemo(fs, dir)
   }
 
   /** Move FILE `src` onto `dst`, failing (never clobbering) if `dst`

@@ -144,12 +144,27 @@ class StoreCommitSpec extends SparkSpec {
       pairDir, "id", "id_a", "id_b")
     IvfIndex.build(vecsRange(0, 30), "id", "v", nCells = 2, ivfDir)
 
+    // A writer racing a vacuum can lose in several shapes, all of which
+    // mean "replay the batch": the CAS/referenced-path CME, or a Spark
+    // job failure when the vacuum reaped the staged dir MID-WRITE (the
+    // documented no-writer-live rule — this test races them anyway to
+    // pin that every loss is loud and replayable, never silent
+    // corruption). Retry on any of them; only the final-state asserts
+    // decide the test.
+    def replayable(t: Throwable): Boolean = t match {
+      case null => false
+      case _: java.util.ConcurrentModificationException => true
+      case _: java.io.FileNotFoundException => true
+      case e => replayable(e.getCause)
+    }
     def retrying(n: Int)(body: => Unit): Unit = {
       var left = n
       while (left > 0)
         try { body; left = 0 }
         catch {
-          case _: java.util.ConcurrentModificationException if left > 1 =>
+          case e: Throwable if left > 1 && (replayable(e) ||
+              e.isInstanceOf[org.apache.spark.SparkException] ||
+              e.isInstanceOf[IllegalStateException]) =>
             left -= 1
         }
     }
@@ -183,12 +198,21 @@ class StoreCommitSpec extends SparkSpec {
       thread {
         for (b <- 0 until 2) {
           Thread.sleep(sleeps(6 + b).toLong)
-          // racing vacuums may legitimately abort on the publish guard —
-          // the property is that they never corrupt, not that they win
+          // racing vacuums may legitimately abort on the publish guard
+          // or trip over a writer's in-flight staging — the property is
+          // that they never corrupt, not that they win
           try PairStore.vacuum(spark, pairDir, keepLast = 2)
-          catch { case _: java.util.ConcurrentModificationException => () }
+          catch {
+            case _: java.util.ConcurrentModificationException => ()
+            case _: java.io.FileNotFoundException => ()
+            case _: IllegalStateException => ()
+          }
           try IvfIndex.load(spark, ivfDir).vacuum(keepLast = 2)
-          catch { case _: java.util.ConcurrentModificationException => () }
+          catch {
+            case _: java.util.ConcurrentModificationException => ()
+            case _: java.io.FileNotFoundException => ()
+            case _: IllegalStateException => ()
+          }
         }
       })
     ts.foreach(_.join(120000))
