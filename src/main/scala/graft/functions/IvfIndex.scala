@@ -125,23 +125,35 @@ final class IvfIndex private (
   /** The pinned snapshot's data — all cells, or only `probe`'s. Each
     * generation is read by DIRECT manifest addressing of its live
     * `cell=` leaf dirs (basePath keeps the partition column), so
-    * uncommitted generations, superseded cells, and unprobed cells are
-    * never listed, let alone scanned. */
+    * uncommitted generations and superseded cells are never listed, let
+    * alone scanned; unprobed cells are pruned from the SCAN by a
+    * partition filter (`PartitionFilters`, plan-asserted) while their
+    * one-time LISTING is shared through [[IvfIndex.genFrameCache]] —
+    * generations are immutable once referenced, so the relation built
+    * over a (generation, live-cell-set) pair is a pure function of its
+    * key and every later probe of any cell subset reuses it instead of
+    * re-listing leaf dirs per query (the dominant serve cost on an
+    * object store, where each listing is a remote round-trip). */
   private def cellsOf(snap: Snap, probe: Option[Set[Int]]): DataFrame = {
-    val live = probe match {
-      case Some(p) => snap.genCells.filter { case (_, c) => p(c) }
-      case None    => snap.genCells
+    val frames = snap.genCells.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (g, cs) =>
+        val cells = cs.map(_._2).sorted
+        genFrameCache.getOrCompute(
+          graft.PlanCache.Key(spark, "ivf-gen-cells",
+            s"$path|$g|${cells.mkString(",")}"),
+          // explicit schema: the layout is ours by construction, so
+          // schema inference's footer read is pure serve-path overhead
+          spark.read.option("basePath", s"$path/$g").schema(CellsSchema)
+            .parquet(cells.map(c => s"$path/$g/cell=$c"): _*)
+            .select(col("id"), col("v"), col("codes"), col("cell")))
     }
-    val frames = live.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, cs) =>
-      // explicit schema: the layout is ours by construction, so schema
-      // inference's per-call footer read is pure serve-path overhead
-      spark.read.option("basePath", s"$path/$g").schema(CellsSchema)
-        .parquet(cs.map(_._2).sorted.map(c => s"$path/$g/cell=$c"): _*)
-        .select(col("id"), col("v"), col("codes"), col("cell"))
-    }
-    frames.reduceOption(_.unionByName(_)).getOrElse(
+    val all = frames.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], CellsSchema))
+    probe match {
+      case Some(p) => all.filter(col("cell").isin(p.toSeq.sorted: _*))
+      case None    => all
+    }
   }
 
   def version: Long = snapshot().version
@@ -530,6 +542,19 @@ object IvfIndex {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted
   }
+
+  /** Per-(path, generation, live-cell-set) relation memo: a generation
+    * dir is immutable once a manifest references it (appends mint new
+    * salted dirs; deletes supersede whole cells out of the manifest, so
+    * a changed live-cell-set changes the key), which makes the listed
+    * relation a pure function of the key — probes stop re-listing leaf
+    * dirs per query. A vacuumed generation's cached frame fails loudly
+    * at execution (files gone), matching the pinned-reader contract.
+    * Durable (offline-built artifacts); holds plans only, no executor
+    * storage. */
+  private val genFrameCache =
+    new graft.PlanCache[org.apache.spark.sql.DataFrame](
+      capacity = 256, durable = true)
 
   /** Quantizer dirs are immutable once referenced by a manifest — cache
     * the collected matrices per (session, absolute path), across handles
