@@ -55,27 +55,63 @@ object Queries {
     * under the same explicit column types — so the whole sink→scan
     * round-trip is what the hash gate checks, not just the scan.
     *
-    * The fixture path is FIXED because `oracleSql` is a static map (the
-    * SQL can't vary with sfDir) — repo-owned (`target/`, gitignored)
-    * rather than world-shared `/tmp`, so no other user's files can
-    * collide with the overwrite. Interleaved runs at different scale
-    * factors are byte-identical by construction: nation is a fixed-size
-    * TPC-H dimension, the same 25 rows at every sf (and the single tiny
-    * parquet file reads as one partition → one part file at every sf),
-    * so a Bench rewrite between Verify's dump and the driver's DuckDB
-    * compare reproduces the exact bytes the dump hashed. */
+    * The fixture path is FIXED within a run because `oracleSql` is a
+    * static map (the SQL can't vary with sfDir), but it is derived from
+    * ONE config point ([[fixtureRoot]] — `-Dgraft.fixture.dir`, default
+    * `<user.dir>/target/graft_fixtures`) and templated into the SQL at
+    * QDef construction, so any checkout location works. Publication is
+    * write-once-then-atomic-rename ([[publishScanCsvFixture]]): the
+    * fixture is staged under a salted sibling name and `ATOMIC_MOVE`d
+    * onto the final dir, and an already-published dir is NEVER
+    * rewritten — so concurrent runs (Verify racing Bench) can never
+    * observe a delete-then-write window; the loser of a publish race
+    * discards its staging dir. Content is run-invariant by
+    * construction: nation is a fixed-size TPC-H dimension, the same 25
+    * rows at every sf, so whichever racer publishes, every reader —
+    * including the driver's later DuckDB compare — sees the same
+    * logical rows. */
+  private val fixtureRoot: String = sys.props.getOrElse(
+    "graft.fixture.dir", s"${sys.props("user.dir")}/target/graft_fixtures")
+
+  private[graft] val scanCsvDir = s"$fixtureRoot/scan_csv_fixture"
+
+  /** Publish the nation CSV fixture at [[scanCsvDir]] exactly once per
+    * path: stage under a salted sibling, then one `ATOMIC_MOVE` rename
+    * onto the final name. If the final dir already exists (this run or
+    * a concurrent one won), the staging dir is discarded — committed
+    * fixture bytes are immutable for the life of the path. */
+  private[graft] def publishScanCsvFixture(
+      s: SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val fin = Paths.get(scanCsvDir)
+    if (Files.exists(fin)) return
+    val salt = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(1L, Long.MaxValue)
+    val tmp = Paths.get(s"${scanCsvDir}_stage_$salt")
+    val n = nation(s, d)
+    graft.sources.Io.writeCsv(n, tmp.toString, sep = ",", writeHeader = true)
+    try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // rename refused: a concurrent publisher landed first. Same-rows
+      // content by construction — drop our staging dir and read theirs.
+      case e: java.nio.file.FileSystemException =>
+        if (!Files.exists(fin)) throw e
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   private val scanCsv = QDef(
     "scan_csv",
     (s, d) => {
-      val out = "/root/repo/target/scan_csv_fixture"
-      val n = nation(s, d)
-      graft.sources.Io.writeCsv(n, out, sep = ",", writeHeader = true)
+      publishScanCsvFixture(s, d)
       graft.sources.Io
-        .readTable(s, out, n.schema, sep = ",", headerLines = 1)
+        .readTable(s, scanCsvDir, nation(s, d).schema, sep = ",",
+          headerLines = 1)
         .orderBy(col("n_nationkey"))
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM " +
-      "read_csv('/root/repo/target/scan_csv_fixture/*.csv', header=true, " +
+      s"read_csv('$scanCsvDir/*.csv', header=true, " +
       "delim=',', columns={'n_nationkey':'INTEGER','n_name':'VARCHAR'," +
       "'n_regionkey':'INTEGER'}) ORDER BY n_nationkey")
   )

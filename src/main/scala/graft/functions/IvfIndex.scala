@@ -140,12 +140,17 @@ final class IvfIndex private (
         val cells = cs.map(_._2).sorted
         genFrameCache.getOrCompute(
           graft.PlanCache.Key(spark, "ivf-gen-cells",
-            s"$path|$g|${cells.mkString(",")}"),
+            s"$path|$g|${cells.mkString(",")}"), {
+          // test seam: physical relation builds (leaf-dir listings) this
+          // JVM performed — IvfIndexSpec pins that repeated probes of one
+          // generation hit the memo (the manifestFileReads pattern)
+          genRelationBuilds.incrementAndGet()
           // explicit schema: the layout is ours by construction, so
           // schema inference's footer read is pure serve-path overhead
           spark.read.option("basePath", s"$path/$g").schema(CellsSchema)
             .parquet(cells.map(c => s"$path/$g/cell=$c"): _*)
-            .select(col("id"), col("v"), col("codes"), col("cell")))
+            .select(col("id"), col("v"), col("codes"), col("cell"))
+        })
     }
     val all = frames.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
@@ -517,6 +522,12 @@ object IvfIndex {
     * (append/delete/rebuild), so IvfIndexSpec can interleave a full
     * competing write at exactly the CAS window. No-op in production. */
   private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  /** Physical cell-relation builds (each one a leaf-dir listing pass)
+    * performed by this JVM — the memo-hit observability seam for
+    * [[genFrameCache]], mirroring [[StoreCommit.manifestFileReads]]. */
+  private[graft] val genRelationBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[functions] final case class Quantizer(
       centroids: Array[Array[Double]], codebooks: Pq.Codebooks)

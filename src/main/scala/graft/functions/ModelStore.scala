@@ -66,15 +66,23 @@ object ModelStore {
     // referenced-data verify (StoreCommit guard 2's form): a vacuum
     // racing this publish saw t<nonce> as an unreferenced orphan — on a
     // first publish there is no _MODEL for its manifest recheck to see
-    // move — so the reap window closes from the WRITER's side: if the
-    // staging dir is gone, abort loudly and let the caller republish
-    // instead of committing a manifest that references deleted tables.
-    if (!fs.exists(new Path(s"$dir/t$nonce")))
+    // move — so this check NARROWS the reap window from the WRITER's
+    // side (StoreCommit's "detector, not a license to race" framing): a
+    // vacuum landing between this exists and the manifest move can still
+    // win, which is why the store tier's no-writer-live-during-vacuum
+    // rule stands. commitManifest re-verifies the same paths again
+    // immediately before the exclusive move, shrinking the window to the
+    // write-tmp→move gap. If the staging dir is gone at either check,
+    // abort loudly and let the caller republish instead of committing a
+    // manifest that references deleted tables.
+    val staged = new Path(s"$dir/t$nonce")
+    if (!fs.exists(staged))
       throw new java.util.ConcurrentModificationException(
         s"$Store: staged tables t$nonce at $dir vanished before the " +
           "commit (a concurrent vacuum reaped them?) — republish")
     commitManifest(fs, dir,
-      (s"kind $kind" +: scalars) :+ s"tables t$nonce", nonce)
+      (s"kind $kind" +: scalars) :+ s"tables t$nonce", nonce,
+      referenced = Seq(staged))
   }
 
   /** Publish `lines` (+ the nonce line) as `dir/_MODEL` — temp write,
@@ -82,9 +90,15 @@ object ModelStore {
     * hard-link on local FS, where a bare rename REPLACES silently;
     * refuse-existing rename elsewhere), then a READ-BACK VERIFY against
     * the per-publish nonce. Exactly one of N same-dir publishers
-    * returns; the rest throw with the winner's model intact. */
+    * returns; the rest throw with the winner's model intact.
+    * `referenced` paths are re-verified AFTER the tmp write, immediately
+    * before the exclusive move — the last cheap point a vacuum-reaped
+    * staging dir can be detected before a manifest referencing it lands
+    * (shrinks the publish-vs-vacuum TOCTOU window to the single move
+    * call; the no-writer-live-during-vacuum rule covers the rest). */
   private def commitManifest(
-      fs: FileSystem, dir: String, lines: Seq[String], nonce: Long): Unit = {
+      fs: FileSystem, dir: String, lines: Seq[String], nonce: Long,
+      referenced: Seq[Path] = Seq.empty): Unit = {
     val dst = new Path(s"$dir/_MODEL")
     requireUnpublished(fs, dir)
     val tmp = new Path(s"$dir/.tmp_MODEL_$nonce")
@@ -92,6 +106,12 @@ object ModelStore {
     try out.write(((lines :+ s"nonce $nonce").mkString("\n") + "\n")
       .getBytes("UTF-8"))
     finally out.close()
+    referenced.find(!fs.exists(_)).foreach { p =>
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"$Store: referenced $p vanished between staging and the manifest " +
+          "move (a concurrent vacuum reaped it?) — republish")
+    }
     try StoreCommit.exclusiveMoveFile(fs, tmp, dst, Store)
     catch { case e: Throwable => fs.delete(tmp, false); throw e }
     val back = readRawManifest(fs, dir)

@@ -74,38 +74,58 @@ private[graft] object StoreCommit {
     * (dir, version) → lines is a pure function and every query against a
     * pinned or current version can skip the open+read after the first —
     * measured at +0.3–0.6 s/query across the ANN/IVF serve family when
-    * each probe re-resolved its manifest (round-14 drift). Two staleness
-    * edges, both handled:
+    * each probe re-resolved its manifest (round-14 drift). Three
+    * staleness edges, all handled:
     *
-    *   - a REBUILT store (build() restarts history at v0 in the same
+    *   - a SAME-JVM rebuild (build() restarts history at v0 in the same
     *     dir) would alias old content under a recycled (dir, v) key —
     *     [[commitManifest]] drops the dir's memo entries on every
-    *     commit, and commits are the only way (dir, v) content can
-    *     change;
-    *   - a VACUUMED version's entry outlives its file, but every read
-    *     path gates on `fs.exists(history/vN)` / [[currentVersion]]
-    *     BEFORE resolving, so retired pins still fail loudly.
+    *     commit, and commits are the only in-JVM way (dir, v) content
+    *     can change;
+    *   - a CROSS-JVM rebuild can recycle (dir, v0) without this JVM ever
+    *     seeing a commit — so every memo hit is validated against the
+    *     manifest file's (length, modificationTime) captured at
+    *     memoization: ONE metadata call (a stat / object-store HEAD),
+    *     never the open+read+parse the memo exists to avoid. A rebuild
+    *     mints a physically new v0 file (delete + salted tmp + exclusive
+    *     publish), so either field moving forces a re-read; the check is
+    *     a detector for the rebuild-races-reader flow, not a license to
+    *     defeat the store tier's "no writer live during vacuum" rule;
+    *   - a VACUUMED version's entry outlives its file, but the
+    *     validating `getFileStatus` (and every read path's
+    *     `fs.exists(history/vN)` / [[currentVersion]] gate) fails
+    *     loudly on the missing file, so retired pins never serve from
+    *     memory.
     *
     * Bounded LRU (manifests are small, but a fleet of temp stores in one
     * long JVM must not accumulate forever). */
   def readManifestLinesCached(
       fs: FileSystem, dir: String, v: Long): Seq[String] = {
     val k = (memoDir(fs, dir), v)
-    // ConcurrentHashMap.computeIfAbsent: a miss's physical read blocks
-    // only that key's bin, never JVM-wide hits on other stores (a
-    // global lock held across a slow-FS open would serialize every
-    // concurrent serve path behind one store's manifest I/O)
-    val lines = manifestMemo.computeIfAbsent(k,
-      _ => readManifestLines(fs, dir, v))
+    // one metadata round trip per resolve — the cross-JVM staleness
+    // validator (and the loud-failure path for vacuumed versions)
+    val st = fs.getFileStatus(new Path(s"$dir/history/v$v"))
+    // ConcurrentHashMap.compute: a miss's physical read blocks only that
+    // key's bin, never JVM-wide hits on other stores (a global lock held
+    // across a slow-FS open would serialize every concurrent serve path
+    // behind one store's manifest I/O)
+    val entry = manifestMemo.compute(k, (_, old) =>
+      if (old != null && old.len == st.getLen &&
+          old.mtime == st.getModificationTime) old
+      else ManifestMemoEntry(readManifestLines(fs, dir, v),
+        st.getLen, st.getModificationTime))
     // crude bound, precise enough for a memo: on overflow drop the lot
     // (manifests rebuild from disk on the next read) rather than track
     // LRU order under concurrency
     if (manifestMemo.size() > 1024) manifestMemo.clear()
-    lines
+    entry.lines
   }
 
+  private final case class ManifestMemoEntry(
+      lines: Seq[String], len: Long, mtime: Long)
+
   private val manifestMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), ManifestMemoEntry]()
 
   /** Memo key for a store dir: the FS-qualified path string, so
     * `/a/b`, `/a/b/` and `file:///a/b` address ONE entry set — both the

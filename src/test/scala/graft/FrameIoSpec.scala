@@ -67,6 +67,36 @@ class FrameIoSpec extends SparkSpec {
     assert(rows(back.sortAll()) == rows(df.sortAll()))
   }
 
+  test("scan_csv fixture publish: atomic, write-once, losers leave no debris") {
+    import java.nio.file.{Files, Paths}
+    val fin = Paths.get(Queries.scanCsvDir)
+    val parent = fin.getParent
+    // fresh publish (tests own this gitignored path)
+    if (Files.exists(fin))
+      Files.walk(fin).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    Queries.publishScanCsvFixture(spark, sf0001)
+    assert(Files.exists(fin), "fixture not published")
+    val firstStamp = Files.getLastModifiedTime(fin)
+    // second publish is a no-op: committed fixture bytes are immutable
+    Queries.publishScanCsvFixture(spark, sf0001)
+    assert(Files.getLastModifiedTime(fin) == firstStamp,
+      "an already-published fixture was rewritten")
+    // no staging debris survives (winner renamed; repeat calls early-out)
+    val debris = Files.list(parent).iterator()
+    val leftover = new scala.collection.mutable.ArrayBuffer[String]
+    while (debris.hasNext) {
+      val n = debris.next().getFileName.toString
+      if (n.contains("_stage_")) leftover += n
+    }
+    assert(leftover.isEmpty, s"staging debris left behind: $leftover")
+    // and a racer that loses the rename discards its staging dir: simulate
+    // by invoking publish with the final dir already present (the early-out
+    // and the rename-refused branch are the only two paths)
+    Queries.publishScanCsvFixture(spark, sf0001)
+    assert(Files.getLastModifiedTime(fin) == firstStamp)
+  }
+
   test("jsonl round-trip with schema; FAILFAST throws on malformed lines") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     Io.writeJsonl(df, s"$dir/out")

@@ -14,6 +14,35 @@ class IvfIndexSpec extends SparkSpec {
   private lazy val index =
     IvfIndex.cachedFor(e, "vec_id", "embedding", nCells = 16)
 
+  /** Every FileSourceScanExec in the (possibly adaptive) physical plan —
+    * the direct-API pruning check the string `contains("PartitionFilters")`
+    * assert could not give (that string prints, possibly `[]`, for every
+    * partitioned scan). */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(s.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  /** Assert the plan's cell-layout scans carry a NON-EMPTY partition
+    * filter naming `cell` — a pushdown regression that silently scans
+    * all cells fails here, not in a vacuous string match. */
+  private def assertCellPruned(df: org.apache.spark.sql.DataFrame): Unit = {
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "cell"))
+    assert(scans.nonEmpty, "no cell-layout scans in plan:\n" +
+      df.queryExecution.executedPlan.toString.take(3000))
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty &&
+        s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"cell scan has no cell partition filter (scans all cells): $s")
+    }
+  }
+
   test("full probe through the index equals exact brute force bit-for-bit") {
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
     val full = index.topK(q, "vec_id", "embedding", k = 5, nProbe = 16)
@@ -21,12 +50,57 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("partial probe prunes cell partitions at the parquet scan") {
-    val plan = index.topK(q, "vec_id", "embedding", k = 5, nProbe = 4)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan.take(2000))
-    // the pruning filter must mention the partition column, and the scan
-    // must not be the select-everything shape
-    assert(plan.contains("cell"), plan.take(2000))
+    // direct FileSourceScanExec.partitionFilters check: the isin-over-
+    // cached-union rewrite must still push a non-empty In(cell, …)
+    // predicate into every cells scan
+    assertCellPruned(index.topK(q, "vec_id", "embedding", k = 5, nProbe = 4))
+  }
+
+  test("repeat probes of one generation build the cell relation once " +
+    "(genFrameCache memo hit — no re-listing of leaf dirs)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_memo").toString
+    val idx = IvfIndex.build(e, "vec_id", "embedding", nCells = 8, dir)
+    // warm: the first probe pays the one relation build (leaf-dir listing)
+    idx.topK(q, "vec_id", "embedding", k = 3, nProbe = 2).collect()
+    val before = IvfIndex.genRelationBuilds.get()
+    // different probe subsets, same generation: the memo key is the
+    // (path, generation, live-cell-set), NOT the probed subset
+    idx.topK(q, "vec_id", "embedding", k = 3, nProbe = 4).collect()
+    idx.topK(q, "vec_id", "embedding", k = 3, nProbe = 8).collect()
+    assert(IvfIndex.genRelationBuilds.get() == before,
+      "a repeat probe re-built the generation's cell relation (re-listed " +
+        "leaf dirs) instead of hitting genFrameCache")
+    // and the memoized relation still prunes at the scan
+    assertCellPruned(idx.topK(q, "vec_id", "embedding", k = 3, nProbe = 2))
+  }
+
+  test("genFrameCache staleness: rebuild serves only new-generation rows; " +
+    "a vacuumed generation's cached frame fails loudly, never silently empty") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    val corpus = e.filter(col("vec_id") < 400)
+    val idx = IvfIndex.build(e.filter(col("vec_id") < 300),
+      "vec_id", "embedding", nCells = 4, dir)
+    idx.appendBatch(
+      e.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    // warm the relation cache across BOTH pre-rebuild generations, and
+    // keep a frame bound to them
+    val staleFrame = idx.cells
+    assert(staleFrame.count() == 400)
+    idx.rebuild()
+    // post-rebuild serve: exact over the SAME corpus through NEW
+    // generation keys only (old cached frames are keyed by retired gens)
+    val exact = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+    assert(rows(idx.topK(q, "vec_id", "embedding", k = 5, nProbe = 4))
+      == rows(exact))
+    idx.vacuum(keepLast = 1)
+    // the vacuum reaped the pre-rebuild generations; executing the frame
+    // cached over them must THROW (missing files), not shrink to empty —
+    // the pinned-reader contract c92eed3's scaladoc claims
+    intercept[Throwable] { staleFrame.count() }
+    // and the post-vacuum serve path is unharmed
+    assert(rows(idx.topK(q, "vec_id", "embedding", k = 5, nProbe = 4))
+      == rows(exact))
   }
 
   test("partial-probe recall vs brute force") {
@@ -64,8 +138,9 @@ class IvfIndexSpec extends SparkSpec {
     assert(codeScans.nonEmpty, s"no codes-projection scan:\n${scans.mkString("\n")}")
     assert(codeScans.forall(!_.contains("v:array")),
       s"codes scan also reads raw vectors:\n${codeScans.mkString("\n")}")
-    // and both index scans prune cell partitions
-    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    // and the index scans prune cell partitions (direct-API check)
+    assertCellPruned(index.pqTopK(q, "vec_id", "embedding", k = 5,
+      nProbe = 4, rerank = 4))
   }
 
   test("pq full probe + full rerank through the persisted codes is exact") {

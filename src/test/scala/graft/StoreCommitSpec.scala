@@ -66,6 +66,31 @@ class StoreCommitSpec extends SparkSpec {
       "the manifest memo served stale pre-rebuild lines for (dir, v0)")
   }
 
+  test("a CROSS-JVM rebuild (out-of-band manifest replacement) is detected " +
+    "by the memo's file-status validation — no permanent stale serve") {
+    val dir = tmp("sc_memo_xjvm")
+    SignatureStore.build(docsRange(0, 5), dir)
+    val fs = StoreCommit.fsOf(spark, dir)
+    // warm the memo for (dir, v0)
+    val warm = StoreCommit.readManifestLinesCached(fs, dir, 0L)
+    assert(warm.exists(_.startsWith("file ")))
+    // simulate ANOTHER PROCESS'S rebuild: replace history/v0 via raw file
+    // ops, bypassing commitManifest — this JVM's memo is never invalidated
+    val v0 = java.nio.file.Paths.get(s"$dir/history/v0")
+    val replacement = "version 0\nfile data_gX/part-replaced.parquet\n" +
+      "nonce 12345\n"
+    java.nio.file.Files.delete(v0)
+    // the real rebuild writes through the Hadoop FS, which refreshes the
+    // checksum sidecar — drop the stale one so the re-read sees the new bytes
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/history/.v0.crc"))
+    java.nio.file.Files.write(v0, replacement.getBytes("UTF-8"))
+    // the hit-validation (length/mtime) must force a re-read
+    val after = StoreCommit.readManifestLinesCached(fs, dir, 0L)
+    assert(after.contains("file data_gX/part-replaced.parquet"),
+      s"memo served pre-replacement lines after an out-of-band rewrite: $after")
+  }
+
   // ------------------------------------------------- vacuum vs publish
 
   test("vacuum aborts with NOTHING deleted when a publish lands after its " +
