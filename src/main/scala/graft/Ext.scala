@@ -2594,14 +2594,39 @@ object Ext {
     * recall-losing banding and fails the hash gate. The pick is a
     * one-row head() of a ≤ 6-row arithmetic frame — no corpus access
     * before the choice, exactly how a 100 TB run would plan. */
+  /** Memoized tuner picks: the lshTune grid is pure arithmetic in
+    * (k, threshold, gridN, fn ceiling) — no corpus access — so its
+    * one-row verdict is a pure function of those parameters and a serve
+    * path must not replan it per invocation (the skew-probe verdict-memo
+    * rule). Durable: the pick models a build-once planning artifact. */
+  private val lshTunePicks =
+    new graft.PlanCache[java.lang.Integer](capacity = 16, durable = true)
+
+  /** Tuner-grid evaluations this JVM actually ran — the memo-hit test
+    * seam (the manifestFileReads pattern). */
+  private[graft] val lshTuneComputes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def lshTunedBands(
+      s: org.apache.spark.sql.SparkSession, k: Int, threshold: Double,
+      gridN: Int,
+      fnCeiling: Double): Int =
+    lshTunePicks.getOrCompute(
+      graft.PlanCache.Key(s, "lsh-tune-pick",
+        s"k=$k|t=$threshold|g=$gridN|fn<=$fnCeiling"), {
+      lshTuneComputes.incrementAndGet()
+      Int.box(graft.functions.NearDup
+        .lshTune(s, k = k, threshold = threshold, gridN = gridN)
+        .filter(col("fn") <= fnCeiling)
+        .orderBy(col("cost"), col("bands"))
+        .select(col("bands")).head.getInt(0))
+    })
+
   private val dedupMinhashTuned = QDef(
     "dedup_minhash_tuned",
     (s, d) => {
-      val pick = graft.functions.NearDup
-        .lshTune(s, k = 32, threshold = 0.5, gridN = 40)
-        .filter(col("fn") <= 0.001)
-        .orderBy(col("cost"), col("bands"))
-        .select(col("bands")).head.getInt(0)
+      val pick = lshTunedBands(s, k = 32, threshold = 0.5, gridN = 40,
+        fnCeiling = 0.001)
       NearDup.minhashVerifiedPairs(
         documents(s, d), threshold = 0.5, k = 32, bands = pick)
     },
@@ -3132,6 +3157,39 @@ object Ext {
       "(SELECT ppl, CASE WHEN ppl <= lo THEN 'head' " +
       "WHEN ppl <= hi THEN 'middle' ELSE 'tail' END AS tier " +
       "FROM p CROSS JOIN c) GROUP BY tier ORDER BY tier")
+  )
+
+  /** Published add-one-bigram model dirs, one per corpus plan — the
+    * [[knModelDirs]] convention for the tiers pipeline's base LM. */
+  private val bigramModelDirs =
+    new graft.PlanCache[String](capacity = 4, durable = true,
+      onEvict = p => graft.TempDirs.delete(p))
+
+  /** `perplexity_tiers` under a PUBLISHED model — train the bigram LM
+    * once, persist it through [[graft.functions.ModelStore.saveBigram]]
+    * (build metered as `bigram_model_publish`), then score + tier under
+    * the LOADED artifact: the production topology for a recurring
+    * tiering job, where the corpus LM is a versioned artifact and each
+    * tiering run pays scoring + two exact quantile passes, never a
+    * retrain. Same oracle as the cold key, so a hash-match pins the
+    * whole save/load/score/tier round-trip cross-engine. */
+  private val perplexityTiersServedQ = QDef(
+    "perplexity_tiers_served",
+    (s, d) => {
+      val docs = documents(s, d)
+      val dir = bigramModelDirs.getOrCompute(
+        graft.PlanCache.keyOf(docs, "bigram-model"),
+        graft.BuildTimer.timed("bigram_model_publish") {
+          val tmp = graft.TempDirs.create("graft_bigram_model")
+          graft.functions.ModelStore.saveBigram(
+            graft.functions.LangModel.train(docs), s"$tmp/m")
+          s"$tmp/m"
+        })
+      graft.functions.LangModel.perplexityTiersOf(
+        graft.functions.LangModel.scoreWith(
+          graft.functions.ModelStore.loadBigram(s, dir), docs))
+    },
+    perplexityTiersQ.oracle
   )
 
   /** DoReMi-style domain-mixture reweighting over `source`
@@ -4616,7 +4674,7 @@ object Ext {
     dedupMinhashVerified, dedupMinhashTuned, dedupSimhash, dedupSimhashBounds,
     dedupEmbed, windowAgg, vocabTopK,
     tfidfTop, unigramQ, ngramPerplexity, knPerplexity, knPerplexityServed,
-    perplexityTiersQ, domainReweightQ,
+    perplexityTiersQ, perplexityTiersServedQ, domainReweightQ,
     mixtureEpochsQ, splitLeakageSafeQ, splitLeakageSafeStoreQ,
     ngramTopRepeatedQ, cleanFunnelQ,
     vocabSketch, collocPmi, stopwordFilterQ, oovRateQ,

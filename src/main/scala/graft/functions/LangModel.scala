@@ -213,8 +213,15 @@ object LangModel {
     *
     * Output: (tier, n_docs, min_ppl, max_ppl) — the mixing dashboard's
     * three-row summary. */
-  def perplexityTiers(docs: DataFrame): DataFrame = {
-    val ppl = perplexity(docs).persist()
+  def perplexityTiers(docs: DataFrame): DataFrame =
+    perplexityTiersOf(perplexity(docs))
+
+  /** [[perplexityTiers]] from an ALREADY-SCORED (doc_id, n_bigrams, ppl)
+    * frame — the served-model twin's entry point: score under a
+    * [[ModelStore]]-published LM ([[scoreWith]]/[[scoreWithKn]]), then
+    * tier here, so the tier cuts never force a retrain. */
+  def perplexityTiersOf(scored: DataFrame): DataFrame = {
+    val ppl = scored.persist()
     // a corpus with no 2+-token documents has no perplexities at all:
     // return the EMPTY three-column summary instead of letting the
     // quantile machinery throw its unrelated-looking "no non-null
@@ -222,7 +229,7 @@ object LangModel {
     if (ppl.limit(1).count() == 0L) {
       ppl.unpersist(blocking = false)
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-      return docs.sparkSession.createDataFrame(
+      return scored.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(Seq(
           StructField("tier", StringType),

@@ -201,16 +201,68 @@ private[graft] object StoreCommit {
     invalidateManifestMemo(fs, dir)
   }
 
+  /** Publish strategies [[exclusiveMoveFile]] dispatches between, BY
+    * FILESYSTEM SCHEME, because "rename refuses an existing destination
+    * atomically" is a per-filesystem guarantee, not a universal one:
+    *
+    *   - `HardLink` (local `file`): `Files.createLink` is an atomic
+    *     O_EXCL-grade create — POSIX rename(2) REPLACES silently, so the
+    *     precheck+rename protocol is NOT exclusive there;
+    *   - `AtomicRename` (`hdfs`, `viewfs`, `ofs`/`o3fs`, `alluxio`):
+    *     these filesystems implement single-file rename as an atomic
+    *     namespace operation that FAILS on an existing destination —
+    *     precheck+rename is belt-and-braces on top of that guarantee;
+    *   - `Unsupported` (`s3a`, `s3`, `s3n`, `gs`, `wasb[s]`, `abfs[s]`,
+    *     `oss`, `cos`, `swift`): object-store "rename" is COPY+DELETE —
+    *     two racing publishers can both pass the exists-precheck and
+    *     both "succeed", silently clobbering committed state. The store
+    *     tier refuses to pretend otherwise: publishing there throws a
+    *     documented error demanding external coordination (a lock
+    *     service / single-writer deployment) or a conditional-put
+    *     integration. Failing loudly at the first publish beats
+    *     corrupting a manifest history at the 100th.
+    *
+    * Schemes not listed get `AtomicRename` semantics WITH the read-back
+    * nonce verify as the final arbiter ([[commitManifest]] guard 4) —
+    * the verify is exactly the belt-and-braces for rename semantics we
+    * can't prove; the known-broken object stores above are refused
+    * rather than trusted to lose the race detectably. */
+  private[graft] sealed trait PublishStrategy
+  private[graft] case object HardLink extends PublishStrategy
+  private[graft] case object AtomicRename extends PublishStrategy
+  private[graft] case object Unsupported extends PublishStrategy
+
+  private[graft] def publishStrategy(scheme: String): PublishStrategy =
+    Option(scheme).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file") match {
+      case "file" => HardLink
+      case "s3a" | "s3" | "s3n" | "gs" | "wasb" | "wasbs" | "abfs" |
+           "abfss" | "oss" | "cos" | "swift" => Unsupported
+      case _ => AtomicRename
+    }
+
   /** Move FILE `src` onto `dst`, failing (never clobbering) if `dst`
-    * exists. On local filesystems this is `Files.createLink` — an atomic
-    * O_EXCL-grade create that closes the POSIX check-then-rename window;
-    * elsewhere (HDFS and friends, whose file rename refuses an existing
-    * destination atomically) it is exists-precheck + rename. */
+    * exists — dispatched per scheme via [[publishStrategy]]: hard link
+    * on local FS, exists-precheck + atomic-refusing rename on
+    * HDFS-family stores, and a LOUD refusal on object stores whose
+    * rename is copy+delete (no exclusivity to give — see
+    * [[PublishStrategy]] and SCALING.md's per-scheme guarantee table). */
   def exclusiveMoveFile(
       fs: FileSystem, src: Path, dst: Path, store: String): Unit = {
     def refused() = throw new java.util.ConcurrentModificationException(
       s"$store: publish $src -> $dst refused — destination already exists " +
         "(concurrent writer?); never overwriting committed state")
+    publishStrategy(fs.getUri.getScheme) match {
+      case Unsupported =>
+        throw new UnsupportedOperationException(
+          s"$store: exclusive publish is not implementable on " +
+            s"'${fs.getUri.getScheme}' (object-store rename is copy+delete; " +
+            "two racing publishers can both pass the exists check and both " +
+            "\"succeed\"). Deploy the store tier's writers single-writer " +
+            "behind external coordination (e.g. a lock service) and front " +
+            "the publish with it, or use an HDFS-family or local staging " +
+            "filesystem for manifests")
+      case HardLink | AtomicRename => ()
+    }
     if ("file".equals(fs.getUri.getScheme)) {
       val s = java.nio.file.Paths.get(src.toUri.getPath)
       val d = java.nio.file.Paths.get(dst.toUri.getPath)

@@ -121,4 +121,20 @@ class LangModelSpec extends SparkSpec {
     assert(tiers.values.map(_._2).min == all.head)
     assert(tiers.values.map(_._3).max == all.last)
   }
+
+  test("tiers under a ModelStore-published bigram LM equal the in-JVM tiers " +
+    "(the perplexity_tiers_served topology)") {
+    val many = (1L to 30L).map { i =>
+      val body = (0 until 8).map(j => s"w${(i * (j + 1)) % (3 + i % 9)}")
+      (i, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm_tiers_served")
+      .toString + "/m"
+    graft.functions.ModelStore.saveBigram(LangModel.train(many), dir)
+    val served = LangModel.perplexityTiersOf(
+      LangModel.scoreWith(
+        graft.functions.ModelStore.loadBigram(spark, dir), many))
+    assert(rows(served) == rows(LangModel.perplexityTiers(many)),
+      "published-model tier summary diverged from the in-JVM one")
+  }
 }

@@ -366,4 +366,25 @@ class NearDupSpec extends SparkSpec {
     got.foreach(r => assert(r._5 == BigDecimal(r._3 + r._4)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
+
+  test("lshTunedBands: the tuner pick is memoized per parameter tuple — " +
+    "a serve path never replans the grid") {
+    // warm: the first call may pay the one grid evaluation
+    val pick = Ext.lshTunedBands(spark, k = 32, threshold = 0.5,
+      gridN = 40, fnCeiling = 0.001)
+    assert(pick == 16, s"fn<=0.001 constrained pick at t=0.5 must be " +
+      s"(16,2) — the recall-safe banding the verified pipeline needs; got $pick")
+    val before = Ext.lshTuneComputes.get()
+    val again = Ext.lshTunedBands(spark, k = 32, threshold = 0.5,
+      gridN = 40, fnCeiling = 0.001)
+    assert(again == pick)
+    assert(Ext.lshTuneComputes.get() == before,
+      "a repeat serve-path call re-ran the lshTune grid instead of " +
+        "hitting the pick memo")
+    // a DIFFERENT parameter tuple is a different plan — must not alias
+    val looser = Ext.lshTunedBands(spark, k = 32, threshold = 0.5,
+      gridN = 40, fnCeiling = 1.0)
+    assert(looser == 8, s"unconstrained pick at t=0.5 is the (8,4) cost " +
+      s"minimum; got $looser (memo aliased across parameter tuples?)")
+  }
 }

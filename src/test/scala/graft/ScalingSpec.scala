@@ -129,6 +129,50 @@ class ScalingSpec extends SparkSpec {
     assertNearLinear("pairs+CC", one, eight)
   }
 
+  test("connected-components closure: shuffle bytes grow <= linearly " +
+    "8x -> 64x, measured exponent logged (the other half of dedup_clusters)") {
+    // the pair pipeline's 8x->64x exponent is measured above; this gates
+    // the CLOSURE loop at the same octave. Inflation is per-copy-bijective
+    // so component structure replicates exactly: label-propagation round
+    // count is a function of intra-copy component diameter and stays
+    // CONSTANT across factors — any byte superlinearity is closure
+    // overhead (a label explosion, a lost pre-partition), not more rounds.
+    // Broadcast pinned off for the same regime-change reason as the pair
+    // gate: at 100 TB every closure join is shuffled at both endpoints.
+    //
+    // The inflated corpus is collapsed to a storage leaf first: the
+    // fixture's f-way union-of-regexp plan is a TEST artifact (production
+    // corpora are parquet leaf scans), and the closure's per-round
+    // lineage references would otherwise embed that 64-branch tree
+    // exponentially — a plan-space OOM that says nothing about the
+    // pipeline's data movement. The checkpoint adds no shuffle bytes, so
+    // the measured exponent is untouched.
+    def cc(d: DataFrame): DataFrame = {
+      val corpus = d.localCheckpoint(true)
+      val pairs = NearDup.ngramJaccardPairs(corpus, threshold = 0.5)
+      Clusters.connectedComponents(
+        corpus.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+    }
+    def fresh(f: Int): (Long, Long) = {
+      PlanCache.clearShared()
+      measure(f)(cc)
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (eight, sixtyFour) =
+      try { spark.conf.set(key, "-1"); (fresh(8), fresh(64)) }
+      finally spark.conf.set(key, saved)
+    assert(sixtyFour._2 == 8 * eight._2,
+      s"label rows must scale exactly linearly: ${eight._2} -> ${sixtyFour._2}")
+    assert(eight._1 > 0, "no shuffle bytes measured at 8x — listener broken?")
+    val e = math.log(sixtyFour._1.toDouble / eight._1) / math.log(8.0)
+    info(f"closure shuffle-byte growth exponent 8x->64x: $e%.4f " +
+      f"(${eight._1}%,d B -> ${sixtyFour._1}%,d B)")
+    assert(e <= 1.1,
+      f"closure shuffle bytes grew with exponent $e%.4f (> linear) on the " +
+        f"8x->64x octave: ${eight._1} -> ${sixtyFour._1}")
+  }
+
   test("fuzzy deletion-key join: near-linear shuffle bytes on an 8x vocab") {
     // per-copy term renaming appends "_<ii>" (copies differ by TWO chars,
     // so cross-copy pairs are impossible at maxDist=1) — intra-copy edit

@@ -91,6 +91,29 @@ class StoreCommitSpec extends SparkSpec {
       s"memo served pre-replacement lines after an out-of-band rewrite: $after")
   }
 
+  test("publish strategy is per-scheme: hard link locally, rename on " +
+    "HDFS-family, LOUD refusal on copy+delete object stores") {
+    import graft.functions.StoreCommit.{publishStrategy, HardLink, AtomicRename, Unsupported}
+    assert(publishStrategy("file") == HardLink)
+    assert(publishStrategy(null) == HardLink) // no-scheme Path → local
+    for (s <- Seq("hdfs", "viewfs", "ofs", "o3fs", "alluxio"))
+      assert(publishStrategy(s) == AtomicRename, s)
+    for (s <- Seq("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs",
+        "abfss", "oss", "cos", "swift", "S3A"))
+      assert(publishStrategy(s) == Unsupported, s)
+    // and the refusal actually fires before any filesystem mutation
+    val fake = new org.apache.hadoop.fs.LocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    val e = intercept[UnsupportedOperationException] {
+      StoreCommit.exclusiveMoveFile(fake,
+        new org.apache.hadoop.fs.Path("/tmp/never_src"),
+        new org.apache.hadoop.fs.Path("/tmp/never_dst"), "TestStore")
+    }
+    assert(e.getMessage.contains("external coordination") ||
+      e.getMessage.contains("single-writer"), e.getMessage)
+  }
+
   // ------------------------------------------------- vacuum vs publish
 
   test("vacuum aborts with NOTHING deleted when a publish lands after its " +

@@ -145,6 +145,101 @@ class StreamOpsSpec extends SparkSpec {
     assert(acceptedIds.toSet == seqAccepted)
   }
 
+  test("ingestCleanStream crash-replay: micro-batches killed at randomized " +
+    "points leave no ghost state; replay converges to the uninterrupted run") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val phrases = Seq("bad phrase here").toDF("phrase")
+    val seedDocs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // the SAME three-batch fixture as the composition test: quality /
+    // blocklist / contamination rejects, cross-batch near-dups both of
+    // accepted and of rejected docs — the interesting state surfaces
+    val batches = Seq(
+      Seq(Doc(30L, "9999 8888 7777 6666 5555", ts(1)),
+        Doc(31L, "bad phrase here and the words of the day are good", ts(2)),
+        Doc(32L, "alpha beta gamma and the rest of these words are fine", ts(3)),
+        Doc(33L, "it was the best of times it was the worst of times", ts(4))),
+      Seq(Doc(34L, "it was the best of times it was the worst of times", ts(5)),
+        Doc(35L, "phrase here and the words of the day are good", ts(6))),
+      Seq(Doc(36L, "it was the best of times it was the worst of life", ts(7)),
+        Doc(37L, "to be or not to be that is the question and more", ts(8))))
+
+    /** Deliver ONE micro-batch through a fresh query; `kill` arms an
+      * injected crash either in the downstream callback (before the
+      * store append) or at the store's pre-commit window (data staged,
+      * manifest not yet published). Returns whether the batch landed. */
+    def attempt(storeDir: String, batch: Seq[Doc], kill: Option[String],
+        sink: scala.collection.mutable.Set[Long]): Boolean = {
+      val mem = MemoryStream[Doc]
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(kill.isDefined)
+      if (kill.contains("precommit"))
+        graft.functions.SignatureStore.onBeforeCommit = () =>
+          if (armed.getAndSet(false))
+            throw new RuntimeException("injected crash: pre-commit")
+      val q = StreamOps.ingestCleanStream(
+        mem.toDF().select(col("doc_id"), col("text")),
+        bench, phrases, "phrase", storeDir) { accepted =>
+        if (kill.contains("onAccepted") && armed.getAndSet(false))
+          throw new RuntimeException("injected crash: downstream consumer")
+        sink ++= accepted.select("doc_id").as[Long].collect()
+      }
+      try { mem.addData(batch: _*); q.processAllAvailable(); true }
+      catch { case _: Throwable => false }
+      finally {
+        q.stop()
+        graft.functions.SignatureStore.onBeforeCommit = () => ()
+      }
+    }
+
+    def freshStore(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_killreplay").toString
+      graft.functions.SignatureStore.build(seedDocs, d)
+      d
+    }
+
+    // uninterrupted reference run
+    val refStore = freshStore()
+    val refAccepted = scala.collection.mutable.Set.empty[Long]
+    batches.foreach(b => assert(attempt(refStore, b, None, refAccepted)))
+    val refStored = graft.functions.SignatureStore.stored(spark, refStore)
+      .select("doc_id").as[Long].collect().toSet
+
+    // randomized kill scenarios (seeded — reproducible): each batch draws
+    // a kill point; every scenario kills at least once
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val points = Seq(None, Some("onAccepted"), Some("precommit"))
+    for (scenario <- 1 to 4) {
+      var kills = batches.map(_ => points(rnd.nextInt(points.size)))
+      if (kills.forall(_.isEmpty)) kills = kills.updated(0, Some("precommit"))
+      val dir = freshStore()
+      val got = scala.collection.mutable.Set.empty[Long]
+      batches.zip(kills).foreach { case (b, kill) =>
+        val landed = attempt(dir, b, kill, got)
+        assert(landed == kill.isEmpty,
+          s"scenario $scenario: kill=$kill landed=$landed")
+        // an at-least-once source redelivers the crashed batch: the
+        // replay must land and converge
+        if (!landed) assert(attempt(dir, b, None, got),
+          s"scenario $scenario: replay of killed batch failed")
+      }
+      assert(got.toSet == refAccepted.toSet,
+        s"scenario $scenario (kills=$kills): accepted union diverged")
+      assert(graft.functions.SignatureStore.stored(spark, dir)
+        .select("doc_id").as[Long].collect().toSet == refStored,
+        s"scenario $scenario (kills=$kills): store state diverged — " +
+          "a crashed micro-batch left ghost signature state")
+      // crashed pre-commit attempts stage orphan generations: vacuum
+      // reaps them and the served state is unchanged
+      graft.functions.SignatureStore.vacuum(spark, dir)
+      assert(graft.functions.SignatureStore.stored(spark, dir)
+        .select("doc_id").as[Long].collect().toSet == refStored,
+        s"scenario $scenario: vacuum after crash-replay changed served state")
+    }
+  }
+
   test("dedupAgainstStatic anti-joins the ingested key set per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val ingested = Seq("same content").toDF("text")
