@@ -105,27 +105,38 @@ private[graft] object StoreCommit {
     // one metadata round trip per resolve — the cross-JVM staleness
     // validator (and the loud-failure path for vacuumed versions)
     val st = fs.getFileStatus(new Path(s"$dir/history/v$v"))
-    // ConcurrentHashMap.compute: a miss's physical read blocks only that
-    // key's bin, never JVM-wide hits on other stores (a global lock held
-    // across a slow-FS open would serialize every concurrent serve path
-    // behind one store's manifest I/O)
-    val entry = manifestMemo.compute(k, (_, old) =>
-      if (old != null && old.len == st.getLen &&
-          old.mtime == st.getModificationTime) old
-      else ManifestMemoEntry(readManifestLines(fs, dir, v),
-        st.getLen, st.getModificationTime))
-    // crude bound, precise enough for a memo: on overflow drop the lot
-    // (manifests rebuild from disk on the next read) rather than track
-    // LRU order under concurrency
-    if (manifestMemo.size() > 1024) manifestMemo.clear()
-    entry.lines
+    // access-ordered LRU, locked only for the map get/put — the physical
+    // read on a miss runs OUTSIDE the lock (a global lock held across a
+    // slow-FS open would serialize every concurrent serve path behind
+    // one store's manifest I/O). Two racers missing one key both read —
+    // committed manifests are immutable, so the duplicate read is
+    // harmless and last-put-wins leaves identical content.
+    val hit = manifestMemo.synchronized(Option(manifestMemo.get(k)))
+    hit match {
+      case Some(e) if e.len == st.getLen &&
+          e.mtime == st.getModificationTime => e.lines
+      case _ =>
+        val e = ManifestMemoEntry(readManifestLines(fs, dir, v),
+          st.getLen, st.getModificationTime)
+        manifestMemo.synchronized(manifestMemo.put(k, e))
+        e.lines
+    }
   }
 
   private final case class ManifestMemoEntry(
       lines: Seq[String], len: Long, mtime: Long)
 
+  /** Bounded access-ordered LRU: a fleet of temp stores in one long JVM
+    * evicts its coldest (dir, version) entries instead of periodically
+    * dropping the whole memo (the pre-round-16 crude bound, which made
+    * every live store pay a re-read after any 1025th store appeared). */
   private val manifestMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), ManifestMemoEntry]()
+    new java.util.LinkedHashMap[(String, Long), ManifestMemoEntry](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), ManifestMemoEntry]): Boolean =
+        this.size() > 1024
+    }
 
   /** Memo key for a store dir: the FS-qualified path string, so
     * `/a/b`, `/a/b/` and `file:///a/b` address ONE entry set — both the
@@ -138,8 +149,10 @@ private[graft] object StoreCommit {
   private[functions] def invalidateManifestMemo(
       fs: FileSystem, dir: String): Unit = {
     val d = memoDir(fs, dir)
-    val it = manifestMemo.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 == d) it.remove()
+    manifestMemo.synchronized {
+      val it = manifestMemo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == d) it.remove()
+    }
   }
 
   /** Publish `lines` (plus a generated `nonce` line) as version `v` of
