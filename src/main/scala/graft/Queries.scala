@@ -96,8 +96,10 @@ object Queries {
       // content by construction — drop our staging dir and read theirs.
       case e: java.nio.file.FileSystemException =>
         if (!Files.exists(fin)) throw e
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
     }
   }
 
