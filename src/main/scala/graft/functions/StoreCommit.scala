@@ -111,14 +111,13 @@ private[graft] object StoreCommit {
     // one store's manifest I/O). Two racers missing one key both read —
     // committed manifests are immutable, so the duplicate read is
     // harmless and last-put-wins leaves identical content.
-    val hit = manifestMemo.synchronized(Option(manifestMemo.get(k)))
-    hit match {
+    manifestMemo.get(k) match {
       case Some(e) if e.len == st.getLen &&
           e.mtime == st.getModificationTime => e.lines
       case _ =>
         val e = ManifestMemoEntry(readManifestLines(fs, dir, v),
           st.getLen, st.getModificationTime)
-        manifestMemo.synchronized(manifestMemo.put(k, e))
+        manifestMemo.put(k, e)
         e.lines
     }
   }
@@ -126,17 +125,37 @@ private[graft] object StoreCommit {
   private final case class ManifestMemoEntry(
       lines: Seq[String], len: Long, mtime: Long)
 
+  /** Thread-safe bounded access-ordered LRU — the memo's eviction
+    * policy, factored out so its semantics are directly unit-testable
+    * at a small capacity (the production memo's 1024 is not). `get`
+    * marks an entry hot; on overflow the coldest entry alone is
+    * evicted. All operations lock only for the map access — callers
+    * keep I/O outside. */
+  private[graft] final class LruMap[K, V](capacity: Int) {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        this.size() > capacity
+    }
+    def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+    def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+    def removeIf(p: K => Boolean): Unit = m.synchronized {
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (p(it.next())) it.remove()
+    }
+    def size: Int = m.synchronized(m.size())
+    def keys: Set[K] = m.synchronized {
+      val b = Set.newBuilder[K]
+      m.keySet().forEach(k => b += k)
+      b.result()
+    }
+  }
+
   /** Bounded access-ordered LRU: a fleet of temp stores in one long JVM
     * evicts its coldest (dir, version) entries instead of periodically
     * dropping the whole memo (the pre-round-16 crude bound, which made
     * every live store pay a re-read after any 1025th store appeared). */
-  private val manifestMemo =
-    new java.util.LinkedHashMap[(String, Long), ManifestMemoEntry](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), ManifestMemoEntry]): Boolean =
-        this.size() > 1024
-    }
+  private val manifestMemo = new LruMap[(String, Long), ManifestMemoEntry](1024)
 
   /** Memo key for a store dir: the FS-qualified path string, so
     * `/a/b`, `/a/b/` and `file:///a/b` address ONE entry set — both the
@@ -149,10 +168,7 @@ private[graft] object StoreCommit {
   private[functions] def invalidateManifestMemo(
       fs: FileSystem, dir: String): Unit = {
     val d = memoDir(fs, dir)
-    manifestMemo.synchronized {
-      val it = manifestMemo.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == d) it.remove()
-    }
+    manifestMemo.removeIf(_._1 == d)
   }
 
   /** Publish `lines` (plus a generated `nonce` line) as version `v` of

@@ -91,6 +91,21 @@ class StoreCommitSpec extends SparkSpec {
       s"memo served pre-replacement lines after an out-of-band rewrite: $after")
   }
 
+  test("LruMap: bounded, access-ordered eviction; removeIf; get marks hot") {
+    val m = new StoreCommit.LruMap[String, Int](2)
+    m.put("a", 1); m.put("b", 2)
+    assert(m.get("a").contains(1)) // touch a: b is now the coldest
+    m.put("c", 3)                  // overflow evicts ONLY the coldest (b)
+    assert(m.keys == Set("a", "c"), m.keys)
+    assert(m.get("b").isEmpty && m.get("a").contains(1) && m.get("c").contains(3))
+    // the line above touched a then c, so a is now the coldest → a evicts
+    m.put("d", 4)
+    assert(m.keys == Set("c", "d"), m.keys)
+    m.removeIf(_ == "c")
+    assert(m.keys == Set("d") && m.size == 1)
+    intercept[IllegalArgumentException](new StoreCommit.LruMap[String, Int](0))
+  }
+
   test("publish strategy is per-scheme: hard link locally, rename on " +
     "HDFS-family, LOUD refusal on copy+delete object stores") {
     import graft.functions.StoreCommit.{publishStrategy, HardLink, AtomicRename, Unsupported}
