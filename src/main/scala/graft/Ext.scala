@@ -3110,7 +3110,15 @@ object Ext {
 
   /** Published-model paths: one KN artifact per corpus plan, built once
     * per JVM via [[graft.functions.ModelStore.saveKn]] (build metered as
-    * `kn_model_publish`). */
+    * `kn_model_publish`). The cached value is the REGISTERED TempDirs
+    * parent (the model itself lives at `<value>/m`) so eviction reclaims
+    * the whole dir — caching the `/m` child handed [[graft.TempDirs
+    * .delete]] an unregistered path, which it (correctly) refused to
+    * touch, leaking every evicted model until JVM exit. Eviction deletes
+    * the parquet a loaded model's frames scan, so an evicted dir must
+    * not outlive an unevaluated frame built over it — callers evaluate
+    * (here: the registry collects every key's result) before the
+    * capacity-4 cache can cycle. */
   private val knModelDirs =
     new graft.PlanCache[String](capacity = 4, durable = true,
       onEvict = p => graft.TempDirs.delete(p))
@@ -3131,10 +3139,10 @@ object Ext {
           val lm = graft.functions.LangModel.trainKn(docs)
           graft.functions.ModelStore.saveKn(lm, s"$tmp/m")
           lm.unpersist()
-          s"$tmp/m"
+          tmp
         })
       graft.functions.LangModel.scoreWithKn(
-        graft.functions.ModelStore.loadKn(s, dir), docs)
+        graft.functions.ModelStore.loadKn(s, s"$dir/m"), docs)
         .orderBy(col("doc_id"))
     },
     knPerplexity.oracle
@@ -3160,7 +3168,9 @@ object Ext {
   )
 
   /** Published add-one-bigram model dirs, one per corpus plan — the
-    * [[knModelDirs]] convention for the tiers pipeline's base LM. */
+    * [[knModelDirs]] convention for the tiers pipeline's base LM
+    * (cached value = registered TempDirs parent; model at `<value>/m`;
+    * same eviction-lifetime rule). */
   private val bigramModelDirs =
     new graft.PlanCache[String](capacity = 4, durable = true,
       onEvict = p => graft.TempDirs.delete(p))
@@ -3183,11 +3193,11 @@ object Ext {
           val tmp = graft.TempDirs.create("graft_bigram_model")
           graft.functions.ModelStore.saveBigram(
             graft.functions.LangModel.train(docs), s"$tmp/m")
-          s"$tmp/m"
+          tmp
         })
       graft.functions.LangModel.perplexityTiersOf(
         graft.functions.LangModel.scoreWith(
-          graft.functions.ModelStore.loadBigram(s, dir), docs))
+          graft.functions.ModelStore.loadBigram(s, s"$dir/m"), docs))
     },
     perplexityTiersQ.oracle
   )

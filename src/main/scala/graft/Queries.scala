@@ -88,18 +88,32 @@ object Queries {
     val salt = java.util.concurrent.ThreadLocalRandom.current()
       .nextLong(1L, Long.MaxValue)
     val tmp = Paths.get(s"${scanCsvDir}_stage_$salt")
-    val n = nation(s, d)
-    graft.sources.Io.writeCsv(n, tmp.toString, sep = ",", writeHeader = true)
-    try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // rename refused: a concurrent publisher landed first. Same-rows
-      // content by construction — drop our staging dir and read theirs.
-      case e: java.nio.file.FileSystemException =>
-        if (!Files.exists(fin)) throw e
+    // best-effort staging reclaim — runs on the lost-race branch AND on
+    // every failure path (writeCsv throw, genuine I/O error from the
+    // move), so crashed runs never accumulate `_stage_<salt>` debris
+    def discardStaging(): Unit =
+      if (Files.exists(tmp)) {
         val walk = Files.walk(tmp)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
         finally walk.close()
+      }
+    try {
+      val n = nation(s, d)
+      graft.sources.Io.writeCsv(n, tmp.toString, sep = ",", writeHeader = true)
+      try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // rename refused: a concurrent publisher landed first. Same-rows
+        // content by construction — drop our staging dir and read theirs.
+        case e: java.nio.file.FileSystemException =>
+          if (!Files.exists(fin)) throw e
+          discardStaging()
+      }
+    } catch {
+      case e: Throwable =>
+        try discardStaging()
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
   }
 

@@ -92,6 +92,16 @@ object PairStore {
     * No-op in production. */
   private[graft] var onBeforeAppendCommit: () => Unit = () => ()
 
+  /** Test seam: invoked inside [[commitManifest]] for EVERY write verb
+    * (build/append/delete/recover), with the writer's generations fully
+    * staged and the manifest not yet published — the store tier's
+    * shared crash window ([[SignatureStore.onBeforeCommit]] /
+    * [[IvfIndex.onBeforeCommit]] convention). PairStoreSpec's
+    * randomized kill-replay injects a crash here and asserts the replay
+    * converges and vacuum reaps the orphaned staging. No-op in
+    * production. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
   /** A pinned, immutable view of the store at one committed version:
     * `pairs` and `labels` resolve to the exact files that version's
     * manifest listed, so the view stays consistent while later appends,
@@ -692,6 +702,12 @@ object PairStore {
     * deleted data — which is why recover/vacuum must only run with no
     * writer live (the class-level rule). */
   private def commitManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
+    // test seam: fires with this writer's generations fully staged and
+    // the manifest not yet published — the crash window every store
+    // carries ([[SignatureStore.onBeforeCommit]] / [[IvfIndex
+    // .onBeforeCommit]] convention); PairStoreSpec kills here and
+    // asserts replay convergence + vacuum reap. No-op in production.
+    onBeforeCommit()
     val latest = committedVersions(fs, dir).maxOption
     if (latest.exists(_ >= m.version))
       throw new java.util.ConcurrentModificationException(
@@ -710,12 +726,18 @@ object PairStore {
             "missing (a concurrent recover/vacuum reaped this writer's " +
             "uncommitted generation?) — replay the batch")
     }
+    // leading per-commit nonce — the same first-line identity every
+    // StoreCommit manifest carries, so the serve memo's positional
+    // staleness check ([[StoreCommit.readManifestLinesCached]]) is
+    // sound here too (a cross-JVM rebuild recycling (dir, v) can never
+    // alias: it mints a fresh nonce)
+    val nonce = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(1L, Long.MaxValue)
     val lines =
-      Seq(s"version ${m.version}") ++
+      Seq(s"nonce $nonce", s"version ${m.version}") ++
         m.buckets.toSeq.sortBy(_._1).map { case (bk, g) => s"bucket $bk $g" } ++
         m.pairFiles.sorted.map(f => s"pairfile $f")
-    val tmp = new Path(s"$dir/history/.tmp_v${m.version}_" +
-      java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, GenStride))
+    val tmp = new Path(s"$dir/history/.tmp_v${m.version}_$nonce")
     fs.mkdirs(new Path(s"$dir/history"))
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -754,6 +776,7 @@ object PairStore {
     lines.foreach { l =>
       l.split(" ") match {
         case Array("version", _)     => ()
+        case Array("nonce", _)       => ()
         case Array("bucket", bk, g)  => buckets += (bk.toInt -> g.toLong)
         case Array("pairfile", f)    => files += f
         case other => throw new IllegalStateException(

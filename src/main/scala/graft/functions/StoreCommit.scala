@@ -84,15 +84,21 @@ private[graft] object StoreCommit {
     *     can change;
     *   - a CROSS-JVM rebuild can recycle (dir, v0) without this JVM ever
     *     seeing a commit — so every memo hit is validated against the
-    *     manifest file's (length, modificationTime) captured at
-    *     memoization: ONE metadata call (a stat / object-store HEAD),
-    *     never the open+read+parse the memo exists to avoid. A rebuild
-    *     mints a physically new v0 file (delete + salted tmp + exclusive
-    *     publish), so either field moving forces a re-read; the check is
-    *     a detector for the rebuild-races-reader flow, not a license to
-    *     defeat the store tier's "no writer live during vacuum" rule;
+    *     manifest's leading `nonce` line via ONE positional read of its
+    *     first bytes ([[validateNonceHit]]): the nonce is minted fresh
+    *     per commit (62 random bits), so a recycled (dir, v) can NEVER
+    *     serve stale lines — unlike the pre-round-17 (length,
+    *     modificationTime) stat compare, which aliased a same-length
+    *     rewrite landing within the filesystem's mtime granularity tick.
+    *     Cost: an open + ≤64-byte pread instead of a stat — on an object
+    *     store a ranged GET in place of a HEAD; still never the full
+    *     read+parse the memo exists to avoid. Manifests written before
+    *     the nonce-first layout (no leading nonce line) fall back to the
+    *     (length, mtime) compare, where a same-length same-tick rewrite
+    *     is undetectable — the detector caveat ADVICE r16 flagged, now
+    *     confined to the legacy layout;
     *   - a VACUUMED version's entry outlives its file, but the
-    *     validating `getFileStatus` (and every read path's
+    *     validating open/stat (and every read path's
     *     `fs.exists(history/vN)` / [[currentVersion]] gate) fails
     *     loudly on the missing file, so retired pins never serve from
     *     memory.
@@ -102,9 +108,7 @@ private[graft] object StoreCommit {
   def readManifestLinesCached(
       fs: FileSystem, dir: String, v: Long): Seq[String] = {
     val k = (memoDir(fs, dir), v)
-    // one metadata round trip per resolve — the cross-JVM staleness
-    // validator (and the loud-failure path for vacuumed versions)
-    val st = fs.getFileStatus(new Path(s"$dir/history/v$v"))
+    val p = new Path(s"$dir/history/v$v")
     // access-ordered LRU, locked only for the map get/put — the physical
     // read on a miss runs OUTSIDE the lock (a global lock held across a
     // slow-FS open would serialize every concurrent serve path behind
@@ -112,18 +116,57 @@ private[graft] object StoreCommit {
     // committed manifests are immutable, so the duplicate read is
     // harmless and last-put-wins leaves identical content.
     manifestMemo.get(k) match {
-      case Some(e) if e.len == st.getLen &&
-          e.mtime == st.getModificationTime => e.lines
-      case _ =>
-        val e = ManifestMemoEntry(readManifestLines(fs, dir, v),
-          st.getLen, st.getModificationTime)
-        manifestMemo.put(k, e)
-        e.lines
+      case Some(e) if e.nonceLine.isDefined =>
+        // sound path: one positional read of the leading nonce line
+        if (validateNonceHit(fs, p, e.nonceLine.get)) e.lines
+        else memoizeFresh(fs, dir, v, k)
+      case Some(e) =>
+        // legacy layout (no leading nonce): best-effort stat compare
+        val st = fs.getFileStatus(p)
+        if (e.len == st.getLen && e.mtime == st.getModificationTime) e.lines
+        else memoizeFresh(fs, dir, v, k)
+      case None => memoizeFresh(fs, dir, v, k)
     }
   }
 
+  private def memoizeFresh(
+      fs: FileSystem, dir: String, v: Long, k: (String, Long)): Seq[String] = {
+    val st = fs.getFileStatus(new Path(s"$dir/history/v$v"))
+    val lines = readManifestLines(fs, dir, v)
+    val e = ManifestMemoEntry(lines,
+      lines.headOption.filter(_.startsWith("nonce ")),
+      st.getLen, st.getModificationTime)
+    manifestMemo.put(k, e)
+    e.lines
+  }
+
+  /** ONE positional read deciding whether the on-disk manifest is still
+    * the commit the memo captured: true iff the file's first bytes are
+    * exactly `<nonceLine>\n`. Nonces are fresh 62-bit draws per commit,
+    * so a match identifies the commit (a different commit recycling the
+    * same (dir, v) AND drawing the same nonce is a 2^-62 event — the
+    * same negligibility class as the salted-staging collision the
+    * protocol already accepts). A missing file (vacuumed version)
+    * propagates the loud FileNotFoundException; a short file reads as a
+    * mismatch → full re-read. */
+  private def validateNonceHit(
+      fs: FileSystem, p: Path, nonceLine: String): Boolean = {
+    manifestNonceChecks.incrementAndGet()
+    val expect = (nonceLine + "\n").getBytes("UTF-8")
+    val buf = new Array[Byte](expect.length)
+    val in = fs.open(p)
+    try { in.readFully(0L, buf); java.util.Arrays.equals(buf, expect) }
+    catch { case _: java.io.EOFException => false }
+    finally in.close()
+  }
+
+  /** Positional nonce validations performed — test observability for the
+    * hit path (full physical reads count in [[manifestFileReads]]). */
+  private[graft] val manifestNonceChecks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private final case class ManifestMemoEntry(
-      lines: Seq[String], len: Long, mtime: Long)
+      lines: Seq[String], nonceLine: Option[String], len: Long, mtime: Long)
 
   /** Thread-safe bounded access-ordered LRU — the memo's eviction
     * policy, factored out so its semantics are directly unit-testable
@@ -211,7 +254,10 @@ private[graft] object StoreCommit {
           "generation?) — replay the batch"))
     val nonce = java.util.concurrent.ThreadLocalRandom.current()
       .nextLong(1L, Long.MaxValue)
-    val all = lines :+ s"nonce $nonce"
+    // the nonce line leads so [[validateNonceHit]] can identify the
+    // commit from the file's first bytes alone (manifest parsers are
+    // line-order-insensitive)
+    val all = s"nonce $nonce" +: lines
     val tmp = new Path(s"$dir/history/.tmp_v${v}_$nonce")
     fs.mkdirs(new Path(s"$dir/history"))
     val out = fs.create(tmp, true)
@@ -237,82 +283,175 @@ private[graft] object StoreCommit {
     *   - `HardLink` (local `file`): `Files.createLink` is an atomic
     *     O_EXCL-grade create — POSIX rename(2) REPLACES silently, so the
     *     precheck+rename protocol is NOT exclusive there;
-    *   - `AtomicRename` (`hdfs`, `viewfs`, `ofs`/`o3fs`, `alluxio`):
-    *     these filesystems implement single-file rename as an atomic
+    *   - `AtomicRename` (`hdfs`, `viewfs`, `webhdfs`/`swebhdfs`,
+    *     `ofs`/`o3fs`, `alluxio` — an explicit ALLOWLIST): these
+    *     filesystems implement single-file rename as an atomic
     *     namespace operation that FAILS on an existing destination —
-    *     precheck+rename is belt-and-braces on top of that guarantee;
-    *   - `Unsupported` (`s3a`, `s3`, `s3n`, `gs`, `wasb[s]`, `abfs[s]`,
-    *     `oss`, `cos`, `swift`): object-store "rename" is COPY+DELETE —
-    *     two racing publishers can both pass the exists-precheck and
-    *     both "succeed", silently clobbering committed state. The store
-    *     tier refuses to pretend otherwise: publishing there throws a
-    *     documented error demanding external coordination (a lock
-    *     service / single-writer deployment) or a conditional-put
-    *     integration. Failing loudly at the first publish beats
-    *     corrupting a manifest history at the 100th.
-    *
-    * Schemes not listed get `AtomicRename` semantics WITH the read-back
-    * nonce verify as the final arbiter ([[commitManifest]] guard 4) —
-    * the verify is exactly the belt-and-braces for rename semantics we
-    * can't prove; the known-broken object stores above are refused
-    * rather than trusted to lose the race detectably. */
+    *     precheck+rename is belt-and-braces on top of that guarantee.
+    *     A deployer who can vouch for another filesystem's
+    *     refuse-existing rename extends the allowlist via
+    *     `graft.store.publish.trust-rename-schemes` (comma-separated);
+    *   - `ConditionalPut` (the object-store schemes, OPT-IN via
+    *     `graft.store.publish.conditional-put=true`): skip the move
+    *     entirely and write the destination directly through
+    *     `createFile(dst).overwrite(false)` — on connectors with
+    *     conditional-write support the final PUT carries the store's
+    *     create-if-absent precondition (S3 `If-None-Match: *` under
+    *     Hadoop 3.4.1+ S3A conditional create; GCS
+    *     `if-generation-match: 0`), so the OBJECT STORE ITSELF admits
+    *     exactly one of N racers at close(). Setting the flag is the
+    *     deployer's statement that the connector enforces the
+    *     precondition (e.g. `fs.s3a.create.conditional.enabled`);
+    *     the caller-side read-back verify (nonce / content — guard 4
+    *     of every commit path) remains the final arbiter on top;
+    *   - `Unsupported` (those same object-store schemes WITHOUT the
+    *     opt-in, and any scheme not allowlisted): object-store "rename"
+    *     is COPY+DELETE — two racing publishers can both pass the
+    *     exists-precheck and both "succeed", silently clobbering
+    *     committed state; and an unknown filesystem's rename semantics
+    *     are unprovable, so `exclusiveMoveFile` call sites WITHOUT a
+    *     read-back verify (generation-data publishes) would be
+    *     protected by nothing at all there (the r16 ADVICE finding on
+    *     defaulting unknowns to rename). Publishing throws a documented
+    *     error demanding the conditional-put opt-in, the trust-rename
+    *     assertion, or external coordination. Failing loudly at the
+    *     first publish beats corrupting a manifest history at the
+    *     100th. */
   private[graft] sealed trait PublishStrategy
   private[graft] case object HardLink extends PublishStrategy
   private[graft] case object AtomicRename extends PublishStrategy
+  private[graft] case object ConditionalPut extends PublishStrategy
   private[graft] case object Unsupported extends PublishStrategy
 
+  /** Opt-in: the deployed object-store connector enforces a
+    * create-if-absent precondition on `overwrite(false)` writes. */
+  private[graft] val ConditionalPutKey = "graft.store.publish.conditional-put"
+  /** Deployer-asserted additional refuse-existing-rename schemes. */
+  private[graft] val TrustRenameKey = "graft.store.publish.trust-rename-schemes"
+
+  private val RenameAllowlist = Set(
+    "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs", "alluxio")
+  private val ObjectStoreSchemes = Set(
+    "s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cos", "swift")
+
   private[graft] def publishStrategy(scheme: String): PublishStrategy =
-    Option(scheme).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file") match {
-      case "file" => HardLink
-      case "s3a" | "s3" | "s3n" | "gs" | "wasb" | "wasbs" | "abfs" |
-           "abfss" | "oss" | "cos" | "swift" => Unsupported
-      case _ => AtomicRename
-    }
+    publishStrategy(scheme, conditionalPut = false, trusted = Set.empty)
+
+  private[graft] def publishStrategy(
+      scheme: String, conditionalPut: Boolean,
+      trusted: Set[String]): PublishStrategy = {
+    val s = Option(scheme).map(_.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("file")
+    if (s == "file") HardLink
+    else if (RenameAllowlist(s) || trusted(s)) AtomicRename
+    else if (ObjectStoreSchemes(s) && conditionalPut) ConditionalPut
+    else Unsupported
+  }
+
+  private def strategyFor(fs: FileSystem): PublishStrategy = {
+    val conf = fs.getConf
+    publishStrategy(
+      fs.getUri.getScheme,
+      conditionalPut =
+        conf != null && conf.getBoolean(ConditionalPutKey, false),
+      trusted =
+        if (conf == null) Set.empty
+        else conf.getTrimmedStrings(TrustRenameKey).toSet
+          .map((x: String) => x.toLowerCase(java.util.Locale.ROOT)))
+  }
+
+  private def refusedExisting(
+      store: String, src: Path, dst: Path): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"$store: publish $src -> $dst refused — destination already exists " +
+        "(concurrent writer?); never overwriting committed state")
 
   /** Move FILE `src` onto `dst`, failing (never clobbering) if `dst`
     * exists — dispatched per scheme via [[publishStrategy]]: hard link
-    * on local FS, exists-precheck + atomic-refusing rename on
-    * HDFS-family stores, and a LOUD refusal on object stores whose
-    * rename is copy+delete (no exclusivity to give — see
+    * on local FS, exists-precheck + atomic-refusing rename on the
+    * allowlisted HDFS-family stores, an opt-in conditional-put direct
+    * write on object stores, and a LOUD refusal everywhere else (see
     * [[PublishStrategy]] and SCALING.md's per-scheme guarantee table). */
   def exclusiveMoveFile(
-      fs: FileSystem, src: Path, dst: Path, store: String): Unit = {
-    def refused() = throw new java.util.ConcurrentModificationException(
-      s"$store: publish $src -> $dst refused — destination already exists " +
-        "(concurrent writer?); never overwriting committed state")
-    publishStrategy(fs.getUri.getScheme) match {
+      fs: FileSystem, src: Path, dst: Path, store: String): Unit =
+    strategyFor(fs) match {
       case Unsupported =>
         throw new UnsupportedOperationException(
           s"$store: exclusive publish is not implementable on " +
-            s"'${fs.getUri.getScheme}' (object-store rename is copy+delete; " +
+            s"'${fs.getUri.getScheme}' (object-store rename is copy+delete " +
+            "and unlisted filesystems' rename semantics are unprovable; " +
             "two racing publishers can both pass the exists check and both " +
-            "\"succeed\"). Deploy the store tier's writers single-writer " +
-            "behind external coordination (e.g. a lock service) and front " +
-            "the publish with it, or use an HDFS-family or local staging " +
-            "filesystem for manifests")
-      case HardLink | AtomicRename => ()
+            "\"succeed\"). Either opt in to conditional-put publishes where " +
+            s"the connector supports create-if-absent ('$ConditionalPutKey'" +
+            "=true, e.g. Hadoop 3.4.1+ S3A with conditional create), assert " +
+            s"refuse-existing rename via '$TrustRenameKey', or deploy the " +
+            "store tier's writers single-writer behind external " +
+            "coordination (e.g. a lock service), or use an HDFS-family or " +
+            "local staging filesystem for manifests")
+      case ConditionalPut =>
+        conditionalPutPublish(fs, src, dst, store)
+      case HardLink =>
+        val s = java.nio.file.Paths.get(src.toUri.getPath)
+        val d = java.nio.file.Paths.get(dst.toUri.getPath)
+        val linked =
+          try { java.nio.file.Files.createLink(d, s); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              refusedExisting(store, src, dst)
+            case _: UnsupportedOperationException =>
+              // no hard links on this volume — fall back to the precheck path
+              if (fs.exists(dst)) refusedExisting(store, src, dst)
+              if (!fs.rename(src, dst))
+                throw new IllegalStateException(
+                  s"$store: rename $src -> $dst failed")
+              false
+          }
+        // link landed; drop the tmp name (via the Hadoop FS so checksum
+        // sidecars written by LocalFileSystem go with it)
+        if (linked) fs.delete(src, false)
+        ()
+      case AtomicRename =>
+        if (fs.exists(dst)) refusedExisting(store, src, dst)
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(s"$store: rename $src -> $dst failed")
     }
-    if ("file".equals(fs.getUri.getScheme)) {
-      val s = java.nio.file.Paths.get(src.toUri.getPath)
-      val d = java.nio.file.Paths.get(dst.toUri.getPath)
-      try java.nio.file.Files.createLink(d, s)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => refused()
-        case _: UnsupportedOperationException =>
-          // no hard links on this volume — fall back to the precheck path
-          if (fs.exists(dst)) refused()
-          if (!fs.rename(src, dst))
-            throw new IllegalStateException(s"$store: rename $src -> $dst failed")
-          return
-      }
-      // link landed; drop the tmp name (via the Hadoop FS so checksum
-      // sidecars written by LocalFileSystem go with it)
-      fs.delete(src, false)
-    } else {
-      if (fs.exists(dst)) refused()
-      if (!fs.rename(src, dst))
-        throw new IllegalStateException(s"$store: rename $src -> $dst failed")
+
+  /** The `ConditionalPut` publish: copy the staged FILE's bytes (small
+    * by protocol — manifests and `_MODEL` pointers, never data
+    * generations, which are salted-unique and need no exclusivity) into
+    * a `createFile(dst).overwrite(false)` stream. On a
+    * conditional-write-capable connector the precondition rides the
+    * final PUT, so of N racers the store itself fails all but one AT
+    * CLOSE — the loser surfaces as `FileAlreadyExistsException` or a
+    * connector `PathIOException` (S3A's RemoteFileChangedException on a
+    * 412), both mapped to the protocol's replay signal
+    * (`ConcurrentModificationException`). A genuine I/O failure inside
+    * that window maps to the same replay signal — safe: the caller
+    * replays, and the read-back verify arbitrates whatever landed. */
+  private[graft] def conditionalPutPublish(
+      fs: FileSystem, src: Path, dst: Path, store: String): Unit = {
+    val in = fs.open(src)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    try {
+      val out = fs.createFile(dst).overwrite(false).build()
+      try out.write(bytes)
+      finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        refusedExisting(store, src, dst)
+      case _: java.nio.file.FileAlreadyExistsException =>
+        refusedExisting(store, src, dst)
+      case e: org.apache.hadoop.fs.PathIOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$store: conditional-put publish $src -> $dst failed the " +
+            s"store's create-if-absent precondition (or I/O) — lost the " +
+            s"publish race; replay the batch [${e.getMessage}]")
     }
+    fs.delete(src, false)
+    ()
   }
 
   /** Test seam: invoked inside [[assertVersionsUnchanged]] immediately

@@ -72,9 +72,12 @@ class FrameIoSpec extends SparkSpec {
     val fin = Paths.get(Queries.scanCsvDir)
     val parent = fin.getParent
     // fresh publish (tests own this gitignored path)
-    if (Files.exists(fin))
-      Files.walk(fin).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(fin)) {
+      val walk = Files.walk(fin)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
     Queries.publishScanCsvFixture(spark, sf0001)
     assert(Files.exists(fin), "fixture not published")
     val firstStamp = Files.getLastModifiedTime(fin)
@@ -83,12 +86,15 @@ class FrameIoSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(fin) == firstStamp,
       "an already-published fixture was rewritten")
     // no staging debris survives (winner renamed; repeat calls early-out)
-    val debris = Files.list(parent).iterator()
+    val debrisStream = Files.list(parent)
     val leftover = new scala.collection.mutable.ArrayBuffer[String]
-    while (debris.hasNext) {
-      val n = debris.next().getFileName.toString
-      if (n.contains("_stage_")) leftover += n
-    }
+    try {
+      val debris = debrisStream.iterator()
+      while (debris.hasNext) {
+        val n = debris.next().getFileName.toString
+        if (n.contains("_stage_")) leftover += n
+      }
+    } finally debrisStream.close()
     assert(leftover.isEmpty, s"staging debris left behind: $leftover")
     // and a racer that loses the rename discards its staging dir: simulate
     // by invoking publish with the final dir already present (the early-out

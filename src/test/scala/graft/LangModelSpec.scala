@@ -137,4 +137,35 @@ class LangModelSpec extends SparkSpec {
     assert(rows(served) == rows(LangModel.perplexityTiers(many)),
       "published-model tier summary diverged from the in-JVM one")
   }
+
+  test("cross-handle cold serve: a SECOND fresh loadBigram from a " +
+    "pre-existing dir — no publish in that 'session' — is tier-identical " +
+    "(the versioned-artifact topology perplexity_tiers_served claims)") {
+    val many = (1L to 30L).map { i =>
+      val body = (0 until 8).map(j => s"w${(i * (j + 1)) % (3 + i % 9)}")
+      (i, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm_tiers_cold")
+      .toString + "/m"
+    // "session 1": train + publish + serve (the build path)
+    graft.functions.ModelStore.saveBigram(LangModel.train(many), dir)
+    val manifest = java.nio.file.Paths.get(s"$dir/_MODEL")
+    val publishedBytes = java.nio.file.Files.readAllBytes(manifest)
+    val first = rows(LangModel.perplexityTiersOf(
+      LangModel.scoreWith(
+        graft.functions.ModelStore.loadBigram(spark, dir), many)))
+    // "session 2": a COLD load of the pre-existing artifact — a fresh
+    // handle resolved purely from the on-disk manifest, never the
+    // trainer (the recurring-tiering-job topology: score + tier under
+    // the versioned LM, no retrain, no republish)
+    val cold = graft.functions.ModelStore.loadBigram(spark, dir)
+    val second = rows(LangModel.perplexityTiersOf(
+      LangModel.scoreWith(cold, many)))
+    assert(second == first,
+      "a cold cross-handle load served different tiers than the " +
+        "publishing session")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(manifest), publishedBytes),
+      "a cold load must never republish or mutate the model manifest")
+  }
 }

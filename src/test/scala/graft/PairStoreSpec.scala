@@ -643,4 +643,76 @@ class PairStoreSpec extends SparkSpec {
     assert(!fs.exists(p(staged)) && !fs.exists(p(tmpMan)),
       "explicit recover (no writer live) reaps staging and tmp manifests")
   }
+
+  test("randomized kill-replay: writes killed in the pre-commit window " +
+      "(generations staged, manifest unpublished) replay to convergence; " +
+      "recover+vacuum reap the crashed staging with served state unchanged") {
+    // three appends + a delete — the verb mix [[PairStore.onBeforeCommit]]
+    // covers (the seam fires inside commitManifest for every write verb)
+    val appends = Seq(
+      (Seq(3L, 4L), Seq((2L, 3L), (3L, 4L))),
+      (Seq(5L, 6L), Seq((5L, 6L))),
+      (Seq(7L), Seq((1L, 7L))))
+    val delIds = Seq(4L)
+
+    def runStore(kills: Seq[Boolean]): String = {
+      val dir = tmpDir()
+      PairStore.build(Seq(1L, 2L).toDF("id"),
+        Seq((1L, 2L)).toDF("id_a", "id_b"), dir, "id", "id_a", "id_b")
+      def guarded(kill: Boolean)(op: => Unit): Unit =
+        if (!kill) op
+        else {
+          val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+          PairStore.onBeforeCommit = () =>
+            if (armed.getAndSet(false))
+              throw new RuntimeException("injected crash: pre-commit")
+          try intercept[RuntimeException](op)
+          finally PairStore.onBeforeCommit = () => ()
+          // the caller's at-least-once redelivery: replay the whole verb
+          op
+        }
+      appends.zipWithIndex.foreach { case ((ns, es), i) =>
+        guarded(kills(i))(PairStore.append(ns.toDF("id"),
+          es.toDF("id_a", "id_b"), dir, "id", "id_a", "id_b"))
+      }
+      guarded(kills(3))(
+        PairStore.delete(delIds.toDF("id"), dir, "id", "id_a", "id_b"))
+      dir
+    }
+    def labelsOf(dir: String): Map[Long, Long] =
+      PairStore.labels(spark, dir).as[(Long, Long)].collect().toMap
+    def pairsOf(dir: String): Seq[(Long, Long)] =
+      PairStore.pairs(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+    def genDirs(dir: String): Int =
+      fs.listStatus(p(s"$dir/labels")).count(_.isDirectory)
+
+    // uninterrupted reference run, taken through the same maintenance
+    val ref = runStore(Seq(false, false, false, false))
+    val refLabels = labelsOf(ref)
+    val refPairs = pairsOf(ref)
+    PairStore.recover(spark, ref)
+    PairStore.vacuum(spark, ref, keepLast = 1)
+    val refGens = genDirs(ref)
+
+    val rnd = new scala.util.Random(0xBADC0DE)
+    for (scenario <- 1 to 3) {
+      var kills = Seq.fill(4)(rnd.nextBoolean())
+      if (!kills.exists(identity)) kills = kills.updated(scenario % 4, true)
+      val dir = runStore(kills)
+      assert(labelsOf(dir) == refLabels,
+        s"scenario $scenario (kills=$kills): labels diverged after replay")
+      assert(pairsOf(dir) == refPairs,
+        s"scenario $scenario (kills=$kills): pair table diverged")
+      // killed attempts left staged-but-unreferenced generations behind;
+      // the explicit maintenance pass (no writer live) reaps them all —
+      // the store's physical layout returns to the uninterrupted run's
+      PairStore.recover(spark, dir)
+      PairStore.vacuum(spark, dir, keepLast = 1)
+      assert(labelsOf(dir) == refLabels && pairsOf(dir) == refPairs,
+        s"scenario $scenario: recover+vacuum changed the served state")
+      assert(genDirs(dir) == refGens,
+        s"scenario $scenario (kills=$kills): crashed staging survived " +
+          s"recover+vacuum (${genDirs(dir)} label generations vs $refGens)")
+    }
+  }
 }

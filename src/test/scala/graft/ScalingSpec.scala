@@ -193,6 +193,44 @@ class ScalingSpec extends SparkSpec {
     assertNearLinear("fuzzyPairs", one, eight)
   }
 
+  test("fuzzy deletion-key join: shuffle bytes grow <= linearly 8x -> 64x, " +
+    "measured exponent logged (the shared-pipeline octave methodology)") {
+    // same per-copy "_iiii" suffixing as the 8x gate (two-digit copy ids
+    // repeated twice: any two copies differ in >= 2 chars, so cross-copy
+    // pairs stay impossible at maxDist=1 through copy 63). Broadcast
+    // pinned off so the exponent is measured in the shuffled regime at
+    // both endpoints (at 100 TB a web-scale vocab's deletion-key table
+    // does not broadcast); the inflated vocab is collapsed to a storage
+    // leaf first — the f-way union-of-concat plan is a test artifact.
+    def vocab(f: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")).between(3, 20)).distinct()
+      (0 until f).map(i =>
+        base.select(concat(col("t"), lit(f"_$i%02d$i%02d")).as("term")))
+        .reduce(_ union _)
+        .localCheckpoint(true)
+    }
+    def fresh(f: Int): (Long, Long) = {
+      PlanCache.clearShared()
+      measure(f)(_ => Fuzzy.fuzzyPairs(vocab(f), "term", maxDist = 1))
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (eight, sixtyFour) =
+      try { spark.conf.set(key, "-1"); (fresh(8), fresh(64)) }
+      finally spark.conf.set(key, saved)
+    assert(sixtyFour._2 >= 6 * eight._2 && sixtyFour._2 <= 10 * eight._2,
+      s"fuzzy pair rows left the ~linear band: ${eight._2} -> ${sixtyFour._2}")
+    assert(eight._1 > 0, "no shuffle bytes measured at 8x — listener broken?")
+    val e = math.log(sixtyFour._1.toDouble / eight._1) / math.log(8.0)
+    info(f"fuzzy shuffle-byte growth exponent 8x->64x: $e%.4f " +
+      f"(${eight._1}%,d B -> ${sixtyFour._1}%,d B)")
+    assert(e <= 1.1,
+      f"fuzzy deletion-key join shuffle bytes grew with exponent $e%.4f " +
+        f"(> linear) on the 8x->64x octave: ${eight._1} -> ${sixtyFour._1}")
+  }
+
   test("IVF probes read only probed cells: pruned bytes, linear in cell size at 8x") {
     import graft.functions.IvfIndex
     // same vectors replicated under fresh ids: the quantizer sees the
@@ -338,6 +376,55 @@ class ScalingSpec extends SparkSpec {
     assertNearLinear("winnowOverlap", one, eight)
   }
 
+  test("winnow overlap pairs: shuffle bytes grow <= linearly 8x -> 64x, " +
+    "measured exponent logged") {
+    // broadcast pinned off + leaf-collapsed corpus, the shared-pipeline
+    // octave methodology: the fingerprint self-join must meet itself in
+    // the shuffled regime at both endpoints for the exponent to be the
+    // 100 TB asymptote, and the fixture's 64-way union plan is a test
+    // artifact a storage leaf replaces in production.
+    //
+    // CONSTANT-WIDTH copy ids ("_c07", "_c42"), unlike the shared
+    // `inflated` fixture: winnowing is CHARACTER-level, so the suffix
+    // length is part of the text statistics — a copy whose suffix is one
+    // char longer packs fewer base tokens into each 24-char window,
+    // which lowers the effective run length a within-copy match needs
+    // and inflates that copy's pair count ~18x (measured: 1-digit
+    // copies ~125 pairs, 2-digit copies ~2200 on this corpus). Equal
+    // widths keep every copy's per-copy statistics identical, so the
+    // octave compares like with like (cross-copy matches stay
+    // impossible either way: same-width suffixes always differ in a
+    // digit, and a 24-char window always spans one).
+    def inflatedW(f: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      (0 until f).map { i =>
+        base.select(
+          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", f"$$1_c$i%02d").as("text"))
+      }.reduce(_ union _)
+    }
+    def fresh(f: Int): (Long, Long) = {
+      PlanCache.clearShared()
+      measure(f)(_ => Winnow.overlapPairs(
+        inflatedW(f).localCheckpoint(true), k = 24, w = 12, minShared = 4L))
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (eight, sixtyFour) =
+      try { spark.conf.set(key, "-1"); (fresh(8), fresh(64)) }
+      finally spark.conf.set(key, saved)
+    assert(sixtyFour._2 >= 6 * eight._2 && sixtyFour._2 <= 10 * eight._2,
+      s"overlap rows left the ~linear band: ${eight._2} -> ${sixtyFour._2}")
+    assert(eight._1 > 0, "no shuffle bytes measured at 8x — listener broken?")
+    val e = math.log(sixtyFour._1.toDouble / eight._1) / math.log(8.0)
+    info(f"winnow shuffle-byte growth exponent 8x->64x: $e%.4f " +
+      f"(${eight._1}%,d B -> ${sixtyFour._1}%,d B)")
+    assert(e <= 1.1,
+      f"winnow overlap shuffle bytes grew with exponent $e%.4f (> linear) " +
+        f"on the 8x->64x octave: ${eight._1} -> ${sixtyFour._1}")
+  }
+
   /** f disconnected copies of a fixed 200-node graph (ring chords give
     * every node two triangles; node 0 is a degree-~40 hub). Copies are
     * id-offset, so ranks / triangle counts per copy are IDENTICAL and
@@ -370,6 +457,33 @@ class ScalingSpec extends SparkSpec {
       s"repeated-gram rows must scale exactly linearly: ${one._2} -> ${eight._2}")
     assert(one._2 > 0, "fixture must contain cross-doc repeated grams")
     assertNearLinear("topRepeated", one, eight)
+  }
+
+  test("substring-dedup gram report: shuffle bytes grow <= linearly " +
+    "8x -> 64x, measured exponent logged") {
+    import graft.functions.SubstringDedup
+    // same k-past-any-gram-count cut as the 8x gate; broadcast pinned
+    // off + leaf-collapsed corpus (the shared-pipeline methodology)
+    def fresh(f: Int): (Long, Long) = {
+      PlanCache.clearShared()
+      measure(f)(d => SubstringDedup.topRepeated(
+        d.localCheckpoint(true), l = 5, k = 1 << 24))
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (eight, sixtyFour) =
+      try { spark.conf.set(key, "-1"); (fresh(8), fresh(64)) }
+      finally spark.conf.set(key, saved)
+    assert(sixtyFour._2 == 8 * eight._2,
+      s"repeated-gram rows must scale exactly linearly: " +
+        s"${eight._2} -> ${sixtyFour._2}")
+    assert(eight._1 > 0, "no shuffle bytes measured at 8x — listener broken?")
+    val e = math.log(sixtyFour._1.toDouble / eight._1) / math.log(8.0)
+    info(f"substring-dedup shuffle-byte growth exponent 8x->64x: $e%.4f " +
+      f"(${eight._1}%,d B -> ${sixtyFour._1}%,d B)")
+    assert(e <= 1.1,
+      f"substring-dedup shuffle bytes grew with exponent $e%.4f (> linear) " +
+        f"on the 8x->64x octave: ${eight._1} -> ${sixtyFour._1}")
   }
 
   test("pagerank: linear rank rows, near-linear shuffle bytes at 8x") {

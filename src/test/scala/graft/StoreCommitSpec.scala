@@ -111,11 +111,16 @@ class StoreCommitSpec extends SparkSpec {
     import graft.functions.StoreCommit.{publishStrategy, HardLink, AtomicRename, Unsupported}
     assert(publishStrategy("file") == HardLink)
     assert(publishStrategy(null) == HardLink) // no-scheme Path → local
-    for (s <- Seq("hdfs", "viewfs", "ofs", "o3fs", "alluxio"))
+    for (s <- Seq("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs",
+        "alluxio"))
       assert(publishStrategy(s) == AtomicRename, s)
     for (s <- Seq("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs",
         "abfss", "oss", "cos", "swift", "S3A"))
       assert(publishStrategy(s) == Unsupported, s)
+    // an UNKNOWN scheme's rename semantics are unprovable — refused, not
+    // trusted (the r16 ADVICE finding: generation-data publishes have no
+    // read-back verify to arbitrate a replace-on-rename filesystem)
+    assert(publishStrategy("weirdfs") == Unsupported)
     // and the refusal actually fires before any filesystem mutation
     val fake = new org.apache.hadoop.fs.LocalFileSystem {
       override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
@@ -127,6 +132,109 @@ class StoreCommitSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("external coordination") ||
       e.getMessage.contains("single-writer"), e.getMessage)
+  }
+
+  test("publish strategy opt-ins: conditional-put upgrades object stores; " +
+    "trust-rename upgrades a deployer-asserted scheme; file stays hard-link") {
+    import graft.functions.StoreCommit.{publishStrategy, HardLink,
+      AtomicRename, ConditionalPut, Unsupported}
+    for (s <- Seq("s3a", "s3", "gs", "abfs", "abfss", "wasb", "oss"))
+      assert(publishStrategy(s, conditionalPut = true, Set.empty)
+        == ConditionalPut, s)
+    // the opt-in is an object-store statement — it never downgrades the
+    // strictly-stronger local/HDFS guarantees, and never blesses an
+    // unknown scheme (whose connector semantics the flag says nothing of)
+    assert(publishStrategy("file", conditionalPut = true, Set.empty)
+      == HardLink)
+    assert(publishStrategy("hdfs", conditionalPut = true, Set.empty)
+      == AtomicRename)
+    assert(publishStrategy("weirdfs", conditionalPut = true, Set.empty)
+      == Unsupported)
+    assert(publishStrategy("weirdfs", conditionalPut = false, Set("weirdfs"))
+      == AtomicRename)
+  }
+
+  test("conditional-put publish: exactly-one semantics through " +
+    "createFile(overwrite=false) — content lands, staging reclaimed, a " +
+    "second same-destination publish maps to the replay signal") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp("sc_condput")
+    // an object-store-scheme FS whose conf opts in to conditional put,
+    // backed by the local FS (whose overwrite=false create also refuses
+    // an existing destination — the precondition the flag asserts)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setBoolean(StoreCommit.ConditionalPutKey, true)
+    val fake = new org.apache.hadoop.fs.LocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    fake.initialize(java.net.URI.create("file:///"), conf)
+    def stage(name: String, content: String): Path = {
+      val p = new Path(s"$root/$name")
+      val out = fake.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val dst = new Path(s"$root/history/v0")
+    fake.mkdirs(new Path(s"$root/history"))
+    val src1 = stage(".tmp_v0_1", "nonce 1\nfile a\n")
+    StoreCommit.exclusiveMoveFile(fake, src1, dst, "TestStore")
+    assert(!fake.exists(src1), "staging tmp not reclaimed after publish")
+    val in = fake.open(dst)
+    val got = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    assert(got == "nonce 1\nfile a\n")
+    // second publisher racing the same version loses LOUDLY as a replay
+    val src2 = stage(".tmp_v0_2", "nonce 2\nfile b\n")
+    intercept[java.util.ConcurrentModificationException](
+      StoreCommit.exclusiveMoveFile(fake, src2, dst, "TestStore"))
+    // the loser never clobbered the committed content
+    val in2 = fake.open(dst)
+    val still = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in2), "UTF-8")
+      finally in2.close()
+    assert(still == "nonce 1\nfile a\n")
+  }
+
+  test("cross-JVM rebuild aliasing: a SAME-length SAME-mtime manifest " +
+    "rewrite is still detected — the positional nonce check re-reads " +
+    "where a (length, mtime) stat compare would serve stale lines") {
+    val dir = tmp("sc_memo_alias")
+    SignatureStore.build(docsRange(0, 5), dir)
+    val fs = StoreCommit.fsOf(spark, dir)
+    val warm = StoreCommit.readManifestLinesCached(fs, dir, 0L)
+    val oldNonce = warm.head
+    assert(oldNonce.startsWith("nonce "), s"nonce must lead: $warm")
+    // simulate ANOTHER PROCESS'S rebuild landing a manifest of IDENTICAL
+    // length within the same mtime tick (raw file ops — this JVM's memo
+    // is never invalidated): only the nonce digits differ, exactly the
+    // aliasing shape the r16 verdict flagged
+    val v0 = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$dir/history/v0"))
+    val newNonce = "nonce " + oldNonce.drop(6)
+      .map(c => (((c - '0') + 1) % 10 + '0').toChar)
+    assert(newNonce != oldNonce && newNonce.length == oldNonce.length)
+    val p = java.nio.file.Paths.get(s"$dir/history/v0")
+    val mtime = java.nio.file.Files.getLastModifiedTime(p)
+    java.nio.file.Files.delete(p)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/history/.v0.crc"))
+    val replaced = v0.toArray.map(_.toString)
+      .map(l => if (l == oldNonce) newNonce else l)
+    java.nio.file.Files.write(p,
+      (replaced.mkString("\n") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(p, mtime) // force the alias
+    assert(java.nio.file.Files.size(p) ==
+      (v0.toArray.mkString("\n") + "\n").getBytes("UTF-8").length.toLong)
+    // a second FileSystem handle (the "other process's" reader view)
+    val fs2 = org.apache.hadoop.fs.FileSystem.newInstance(
+      java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    try {
+      val after = StoreCommit.readManifestLinesCached(fs2, dir, 0L)
+      assert(after.head == newNonce,
+        s"memo served pre-rebuild lines under a same-length same-mtime " +
+          s"alias: $after")
+    } finally fs2.close()
   }
 
   // ------------------------------------------------- vacuum vs publish

@@ -1109,6 +1109,100 @@ class StreamOpsSpec extends SparkSpec {
     assert(state(idxS) == state(idxB),
       "streamed index layout must equal the one-shot batch append")
   }
+
+  test("ingestIvfStream crash-replay: micro-batches killed at randomized " +
+    "points (downstream consumer AND the index's pre-commit window — data " +
+    "generation staged, manifest unpublished) replay to a converged index; " +
+    "vacuum reaps the orphaned staging") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def vec(id: Long): Seq[Double] =
+      (0 until 8).map(j => ((id * 7 + j * 13) % 10).toDouble)
+    val base = (1L to 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // b2 re-delivers one of b1's rows (cross-batch dup on top of the
+    // crash replays — both idempotence layers exercised together)
+    val batches = Seq(
+      (31L to 36L).map(i => Vec(i, vec(i + 100))),
+      Vec(31L, vec(131L)) +: (37L to 40L).map(i => Vec(i, vec(i + 100))),
+      (41L to 45L).map(i => Vec(i, vec(i + 100))))
+
+    /** Deliver ONE micro-batch through a fresh query against the index
+      * at `dir`; `kill` arms an injected crash either in the downstream
+      * onIndexed consumer (before the sink write) or at the index's
+      * pre-commit window. Returns whether the batch landed. */
+    def attempt(dir: String, batch: Seq[Vec], kill: Option[String],
+        sink: scala.collection.mutable.Set[Long]): Boolean = {
+      val mem = MemoryStream[Vec]
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(kill.isDefined)
+      if (kill.contains("precommit"))
+        graft.functions.IvfIndex.onBeforeCommit = () =>
+          if (armed.getAndSet(false))
+            throw new RuntimeException("injected crash: pre-commit")
+      val ix = graft.functions.IvfIndex.load(spark, s"$dir/idx")
+      val q = StreamOps.ingestIvfStream(mem.toDF(), ix, "vec_id", "embedding") {
+        fresh =>
+          if (kill.contains("onIndexed") && armed.getAndSet(false))
+            throw new RuntimeException("injected crash: downstream consumer")
+          sink ++= fresh.select("vec_id").as[Long].collect()
+      }
+      try { mem.addData(batch: _*); q.processAllAvailable(); true }
+      catch { case _: Throwable => false }
+      finally {
+        q.stop()
+        graft.functions.IvfIndex.onBeforeCommit = () => ()
+      }
+    }
+
+    def freshIndex(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_ivf_killreplay").toString
+      graft.functions.IvfIndex.build(
+        base, "vec_id", "embedding", nCells = 4, s"$d/idx", m = 4)
+      d
+    }
+    def state(dir: String): Set[(Long, Int, Seq[Int])] =
+      graft.functions.IvfIndex.load(spark, s"$dir/idx").cells
+        .select(col("id"), col("cell"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+
+    // uninterrupted reference run
+    val refDir = freshIndex()
+    val refSink = scala.collection.mutable.Set.empty[Long]
+    batches.foreach(b => assert(attempt(refDir, b, None, refSink)))
+    val refState = state(refDir)
+    assert(refState.map(_._1) == (1L to 45L).toSet)
+
+    // randomized kill scenarios (seeded — reproducible): each batch
+    // draws a kill point; every scenario kills at least once
+    val rnd = new scala.util.Random(0x5EED)
+    val points = Seq(None, Some("onIndexed"), Some("precommit"))
+    for (scenario <- 1 to 4) {
+      var kills = batches.map(_ => points(rnd.nextInt(points.size)))
+      if (kills.forall(_.isEmpty)) kills = kills.updated(0, Some("precommit"))
+      val dir = freshIndex()
+      val got = scala.collection.mutable.Set.empty[Long]
+      batches.zip(kills).foreach { case (b, kill) =>
+        val landed = attempt(dir, b, kill, got)
+        assert(landed == kill.isEmpty,
+          s"scenario $scenario: kill=$kill landed=$landed")
+        // an at-least-once source redelivers the crashed batch: the
+        // replay must land and converge (rows already appended by a
+        // crashed-downstream attempt screen out as already indexed)
+        if (!landed) assert(attempt(dir, b, None, got),
+          s"scenario $scenario: replay of killed batch failed")
+      }
+      assert(got.toSet == refSink.toSet,
+        s"scenario $scenario (kills=$kills): onIndexed union diverged")
+      assert(state(dir) == refState,
+        s"scenario $scenario (kills=$kills): index state diverged — a " +
+          "crashed micro-batch double-appended or left ghost rows")
+      // crashed pre-commit attempts stage orphan generations: vacuum
+      // reaps them and the served state is unchanged
+      graft.functions.IvfIndex.load(spark, s"$dir/idx").vacuum(keepLast = 1)
+      assert(state(dir) == refState,
+        s"scenario $scenario: vacuum after crash-replay changed the index")
+    }
+  }
 }
 
 final case class Vec(vec_id: Long, embedding: Seq[Double])
