@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Rounds of lazy chaining between lineage checkpoints in the
+    * iteration loops below. The undirected recurrence references the
+    * previous rank table exactly ONCE per round, so the lazy plan grows
+    * LINEARLY (one join+aggregate per round over persisted leaves) —
+    * cheap to plan at this depth, and chaining lets one action execute
+    * the whole span as a single job instead of paying a materialize/
+    * re-read round-trip of the node-sized rank table per iteration
+    * (measured: 6.4 s → ~4 s on the sf0.1 bench at the default k=5).
+    * Past the cap the loop checkpoints, so callers raising `iterations`
+    * still get plans of bounded depth. */
+  private val CheckpointEvery = 8
+
   /** Power-iteration PageRank with damping 0.85, unrolled into ONE logical
     * plan (no driver loop, no collect): iteration i+1 is
     *
@@ -29,14 +41,20 @@ object Graph {
     * classic formula applies unmodified — callers with genuinely directed
     * graphs must handle dangling nodes upstream).
     *
-    * Scale shape: out-degrees are counted once and the degree-annotated
-    * edge list is repartitioned on `src` and persisted, so each of the k
-    * iterations re-reads a co-partitioned cached table; per iteration the
-    * only data movement is the rank table to the edge partitioning (join on
-    * src) and the contribution aggregate (groupBy dst) — 2 bounded
-    * shuffles, each carrying one long per edge/node. k is a compile-time
-    * plan depth (default 5), not a convergence loop: at 100 TB you pick the
-    * iteration budget up front, exactly like the reference batch engines.
+    * Scale shape: the edge list is hash-repartitioned on `src` ONCE and
+    * both the degree count and the degree join reuse that exchange (the
+    * aggregate and the join are keyed the same way — no second edge
+    * shuffle), then persisted co-partitioned on the per-iteration join
+    * key; per iteration the only data movement is the rank table to the
+    * edge partitioning (join on src) and the contribution aggregate
+    * (groupBy dst) — 2 bounded shuffles, each carrying one long per
+    * edge/node. Iterations chain LAZILY (the recurrence references the
+    * previous rank table once, so the plan grows linearly) with a
+    * lineage checkpoint every [[CheckpointEvery]] rounds bounding plan
+    * depth for large k; at the default k=5 the whole recurrence executes
+    * as one job. k is a compile-time plan depth (default 5), not a
+    * convergence loop: at 100 TB you pick the iteration budget up front,
+    * exactly like the reference batch engines.
     *
     * @return (node, rank_scaled) — `rank_scaled` is the fixed-point rank in
     *         `scale` units; ranks of an undirected graph sum to ≈ N·scale.
@@ -52,30 +70,40 @@ object Graph {
 
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // ONE exchange of the edge list: the degree aggregate and the
+    // degree-annotation join are both keyed on src, so hash-partitioning
+    // the edges first lets both reuse the same shuffle (the aggregate
+    // needs no further exchange, and the join's left side is already
+    // distributed) — previously the plan shuffled the edges for the
+    // aggregate AND re-shuffled the join output to establish the cached
+    // layout, two full edge exchanges per call
+    val ep = e.repartition(col("src"))
+    val deg = ep.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // degree-annotated edges, co-partitioned on the per-iteration join key
-    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    val ed = ep.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
 
     val base = 15L * scale / 100L
-    // per-iteration localCheckpoint, same as the directed twin and the
-    // Clusters loop: at the default 5 iterations a lazy chain is merely
-    // wasteful (each action re-executes the full join chain), but any
-    // caller raising `iterations` would pay a linearly deeper plan and
-    // re-execution per reference — truncate the lineage every round so
-    // plan size and per-action cost stay constant in the iteration count
+    // the INITIAL rank table is checkpointed eagerly on purpose: it
+    // materializes `nodes` (and anything the edge plan shares with it —
+    // e.g. a cached pair pipeline) BEFORE the chained job runs, so
+    // iteration 1's two stage branches (ed-side and rank-side) read the
+    // shared input from cache instead of both racing to compute it
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val summed = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(summed, nodes("node") === summed("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      // bound plan depth for large iteration budgets; never taken at the
+      // default k=5 — see CheckpointEvery
+      if (i % CheckpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     graft.AutoUnpersist.afterFirstUse(ranks, ed, nodes)
   }
@@ -97,24 +125,27 @@ object Graph {
     * bit-identical across engines and partitionings and the recurrence
     * is replayable as a recursive SQL oracle.
     *
-    * Scale shape: identical to [[pageRank]] (co-partitioned persisted
-    * degree-annotated edges; 2 bounded shuffles per iteration for the
-    * contribution sum) plus, per iteration, ONE dangling-mass aggregate —
-    * an anti-join of the rank table against the persisted out-degree key
-    * set (node-sized, so AQE picks the join shape; never hint-broadcast)
-    * folded to a single row, crossed back as a one-row broadcast (the
-    * fleet's bounded total-join pattern). `N` is a one-row count
-    * computed once. Nothing collects to the driver.
+    * Scale shape: identical to [[pageRank]] (one edge exchange reused by
+    * the degree aggregate and the annotation join, persisted
+    * co-partitioned on src), but the per-iteration contribution sum and
+    * the dangling mass fold out of ONE pass over the rank table — a LEFT
+    * join of ranks against the degree-annotated edges (a rank row with
+    * no out-edge IS the dangling case) aggregated by (dst, matched-flag),
+    * so the anti-join + second rank shuffle the two-aggregate
+    * formulation paid per iteration is gone. The dangling row folds to a
+    * one-row broadcast (the fleet's bounded total-join pattern); `N` is
+    * a one-row count computed once. Nothing collects to the driver.
     *
-    * Unlike [[pageRank]], each iteration's rank table is eagerly
-    * `localCheckpoint`ed: the dangling broadcast makes every iteration
-    * reference the previous rank table TWICE, so a lazy chain's plan
-    * TREE doubles per iteration — by k=5 the driver spends tens of
-    * seconds in Catalyst analysis alone (measured: 30 s planning gaps
-    * between millisecond stages), never mind re-execution. Truncating
-    * to concrete blocks per iteration keeps both planning and execution
-    * linear — the standard iterative-state shape (GraphX Pregel
-    * materializes per superstep for the same reason).
+    * Per iteration only that (dst, flag) AGGREGATE is eagerly
+    * `localCheckpoint`ed — it is the shuffle result the next round needs
+    * anyway, and it is the smallest frame in the loop (≤ nodes + 1
+    * rows). The next rank table is then a LAZY projection over that
+    * checkpointed leaf, the persisted node set, and two one-row
+    * broadcasts, so plan depth stays CONSTANT in the iteration count
+    * (the old form referenced the previous rank table twice per round —
+    * a lazy chain's plan tree doubled per iteration, measured as 30 s
+    * Catalyst gaps by k=5 — and checkpointing the node-sized rank table
+    * each round paid a bigger materialize/re-read than the aggregate).
     *
     * @return (node, rank_scaled) over the node set = src ∪ dst. */
   def pageRankDirected(
@@ -128,33 +159,50 @@ object Graph {
 
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    // one edge exchange, reused by the aggregate and the join (see
+    // pageRank)
+    val ep = e.repartition(col("src"))
+    val deg = ep.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = ep.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
-    val srcKeys = deg.select(col("src").as("node")).persist()
     val nRow = nodes.agg(count(lit(1)).as("n"))
 
     val base = 15L * scale / 100L
+    // eager initial checkpoint for the same shared-input reason as in
+    // pageRank: materialize nodes (and the shared edge lineage) before
+    // the first iteration's join computes ed
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val summed = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val dangling = ranks
-        .join(srcKeys, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      // ONE pass over the rank table: a matched row contributes
+      // rank div deg to its dst; an unmatched row (no out-edge) is
+      // dangling and contributes its whole rank to the dangling bucket.
+      // `_m` keeps a (degenerate) null-dst edge group distinct from the
+      // dangling bucket — such contributions drop in the rank join
+      // below, exactly as in the two-aggregate formulation.
+      // name-based column refs below: the join output exposes exactly one
+      // src/dst/rank/deg, while dataset-tagged refs (ed("dst")) trip the
+      // ambiguous-self-join check — ranks' lazy plan and ed share the
+      // base edge lineage
+      val agg = ranks.join(ed, ranks("node") === ed("src"), "left")
+        .select(col("dst"), col("src").isNotNull.as("_m"),
+          when(col("src").isNotNull, expr("rank div deg"))
+            .otherwise(col("rank")).as("c"))
+        .groupBy(col("dst"), col("_m")).agg(sum(col("c")).as("s"))
+        .localCheckpoint(true)
+      val summed = agg.filter(col("_m")).select(col("dst"), col("s"))
+      val dangling = agg.filter(!col("_m"))
+        .agg(coalesce(sum(col("s")), lit(0L)).as("dm"))
       ranks = nodes.join(summed, nodes("node") === summed("dst"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nRow))
         .select(col("node"),
           (lit(base) +
             expr("(85 * (coalesce(s, 0L) + dm div n)) div 100")).as("rank"))
-        .localCheckpoint(true)
     }
-    graft.AutoUnpersist.afterFirstUse(ranks, ed, nodes, srcKeys)
+    graft.AutoUnpersist.afterFirstUse(ranks, ed, nodes)
   }
 
   /** Per-node triangle counts and local clustering coefficient over an
@@ -194,9 +242,12 @@ object Graph {
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .persist()
+    // no repartition after the aggregate: groupBy(v) already leaves the
+    // output hash-partitioned on v, which is exactly the layout the two
+    // annotation joins and the final join-back consume — an explicit
+    // repartition(v) here planned a second, identical exchange
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .repartition(col("v"))
       .persist()
     val ed = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")

@@ -69,18 +69,24 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("pageRank plan size is constant in the iteration count (per-round " +
-    "localCheckpoint truncates lineage — both variants)") {
-    // without the per-iteration checkpoint, each round's plan embeds the
-    // previous round's whole tree and node count grows linearly (directed:
-    // doubles — the dangling broadcast references ranks twice per round)
+  test("pageRank plan depth stays bounded in the iteration count " +
+    "(lazy chain truncated every CheckpointEvery rounds; directed is " +
+    "constant — each round plans over the checkpointed aggregate leaf)") {
     val e = both(Seq((1L, 2L), (2L, 3L), (3L, 1L))).toDF("src", "dst")
     def nodesOf(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.collect { case n => n }.size
-    val u2 = nodesOf(Graph.pageRank(e, "src", "dst", 2))
-    val u6 = nodesOf(Graph.pageRank(e, "src", "dst", 6))
-    assert(u2 === u6,
-      s"undirected plan grew with iterations: $u2 -> $u6 nodes")
+    // undirected: the recurrence references the previous rank table once,
+    // so the lazy chain grows LINEARLY between checkpoints and the
+    // checkpoint (every 8 rounds) truncates it — 12 and 20 iterations are
+    // both 4 rounds past their last checkpoint and must plan identically
+    val u12 = nodesOf(Graph.pageRank(e, "src", "dst", 12))
+    val u20 = nodesOf(Graph.pageRank(e, "src", "dst", 20))
+    assert(u12 === u20,
+      s"undirected plan not truncated at the checkpoint cap: $u12 -> $u20 nodes")
+    // directed: every round's rank table is a lazy projection over the
+    // per-round checkpointed (dst, matched) aggregate — without that
+    // truncation the dangling broadcast's second reference to the
+    // previous round would DOUBLE the plan tree per iteration
     val d2 = nodesOf(Graph.pageRankDirected(e, "src", "dst", 2))
     val d6 = nodesOf(Graph.pageRankDirected(e, "src", "dst", 6))
     assert(d2 === d6,
