@@ -1358,7 +1358,8 @@ object Ext {
       graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")),
         NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
-        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b",
+        pairsCanonical = true)
         .orderBy(col("doc_id"))
     },
     Some("WITH RECURSIVE " +
@@ -1512,7 +1513,8 @@ object Ext {
       val labels = graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")),
         NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
-        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b",
+        pairsCanonical = true)
       val survivors = graft.functions.Clusters.keepBestPerCluster(
         docs.select(col("doc_id"), col("n_chars")).join(labels, "doc_id"),
         idCol = "doc_id", scoreCol = "n_chars")
@@ -1553,7 +1555,8 @@ object Ext {
       val labels = graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")),
         NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
-        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b",
+        pairsCanonical = true)
       docs.join(
           labels.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
           "doc_id")
@@ -2936,7 +2939,8 @@ object Ext {
         .overlapPairs(docs, k = 24, w = 12, minShared = 4L)
       graft.functions.Clusters.connectedComponentsShared(
         docs.select(col("doc_id")), pairs,
-        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b")
+        nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b",
+        pairsCanonical = true)
         .orderBy(col("doc_id"))
     },
     Some("WITH RECURSIVE " + winnowSqlPrefix(24, 12) +
@@ -3277,7 +3281,8 @@ object Ext {
           graft.functions.Clusters.connectedComponentsShared(
             docs.select(col("doc_id")),
             NearDup.ngramJaccardPairsShared(docs, threshold = 0.5),
-            nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b"),
+            nodeCol = "doc_id", srcCol = "id_a", dstCol = "id_b",
+        pairsCanonical = true),
           "cluster_id")
         .orderBy(col("doc_id"))
     },

@@ -47,6 +47,18 @@ object Clusters {
     * @param nodes   one row per node (isolated nodes allowed — they
     *                become singleton clusters)
     * @param edges   pair rows; direction and duplicates don't matter
+    * @param pairsCanonical caller's guarantee that `edges` holds each
+    *                unordered pair AT MOST ONCE (one direction only, as
+    *                every verified pair table here does: strict
+    *                `id_a < id_b` plus a distinct). Skips the symmetric
+    *                closure's dedup exchange — the union of a canonical
+    *                pair set with its reversal cannot contain
+    *                duplicates, so the `distinct()` was a full
+    *                edge-sized shuffle for nothing (guide §2.4 "a
+    *                `distinct` on data that is already unique").
+    *                Duplicate edges would not change any label (min over
+    *                a multiset), only per-round cost — so a wrong claim
+    *                degrades speed, never the closure.
     * @return (nodeCol, cluster_id) — cluster_id = min node id reachable
     *         from the node, so ids are stable, deterministic, and
     *         partition-invariant.
@@ -58,10 +70,12 @@ object Clusters {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25,
-      shortcut: Boolean = false
+      shortcut: Boolean = false,
+      pairsCanonical: Boolean = false
   ): DataFrame =
     connectedComponentsWithRounds(
-      nodes, edges, nodeCol, srcCol, dstCol, maxIter, shortcut)._1
+      nodes, edges, nodeCol, srcCol, dstCol, maxIter, shortcut,
+      pairsCanonical)._1
 
   /** [[connectedComponents]] plus the number of propagation rounds the
     * fixpoint took — the convergence observable (a monitoring hook in
@@ -75,11 +89,13 @@ object Clusters {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25,
-      shortcut: Boolean = false
+      shortcut: Boolean = false,
+      pairsCanonical: Boolean = false
   ): (DataFrame, Int) = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val (labels, rounds) =
-      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter, shortcut)
+      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter,
+        shortcut, pairsCanonical)
     // uncached entry point: the persisted label table is released after the
     // caller first materializes the closure
     (graft.AutoUnpersist.afterFirstUse(
@@ -107,12 +123,16 @@ object Clusters {
       nodeCol: String,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      pairsCanonical: Boolean = false
   ): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // pairsCanonical is NOT part of the key: it never changes the labels,
+    // only whether the symmetric closure pays a dedup exchange
     val key = graft.PlanCache.keyOf2(nodes, edges, nodeCol, srcCol, dstCol)
     val labels = ccCache.getOrCompute(key,
-      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter)._1)
+      edgeTouchedLabels(nodes, edges, nodeCol, srcCol, dstCol, maxIter,
+        shortcut = false, pairsCanonical = pairsCanonical)._1)
     finishLabels(nodes, nodeCol, labels)
   }
 
@@ -136,7 +156,8 @@ object Clusters {
       srcCol: String,
       dstCol: String,
       maxIter: Int,
-      shortcut: Boolean = false
+      shortcut: Boolean = false,
+      pairsCanonical: Boolean = false
   ): (DataFrame, Int) = {
     val nodeSet = nodes.select(col(nodeCol).as("_node"))
     // Symmetric closure of the edge list; self-loops never change a label.
@@ -144,12 +165,14 @@ object Clusters {
     // edge×label join: the cached layout satisfies the join's
     // distribution requirement, so each round shuffles only the (much
     // smaller) label table — the edge list, the loop's biggest input,
-    // crosses the wire once instead of once per round.
-    val sym = edges
+    // crosses the wire once instead of once per round. Canonical pair
+    // inputs (strict a<b, deduped — every verified pair table here) skip
+    // the dedup exchange: their symmetric union cannot hold duplicates.
+    val symRaw = edges
       .select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .union(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
       .filter(col("_src") =!= col("_dst"))
-      .distinct()
+    val sym = (if (pairsCanonical) symRaw else symRaw.distinct())
       .repartition(col("_dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -82,9 +82,15 @@ object Dsir {
   /** Fit the importance model: bucket counts of `target` and `raw`,
     * folded to the 256-row log-ratio table. The two one-row total
     * collects are the only driver-side values. */
-  def train(raw: DataFrame, target: DataFrame): DsirModel = {
-    val rawN = bucketCounts(raw)
-    val tgtN = bucketCounts(target).withColumnRenamed("n", "_nt")
+  def train(raw: DataFrame, target: DataFrame): DsirModel =
+    trainFromCounts(raw.sparkSession,
+      bucketCounts(raw), bucketCounts(target).withColumnRenamed("n", "_nt"))
+
+  /** [[train]] over PRECOMPUTED bucket-count tables — the fold shared
+    * with [[weights]], whose raw and target counts both derive from one
+    * persisted feature pass instead of re-hashing each corpus. */
+  private def trainFromCounts(
+      s: SparkSession, rawN: DataFrame, tgtN: DataFrame): DsirModel = {
     val totR = scalarSum(rawN, "n")
     val totT = scalarSum(tgtN, "_nt")
     // an empty corpus yields a NULL sum — fail loudly (an all-smoothing
@@ -100,7 +106,6 @@ object Dsir {
     // NEW doc scored under a frozen model whose training corpora left
     // buckets uncovered. With all 256 rows present the coalesce is dead
     // belt-and-braces.
-    val s = raw.sparkSession
     import s.implicits._
     val allB = (0 until Buckets).map(i => f"$i%02x").toDF("b")
     DsirModel(
@@ -121,7 +126,11 @@ object Dsir {
     * [[graft.streaming.StreamOps.dsirStream]] run this same plan in
     * update mode. */
   def scoreWith(m: DsirModel, docs: DataFrame): DataFrame =
-    features(docs)
+    scoreFeatures(m, features(docs))
+
+  /** [[scoreWith]] over a precomputed (doc_id, b) feature relation. */
+  private def scoreFeatures(m: DsirModel, feats: DataFrame): DataFrame =
+    feats
       .join(broadcast(m.bucketLogRatio), Seq("b"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -130,13 +139,27 @@ object Dsir {
 
   /** Self-contained weights over one corpus: target = its Gopher-passed
     * subset, raw = the whole corpus. The per-doc importance ranking the
-    * selection step and the monitoring dashboards read. */
+    * selection step and the monitoring dashboards read.
+    *
+    * ONE feature pass (guide §1.2 "don't compute things twice"): the
+    * hashed (doc_id, bucket) relation is persisted and shared by the raw
+    * counts, the target counts (the Gopher-passed subset restricted by a
+    * doc_id join — identical rows to re-featurizing the subset, since
+    * weak labels are one row per doc), and the scoring join. The md5
+    * feature hash of every unigram+bigram occurrence is the pipeline's
+    * dominant per-row cost; the naive train+score composition paid it
+    * three times per corpus. */
   def weights(docs: DataFrame): DataFrame = {
     val d = docs.persist()
-    val target = d.join(
-      QualityClassifier.weakLabels(d).filter(col("pass")).select("doc_id"),
-      Seq("doc_id"))
-    graft.AutoUnpersist.afterFirstUse(scoreWith(train(d, target), d), d)
+    val feats = features(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val passedIds =
+      QualityClassifier.weakLabels(d).filter(col("pass")).select("doc_id")
+    val rawN = feats.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val tgtN = feats.join(passedIds, Seq("doc_id"))
+      .groupBy(col("b")).agg(count(lit(1)).as("_nt"))
+    val m = trainFromCounts(d.sparkSession, rawN, tgtN)
+    graft.AutoUnpersist.afterFirstUse(scoreFeatures(m, feats), d, feats)
   }
 
   /** Deterministic top-`n` selection by importance weight — ordered by

@@ -165,7 +165,9 @@ object Fuzzy {
     Clusters.connectedComponents(
         t, fuzzyPairsShared(terms, termCol, maxDist),
         nodeCol = "term", srcCol = "term_a", dstCol = "term_b",
-        shortcut = true)
+        shortcut = true,
+        // verified pair tables are strict term_a < term_b + distinct
+        pairsCanonical = true)
       .withColumnRenamed("cluster_id", "entity_id")
   }
 }

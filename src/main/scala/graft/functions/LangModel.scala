@@ -75,9 +75,12 @@ object LangModel {
     * threshold, the join falls back to a shuffle and AQE re-converts it
     * to broadcast at runtime from the ACTUAL size — the safe direction
     * at 100 TB, where a web-scale vocabulary genuinely may not fit. */
-  private def scoreBigrams(bg: DataFrame, lm: BigramLm): DataFrame =
+  private def scoreBigrams(
+      bg: DataFrame, lm: BigramLm,
+      countsProxy: Option[DataFrame] = None): DataFrame =
     bg
-      .join(lm.counts, Seq("w1", "w2"), "left")
+      .join(NearDup.broadcastIfSmall(lm.counts, countsProxy),
+        Seq("w1", "w2"), "left")
       .join(NearDup.broadcastIfSmall(lm.contexts),
         Seq("w1"), "left")
       .select(col("doc_id"),
@@ -112,11 +115,22 @@ object LangModel {
     val bg = docBigrams(docs).persist()
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n12"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("_n12")).as("_n1"))
-    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    val vocab = vocabOf(docs)
+    // counts join size-gated on the SOURCE scan (guide §3.1: post-
+    // aggregate Catalyst estimates wildly overestimate — the bigram
+    // count table is ≤ the raw text bytes it derives from): a small
+    // corpus broadcasts the count table and the scoring join never
+    // shuffles the corpus-sized bigram stream; at 100 TB the gate
+    // falls back to the shuffled join.
     graft.AutoUnpersist.afterFirstUse(
-      scoreBigrams(bg, BigramLm(c2, c1, vocab)), bg)
+      scoreBigrams(bg, BigramLm(c2, c1, vocab), countsProxy = Some(docs)), bg)
   }
+
+  /** Distinct-token vocabulary size — the one driver scalar of both
+    * smoothers. */
+  private def vocabOf(docs: DataFrame): Long =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
 
   /** A trained interpolated Kneser-Ney bigram LM — the KenLM-grade
     * smoothing CCNet actually ships (Wenzek et al. 2019 use a KenLM
@@ -143,18 +157,24 @@ object LangModel {
     * it, and two driver scalars. `discount` is the absolute discount D
     * (0.75 — the Ney/Essen/Kneser standard); fixed rather than estimated
     * from count-of-counts so both engines derive the identical model. */
-  def trainKn(ref: DataFrame, discount: Double = 0.75): KnLm = {
+  def trainKn(ref: DataFrame, discount: Double = 0.75): KnLm =
+    trainKnFromBigrams(docBigrams(ref), vocabOf(ref), discount)
+
+  /** [[trainKn]] over a precomputed (doc_id, w1, w2) bigram relation —
+    * the seam [[perplexityKn]] uses to share ONE bigram pass between
+    * training and self-scoring (the standalone composition tokenized the
+    * corpus twice). */
+  private def trainKnFromBigrams(
+      bg: DataFrame, vocab: Long, discount: Double): KnLm = {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0, 1), got $discount")
-    val c2 = docBigrams(ref)
+    val c2 = bg
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n12"))
       .persist()
     val ctx = c2.groupBy(col("w1"))
       .agg(sum(col("_n12")).as("_n1"), count(lit(1)).as("_nf"))
     val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("_nc"))
     val types = c2.count()
-    val vocab = ref.select(explode(split(col("text"), " ")).as("w"))
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
     KnLm(c2, ctx, cont, types, vocab, discount)
   }
 
@@ -165,14 +185,17 @@ object LangModel {
     * `(N1+(·w2) + 1) / (types + V)` — so words never seen as a
     * continuation (or at all) still carry mass and the frozen model is
     * total over any scoring batch, the [[scoreBigrams]] contract. */
-  private def scoreBigramsKn(bg: DataFrame, lm: KnLm): DataFrame = {
+  private def scoreBigramsKn(
+      bg: DataFrame, lm: KnLm,
+      countsProxy: Option[DataFrame] = None): DataFrame = {
     val pcont = (coalesce(col("_nc"), lit(0L)) + lit(1)).cast("double") /
       lit(lm.bigramTypes + lm.vocab).cast("double")
     val seen = (greatest(coalesce(col("_n12"), lit(0L)).cast("double") -
         lit(lm.discount), lit(0.0)) +
       lit(lm.discount) * col("_nf") * pcont) / col("_n1").cast("double")
     bg
-      .join(lm.counts, Seq("w1", "w2"), "left")
+      .join(NearDup.broadcastIfSmall(lm.counts, countsProxy),
+        Seq("w1", "w2"), "left")
       .join(NearDup.broadcastIfSmall(lm.contexts),
         Seq("w1"), "left")
       .join(NearDup.broadcastIfSmall(lm.cont),
@@ -199,8 +222,14 @@ object LangModel {
     * continuation mass, sharpening the head/tail contrast the tier cut
     * consumes. */
   def perplexityKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val lm = trainKn(docs, discount)
-    graft.AutoUnpersist.afterFirstUse(scoreWithKn(lm, docs), lm.counts)
+    // Self-scoring shares ONE persisted bigram pass between training and
+    // scoring (the train-then-score composition tokenized and exploded
+    // the corpus twice), and the counts join is size-gated on the source
+    // scan exactly as in [[perplexity]].
+    val bg = docBigrams(docs).persist()
+    val lm = trainKnFromBigrams(bg, vocabOf(docs), discount)
+    graft.AutoUnpersist.afterFirstUse(
+      scoreBigramsKn(bg, lm, countsProxy = Some(docs)), bg, lm.counts)
   }
 
   /** CCNet head/middle/tail tiers: split the scored corpus at the exact
