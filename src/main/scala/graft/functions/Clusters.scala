@@ -42,6 +42,7 @@ object Clusters {
     * dup near-cliques (≤ ~4 rounds) never pay the checkpoint. */
   private val PlainCheckpointDepth = 6
 
+
   /** Connected components over `nodes` with undirected `edges`.
     *
     * @param nodes   one row per node (isolated nodes allowed — they
@@ -237,19 +238,34 @@ object Clusters {
         }
       // EVERY round references `labels` twice (the neighbor-min join and
       // the propagation join; shortcut adds a third via the jump lookup),
-      // so persisted lineage DOUBLES per round — an exponential logical
-      // plan that OOMs plan rendering long before data is the problem
-      // (reproduced at depth 33 in ClustersSpec). An eager
-      // localCheckpoint truncates lineage to a leaf each round; the
-      // checkpointed round RDDs are reclaimed by the ContextCleaner once
-      // unreferenced. Shortcut mode always checkpoints; plain mode keeps
-      // the cheaper persist through the rounds dup near-cliques actually
-      // need (diameter ≤ ~3) and flips to checkpointing automatically at
-      // depth — deep chains converge instead of blowing up the plan.
+      // so persisted lineage grows exponentially per round (2^d plain,
+      // 3^d shortcut) — a logical plan that stalls ANALYSIS long before
+      // data is the problem: every round's QueryExecution re-walks the
+      // whole tree, and with the pair pipeline as the base relation even
+      // 3^4 copies measured as a 7 s → 60 s entity_resolve regression
+      // when shortcut briefly switched to lazy persist. An eager
+      // localCheckpoint truncates lineage to a LEAF each round (the
+      // checkpointed RDDs are reclaimed by the ContextCleaner once
+      // unreferenced), which is why shortcut always checkpoints; plain
+      // mode keeps the cheaper persist through the rounds dup
+      // near-cliques actually need (diameter ≤ ~3) and flips to
+      // checkpointing automatically at depth — deep chains converge
+      // instead of blowing up the plan.
       val next =
         if (shortcut || iter >= PlainCheckpointDepth) stepped.localCheckpoint(true)
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("_changed")).isEmpty
+      // Convergence via a FULL aggregate, not isEmpty: isEmpty short-
+      // circuits at the first changed row, which left the lazily-
+      // persisted round table PARTIALLY cached — the next round's 2–3
+      // references then recomputed the uncached partitions through the
+      // whole persisted chain (3^rounds re-derivations of the pair
+      // pipeline in shortcut mode; measured 7 s → 57 s on entity_resolve
+      // when shortcut switched to lazy persist with isEmpty). The
+      // max-aggregate scans every partition, so ONE job materializes the
+      // complete round cache and answers convergence together; the
+      // converged final round scanned everything under isEmpty anyway.
+      val changedRow = next.agg(max(col("_changed"))).head()
+      converged = changedRow.isNullAt(0) || !changedRow.getBoolean(0)
       labels.unpersist()
       labels = next
       iter += 1

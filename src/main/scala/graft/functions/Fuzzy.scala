@@ -106,7 +106,20 @@ object Fuzzy {
       terms: DataFrame, termCol: String, maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (deletion-key blowup is O(len^d)), got $maxDist")
+    // PERSISTED AND MATERIALIZED EAGERLY: the self-join consumes the
+    // keyed relation on BOTH sides, and the deletion-key explode is the
+    // kernel's dominant compute (O(len) substring concats per term;
+    // measured 2 × ~0.9 s of entity_resolve's 7 s at sf0.1, the two
+    // largest stages of the query). A lazy persist does NOT deduplicate
+    // it — the join's two child stages launch concurrently and RACE to
+    // populate the same cache, each computing the full explode (probe:
+    // two ~860 ms stages either way). The count() forces one
+    // materialization up front; both join branches then read the cache.
+    // (term, key) rows are Σ len per term — vocabulary-sized, spills if
+    // not.
     val k = keyed(terms, termCol, "term_a", maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    k.count()
     // Verify (codegen'd levenshtein) BEFORE the pair distinct: candidate
     // multiplicity barely dedups (same-key collisions are mostly distinct
     // pairs), so deduping first shuffles the full candidate set while
@@ -115,12 +128,14 @@ object Fuzzy {
     // out (dist is a pure function of the pair, so it rides along).
     // threshold variant: banded DP, O(maxDist·len) with early exit
     // (returns -1 past the bound) — kept rows carry the exact distance.
-    k.join(k.withColumnRenamed("term_a", "term_b"), "_k")
-      .filter(col("term_a") < col("term_b"))
-      .select(col("term_a"), col("term_b"),
-        levenshtein(col("term_a"), col("term_b"), maxDist).as("dist"))
-      .filter(col("dist") >= 0)
-      .distinct()
+    graft.AutoUnpersist.afterFirstUse(
+      k.join(k.withColumnRenamed("term_a", "term_b"), "_k")
+        .filter(col("term_a") < col("term_b"))
+        .select(col("term_a"), col("term_b"),
+          levenshtein(col("term_a"), col("term_b"), maxDist).as("dist"))
+        .filter(col("dist") >= 0)
+        .distinct(),
+      k)
   }
 
   /** Per-JVM cache of verified fuzzy pair tables, keyed by the term

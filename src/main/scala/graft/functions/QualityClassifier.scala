@@ -67,8 +67,15 @@ object QualityClassifier {
   /** Train on `docs` with `labels` = (doc_id, pass: boolean): one
     * token-keyed aggregate counting both classes at once, one
     * vocabulary fold for the scalars, one two-value prior count. */
-  def train(docs: DataFrame, labels: DataFrame): NbModel = {
-    val counts = docTokens(docs)
+  def train(docs: DataFrame, labels: DataFrame): NbModel =
+    trainFromTokens(docTokens(docs), labels)
+
+  /** [[train]] over a precomputed (doc_id, token) occurrence relation —
+    * the seam the self-trained compositions use to share ONE tokenize/
+    * explode pass between training and scoring (guide §1.2: the
+    * train+score composition exploded the corpus twice). */
+  private def trainFromTokens(toks: DataFrame, labels: DataFrame): NbModel = {
+    val counts = toks
       .join(labels, Seq("doc_id"))
       .groupBy(col("token"))
       .agg(
@@ -112,7 +119,11 @@ object QualityClassifier {
     * operator shape is what lets [[graft.streaming.StreamOps
     * .nbQualityStream]] run this same plan in update mode. */
   def scoreWith(m: NbModel, docs: DataFrame): DataFrame =
-    docTokens(docs)
+    scoreTokens(m, docTokens(docs))
+
+  /** [[scoreWith]] over a precomputed (doc_id, token) relation. */
+  private def scoreTokens(m: NbModel, toks: DataFrame): DataFrame =
+    toks
       .join(NearDup.broadcastIfSmall(m.tokenCounts), Seq("token"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -126,8 +137,10 @@ object QualityClassifier {
     * prior counting and token labeling. */
   def score(docs: DataFrame): DataFrame = {
     val labels = weakLabels(docs).persist()
-    val m = train(docs, labels)
-    graft.AutoUnpersist.afterFirstUse(scoreWith(m, docs), labels)
+    val toks = docTokens(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = trainFromTokens(toks, labels)
+    graft.AutoUnpersist.afterFirstUse(scoreTokens(m, toks), labels, toks)
   }
 
   /** The model's top-k most quality-discriminative tokens —
@@ -177,8 +190,14 @@ object QualityClassifier {
   private def scoredWithReliability(
       docs: DataFrame, labels: DataFrame, bins: Int)
       : (DataFrame, DataFrame) = {
-    val m = train(docs, labels)
-    val scored = scoreWith(m, docs)
+    // one tokenize/explode pass shared by train and score; the persisted
+    // relation is released by the callers' AutoUnpersist via `scored`'s
+    // first materialization (both outputs derive from it)
+    val toks = docTokens(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = trainFromTokens(toks, labels)
+    val scored = graft.AutoUnpersist.afterFirstUse(
+      scoreTokens(m, toks), toks)
       .withColumn("p",
         round(lit(1.0) / (lit(1.0) + exp(-col("log_odds"))), 6))
     val cal = scored
