@@ -190,6 +190,13 @@ object Clusters {
       .select(col("_node"), col("_node").as("_label"),
         lit(false).as("_changed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager: ONE job materializes the symmetric-closure cache (sym sits
+    // under this plan) and the initial labels BEFORE round 1 runs.
+    // Left lazy, round 1's two branches (neighbor-min join and the
+    // propagation join) launch concurrently and RACE to compute sym —
+    // each re-running the whole upstream pair pipeline (the probe showed
+    // the shingle/verify chain twice per closure query).
+    labels.count()
     var converged = false
     var iter = 0
     // try/finally: a mid-loop job failure or the non-convergence throw

@@ -113,7 +113,15 @@ object LangModel {
     * cut drops boilerplate. */
   def perplexity(docs: DataFrame): DataFrame = {
     val bg = docBigrams(docs).persist()
+    // persisted + forced: c2 feeds TWO broadcast builds (the context fold
+    // and the counts join) whose stages launch concurrently and would
+    // otherwise race to compute the aggregate — and its one eager job
+    // also materializes the bg cache before the scoring branch reads it
+    // (the same concurrent-materialization race, one level down; the KN
+    // twin gets this for free from its types count)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n12"))
+      .persist()
+    c2.count()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("_n12")).as("_n1"))
     val vocab = vocabOf(docs)
     // counts join size-gated on the SOURCE scan (guide §3.1: post-
@@ -123,7 +131,8 @@ object LangModel {
     // shuffles the corpus-sized bigram stream; at 100 TB the gate
     // falls back to the shuffled join.
     graft.AutoUnpersist.afterFirstUse(
-      scoreBigrams(bg, BigramLm(c2, c1, vocab), countsProxy = Some(docs)), bg)
+      scoreBigrams(bg, BigramLm(c2, c1, vocab), countsProxy = Some(docs)),
+      bg, c2)
   }
 
   /** Distinct-token vocabulary size — the one driver scalar of both

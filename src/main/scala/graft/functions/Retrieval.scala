@@ -71,19 +71,41 @@ object Retrieval {
       textCol: String = "text",
       idCol: String = "doc_id",
       buckets: Int = 32
+  ): DataFrame =
+    bm25FromPostings(docs, postings(docs, idCol, textCol), queries,
+      k, k1, b, textCol, idCol, buckets)
+
+  /** The (doc_id, dl, term) posting relation both retrieval legs read —
+    * one tokenize+explode of the corpus. dl rides along with every
+    * posting (8 bytes/row in the pruned match set) so no separate
+    * doc-length join — that join would re-shuffle both sides on doc_id
+    * for a value already in hand at explode time. */
+  private def postings(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_t"))
+      .select(col("doc_id"), size(col("_t")).as("dl"),
+        explode(col("_t")).as("term"))
+
+  /** [[bm25TopK]] over a precomputed posting relation — the seam
+    * [[hybridTopK]] uses to share ONE corpus tokenize/explode between
+    * its two legs. */
+  private def bm25FromPostings(
+      docs: DataFrame,
+      post: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double,
+      textCol: String,
+      idCol: String,
+      buckets: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     require(buckets > 0, s"buckets must be positive, got $buckets")
 
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("_t"))
-    val dl = toks.select(col("doc_id"), size(col("_t")).as("dl"))
-    // dl rides along with every posting (8 bytes/row in the pruned match
-    // set) so no separate doc-length join — that join would re-shuffle
-    // both sides on doc_id for a value already in hand at explode time.
-    val post = toks.select(col("doc_id"), size(col("_t")).as("dl"),
-      explode(col("_t")).as("term"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("dl"))
 
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(split(col("qtext"), " "))).as("term"))
@@ -177,9 +199,20 @@ object Retrieval {
       textCol: String = "text",
       idCol: String = "doc_id",
       buckets: Int = 32
+  ): DataFrame =
+    hashedCosineFromVectors(
+      featureVectors(docs, idCol, "doc_id", textCol), queries, k, buckets)
+
+  /** [[hashedCosineTopK]] over a precomputed (doc_id, _f, dc) corpus
+    * feature-vector relation — the [[hybridTopK]] sharing seam. */
+  private def hashedCosineFromVectors(
+      corpusVectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      buckets: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val dvec = featureVectors(docs, idCol, "doc_id", textCol)
+    val dvec = corpusVectors
       .persist() // consumed twice: norms + dot products (tokenize once)
     val dnorm = dvec.groupBy(col("doc_id"))
       .agg(sum(col("dc") * col("dc")).as("nd2"))
@@ -255,11 +288,24 @@ object Retrieval {
       kLeg: Int = 20,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): DataFrame =
-    rrfFuse(
-      hashedCosineTopK(docs, queries, kLeg, textCol, idCol),
-      bm25TopK(docs, queries, kLeg, textCol = textCol, idCol = idCol),
-      k)
+  ): DataFrame = {
+    // ONE corpus tokenize/explode shared by both legs (guide §1.2): the
+    // BM25 leg consumes the posting relation directly and the cosine
+    // leg's 256-bucket count vectors are a groupBy over the same rows —
+    // run separately, each leg re-exploded the corpus.
+    val post = postings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dvec = post.groupBy(col("doc_id"),
+        substring(md5(col("term")), 1, 2).as("_f"))
+      .agg(count(lit(1)).as("dc"))
+    graft.AutoUnpersist.afterFirstUse(
+      rrfFuse(
+        hashedCosineFromVectors(dvec, queries, kLeg, buckets = 32),
+        bm25FromPostings(docs, post, queries, kLeg, k1 = 1.2, b = 0.75,
+          textCol = textCol, idCol = idCol, buckets = 32),
+        k),
+      post)
+  }
 
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     * from each query's candidate shortlist, greedily pick `k` items
